@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Scale posture: AQE on (runtime shuffle coalescing + skew-join splitting),
+  * UTC pinned (epoch-aligned windows must match the DuckDB oracle),
+  * shuffle partitions sized to the local core count rather than the 200
+  * default — on a real cluster this would be set to ~2-3x total cores and
+  * AQE coalesces down per-stage.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the engine's standard SQL conf to an externally-created session
+    * (e.g. the driver-owned Verify/Bench sessions).
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read as Long ns and convert in Tables.table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+}

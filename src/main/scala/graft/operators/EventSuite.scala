@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Queries derived from the reference's own topology, mapped onto the
+  * `events` fixture table (event_type ≙ name, ts ≙ date, value ≙ duration —
+  * FIXTURES.md §B). Every query has a DuckDB oracle; timestamps are exposed
+  * as epoch-second BIGINTs so the cross-engine hash compare is exact.
+  */
+object EventSuite {
+
+  /** The reference's core query (PageEventHandler.java:49-60):
+    * filter(value > 100) -> 5 s tumbling window -> count per event_type.
+    */
+  def pageCounts(spark: SparkSession, dir: String): DataFrame =
+    PageViews.pageCounts(Tables.events(spark, dir), "event_type", "ts", "value")
+
+  /** The `/analytics` snapshot (PageEventController.java:42-58) made
+    * deterministic: now := max(ts) over the table (a 1-row broadcast, not a
+    * driver collect), lookback 5 s, last-window-wins per key.
+    */
+  def pageCountsSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val nowDf = ev.agg(max(col("ts")).cast("long").as("now_s"))
+    val counts = pageCounts(spark, dir).crossJoin(broadcast(nowDf))
+    // Reference lookback is 5 s against a 5 event/s supplier; the fixture's
+    // event density is ~1 per 4 min, so scale the lookback to 1 day to keep
+    // the query non-trivial. Semantics (filter + last-window-wins) unchanged;
+    // the 5 s case is covered by the unit tests.
+    PageViews.snapshot(counts, "event_type", col("now_s"), lookbackSec = 86400L)
+  }
+
+  /** Sliding windows (Spark-native extension of #8 — the reference has only
+    * tumbling; Spark's window(ts, size, slide) generalizes it). 10 s windows
+    * sliding by 5 s: each event lands in exactly 2 buckets.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value") > 100)
+      .groupBy(window(col("ts"), "10 seconds", "5 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("window.start").cast("long").as("window_start"), col("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "page_counts"          -> (pageCounts _),
+    "page_counts_snapshot" -> (pageCountsSnapshot _),
+    "sliding_counts"       -> (slidingCounts _))
+
+  val oracles: Map[String, String] = Map(
+    "page_counts" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
+        |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    "page_counts_snapshot" ->
+      """WITH counts AS (
+        |  SELECT event_type,
+        |         CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
+        |         count(*) AS cnt
+        |  FROM events WHERE value > 100 GROUP BY 1, 2),
+        |now_t AS (SELECT CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS now_s FROM events)
+        |SELECT event_type, arg_max(cnt, window_start) AS cnt
+        |FROM counts, now_t
+        |WHERE window_start BETWEEN now_s - 86400 AND now_s
+        |GROUP BY event_type""".stripMargin,
+    "sliding_counts" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 100),
+        |slid AS (
+        |  SELECT event_type, (us // 5000000) * 5 AS window_start FROM ev
+        |  UNION ALL
+        |  SELECT event_type, (us // 5000000) * 5 - 5 AS window_start FROM ev)
+        |SELECT event_type, CAST(window_start AS BIGINT) AS window_start, count(*) AS cnt
+        |FROM slid GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,323 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Relational operator suite over the TPC-H-ish star schema — the extended
+  * scope beyond the reference's single streaming query (SURVEY.md §2.2 marks
+  * joins / sorts / set-ops / SQL window functions absent in the reference;
+  * these are their Spark-native realizations, each with a DuckDB oracle).
+  *
+  * Determinism note: sums over DOUBLE are order-dependent, and Spark and
+  * DuckDB aggregate in different orders. Every double aggregate therefore
+  * casts its input to DECIMAL (exact, associative) and casts the final sum
+  * back to DOUBLE — bit-identical across engines, and still codegen'd.
+  */
+object RelationalSuite {
+
+  /** Exact decimal sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** TPC-H Q1-shaped aggregation: full-scan groupBy with partial (map-side)
+    * aggregation; only 6 groups cross the exchange.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Filter + narrow projection — exists to prove scan hygiene: the predicate
+    * and the 3-column read schema both reach the parquet reader
+    * (PushedFilters / ReadSchema in explain).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  /** Broadcast-join a big fact to a small dimension chain
+    * (customer -> nation -> region), aggregate revenue per region.
+    * nation/region are tiny at any SF — broadcast them explicitly; customer
+    * joins orders on the shuffle. At 100 TB the orders<->customer join is the
+    * only real exchange here.
+    */
+  def joinRevenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Fact-to-fact join (lineitem x orders) with a dimension filter — the
+    * canonical shuffled hash/sort-merge join; AQE picks the strategy at
+    * runtime.
+    */
+  def joinLineitemOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Semi join: customers that have at least one 'O' order (EXISTS). Spark's
+    * left_semi carries only the left side through the join — no row
+    * duplication, no payload from the right.
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Anti join: customers with no finalized ('F') order (NOT EXISTS). The
+    * right side is filtered before the join — only the matching keys travel.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Top-k: highest-value orders. Catalyst collapses orderBy+limit into
+    * TakeOrderedAndProject — per-partition heaps, only k rows to the driver
+    * side of the exchange; never a full sort at scale. Ties broken by key for
+    * determinism.
+    */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** SQL analytic window function: each customer's most recent order
+    * (row_number over a per-key desc sort — the same last-window-wins shape as
+    * the reference's /analytics fold, SURVEY.md §2.2).
+    */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("long").as("order_date_s"), col("o_totalprice"))
+  }
+
+  /** Running (cumulative) aggregate per supplier over ship time — rows-between
+    * window frame; decimal-exact then cast so the prefix sums hash-match.
+    */
+  def runningSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("long").as("ship_s"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).over(w).cast("double").as("running_qty"))
+  }
+
+  /** Set operations: automotive vs building customer nations —
+    * union / intersect / except, tagged so one result covers all three.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val a = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_nationkey")).distinct()
+    val b = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey")).distinct()
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionAll(a.except(b).withColumn("op", lit("except")))
+  }
+
+  /** Distinct aggregation: exact count-distinct per group (expansion-based in
+    * Spark; at scale prefer approx_count_distinct — benched separately since
+    * HLL estimates aren't oracle-comparable).
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+
+  /** Rollup (grouping sets): order counts by (status, priority) hierarchy.
+    * Spark's Expand-based rollup matches DuckDB ROLLUP null-marker semantics;
+    * GROUPING() disambiguates real NULLs.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  /** Scalar function surface: string / date / math / conditional built-ins in
+    * one projection (the reference's only scalar usage is serde + random
+    * generation, SURVEY.md §2.2; this is the engine's general surface).
+    */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        length(col("o_orderpriority")).as("prio_len"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        dayofmonth(col("o_orderdate")).as("order_day"),
+        round(col("o_totalprice"), 0).as("price_rounded"),
+        abs(col("o_totalprice") * -1).as("price_abs"),
+        when(col("o_totalprice") > 100000, "big")
+          .when(col("o_totalprice") > 10000, "mid")
+          .otherwise("small").as("price_band"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FINAL")).as("status_or_final"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"             -> (q1Agg _),
+    "filter_project"     -> (filterProject _),
+    "join_region_rev"    -> (joinRevenueByRegion _),
+    "join_li_orders"     -> (joinLineitemOrders _),
+    "semi_join"          -> (semiJoin _),
+    "anti_join"          -> (antiJoin _),
+    "topk_orders"        -> (topKOrders _),
+    "latest_order"       -> (latestOrderPerCustomer _),
+    "running_volume"     -> (runningSupplierVolume _),
+    "set_ops"            -> (setOps _),
+    "distinct_agg"       -> (distinctAgg _),
+    "rollup_agg"         -> (rollupAgg _),
+    "scalar_functions"   -> (scalarFunctions _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05""".stripMargin,
+    "join_region_rev" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "join_li_orders" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
+    "semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY 1""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "latest_order" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS order_date_s,
+        |       o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "running_volume" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       CAST(epoch_us(l_shipdate) // 1000000 AS BIGINT) AS ship_s,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 10""".stripMargin,
+    "set_ops" ->
+      """WITH a AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |     b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_nationkey, 'union' AS op FROM (SELECT c_nationkey FROM a UNION SELECT c_nationkey FROM b)
+        |UNION ALL
+        |SELECT c_nationkey, 'intersect' AS op FROM (SELECT c_nationkey FROM a INTERSECT SELECT c_nationkey FROM b)
+        |UNION ALL
+        |SELECT c_nationkey, 'except' AS op FROM (SELECT c_nationkey FROM a EXCEPT SELECT c_nationkey FROM b)""".stripMargin,
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "rollup_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "scalar_functions" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+        |  CAST(length(o_orderpriority) AS INT) AS prio_len,
+        |  CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS order_month,
+        |  CAST(day(o_orderdate) AS INT) AS order_day,
+        |  round(o_totalprice, 0) AS price_rounded,
+        |  abs(o_totalprice * -1) AS price_abs,
+        |  CASE WHEN o_totalprice > 100000 THEN 'big'
+        |       WHEN o_totalprice > 10000 THEN 'mid'
+        |       ELSE 'small' END AS price_band,
+        |  coalesce(nullif(o_orderstatus, 'F'), 'FINAL') AS status_or_final
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin)
+}
