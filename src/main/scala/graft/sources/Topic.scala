@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Emulated Kafka topic (reference topics T1/T2/T4,
+  * application.properties:12,21,26,27).
+  *
+  * No spark-sql-kafka connector jar ships in /opt/spark/jars (SURVEY.md
+  * §7.1), so transport is a directory of JSON files: append-only and
+  * replayable-by-offset — the two properties a Structured Streaming source
+  * needs — with the reference's exact JSON wire format on disk. The operator
+  * layer never sees the transport: swap `FileTopic` for a `format("kafka")`
+  * reader/writer behind the same trait in a connector-present deployment.
+  */
+trait Topic {
+  def name: String
+  def schema: StructType
+
+  /** Producer side (≙ KafkaProducer / StreamBridge.send). */
+  def append(df: DataFrame): Unit
+
+  /** Streaming consumer side (≙ KStream source). */
+  def stream(spark: SparkSession): DataFrame
+
+  /** Batch view of everything published so far (for parity tests / oracles). */
+  def batch(spark: SparkSession): DataFrame
+
+  /** Streaming sink side: write each micro-batch of a query to this topic. */
+  def sinkBatch(df: DataFrame, batchId: Long): Unit = append(df)
+}
+
+final class FileTopic(val name: String, val schema: StructType, root: String)
+    extends Topic {
+  val dir = s"$root/$name"
+  new java.io.File(dir).mkdirs()
+
+  override def append(df: DataFrame): Unit =
+    df.write.mode("append").json(dir)
+
+  override def stream(spark: SparkSession): DataFrame =
+    spark.readStream.schema(schema)
+      // bound per-trigger work so a large backlog replays incrementally
+      // instead of as one giant first micro-batch
+      .option("maxFilesPerTrigger", 64)
+      .json(dir)
+
+  override def batch(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).json(dir)
+}
+
+object Topics {
+  /** The reference's topic wiring (application.properties is authoritative
+    * over the README — SURVEY.md §2.3.6): /publish -> T1 -> console;
+    * supplier -> T2 -> stream job -> T4.
+    */
+  val T1 = "T1"
+  val T2 = "T2"
+  val T4 = "T4"
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.PageEventCodec
+import graft.streaming.PageEventPipeline
+
+/** End-to-end topology smoke over emulated file topics: publish -> T1;
+  * supplier-shaped rows -> T2 -> job -> T4 + analytics snapshot; restart
+  * recovery of the snapshot from the T4 changelog.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("publish appends one wire-format event to T1, echoed back") {
+    val p = new PageEventPipeline(spark, tmpDir("topics"))
+    val ev = p.publish("PX")
+    assert(ev.name == "PX")
+    assert(Set("U1", "U2").contains(ev.user))
+    assert(ev.duration >= 10 && ev.duration <= 1009)
+    val rows = PageEventCodec.fromWire(p.t1.batch(spark)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("name") == "PX")
+  }
+
+  test("T2 -> job -> T4 + analytics, and snapshot restore from changelog") {
+    val p = new PageEventPipeline(spark, tmpDir("topics"))
+    val ckpt = tmpDir("ckpt")
+
+    // seed T2 with wire-format events across two 5 s windows
+    val events = Seq(
+      ("P1", "U1", 10001L, 101L), ("P1", "U2", 12000L, 300L),
+      ("P2", "U1", 14000L, 5000L), ("P1", "U1", 15500L, 999L),
+      ("P2", "U2", 16000L, 50L) // filtered out (<=100)
+    ).map { case (n, u, d, dur) => (n, u, d, dur) }
+      .toDF("name", "user", "date", "duration")
+    p.t2.append(events)
+
+    val job = p.startJob(ckpt)
+    job.processAllAvailable()
+    job.stop()
+
+    // T4 carries the refinements; final value per (name, window) = max
+    val t4Final = p.t4.batch(spark)
+      .groupBy($"name", $"window_start").agg(max($"cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(t4Final == Set(("P1", 10L, 2L), ("P2", 10L, 1L), ("P1", 15L, 1L)))
+
+    // analytics snapshot at now=15: both windows in range, last wins for P1
+    assert(p.analytics.snapshot(15L) == Map("P1" -> 1L, "P2" -> 1L))
+    // at now=14: only window 10
+    assert(p.analytics.snapshot(14L) == Map("P1" -> 2L, "P2" -> 1L))
+
+    // restart path: a fresh pipeline instance rebuilds the store from T4
+    p.analytics.clear()
+    assert(p.analytics.snapshot(15L).isEmpty)
+    p.restoreAnalytics()
+    assert(p.analytics.snapshot(15L) == Map("P1" -> 1L, "P2" -> 1L))
+  }
+
+  test("supplier generates schema-valid events at the configured rate") {
+    val p = new PageEventPipeline(spark, tmpDir("topics"))
+    val ckpt = tmpDir("ckpt")
+    val sup = p.startSupplier(ckpt, rowsPerSecond = 50)
+    try {
+      Thread.sleep(2500)
+      sup.processAllAvailable()
+    } finally sup.stop()
+    val got = PageEventCodec.fromWire(p.t2.batch(spark))
+    val n = got.count()
+    assert(n > 0, "supplier produced no events")
+    val bad = got.filter(!col("name").isin("P1", "P2") ||
+      !col("user").isin("U1", "U2") ||
+      col("duration") < 10 || col("duration") > 10009).count()
+    assert(bad == 0)
+  }
+}

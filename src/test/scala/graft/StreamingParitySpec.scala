@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.PageEvent
+import graft.operators.PageViews
+import graft.streaming.PageEventPipeline
+
+/** Streaming-vs-batch parity (SURVEY.md §5.2c): the streaming pipeline
+  * replayed over the same rows must converge to the batch answer — the honest
+  * encoding of "correctness = final per-window counts" (§2.3.3), since the
+  * reference's emission cadence is non-deterministic.
+  */
+class StreamingParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(name: String, user: String, epochMs: Long, duration: Long) =
+    PageEvent(name, user, new Timestamp(epochMs), duration)
+
+  private val rows = (0 until 200).map { i =>
+    ev(if (i % 3 == 0) "P1" else "P2", s"U${i % 2 + 1}",
+      1000L * i + 17, // spread over ~40 windows
+      if (i % 10 == 0) 100 else 50 + i * 7)
+  }
+
+  test("streaming update-mode counts converge to the batch answer") {
+    val pipeline = new PageEventPipeline(spark, tmpDir("topics"))
+    val input = MemoryStream[PageEvent](spark)
+
+    val query = pipeline.countsStream(input.toDF())
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .format("memory")
+      .queryName("parity_out")
+      .start()
+
+    // replay in three chunks, each triggering refinements of open windows
+    rows.grouped(70).foreach { chunk =>
+      input.addData(chunk)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    // final value per (name, window) = last refinement = max (counts grow)
+    val streamed = spark.table("parity_out")
+      .groupBy($"name", $"window_start").agg(max($"cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+
+    val batch = PageViews.pageCounts(rows.toDS().toDF(), "name", "date", "duration")
+      .as[(String, Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+}
