@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality signals, language ID, fingerprinting. All pure
+  * column expressions (codegen'd, pushdown-friendly) — no UDFs, no
+  * collect — so every operator here distributes trivially.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty string -> empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish pre-tokenization count: letter runs, single digits, or single
+    * non-space symbols — the GPT-2-style pre-split shape, as a proxy for an
+    * LLM token budget without shipping a vocab.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are sentence punctuation. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(c, "[^.,;:!?]", "")).cast("double") / length(c))
+
+  private val EnStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * natural-language-ness signal.
+    */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => lower(t).isin(EnStopwords: _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: rewards natural token lengths and
+    * some stopword presence, penalizes punctuation soup. Deliberately simple
+    * and branch-free — a real pipeline swaps in a model score; the shape
+    * (pure projection, no shuffle) stays the same.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    val punctPenalty = least(punctRatio(c) * 5.0, lit(1.0))
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2))
+  }
+
+  /** Heuristic language ID from marker tokens: CJK characters dominate ->
+    * zh; otherwise the language whose stopword markers appear most, ties
+    * broken in fixed order (en, de, fr, es); no markers -> und.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    def markers(words: Seq[String]): Column =
+      size(filter(toks, t => lower(t).isin(words: _*)))
+    val en = markers(Seq("the", "a", "and", "of", "to", "is"))
+    val de = markers(Seq("der", "die", "das", "und", "ist", "nicht"))
+    val fr = markers(Seq("le", "la", "les", "et", "est", "une"))
+    val es = markers(Seq("el", "los", "las", "y", "es", "una"))
+    val hasCjk = length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    when(hasCjk, "zh")
+      .when(en === 0 && de === 0 && fr === 0 && es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Content fingerprint as hex MD5 of whitespace-normalized, lowercased
+    * text — the exact-dedup key. (Cross-engine stable; xxhash64 is faster
+    * inside Spark but not portable to the oracle.)
+    */
+  def contentFingerprint(c: Column): Column =
+    md5(normalizeText(c).cast("binary"))
+
+  /** Dedup normalization: lowercase + collapse whitespace. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Word n-gram shingles (default 3) over the token array, distinct.
+    * `sequence` + `transform` keeps it a single codegen'd projection.
+    */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+  }
+
+  /** 64-bit hashes of each shingle — input to MinHash/SimHash. xxhash64 is
+    * Spark-native, codegen'd, and stable across runs.
+    */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    transform(shingles(c, n), s => xxhash64(s))
+}

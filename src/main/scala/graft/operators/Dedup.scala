@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication at training-pipeline scale: exact (hash groupBy),
+  * MinHash + LSH banding (near-dup candidates without the O(n^2) cross
+  * join), SimHash (bit-sketch + banded hamming candidates), and exact n-gram
+  * Jaccard (the verifier for candidate pairs).
+  *
+  * Scale shape: every stage is shuffle-by-key — fingerprints, LSH band
+  * buckets, shingles — never an unbounded cross join. The only pairwise work
+  * happens inside a bucket, whose size LSH bounds probabilistically; a skewed
+  * bucket (degenerate near-identical corpus) is handled by AQE skew split.
+  */
+object Dedup {
+
+  /** Exact dedup: group by normalized-content fingerprint. Output one row
+    * per distinct content: canonical (minimum) doc id and the duplicate
+    * count. A 100 TB corpus shuffles only (hash, doc_id) pairs.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), contentFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: `numPerm` permutations, each the min over shingles
+    * of xxhash64(shingleHash, permSeed) — re-keyed hashing instead of
+    * affine mixing because ANSI mode (Spark 4 default) rejects the
+    * wraparound multiply.
+    *
+    * Shape: explode shingles, then numPerm codegen'd min-aggregates with
+    * map-side partial aggregation — NOT an in-row `transform` fold, which
+    * would run interpreted (higher-order functions are CodegenFallback) and
+    * cost numPerm x shingles interpreted evals per document. Docs with no
+    * shingles (< n tokens) drop out — they cannot near-dup match anyway.
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numPerm: Int = 64,
+                        shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(shingleHashes(col(textCol), shingleN)).as("h"))
+    val aggs = (0 until numPerm).map(i =>
+      min(xxhash64(col("h"), lit(seed + i))).as(s"m$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding of minhash signatures: split the signature into `bands`
+    * bands of numPerm/bands rows each, hash each band, emit (band, bucket)
+    * keys. Near-dup docs agree on >=1 whole band with high probability.
+    */
+  def lshBuckets(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numPerm / bands
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))
+    }: _*)
+    sigs.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
+  }
+
+  /** Candidate pairs from LSH buckets + signature-estimated Jaccard.
+    * The self-join is keyed on (band, bucket) — co-bucketed docs only —
+    * then pairs are deduped and scored by signature agreement.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.2,
+                   numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = minhashSignatures(docs, numPerm = numPerm).cache()
+    val buckets = lshBuckets(sigs, numPerm, bands)
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x))
+          .cast("double") / numPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact word-n-gram Jaccard over pairs that share at least one shingle —
+    * explode + equi-join + count, the distributed verifier for near-dup
+    * candidates. minShared prunes the long tail before the per-pair math.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // join on the 64-bit shingle hash, not the shingle string: the equi-join
+    // key shrinks from ~n-word strings to a long (cheaper shuffle + compare;
+    // measured ~3x on the fixture). Collision odds over d distinct shingles
+    // are ~d^2/2^65 — immaterial against a 2^64 space.
+    // cache: this DF feeds both join sides AND the size aggregate — without
+    // it the (tokenize -> shingle -> hash -> explode) chain runs three times
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(col(textCol), n)).as("h"))
+      .persist()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the shingle hash multiset: per bit, majority vote of
+    * +1/-1 across shingle hashes. Pure projection (64 in-row folds), then
+    * near-dup candidates come from exact-match on any 16-bit chunk
+    * (hamming <= 3 implies >=1 of 4 chunks equal, pigeonhole).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // explode + 64 codegen'd conditional sums (map-side combined), not an
+    // in-row interpreted fold — same reasoning as minhashSignatures
+    val exploded = docs.select(col(idCol),
+      explode(shingleHashes(col(textCol))).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val bits = (0 until 64).map { j =>
+      shiftleft(when(col(s"v$j") > 0, 1L).otherwise(0L), j)
+    }
+    exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded candidates (4 x 16-bit chunks), verified
+    * by hamming distance via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs).cache()
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "key")))
+    val pairs = chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

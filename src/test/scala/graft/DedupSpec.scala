@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base doc + variants: near-dup (1 word changed), exact dup (case/space),
+  // and an unrelated doc
+  private val base = (1 to 60).map(i => s"w$i").mkString(" ")
+  private val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+  private val unrelated = (100 to 160).map(i => s"z$i").mkString(" ")
+  private lazy val docs = Seq(
+    (0L, base), (1L, base.toUpperCase.replace(" ", "  ")), (2L, nearDup), (3L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace variants") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length == 3)
+    val g = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(g.getAs[Long]("canonical_id") == 0L)
+  }
+
+  test("minhash estimate tracks exact jaccard and LSH finds the near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // doc 2 differs from doc 0 in 1 word => 3 of 58 shingles differ;
+    // exact jaccard = 55/61 ~ 0.90
+    val est = pairs.getOrElse((0L, 2L), fail(s"LSH missed the near-dup pair; got ${pairs.keys}"))
+    assert(est > 0.7 && est <= 1.0, s"estimate $est far from exact ~0.90")
+    // unrelated doc must not pair with anything
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash estimate agrees with exact ngram jaccard within 0.15") {
+    val exact = Dedup.ngramJaccardPairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val est = Dedup.minhashPairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(exact.contains((0L, 2L)))
+    assert(math.abs(exact((0L, 2L)) - est((0L, 2L))) < 0.15)
+  }
+
+  test("simhash: identical texts hash identically, near-dups land close") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)),
+      "near-dup must be closer in hamming space than unrelated doc")
+    val dupPair = Dedup.simhashPairs(docs, maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(dupPair.exists(p => p._1 == 0L && p._2 == 2L),
+      s"simhash banding missed the near-dup pair: ${dupPair.mkString(",")}")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // clustered synthetic vectors: 10 clusters x 20 members in 16 dims,
+  // member = unit-ish center + small deterministic jitter
+  private val dim = 16
+  private lazy val vectors = {
+    val rng = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    (0 until 200).map { id =>
+      val c = centers(id % 10)
+      val jitter = Array.fill(dim)((rng.nextGaussian() * 0.1).toFloat)
+      (id.toLong, c.zip(jitter).map { case (a, b) => a + b })
+    }
+  }.toDF("vec_id", "embedding")
+
+  test("vector functions: cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(1f, 2f, 2f), Array(-1f, -2f, -2f))
+    ).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-12)
+    assert(math.abs(df(1)) < 1e-12)
+    assert(math.abs(df(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, ranked by cosine, cluster-mates win") {
+    val queries = vectors.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(vectors, queries, k = 5, dim = dim)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length == 15)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      // ranks ordered by descending cosine
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // with tight clusters, every top-5 neighbor shares the query's cluster
+    got.foreach { case (q, n, _, _) =>
+      assert(n % 10 == q % 10, s"neighbor $n of query $q from wrong cluster")
+    }
+  }
+
+  test("LSH ANN reaches >=60% recall of the exact top-5 on clustered data") {
+    val queries = vectors.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vectors, queries, k = 5, dim = dim)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(vectors, queries, k = 5, dim = dim,
+        nBits = 8, tables = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall too low")
+  }
+
+  test("near-dup pairs: symmetric-free ordering and threshold respected") {
+    val pairs = Similarity.nearDupPairs(vectors, threshold = 0.95, dim = dim)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty, "tight clusters must produce >0.95 cosine pairs")
+    pairs.foreach { case (a, b, c) =>
+      assert(a < b); assert(c > 0.95 && c <= 1.0 + 1e-12)
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.get(0)
+
+  test("tokens handles empty, blank and multi-space text") {
+    assert(one("", size(tokens($"text"))) == 0)
+    assert(one("   ", size(tokens($"text"))) == 0)
+    assert(one("a  b\tc", size(tokens($"text"))) == 3)
+  }
+
+  test("bpeish token count splits words, digits and symbols") {
+    // "hello world42!" -> hello, world, 4, 2, !
+    assert(one("hello world42!", bpeishTokenCount($"text")) == 5)
+  }
+
+  test("stopword and punct ratios") {
+    assert(one("the cat sat", stopwordRatio($"text")) == 1.0 / 3)
+    assert(one("a,b.c", punctRatio($"text")) == 2.0 / 5)
+    assert(one("", punctRatio($"text")) == 0.0)
+  }
+
+  test("langId: marker votes and CJK override") {
+    assert(one("the cat and the dog", langId($"text")) == "en")
+    assert(one("der hund und die katze ist", langId($"text")) == "de")
+    assert(one("le chat et la mer est", langId($"text")) == "fr")
+    assert(one("el gato y los perros es", langId($"text")) == "es")
+    assert(one("w中文 text", langId($"text")) == "zh")
+    assert(one("xyzzy qwerty", langId($"text")) == "und")
+  }
+
+  test("normalization makes case/whitespace-variant texts collide") {
+    val fp = Seq("Hello  World", "hello world", "HELLO WORLD ").toDF("text")
+      .select(contentFingerprint($"text").as("f")).distinct().count()
+    assert(fp == 1)
+  }
+
+  private def shingleSeq(text: String): Seq[String] =
+    Seq(text).toDF("text").select(shingles($"text").as("v"))
+      .as[Seq[String]].collect().head
+
+  test("shingles: distinct word n-grams, short docs yield none") {
+    assert(shingleSeq("a b c d").toSet == Set("a b c", "b c d"))
+    assert(shingleSeq("a b").isEmpty)
+    // repeated shingle appears once (set semantics)
+    val rep = shingleSeq("x y z x y z x y")
+    assert(rep.size == rep.toSet.size)
+  }
+}
