@@ -21,7 +21,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    tune(spark)
   }
 
   /** Apply the engine's standard SQL conf to an externally-created session
@@ -33,6 +33,8 @@ object GraftSession {
     // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
     // read as Long ns and convert in Tables.table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // engine-native SQL functions (also injectable via GraftExtensions)
+    graft.functions.DotProduct.register(spark)
     spark
   }
 }

@@ -41,6 +41,19 @@ object VectorFunctions {
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), _ + _)
 
+  // ---- native codegen'd forms (custom Catalyst Expression) ----
+
+  /** Dimension-agnostic codegen'd dot product — the preferred pairwise
+    * primitive (see DotProduct's scaladoc for why neither the higher-order
+    * nor the unrolled form survives a join hot path).
+    */
+  def dotNative(a: Column, b: Column): Column = DotProduct.dot(a, b)
+
+  def norm2Native(a: Column): Column = sqrt(DotProduct.dot(a, a))
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (norm2Native(a) * norm2Native(b))
+
   // ---- fixed-dimension, codegen'd forms ----
 
   private def at(a: Column, i: Int): Column =

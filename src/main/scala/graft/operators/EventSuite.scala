@@ -44,10 +44,29 @@ object EventSuite {
       .agg(count(lit(1)).as("cnt"))
       .select(col("event_type"), col("window.start").cast("long").as("window_start"), col("cnt"))
 
+  /** Session windows (Spark-native `session_window`): per-user activity
+    * sessions with a 30-minute inactivity gap — the stateful streaming
+    * window the reference lacks (SURVEY.md §2.2 "no session windows"),
+    * verifiable in batch against a gap-islands oracle.
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("n_events"))
+
+  /** As-of join: each event with the user's most recent prior order. */
+  def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame =
+    AsOf.eventsAsOfOrders(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "page_counts"          -> (pageCounts _),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
-    "sliding_counts"       -> (slidingCounts _))
+    "sliding_counts"       -> (slidingCounts _),
+    "session_counts"       -> (sessionCounts _),
+    "asof_join"            -> (eventsAsofOrders _))
 
   val oracles: Map[String, String] = Map(
     "page_counts" ->
@@ -66,6 +85,37 @@ object EventSuite {
         |FROM counts, now_t
         |WHERE window_start BETWEEN now_s - 86400 AND now_s
         |GROUP BY event_type""".stripMargin,
+    "session_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    "asof_join" ->
+      """WITH ranked AS (
+        |  SELECT e.event_id, e.user_id,
+        |         CAST(epoch_us(e.ts) // 1000000 AS BIGINT) AS ts_s,
+        |         o.o_orderkey, o.o_totalprice,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, ts_s,
+        |       o_orderkey AS asof_orderkey,
+        |       o_totalprice AS asof_totalprice
+        |FROM ranked WHERE rn = 1""".stripMargin,
     "sliding_counts" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 100),
         |slid AS (

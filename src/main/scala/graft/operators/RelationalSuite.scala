@@ -207,7 +207,22 @@ object RelationalSuite {
           .otherwise("small").as("price_band"),
         coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FINAL")).as("status_or_final"))
 
+  /** Custom typed Aggregator (UDAF surface): Welford mean/variance of
+    * extended price per return flag. No SQL oracle — float merge order
+    * varies with partitioning — so correctness is pinned by unit tests and
+    * this query gets the rows-only check.
+    */
+  def customAggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val welford = org.apache.spark.sql.functions.udaf(new graft.functions.WelfordAggregator)
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(welford(col("l_extendedprice")).as("moments"))
+      .select(col("l_returnflag"), col("moments.n").as("n"),
+        col("moments.mean").as("mean_price"), col("moments.variance").as("var_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "custom_agg_moments" -> (customAggMoments _),
     "q1_agg"             -> (q1Agg _),
     "filter_project"     -> (filterProject _),
     "join_region_rev"    -> (joinRevenueByRegion _),

@@ -31,12 +31,12 @@ object Similarity {
                      dim: Int = 64): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
-      norm2Fixed(col("embedding"), dim).as("q_norm"))
+      norm2Native(col("embedding")).as("q_norm"))
     val c = corpus.select(col("vec_id"), col("embedding"),
-      norm2Fixed(col("embedding"), dim).as("c_norm"))
+      norm2Native(col("embedding")).as("c_norm"))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dotFixed(col("embedding"), col("q_emb"), dim) /
+        (dotNative(col("embedding"), col("q_emb")) /
           (col("c_norm") * col("q_norm"))).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -87,8 +87,8 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.select(col("query_id"), col("neighbor_id"),
-        (dotFixed(col("embedding"), col("q_emb"), dim) /
-          (norm2Fixed(col("embedding"), dim) * norm2Fixed(col("q_emb"), dim))).as("cos"))
+        (dotNative(col("embedding"), col("q_emb")) /
+          (norm2Native(col("embedding")) * norm2Native(col("q_emb")))).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
@@ -158,8 +158,8 @@ object Similarity {
         col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
       .distinct()
     pairs.select(col("id_a"), col("id_b"),
-        (dotFixed(col("emb_a"), col("emb_b"), dim) /
-          (norm2Fixed(col("emb_a"), dim) * norm2Fixed(col("emb_b"), dim))).as("cos"))
+        (dotNative(col("emb_a"), col("emb_b")) /
+          (norm2Native(col("emb_a")) * norm2Native(col("emb_b")))).as("cos"))
       .filter(col("cos") > threshold)
   }
 }

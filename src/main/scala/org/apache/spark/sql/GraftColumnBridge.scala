@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the private[sql] Column <-> Expression converters, for
+  * exposing engine-native Catalyst expressions (graft.functions.DotProduct)
+  * through the public Column API — the same technique third-party Spark
+  * connectors use since the Spark 4 Column/ColumnNode split.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{RelationalSuite, SimilaritySuite}
+
+/** Plan-hygiene assertions: the physical plans must keep the properties the
+  * 100 TB design depends on — filters and projections reaching the parquet
+  * scan, small dimensions broadcast, top-k never a full sort. A regression
+  * here is a performance bug even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter_project pushes predicate and prunes columns at the scan") {
+    val plan = executedPlan(RelationalSuite.filterProject(spark, dir))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,45.0)"),
+      s"quantity predicate not pushed in:\n$plan")
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!plan.contains("l_returnflag"), s"scan reads unneeded column:\n$plan")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val plan = executedPlan(RelationalSuite.joinRevenueByRegion(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.indexOf("BroadcastHashJoin") >= 0)
+  }
+
+  test("top-k collapses to TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(RelationalSuite.topKOrders(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan degraded:\n$plan")
+    assert(!plan.contains("GlobalSort"))
+  }
+
+  test("aggregations are partial (map-side combine before the exchange)") {
+    val plan = executedPlan(RelationalSuite.q1Agg(spark, dir))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no partial aggregation in:\n$plan")
+  }
+
+  test("brute-force topk broadcasts the query side, never shuffles the corpus") {
+    val plan = executedPlan(SimilaritySuite.embedTopK(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast in:\n$plan")
+  }
+}
