@@ -221,7 +221,23 @@ object RelationalSuite {
         col("moments.mean").as("mean_price"), col("moments.variance").as("var_price"))
   }
 
+  /** Sketch aggregations — the constant-memory approximations that replace
+    * exact distinct/percentile at 100 TB: HLL++ count-distinct and
+    * approximate percentiles. No SQL oracle (engine-specific sketches);
+    * deterministic for a given input, so rows-only + unit-tested error
+    * bounds.
+    */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supp"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_sketches"    -> (approxSketches _),
     "custom_agg_moments" -> (customAggMoments _),
     "q1_agg"             -> (q1Agg _),
     "filter_project"     -> (filterProject _),

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.PageEvent
+
+/** Streaming operators beyond the reference's topology (SURVEY.md §2.2
+  * marks stream-stream joins and the processor API absent in the
+  * reference; these are the Spark-native equivalents the complete engine
+  * carries).
+  */
+object StreamOps {
+
+  /** Watermark-bounded stream-stream inner join: pair each page event with
+    * click-stream-style events of the same user within `windowSec` seconds
+    * AFTER the page event. Both sides carry watermarks so join state is
+    * evicted — without the time bound + watermarks, stream-stream join
+    * state grows forever (the 100 TB failure mode).
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, windowSec: Int,
+                 watermark: String = "30 seconds"): DataFrame = {
+    val l = left.select(col("name").as("l_name"), col("user").as("l_user"),
+      col("date").as("l_date")).withWatermark("l_date", watermark)
+    val r = right.select(col("name").as("r_name"), col("user").as("r_user"),
+      col("date").as("r_date")).withWatermark("r_date", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_date") >= col("l_date") &&
+        col("r_date") <= col("l_date") + expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
+  final case class SessionUpdate(user: String, nEvents: Long, totalDuration: Long,
+                                 closed: Boolean)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class SessionState(nEvents: Long, totalDuration: Long)
+
+  /** Custom stateful processing (the processor-API analogue):
+    * per-user running session stats via flatMapGroupsWithState with a
+    * processing-time timeout — state is per-key, partitioned, and evicted on
+    * timeout, exactly the lifecycle a custom Kafka Streams Processor with a
+    * punctuator would manage by hand.
+    */
+  def sessionStats(events: Dataset[PageEvent],
+                   timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+                   timeoutMs: Long = 30000L): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append, timeout) {
+        (user: String, rows: Iterator[PageEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(user, s.nEvents, s.totalDuration, closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val batch = rows.toSeq
+            val next = SessionState(prev.nEvents + batch.size,
+              prev.totalDuration + batch.map(_.duration).sum)
+            state.update(next)
+            if (useTimeout) state.setTimeoutDuration(timeoutMs)
+            Iterator.single(SessionUpdate(user, next.nEvents, next.totalDuration, closed = false))
+          }
+      }
+  }
+}
