@@ -236,7 +236,24 @@ object RelationalSuite {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
 
+  /** Correlated-subquery shape: orders above their own customer's average
+    * order value. Expressed as aggregate + self-join (what Catalyst's
+    * decorrelation rewrites the subquery into anyway); the oracle keeps the
+    * correlated form. Averages via decimal-exact sum / count.
+    */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgs = o.groupBy(col("o_custkey").as("k"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_price"))
+    o.join(avgs, o("o_custkey") === avgs("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "above_avg_orders"   -> (aboveAvgOrders _),
     "approx_sketches"    -> (approxSketches _),
     "custom_agg_moments" -> (customAggMoments _),
     "q1_agg"             -> (q1Agg _),
@@ -254,6 +271,13 @@ object RelationalSuite {
     "scalar_functions"   -> (scalarFunctions _))
 
   val oracles: Map[String, String] = Map(
+    "above_avg_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY 1""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -146,6 +146,64 @@ object Similarity {
       .toDF("id_a", "id_b", "cos")
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * quantizer assigns every vector to its nearest of `nCells` centroids
+    * (one codegen'd pass over the corpus); a query searches only the
+    * `nProbe` cells nearest to it. Centroids here are seeded random unit
+    * directions (a k-means pass would tighten them; the index/search
+    * plumbing — cell assignment, inverted list join, re-rank — is
+    * identical).
+    */
+  def ivfIndex(corpus: DataFrame, dim: Int = 64, nCells: Int = 16,
+               seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val centroids = Seq.fill(nCells) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // nearest centroid by dot product (vectors need not be normalized for
+    // argmax vs unit centroids under cosine up to per-vector scale)
+    val scores = centroids.map(c => dotNative(col("embedding"),
+      array(c.map(lit(_)): _*).cast("array<double>")))
+    val best = scores.zipWithIndex
+      .map { case (s, i) => struct(s.as("score"), lit(i).as("cell")) }
+    corpus.withColumn("cell", greatest(best: _*).getField("cell"))
+  }
+
+  /** IVF top-k: probe the nProbe best cells per query, exact re-rank within
+    * the probed inverted lists. Join is keyed on cell — never a cross join.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              dim: Int = 64, nCells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val idx = ivfIndex(corpus, dim, nCells, seed)
+    val rng = new scala.util.Random(seed)
+    val centroids = Seq.fill(nCells) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // top-nProbe cells per query, exploded to (query, cell) probe pairs
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(col("embedding"),
+        array(c.map(lit(_)): _*).cast("array<double>")).as("score"),
+        lit(i).as("cell"))
+    }: _*)
+    val qProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(reverse(array_sort(cellScores)), 1, nProbe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+    val cand = idx.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotNative(col("embedding"), col("q_emb")) /
+          (norm2Native(col("embedding")) * norm2Native(col("q_emb")))).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs. */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       nBits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {

@@ -35,10 +35,20 @@ object SimilaritySuite {
       nBits = 6, tables = 8)
   }
 
+  /** IVF-indexed ANN top-5 (no oracle: seeded centroids). Coarse cell count
+    * for the near-random fixture vectors; recall unit-tested on clusters.
+    */
+  def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+      nCells = 8, nProbe = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk"    -> (embedTopK _),
     "embed_neardup" -> (embedNearDup _),
-    "embed_ann"     -> (embedAnnTopK _))
+    "embed_ann"     -> (embedAnnTopK _),
+    "embed_ivf"     -> (embedIvfTopK _))
 
   val oracles: Map[String, String] = Map(
     "embed_topk" ->

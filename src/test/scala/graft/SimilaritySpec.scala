@@ -61,6 +61,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall $recall too low")
   }
 
+  test("IVF ANN reaches >=60% recall of the exact top-5 on clustered data") {
+    val queries = vectors.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vectors, queries, k = 5, dim = dim)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vectors, queries, k = 5, dim = dim,
+        nCells = 8, nProbe = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+  }
+
   test("near-dup pairs: symmetric-free ordering and threshold respected") {
     val pairs = Similarity.nearDupPairs(vectors, threshold = 0.95, dim = dim)
       .as[(Long, Long, Double)].collect()
