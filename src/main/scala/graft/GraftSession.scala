@@ -33,6 +33,10 @@ object GraftSession {
     // events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
     // read as Long ns and convert in Tables.table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // wide-aggregate plans (64-permutation MinHash / 64-bit SimHash buffers)
+    // must stay inside whole-stage codegen; the 100-field default kicks them
+    // out into the interpreted row path
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
     // engine-native SQL functions (also injectable via GraftExtensions)
     graft.functions.DotProduct.register(spark)
     spark

@@ -184,6 +184,19 @@ object RelationalSuite {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
 
+  /** Cube (all grouping-set combinations) over two dimensions — the
+    * Expand-based multi-dimensional rollup companion to rollupAgg.
+    */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .cube(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nation"),
+        col("n"), col("total_bal"))
+
   /** Scalar function surface: string / date / math / conditional built-ins in
     * one projection (the reference's only scalar usage is serde + random
     * generation, SURVEY.md §2.2; this is the engine's general surface).
@@ -255,6 +268,7 @@ object RelationalSuite {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "above_avg_orders"   -> (aboveAvgOrders _),
     "approx_sketches"    -> (approxSketches _),
+    "cube_agg"           -> (cubeAgg _),
     "custom_agg_moments" -> (customAggMoments _),
     "q1_agg"             -> (q1Agg _),
     "filter_project"     -> (filterProject _),
@@ -278,6 +292,13 @@ object RelationalSuite {
         |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |GROUP BY 1""".stripMargin,
+    "cube_agg" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

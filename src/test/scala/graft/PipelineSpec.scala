@@ -58,6 +58,31 @@ class PipelineSpec extends SparkSpec {
     assert(p.analytics.snapshot(15L) == Map("P1" -> 1L, "P2" -> 1L))
   }
 
+  test("job restarts from checkpoint without recounting processed data") {
+    val p = new PageEventPipeline(spark, tmpDir("topics"))
+    val ckpt = tmpDir("ckpt")
+    def wire(rows: (String, String, Long, Long)*) =
+      p.t2.append(rows.toSeq.toDF("name", "user", "date", "duration"))
+
+    wire(("P1", "U1", 10001L, 101L), ("P1", "U2", 12000L, 300L))
+    val job1 = p.startJob(ckpt)
+    job1.processAllAvailable()
+    job1.stop()
+
+    // new data lands while the job is down; restart from the SAME checkpoint
+    wire(("P1", "U1", 13000L, 400L), ("P2", "U1", 16000L, 200L))
+    val job2 = p.startJob(ckpt)
+    job2.processAllAvailable()
+    job2.stop()
+
+    // final per-window counts must equal the batch answer over everything —
+    // restart must neither drop the new rows nor double-count the old ones
+    val t4Final = p.t4.batch(spark)
+      .groupBy($"name", $"window_start").agg(max($"cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(t4Final == Set(("P1", 10L, 3L), ("P2", 15L, 1L)))
+  }
+
   test("supplier generates schema-valid events at the configured rate") {
     val p = new PageEventPipeline(spark, tmpDir("topics"))
     val ckpt = tmpDir("ckpt")
