@@ -107,9 +107,12 @@ object TextFunctions {
           i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
   }
 
-  /** 64-bit hashes of each shingle — input to MinHash/SimHash. xxhash64 is
-    * Spark-native, codegen'd, and stable across runs.
+  /** 64-bit hashes of each distinct shingle — input to MinHash / SimHash /
+    * Jaccard joins. Backed by the native ShingleHash expression: the
+    * composable transform(shingles, xxhash64) form profiled at ~9 s of
+    * every dedup query at sf0.1, all interpreter overhead (see
+    * ShingleHash's scaladoc).
     */
   def shingleHashes(c: Column, n: Int = 3): Column =
-    transform(shingles(c, n), s => xxhash64(s))
+    ShingleHash.shingleHashesNative(c, n)
 }

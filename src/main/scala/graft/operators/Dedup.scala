@@ -146,14 +146,19 @@ object Dedup {
       .select(col(idCol), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: banded candidates (4 x 16-bit chunks), verified
-    * by hamming distance via bit_count(xor).
+  /** SimHash near-dup pairs: banded candidates verified by hamming distance
+    * via bit_count(xor). Pigeonhole: detection is GUARANTEED only when
+    * bands > maxHamming (h differing bits cannot dirty every one of h+1
+    * chunks); fewer bands = coarser buckets = cheaper but probabilistic.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
     val sh = simhash(docs).cache()
     val chunks = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "key")))
+      posexplode(array((0 until bands).map(c =>
+        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(mask)): _*)).as(Seq("chunk", "key")))
     val pairs = chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

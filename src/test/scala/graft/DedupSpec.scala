@@ -51,7 +51,8 @@ class DedupSpec extends SparkSpec {
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)),
       "near-dup must be closer in hamming space than unrelated doc")
-    val dupPair = Dedup.simhashPairs(docs, maxHamming = 10)
+    // bands > maxHamming guarantees the banding cannot miss (pigeonhole)
+    val dupPair = Dedup.simhashPairs(docs, maxHamming = 10, bands = 16)
       .as[(Long, Long, Int)].collect()
     assert(dupPair.exists(p => p._1 == 0L && p._2 == 2L),
       s"simhash banding missed the near-dup pair: ${dupPair.mkString(",")}")
