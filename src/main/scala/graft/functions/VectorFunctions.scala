@@ -73,13 +73,11 @@ object VectorFunctions {
     dotFixed(a, b, dim) / (norm2Fixed(a, dim) * norm2Fixed(b, dim))
 
   /** Sign-bit sketch against a fixed hyperplane: 1 if a . h >= 0. `h` is a
-    * literal array column (seeded, driver-generated, plan-constant).
-    * Deliberately the compact higher-order form, NOT unrolled: this runs
-    * once per (vector, plane) — O(corpus) — and unrolling bits x tables x
-    * dim literals into one projection was measured to explode codegen cost
-    * (~20x slower end-to-end) for zero per-row win.
+    * literal array column (seeded, driver-generated, plan-constant), dotted
+    * via the native expression — compact in the plan (unrolling bits x
+    * tables x dim literals was measured to explode codegen cost ~20x) yet
+    * codegen'd per row.
     */
   def signBit(a: Column, h: Column): Column =
-    when(aggregate(zip_with(asDouble(a), h, _ * _), lit(0.0), _ + _) >= 0, 1L)
-      .otherwise(0L)
+    when(DotProduct.dot(a, h) >= 0, 1L).otherwise(0L)
 }
