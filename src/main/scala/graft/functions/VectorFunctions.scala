@@ -76,8 +76,9 @@ object VectorFunctions {
     * literal array column (seeded, driver-generated, plan-constant), dotted
     * via the native expression — compact in the plan (unrolling bits x
     * tables x dim literals was measured to explode codegen cost ~20x) yet
-    * codegen'd per row.
+    * codegen'd per row. Inherits DotProduct's input contract: float/double
+    * arrays, null elements contribute 0, length mismatch truncates.
     */
   def signBit(a: Column, h: Column): Column =
-    when(DotProduct.dot(a, h) >= 0, 1L).otherwise(0L)
+    when(dotNative(a, h) >= 0, 1L).otherwise(0L)
 }
