@@ -35,6 +35,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == Set(("P1", "C1")))
   }
 
+  test("session windows merge across micro-batches in streaming mode") {
+    val input = MemoryStream[PageEvent](spark)
+    val agg = input.toDF()
+      .withWatermark("date", "10 minutes")
+      .groupBy(session_window($"date", "30 seconds"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"user", $"session_window.start".cast("long").as("start"), $"n")
+    // session windows only support append mode: sessions emit once, when
+    // the watermark passes their end
+    val q = agg.writeStream.format("memory").queryName("sess_stream")
+      .option("checkpointLocation", tmpDir("sess"))
+      .outputMode("append").start()
+
+    input.addData(ev("P1", "U1", 100), ev("P1", "U1", 110))
+    q.processAllAvailable()
+    // second batch extends the same session (within 30 s of 110) and opens
+    // a new one after the gap
+    input.addData(ev("P1", "U1", 130), ev("P1", "U1", 300))
+    q.processAllAvailable()
+    // sentinel far in the future advances the watermark past both sessions
+    input.addData(ev("PX", "U9", 10000))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_stream").filter($"user" === "U1")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("U1", 100L, 3L), ("U1", 300L, 1L)),
+      s"unexpected sessions: $got")
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     val input = MemoryStream[PageEvent](spark)
     // NoTimeout in the test: with ProcessingTimeTimeout the engine keeps
