@@ -184,6 +184,18 @@ object RelationalSuite {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
 
+  /** Predicate surface: LIKE / IN / BETWEEN / null-safe comparisons in one
+    * filter — all pushdown-eligible Catalyst predicates.
+    */
+  def predicateSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(
+        (col("p_type").like("%AND%") || col("p_type").like("S%")) &&
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_size").between(5, 25) &&
+          col("p_retailprice").isNotNull)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+
   /** Cube (all grouping-set combinations) over two dimensions — the
     * Expand-based multi-dimensional rollup companion to rollupAgg.
     */
@@ -269,6 +281,7 @@ object RelationalSuite {
     "above_avg_orders"   -> (aboveAvgOrders _),
     "approx_sketches"    -> (approxSketches _),
     "cube_agg"           -> (cubeAgg _),
+    "predicate_suite"    -> (predicateSuite _),
     "custom_agg_moments" -> (customAggMoments _),
     "q1_agg"             -> (q1Agg _),
     "filter_project"     -> (filterProject _),
@@ -292,6 +305,13 @@ object RelationalSuite {
         |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |GROUP BY 1""".stripMargin,
+    "predicate_suite" ->
+      """SELECT p_partkey, p_brand, p_type, p_size
+        |FROM part
+        |WHERE (p_type LIKE '%AND%' OR p_type LIKE 'S%')
+        |  AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        |  AND p_size BETWEEN 5 AND 25
+        |  AND p_retailprice IS NOT NULL""".stripMargin,
     "cube_agg" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |       coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
