@@ -196,6 +196,49 @@ object RelationalSuite {
           col("p_retailprice").isNotNull)
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
 
+  /** SQL front-end surface: the same engine through `spark.sql` over
+    * registered views — proves the full parser/analyzer path, not just the
+    * DataFrame DSL.
+    */
+  def sqlRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  /** Pivot: order counts per status pivoted across fixed priority columns
+    * (explicit pivot values keep the schema static and oracle-comparable).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("prio", substring(col("o_orderpriority"), 1, 1))
+      .groupBy(col("o_orderstatus"))
+      .pivot("prio", Seq("1", "2", "3", "4", "5"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("1"), lit(0L)).as("p1"), coalesce(col("2"), lit(0L)).as("p2"),
+        coalesce(col("3"), lit(0L)).as("p3"), coalesce(col("4"), lit(0L)).as("p4"),
+        coalesce(col("5"), lit(0L)).as("p5"))
+
+  /** JSON extraction (the reference's wire format is JSON): parse the
+    * `props` payload column with an explicit schema, aggregate an extracted
+    * field.
+    */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
   /** Cube (all grouping-set combinations) over two dimensions — the
     * Expand-based multi-dimensional rollup companion to rollupAgg.
     */
@@ -282,6 +325,9 @@ object RelationalSuite {
     "approx_sketches"    -> (approxSketches _),
     "cube_agg"           -> (cubeAgg _),
     "predicate_suite"    -> (predicateSuite _),
+    "sql_revenue"        -> (sqlRevenue _),
+    "pivot_agg"          -> (pivotAgg _),
+    "json_extract_agg"   -> (jsonExtractAgg _),
     "custom_agg_moments" -> (customAggMoments _),
     "q1_agg"             -> (q1Agg _),
     "filter_project"     -> (filterProject _),
@@ -305,6 +351,26 @@ object RelationalSuite {
         |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
         |GROUP BY 1""".stripMargin,
+    "sql_revenue" ->
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin,
+    "pivot_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '1') AS p1,
+        |  count(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '2') AS p2,
+        |  count(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '3') AS p3,
+        |  count(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '4') AS p4,
+        |  count(*) FILTER (WHERE substring(o_orderpriority, 1, 1) = '5') AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "json_extract_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "predicate_suite" ->
       """SELECT p_partkey, p_brand, p_type, p_size
         |FROM part

@@ -79,11 +79,17 @@ object Similarity {
     val qIdx = lshIndex(queries, dim, nBits, tables, seed)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("table_id"), col("bucket"))
-    val cand = idx.join(broadcast(qIdx), Seq("table_id", "bucket"))
+    // dedupe candidate PAIRS on ids only — distinct over rows that carry the
+    // embedding arrays would shuffle and compare the vectors themselves
+    val pairs = idx.join(broadcast(qIdx.select(col("query_id"), col("table_id"), col("bucket"))),
+        Seq("table_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
-        col("embedding"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val cand = pairs
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.select(col("query_id"), col("neighbor_id"),
