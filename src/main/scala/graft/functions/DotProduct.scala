@@ -95,10 +95,12 @@ object DotProduct {
 
   val functionName = "dot_product"
 
-  private val builder: Seq[Expression] => Expression = { exprs =>
+  /** Shared by the registry and extensions paths — both must arity-check. */
+  val sqlBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"$functionName takes exactly 2 arguments")
     DotProduct(exprs.head, exprs(1))
   }
+  private val builder = sqlBuilder
 
   private def info = new ExpressionInfo(classOf[DotProduct].getName, functionName)
 
@@ -116,5 +118,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
     e.injectFunction((FunctionIdentifier(DotProduct.functionName),
       new ExpressionInfo(classOf[DotProduct].getName, DotProduct.functionName),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      DotProduct.sqlBuilder))
 }

@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed text; empty string -> empty array. */
-  def tokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(c), "\\s+"))
+  /** Whitespace tokens; blank text -> empty array. Leading/trailing
+    * whitespace is stripped with a regex (trim() removes only spaces — a
+    * tab-edged text would otherwise yield empty tokens and diverge from the
+    * native ShingleHash tokenizer).
+    */
+  def tokens(c: Column): Column = {
+    val stripped = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(length(stripped) === 0, array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s+"))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

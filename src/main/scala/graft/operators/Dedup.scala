@@ -41,6 +41,9 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numPerm: Int = 64,
                         shingleN: Int = 3, seed: Long = 42L): DataFrame = {
+    require(numPerm >= 1 && numPerm <= 64,
+      s"numPerm must be in [1, 64]: the rotate-xor family has 64 distinct " +
+        s"rotations, so perms beyond 64 would silently duplicate (got $numPerm)")
     // double-hashing permutation family: two independent base hashes per
     // shingle, perm_i = h1 XOR rotl(h2, i). Shifts/xor are ANSI-safe and
     // ~10x cheaper than evaluating numPerm full xxhash64 mixes per row
@@ -66,6 +69,9 @@ object Dedup {
     * keys. Near-dup docs agree on >=1 whole band with high probability.
     */
   def lshBuckets(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0,
+      s"bands ($bands) must divide numPerm ($numPerm) — otherwise the " +
+        "signature tail is silently ignored and recall degrades")
     val rows = numPerm / bands
     val bandHashes = array((0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))
@@ -79,7 +85,10 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.2,
                    numPerm: Int = 64, bands: Int = 16): DataFrame = {
-    val sigs = minhashSignatures(docs, numPerm = numPerm).cache()
+    // no cache: the signature subtree appears three times in the final plan
+    // and its exchange is deduplicated by Catalyst's ReuseExchange; caching
+    // would pin executor memory for the session lifetime instead
+    val sigs = minhashSignatures(docs, numPerm = numPerm)
     val buckets = lshBuckets(sigs, numPerm, bands)
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -107,11 +116,10 @@ object Dedup {
     // key shrinks from ~n-word strings to a long (cheaper shuffle + compare;
     // measured ~3x on the fixture). Collision odds over d distinct shingles
     // are ~d^2/2^65 — immaterial against a 2^64 space.
-    // cache: this DF feeds both join sides AND the size aggregate — without
-    // it the (tokenize -> shingle -> hash -> explode) chain runs three times
+    // no persist: with the native ShingleHash the explode chain is cheap to
+    // recompute, and caching here pinned executor memory for the session
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingleHashes(col(textCol), n)).as("h"))
-      .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -155,7 +163,7 @@ object Dedup {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val sh = simhash(docs).cache()
+    val sh = simhash(docs) // recomputed subtrees dedupe via ReuseExchange
     val chunks = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(c =>
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(mask)): _*)).as(Seq("chunk", "key")))

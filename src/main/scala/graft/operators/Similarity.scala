@@ -160,14 +160,22 @@ object Similarity {
     * plumbing — cell assignment, inverted list join, re-rank — is
     * identical).
     */
-  def ivfIndex(corpus: DataFrame, dim: Int = 64, nCells: Int = 16,
-               seed: Long = 42L): DataFrame = {
+  /** Unit-norm seeded centroids — ONE generator for both index build and
+    * query probing: IVF correctness depends on the two sides assigning
+    * against bit-identical centroids.
+    */
+  private def ivfCentroids(nCells: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
-    val centroids = Seq.fill(nCells) {
+    Seq.fill(nCells) {
       val v = Array.fill(dim)(rng.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
+      v.map(_ / n).toSeq
     }
+  }
+
+  def ivfIndex(corpus: DataFrame, dim: Int = 64, nCells: Int = 16,
+               seed: Long = 42L): DataFrame = {
+    val centroids = ivfCentroids(nCells, dim, seed)
     // nearest centroid by dot product (vectors need not be normalized for
     // argmax vs unit centroids under cosine up to per-vector scale)
     val scores = centroids.map(c => dotNative(col("embedding"),
@@ -184,12 +192,7 @@ object Similarity {
               dim: Int = 64, nCells: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {
     val idx = ivfIndex(corpus, dim, nCells, seed)
-    val rng = new scala.util.Random(seed)
-    val centroids = Seq.fill(nCells) {
-      val v = Array.fill(dim)(rng.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
-    }
+    val centroids = ivfCentroids(nCells, dim, seed)
     // top-nProbe cells per query, exploded to (query, cell) probe pairs
     val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(dotNative(col("embedding"),
@@ -210,18 +213,25 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs. */
+  /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs.
+    * Candidate pairs are deduped on ids only (distinct over rows carrying
+    * the embedding arrays would shuffle and compare the vectors), then the
+    * vectors are joined back for the exact cosine check.
+    */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       nBits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val idx = lshIndex(corpus, dim, nBits, tables, seed)
+      .select(col("vec_id"), col("table_id"), col("bucket"))
     val pairs = idx.as("a").join(idx.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    pairs.select(col("id_a"), col("id_b"),
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    pairs.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
         (dotNative(col("emb_a"), col("emb_b")) /
           (norm2Native(col("emb_a")) * norm2Native(col("emb_b")))).as("cos"))
       .filter(col("cos") > threshold)

@@ -22,6 +22,9 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int = 8, seed: Long = 42L,
                  joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "left_outer").contains(joinType.toLowerCase),
+      s"saltedJoin preserves only inner/left semantics; '$joinType' would " +
+        "duplicate unmatched replicated-side rows")
     val b = big.withColumn("_salt", (rand(seed) * salt).cast("int"))
     val s = small.withColumn("_salt",
       explode(array((0 until salt).map(lit(_)): _*)))

@@ -133,7 +133,9 @@ object TextSuite {
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, (SELECT unnest(range(1, 2000)) AS i)
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
         |  WHERE i + 2 <= len(t)),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (

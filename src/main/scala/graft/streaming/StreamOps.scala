@@ -49,6 +49,10 @@ object StreamOps {
                    timeoutMs: Long = 30000L): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
     val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    require(useTimeout || timeout == GroupStateTimeout.NoTimeout,
+      "sessionStats supports ProcessingTimeTimeout (state evicted) or " +
+        "NoTimeout (caller accepts unbounded state, e.g. tests); " +
+        "EventTimeTimeout would silently never evict here")
     events.groupByKey(_.user)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append, timeout) {
