@@ -72,6 +72,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("LSH near-dup pairs recover most exact pairs on clustered data") {
+    val exact = Similarity.nearDupPairs(vectors, threshold = 0.95, dim = dim)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(vectors, threshold = 0.95, dim = dim,
+        nBits = 8, tables = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // every LSH pair must be a true pair (cosine verified), recall bounded
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size.toDouble / exact.size >= 0.6, s"LSH pair recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("near-dup pairs: symmetric-free ordering and threshold respected") {
     val pairs = Similarity.nearDupPairs(vectors, threshold = 0.95, dim = dim)
       .as[(Long, Long, Double)].collect()

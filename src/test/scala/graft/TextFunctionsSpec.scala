@@ -16,6 +16,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("a  b\tc", size(tokens($"text"))) == 3)
   }
 
+  test("tokens: tab/newline-edged text yields no empty tokens") {
+    // trim() strips only spaces — the regex strip must handle \t \n edges
+    assert(one("\ta b\n", size(tokens($"text"))) == 2)
+    assert(one("\t\n ", size(tokens($"text"))) == 0)
+    val toks = Seq("\tx y\t").toDF("text").select(tokens($"text").as("t"))
+      .as[Seq[String]].collect().head
+    assert(toks == Seq("x", "y"))
+  }
+
   test("bpeish token count splits words, digits and symbols") {
     // "hello world42!" -> hello, world, 4, 2, !
     assert(one("hello world42!", bpeishTokenCount($"text")) == 5)
