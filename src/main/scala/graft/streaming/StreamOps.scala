@@ -39,20 +39,24 @@ object StreamOps {
   final case class SessionState(nEvents: Long, totalDuration: Long)
 
   /** Custom stateful processing (the processor-API analogue):
-    * per-user running session stats via flatMapGroupsWithState with a
-    * processing-time timeout — state is per-key, partitioned, and evicted on
-    * timeout, exactly the lifecycle a custom Kafka Streams Processor with a
-    * punctuator would manage by hand.
+    * per-user running session stats via flatMapGroupsWithState — state is
+    * per-key, partitioned, and evicted on timeout, exactly the lifecycle a
+    * custom Kafka Streams Processor with a punctuator would manage by hand.
+    *
+    * Timeout modes:
+    *   - ProcessingTimeTimeout: session closes `timeoutMs` after the last
+    *     arrival (wall clock).
+    *   - EventTimeTimeout: session closes when the WATERMARK passes
+    *     last-event-time + `timeoutMs` — the production event-time design;
+    *     the caller must put `.withWatermark` on `events` first.
+    *   - NoTimeout: caller accepts unbounded state (tests).
     */
   def sessionStats(events: Dataset[PageEvent],
                    timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
                    timeoutMs: Long = 30000L): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
-    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
-    require(useTimeout || timeout == GroupStateTimeout.NoTimeout,
-      "sessionStats supports ProcessingTimeTimeout (state evicted) or " +
-        "NoTimeout (caller accepts unbounded state, e.g. tests); " +
-        "EventTimeTimeout would silently never evict here")
+    val procTime = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    val eventTime = timeout == GroupStateTimeout.EventTimeTimeout
     events.groupByKey(_.user)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         OutputMode.Append, timeout) {
@@ -67,7 +71,11 @@ object StreamOps {
             val next = SessionState(prev.nEvents + batch.size,
               prev.totalDuration + batch.map(_.duration).sum)
             state.update(next)
-            if (useTimeout) state.setTimeoutDuration(timeoutMs)
+            if (procTime) state.setTimeoutDuration(timeoutMs)
+            if (eventTime) {
+              val maxEvent = batch.map(_.date.getTime).max
+              state.setTimeoutTimestamp(maxEvent + timeoutMs)
+            }
             Iterator.single(SessionUpdate(user, next.nEvents, next.totalDuration, closed = false))
           }
       }

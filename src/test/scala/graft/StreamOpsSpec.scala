@@ -65,6 +65,32 @@ class StreamOpsSpec extends SparkSpec {
       s"unexpected sessions: $got")
   }
 
+  test("event-time timeout closes sessions when the watermark passes") {
+    val input = MemoryStream[PageEvent](spark)
+    val q = StreamOps.sessionStats(
+        input.toDS().withWatermark("date", "0 seconds"),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        timeoutMs = 30000L).toDF()
+      .writeStream.format("memory").queryName("ett")
+      .option("checkpointLocation", tmpDir("ett"))
+      .outputMode("append").start()
+
+    input.addData(ev("P1", "U1", 100, 10), ev("P2", "U1", 110, 20))
+    q.processAllAvailable()
+    // watermark moves past 110s + 30s -> U1's session must close
+    input.addData(ev("PX", "U9", 500, 1))
+    q.processAllAvailable()
+    // one more batch so the timeout actually fires post-watermark-advance
+    input.addData(ev("PY", "U9", 510, 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = spark.table("ett").filter($"closed" && $"user" === "U1")
+      .select($"nEvents", $"totalDuration").as[(Long, Long)].collect()
+    assert(closed.toSeq == Seq((2L, 30L)),
+      s"expected U1 session closed with 2 events/30ms, got ${closed.toSeq}")
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     val input = MemoryStream[PageEvent](spark)
     // NoTimeout in the test: with ProcessingTimeTimeout the engine keeps
