@@ -65,6 +65,30 @@ class StreamOpsSpec extends SparkSpec {
       s"unexpected sessions: $got")
   }
 
+  test("streaming dedup drops duplicate events across micro-batches") {
+    val input = MemoryStream[PageEvent](spark)
+    // dedup key (name, user, date): watermark bounds the dedup state so it
+    // is evicted once duplicates can no longer arrive
+    val q = input.toDF()
+      .withWatermark("date", "1 minute")
+      .dropDuplicatesWithinWatermark("name", "user", "date")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", tmpDir("ddw"))
+      .outputMode("append").start()
+
+    input.addData(ev("P1", "U1", 100), ev("P1", "U1", 100), ev("P2", "U1", 101))
+    q.processAllAvailable()
+    input.addData(ev("P1", "U1", 100), ev("P3", "U2", 102)) // cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_stream")
+      .select($"name", $"user", $"date".cast("long")).as[(String, String, Long)]
+      .collect().toSeq
+    assert(got.size == got.toSet.size, "duplicates survived the dedup")
+    assert(got.toSet == Set(("P1", "U1", 100L), ("P2", "U1", 101L), ("P3", "U2", 102L)))
+  }
+
   test("event-time timeout closes sessions when the watermark passes") {
     val input = MemoryStream[PageEvent](spark)
     val q = StreamOps.sessionStats(
