@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.PageViews
+
+/** Streaming-vs-batch parity over the REAL driver fixture (SURVEY.md §5.2c):
+  * the sf0.001 events table replayed in order through the streaming count
+  * pipeline must converge to the batch `page_counts` answer — the strongest
+  * encoding of "correctness = final per-window counts" (§2.3.3).
+  */
+final case class FixtureEvent(name: String, date: Timestamp, duration: Double)
+
+class FixtureParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming replay of the events fixture converges to batch page_counts") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir).select(
+      col("event_type").as("name"), col("ts").as("date"),
+      col("value").as("duration"))
+
+    val batch = PageViews.pageCounts(ev, "name", "date", "duration")
+      .as[(String, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    // replay in event-time order (reference semantics guarantee parity for
+    // in-order data; the 10 s watermark would drop disordered stragglers)
+    val rows = ev.orderBy(col("date")).as[FixtureEvent].collect()
+    val input = MemoryStream[FixtureEvent](spark)
+    val counts = PageViews.unwrapWindow(
+      PageViews.windowedCounts(
+        PageViews.rekey(PageViews.filterValid(input.toDF(), "duration"), "name", "date")
+          .withWatermark("date", "10 seconds"),
+        "date", "name"),
+      "name")
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("fixture_parity")
+      .option("checkpointLocation", tmpDir("fp"))
+      .start()
+    rows.grouped(2000).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("fixture_parity")
+      .groupBy($"name", $"window_start").agg(max($"cnt").as("cnt"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"streaming diverged: ${streamed.diff(batch).take(5)} vs ${batch.diff(streamed).take(5)}")
+  }
+}
