@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -65,7 +65,44 @@ object TextSuite {
   def simhashSketch(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir))
 
+  /** Term frequencies + document frequencies per (doc, term) — the TF-IDF
+    * building blocks as two hash aggregations (explode -> count, then
+    * distinct-by-construction -> count). Shuffles carry (doc_id, term)
+    * pairs only.
+    */
+  def termStats(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+  }
+
+  /** Real-valued TF-IDF score (smoothed idf). Cross-engine double `ln` is
+    * not bit-guaranteed, so this column stays out of the oracle query; the
+    * oracle ranks by the integer keys below instead.
+    */
+  def tfidfScore(nDocs: Long): Column =
+    col("tf") * (log((lit(nDocs + 1).cast("double")) / (col("df") + 1)) + 1.0)
+
+  /** Top-k terms per document, ranked by (tf desc, df asc, term asc) —
+    * integer-deterministic tf-idf-flavored ranking (high frequency in the
+    * doc, rare in the corpus).
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = termStats(Tables.documents(spark, dir))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    stats.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -77,6 +114,19 @@ object TextSuite {
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
   val oracles: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

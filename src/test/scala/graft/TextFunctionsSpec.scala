@@ -51,6 +51,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp == 1)
   }
 
+  test("tfidf: term stats and real-valued score behave as expected") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val stats = graft.operators.TextSuite.termStats(docs)
+      .select($"doc_id", $"term", $"tf", $"df")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(stats.contains((1L, "apple", 2L, 1L)))   // tf 2 in doc 1, only doc 1
+    assert(stats.contains((2L, "banana", 1L, 2L)))  // banana in 2 docs
+    assert(stats.contains((3L, "cherry", 3L, 2L)))
+    val scored = graft.operators.TextSuite.termStats(docs)
+      .withColumn("score", graft.operators.TextSuite.tfidfScore(nDocs = 3L))
+      .select($"doc_id", $"term", $"score").as[(Long, String, Double)].collect()
+      .map { case (d, t, sc) => (d, t) -> sc }.toMap
+    // equal tf and equal df score equally
+    assert(scored((2L, "cherry")) == scored((2L, "banana")))
+    // higher tf + rarer term must outscore a common single occurrence
+    assert(scored((1L, "apple")) > scored((1L, "banana")))
+  }
+
   private def shingleSeq(text: String): Seq[String] =
     Seq(text).toDF("text").select(shingles($"text").as("v"))
       .as[Seq[String]].collect().head
