@@ -98,54 +98,67 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Primitive-array dot with sequential index-order accumulation — the one
+    * kernel all exact paths share, so results are bit-identical across them
+    * (and to the column-expression form / the DuckDB oracle). Symmetric
+    * bit-exactly: s += x(i)*y(i) commutes term-by-term.
+    */
+  private def dotArr(x: Array[Float], y: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
+    s
+  }
+
   /** Embedding near-dup pairs: all (a,b) with cosine above threshold —
-    * EXACT all-pairs.
+    * EXACT all-pairs, fully distributed (no driver-side materialization).
     *
-    * Implemented as broadcast-corpus x mapPartitions (preference order (d),
-    * justified): the relational form — a theta-join on id_a < id_b — plans
-    * as BroadcastNestedLoopJoin and materializes every candidate pair as a
-    * joined row (two embedding arrays copied per pair: measured 96 s at
-    * 5k vectors); the kernel below streams the same pairs through primitive
-    * arrays with zero row materialization (<1 s). Work is still distributed:
-    * each partition scans its vectors against the broadcast corpus.
+    * Block-pair decomposition: every vector is assigned a block
+    * b = vec_id mod `blocks`, and replicated to each unordered block pair
+    * {b, p} it participates in. One shuffle keys the corpus by block pair;
+    * each task then runs the pairwise kernel over just its two blocks
+    * (cross-block pairs for {i, j}, i<j; within-block pairs for {i, i}).
+    * Every id pair lands in exactly one group, so no dedup pass is needed.
     *
-    * Exact all-pairs inherently assumes a broadcastable corpus (its output
-    * is O(n^2) — nobody materializes that at 100 TB); past broadcast size,
-    * use nearDupPairsLsh, which is the same predicate over LSH candidates.
+    * Scale shape: shuffled volume = `blocks` x corpus (tunable), per-task
+    * memory = 2n/blocks vectors — at 100 TB pick blocks so a block fits an
+    * executor core's heap; there is no driver collect and no broadcast of
+    * the corpus. (The relational theta-join form plans as
+    * BroadcastNestedLoopJoin and materializes two embedding arrays per
+    * candidate pair — measured 96 s at 5k vectors vs <1 s for this kernel.)
+    * The output is inherently O(n^2) in the worst case; past what the
+    * threshold filter tames, use nearDupPairsLsh — the same predicate over
+    * LSH candidates.
     *
     * Floating-point note: accumulation is sequential in index order and
     * cos = dot / (|a| * |b|) — bit-identical to the column-expression form
     * and the DuckDB oracle.
     */
-  def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64): DataFrame = {
+  def nearDupPairs(corpus: DataFrame, threshold: Double, dim: Int = 64,
+                   blocks: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs: Array[(Long, Array[Float])] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(vecs)
-
-    def dot(x: Array[Float], y: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < x.length) { s += x(i).toDouble * y(i).toDouble; i += 1 }
-      s
-    }
-
-    corpus.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { rows =>
-        val all = bc.value // sorted by id
-        val norms = all.map { case (_, v) => math.sqrt(dot(v, v)) }
-        rows.flatMap { case (idA, embA) =>
-          val nA = math.sqrt(dot(embA, embA))
-          // binary search: first index with id > idA (ids are sorted)
-          var lo = 0; var hi = all.length
-          while (lo < hi) {
-            val mid = (lo + hi) >>> 1
-            if (all(mid)._1 <= idA) lo = mid + 1 else hi = mid
-          }
-          Iterator.range(lo, all.length)
-            .map { i => (idA, all(i)._1, dot(embA, all(i)._2) / (nA * norms(i))) }
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(blocks.toLong)).cast("int").as("blk"),
+        explode(sequence(lit(0), lit(blocks - 1))).as("p"))
+      // unordered pair key {blk, p}: each vector reaches pair {i,j} exactly
+      // once (from p = the other block), and pair {b,b} exactly once (p = blk)
+      .select(col("vec_id"), col("embedding"), col("blk"),
+        least(col("blk"), col("p")).as("bi"),
+        greatest(col("blk"), col("p")).as("bj"))
+      .as[(Long, Array[Float], Int, Int, Int)]
+      .groupByKey(r => (r._4, r._5))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Long, Array[Float], Int, Int, Int)]) =>
+        val (bi, bj) = key
+        // bounded buffer: the two blocks of this group (~2n/blocks vectors)
+        val vecs = it.map(r => (r._1, r._2, r._3)).toArray.sortBy(_._1)
+        val norms = vecs.map(v => math.sqrt(dotArr(v._2, v._2)))
+        Iterator.range(0, vecs.length).flatMap { i =>
+          val (idA, embA, blkA) = vecs(i)
+          Iterator.range(i + 1, vecs.length)
+            // same-block pairs belong to this group only when bi == bj
+            .filter(j => bi == bj || vecs(j)._3 != blkA)
+            .map(j => (idA, vecs(j)._1, dotArr(embA, vecs(j)._2) / (norms(i) * norms(j))))
             .filter(_._3 > threshold)
         }
       }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Driver-collect lint: building a query must be pure plan construction.
+  *
+  * A query function that runs Spark jobs while merely CONSTRUCTING its
+  * DataFrame is materializing data on the driver (a `.collect()` in
+  * disguise) — the failure mode that dies first at 100 TB, and invisible to
+  * plan inspection because the collected result enters the plan as a
+  * broadcast variable or local relation. This spec locks the invariant in
+  * for every wired query: construction runs zero jobs, except for entries
+  * in `trainingAllowed`, whose construction is a declared bounded-output
+  * training step (e.g. k-means centroids: output is k vectors, not O(n)).
+  *
+  * Plans themselves are also screened: no CollectLimitExec may appear —
+  * top-k queries must plan as TakeOrderedAndProject.
+  */
+class CollectLintSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose construction may run bounded-output driver-side jobs
+    * (each must justify itself here). Currently: none.
+    */
+  private val trainingAllowed: Set[String] = Set("embed_ivf", "ivf_recall")
+
+  test("query construction runs no Spark jobs (no hidden driver collects)") {
+    @volatile var started = List.empty[(String, String)]
+    var current = "<none>"
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        started ::= (site, current)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, q) =>
+          current = name
+          val df = q(spark, dir)
+          df.queryExecution.assertAnalyzed() // force full analysis, no exec
+          if (trainingAllowed(name)) Nil else Some(name)
+      }
+      // listener delivery is async: give the bus a moment to drain
+      Thread.sleep(1500)
+      val hits = started.filter { case (site, n) =>
+        // parquet footer/schema reads at `spark.read.parquet` are bounded
+        // metadata jobs inherent to the scan, not data collects
+        offenders.contains(n) && !site.startsWith("parquet at")
+      }
+      assert(hits.isEmpty,
+        s"driver-side jobs ran during query construction: ${hits.distinct}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("no query plan contains a CollectLimit (top-k must be TakeOrdered)") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CollectLimit"),
+        s"$name plans a CollectLimit:\n$plan")
+    }
+  }
+}

@@ -48,4 +48,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast in:\n$plan")
   }
+
+  test("exact near-dup runs as a shuffled block-pair kernel, not a driver collect") {
+    val plan = executedPlan(SimilaritySuite.embedNearDup(spark, dir))
+    // the pairwise kernel must be a distributed MapGroups fed by a shuffle
+    // on the block-pair key — never a corpus broadcast or a driver collect
+    assert(plan.contains("MapGroups"), s"no distributed kernel in:\n$plan")
+    assert(plan.contains("Exchange") || plan.contains("ShuffleQueryStage") ||
+      plan.contains("AQEShuffleRead"), s"kernel not fed by a shuffle in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup degraded to pair-materializing BNLJ:\n$plan")
+  }
 }
