@@ -108,18 +108,42 @@ object Dedup {
 
   /** Exact word-n-gram Jaccard over pairs that share at least one shingle —
     * explode + equi-join + count, the distributed verifier for near-dup
-    * candidates. minShared prunes the long tail before the per-pair math.
+    * candidates.
+    *
+    * Stop-shingle pruning: a shingle appearing in more than
+    * `maxDocFreqFrac` of the corpus produces a quadratic join bucket that
+    * AQE can split but not shrink, and carries no Jaccard signal at that
+    * frequency. Shingles above the cutoff are dropped CONSISTENTLY — from
+    * the intersection join and the per-doc set sizes — so the result is the
+    * exact Jaccard over the pruned shingle sets. The default 2% cutoff sits
+    * above the fixtures' max document frequency (1.4% at sf0.01, 0.5% at
+    * sf0.1 — measured), so nothing is pruned there and the DuckDB oracle
+    * (unpruned) still hash-matches; at 100 TB the cutoff is the knob that
+    * bounds the worst bucket at frac x corpus rows. The df filter joins on
+    * the same key (h) as the self-join, so its shuffle is co-partitioned
+    * with the work it feeds.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id",
+                        maxDocFreqFrac: Double = 0.02): DataFrame = {
     // join on the 64-bit shingle hash, not the shingle string: the equi-join
     // key shrinks from ~n-word strings to a long (cheaper shuffle + compare;
     // measured ~3x on the fixture). Collision odds over d distinct shingles
     // are ~d^2/2^65 — immaterial against a 2^64 space.
     // no persist: with the native ShingleHash the explode chain is cheap to
     // recompute, and caching here pinned executor memory for the session
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val shAll = docs.select(col(idCol).as("doc_id"),
       explode(shingleHashes(col(textCol), n)).as("h"))
+    // corpus size as a 1-row broadcast (not a driver count() — query
+    // construction must stay job-free, see CollectLintSpec)
+    val total = docs.select(count(lit(1)).as("n_docs"))
+    val dfreq = shAll.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
+    // small-corpus guard: a fractional cutoff is meaningless when
+    // frac x n_docs rounds below a handful — never prune df <= 8
+    val cutoff = greatest(col("n_docs") * maxDocFreqFrac, lit(8.0))
+    val sh = shAll.join(dfreq, "h").crossJoin(broadcast(total))
+      .filter(col("df_sh") <= cutoff)
+      .select(col("doc_id"), col("h"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

@@ -43,13 +43,20 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Seeded hyperplane values — the ONE generator for the Spark plan
+    * constants and the oracle-SQL literal embedding (SimilaritySuite): both
+    * sides must see bit-identical doubles.
+    */
+  def hyperplaneValues(nBits: Int, dim: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
   /** Deterministic seeded hyperplanes as literal array columns (plan
     * constants — broadcast for free with the task binary).
     */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Column] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(nBits)(array(Seq.fill(dim)(lit(rng.nextGaussian())): _*))
-  }
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Column] =
+    hyperplaneValues(nBits, dim, seed).map(v => array(v.map(lit(_)).toSeq: _*))
 
   /** Sign-bit LSH bucket id per vector: nBits hyperplane sign bits packed
     * into a long, for each of `tables` independent tables. Output one row
@@ -173,11 +180,11 @@ object Similarity {
     * plumbing — cell assignment, inverted list join, re-rank — is
     * identical).
     */
-  /** Unit-norm seeded centroids — ONE generator for both index build and
-    * query probing: IVF correctness depends on the two sides assigning
-    * against bit-identical centroids.
+  /** Unit-norm seeded centroids — ONE generator for index build, query
+    * probing AND the oracle-SQL literal embedding: IVF correctness depends
+    * on all sides assigning against bit-identical centroids.
     */
-  private def ivfCentroids(nCells: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  def ivfCentroids(nCells: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(nCells) {
       val v = Array.fill(dim)(rng.nextGaussian())

@@ -24,24 +24,38 @@ object SimilaritySuite {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
 
-  /** ANN top-5 via random-hyperplane LSH (no oracle: seeded hyperplanes).
-    * The fixture's embeddings are near-random, so bucket width is tuned
-    * coarse (6 bits x 8 tables) to yield a real candidate set; clustered
-    * data would use finer buckets (recall is unit-tested on clusters).
+  // ANN parameters shared by the wired queries and their generated oracles —
+  // the oracle embeds the seeded hyperplanes/centroids as SQL literals, so
+  // any drift between the two sides is a hash mismatch.
+  private val annBits = 6
+  private val annTables = 8
+  private val ivfCells = 8
+  private val ivfProbe = 3
+  private val dim = 64
+  private val seed = 42L
+
+  /** ANN top-5 via random-hyperplane LSH. The fixture's embeddings are
+    * near-random, so bucket width is tuned coarse (6 bits x 8 tables) to
+    * yield a real candidate set; clustered data would use finer buckets
+    * (recall is unit-tested on clusters). Oracle-checked EXACTLY: the
+    * seeded hyperplanes are data-independent plan constants, so the DuckDB
+    * oracle reproduces the full bucket -> candidate -> re-rank pipeline
+    * from the same literals (see annOracle below).
     */
   def embedAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.annTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
-      nBits = 6, tables = 8)
+      nBits = annBits, tables = annTables, seed = seed)
   }
 
-  /** IVF-indexed ANN top-5 (no oracle: seeded centroids). Coarse cell count
-    * for the near-random fixture vectors; recall unit-tested on clusters.
+  /** IVF-indexed ANN top-5. Coarse cell count for the near-random fixture
+    * vectors; recall unit-tested on clusters. Oracle-checked EXACTLY via
+    * centroid literals embedded in the generated SQL (ivfOracle below).
     */
   def embedIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
-      nCells = 8, nProbe = 3)
+      nCells = ivfCells, nProbe = ivfProbe, seed = seed)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -50,7 +64,90 @@ object SimilaritySuite {
     "embed_ann"     -> (embedAnnTopK _),
     "embed_ivf"     -> (embedIvfTopK _))
 
+  /** Doubles are embedded via Double.toString (shortest round-trip form);
+    * DuckDB's literal parser rounds to nearest, recovering the identical
+    * bit pattern.
+    */
+  private def sqlArr(v: Seq[Double]): String = v.mkString("[", ", ", "]")
+
+  /** Bucket id of one LSH table as SQL: sum of sign bits weighted 2^i —
+    * identical to Spark's shiftleft(signBit)/OR fold (bits are disjoint).
+    * `e` is the vector CAST to DOUBLE[]; sign uses the same `>= 0` boundary
+    * as VectorFunctions.signBit.
+    */
+  private def bucketExpr(planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(e, ${sqlArr(p.toSeq)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Generated oracle for embed_ann: recompute every table's bucket from
+    * the hyperplane literals, join candidates on (table, bucket), exact
+    * cosine re-rank — the same pipeline as Similarity.annTopK.
+    */
+  private def annOracle: String = {
+    val buckets = (0 until annTables).map { t =>
+      bucketExpr(Similarity.hyperplaneValues(annBits, dim, seed + t * 1000))
+    }
+    val tableIds = (0 until annTables).mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, e,
+       |         unnest(${buckets.mkString("[", ",\n                 ", "]")}) AS bucket,
+       |         unnest($tableIds) AS table_id
+       |  FROM s),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sigs c
+       |  JOIN (SELECT * FROM sigs WHERE vec_id < 5) q
+       |    ON c.table_id = q.table_id AND c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.vec_id)
+       |SELECT cand.query_id, cand.neighbor_id,
+       |       list_cosine_similarity(ce.e, qe.e) AS cos,
+       |       CAST(row_number() OVER (PARTITION BY cand.query_id
+       |         ORDER BY list_cosine_similarity(ce.e, qe.e) DESC,
+       |                  cand.neighbor_id ASC) AS INT) AS rank
+       |FROM cand
+       |JOIN s ce ON ce.vec_id = cand.neighbor_id
+       |JOIN s qe ON qe.vec_id = cand.query_id
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
+  /** Generated oracle for embed_ivf: assign each vector to its best cell by
+    * centroid dot product (ties -> higher cell, matching Spark's
+    * greatest-of-structs), probe the top-nProbe cells per query, exact
+    * cosine re-rank — the same pipeline as Similarity.ivfTopK.
+    */
+  private def ivfOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, e, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cell FROM cells WHERE vec_id < 5
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) <= $ivfProbe)
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |       list_cosine_similarity(a.e, p.qe) AS cos,
+       |       CAST(row_number() OVER (PARTITION BY p.query_id
+       |         ORDER BY list_cosine_similarity(a.e, p.qe) DESC,
+       |                  a.vec_id ASC) AS INT) AS rank
+       |FROM assign a JOIN probes p ON a.cell = p.cell
+       |WHERE a.vec_id <> p.query_id
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_ann" -> annOracle,
+    "embed_ivf" -> ivfOracle,
     "embed_topk" ->
       """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

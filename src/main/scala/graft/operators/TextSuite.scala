@@ -65,6 +65,24 @@ object TextSuite {
   def simhashSketch(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir))
 
+  /** MinHash+LSH recall gate: the exact near-dup pairs (n-gram Jaccard
+    * >= 0.2) that the LSH candidate generation ALSO surfaced. The DuckDB
+    * oracle computes the full exact pair set independently — so the hash
+    * comparison passes iff LSH recall at this threshold is exactly 1.0
+    * (any missed pair = missing row). This turns the seed-dependent
+    * minhash_pairs path into a driver-checkable correctness row: the
+    * banding parameters (64 perms x 16 bands) give a >= 0.999 collision
+    * probability at j = 0.2 per the (1-(1-j^r)^b) curve, and the fixed
+    * seed makes the outcome deterministic on the fixtures.
+    */
+  def minhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+    val cand = Dedup.minhashPairs(docs, threshold = 0.05)
+      .select(col("doc_a"), col("doc_b"))
+    exact.join(cand, Seq("doc_a", "doc_b"))
+  }
+
   /** Term frequencies + document frequencies per (doc, term) — the TF-IDF
     * building blocks as two hash aggregations (explode -> count, then
     * distinct-by-construction -> count). Shuffles carry (doc_id, term)
@@ -109,6 +127,7 @@ object TextSuite {
     "dedup_exact"     -> (dedupExact _),
     "ngram_jaccard"   -> (ngramJaccard _),
     "minhash_pairs"   -> (minhashPairs _),
+    "minhash_recall"  -> (minhashRecall _),
     "simhash_sketch"  -> (simhashSketch _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
@@ -197,5 +216,27 @@ object TextSuite {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05""".stripMargin)
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05""".stripMargin,
+    // the exact pair set at jaccard >= 0.2, computed WITHOUT any LSH — rows
+    // can only match if the Spark side's minhash candidates cover it fully
+    "minhash_recall" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin)
 }

@@ -46,6 +46,36 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(exact((0L, 2L)) - est((0L, 2L))) < 0.15)
   }
 
+  test("stop-shingle pruning bounds hot-shingle buckets without losing real pairs") {
+    // 40 docs sharing ONE universal shingle ("common boiler plate") but
+    // otherwise disjoint, plus one genuine near-dup pair (ids 100, 101)
+    val hot = (0 until 40).map { i =>
+      (i.toLong, s"common boiler plate u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }
+    val realA = (1 to 30).map(i => s"r$i").mkString(" ")
+    val realB = (1 to 30).map(i => if (i == 15) "X" else s"r$i").mkString(" ")
+    val corpus = (hot ++ Seq((100L, realA), (101L, realB))).toDF("doc_id", "text")
+
+    // cutoff below the hot shingle's 40/42 df: the universal shingle is
+    // dropped, so the 40 boiler-plate docs — whose only overlap is that
+    // shingle — produce ZERO pairs instead of C(40,2) = 780 join rows
+    val pruned = Dedup.ngramJaccardPairs(corpus, threshold = 0.01,
+        maxDocFreqFrac = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pruned.exists { case (a, b, j) => a == 100L && b == 101L && j > 0.5 },
+      s"pruning must keep the genuine near-dup pair: ${pruned.mkString(",")}")
+    assert(pruned.forall { case (a, b, _) => a >= 100L && b >= 100L },
+      s"hot-shingle-only pairs must be pruned away: ${pruned.length} pairs")
+
+    // with the cutoff above the hot shingle's df nothing is pruned: the
+    // quadratic bucket is back (semantics unchanged relative to no pruning)
+    val unpruned = Dedup.ngramJaccardPairs(corpus, threshold = 0.01,
+        maxDocFreqFrac = 1.0)
+      .as[(Long, Long, Double)].collect()
+    assert(unpruned.length == pruned.length + 40 * 39 / 2,
+      s"expected the hot shingle to contribute C(40,2) pairs: ${unpruned.length}")
+  }
+
   test("simhash: identical texts hash identically, near-dups land close") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
