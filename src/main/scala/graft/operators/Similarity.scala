@@ -175,10 +175,10 @@ object Similarity {
   /** IVF (inverted-file) ANN — the other classic scale path: a coarse
     * quantizer assigns every vector to its nearest of `nCells` centroids
     * (one codegen'd pass over the corpus); a query searches only the
-    * `nProbe` cells nearest to it. Centroids here are seeded random unit
-    * directions (a k-means pass would tighten them; the index/search
-    * plumbing — cell assignment, inverted list join, re-rank — is
-    * identical).
+    * `nProbe` cells nearest to it. Centroids are pluggable: seeded random
+    * unit directions (data-independent — exactly reproducible by the DuckDB
+    * oracle) or a distributed k-means fit (tighter cells, higher recall at
+    * equal nProbe — see kmeansCentroids).
     */
   /** Unit-norm seeded centroids — ONE generator for index build, query
     * probing AND the oracle-SQL literal embedding: IVF correctness depends
@@ -193,26 +193,47 @@ object Similarity {
     }
   }
 
-  def ivfIndex(corpus: DataFrame, dim: Int = 64, nCells: Int = 16,
-               seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(nCells, dim, seed)
-    // nearest centroid by dot product (vectors need not be normalized for
-    // argmax vs unit centroids under cosine up to per-vector scale)
-    val scores = centroids.map(c => dotNative(col("embedding"),
-      array(c.map(lit(_)): _*).cast("array<double>")))
-    val best = scores.zipWithIndex
-      .map { case (s, i) => struct(s.as("score"), lit(i).as("cell")) }
-    corpus.withColumn("cell", greatest(best: _*).getField("cell"))
+  /** Distributed k-means centroids (mllib, seeded, deterministic): the
+    * training is executor-side; only the k centroid vectors — a bounded,
+    * O(nCells x dim) result — ever reach the driver, where they become plan
+    * constants. This is a declared training step, not a data collect.
+    */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L,
+                      maxIter: Int = 10): Seq[Seq[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    model.clusterCenters.map(_.toArray.toSeq).toSeq
   }
 
-  /** IVF top-k: probe the nProbe best cells per query, exact re-rank within
-    * the probed inverted lists. Join is keyed on cell — never a cross join.
+  private def cellAssign(centroids: Seq[Seq[Double]]): Column = {
+    // nearest centroid by dot product (vectors need not be normalized for
+    // argmax vs unit centroids under cosine up to per-vector scale)
+    val best = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(col("embedding"),
+        array(c.map(lit(_)): _*).cast("array<double>")).as("score"),
+        lit(i).as("cell"))
+    }
+    greatest(best: _*).getField("cell")
+  }
+
+  def ivfIndexWith(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    corpus.withColumn("cell", cellAssign(centroids))
+
+  def ivfIndex(corpus: DataFrame, dim: Int = 64, nCells: Int = 16,
+               seed: Long = 42L): DataFrame =
+    ivfIndexWith(corpus, ivfCentroids(nCells, dim, seed))
+
+  /** IVF top-k against explicit centroids: probe the nProbe best cells per
+    * query, exact re-rank within the probed inverted lists. Join is keyed
+    * on cell — never a cross join.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-              dim: Int = 64, nCells: Int = 16, nProbe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val idx = ivfIndex(corpus, dim, nCells, seed)
-    val centroids = ivfCentroids(nCells, dim, seed)
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                  centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    val idx = ivfIndexWith(corpus, centroids)
     // top-nProbe cells per query, exploded to (query, cell) probe pairs
     val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(dotNative(col("embedding"),
@@ -232,6 +253,21 @@ object Similarity {
           (norm2Native(col("embedding")) * norm2Native(col("q_emb")))).as("cos"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+              dim: Int = 64, nCells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame =
+    ivfTopKWith(corpus, queries, k, ivfCentroids(nCells, dim, seed), nProbe)
+
+  /** IVF top-k over k-means-trained centroids — same search plumbing, cells
+    * shaped to the data. Training runs Spark jobs up front (bounded output:
+    * nCells centroids), so this path is for prepared indexes, not the
+    * construction-time-job-free query contract (see CollectLintSpec).
+    */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                    nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+                    maxIter: Int = 10): DataFrame =
+    ivfTopKWith(corpus, queries, k, kmeansCentroids(corpus, nCells, seed, maxIter), nProbe)
 
   /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs.
     * Candidate pairs are deduped on ids only (distinct over rows carrying

@@ -20,9 +20,11 @@ class CollectLintSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   /** Queries whose construction may run bounded-output driver-side jobs
-    * (each must justify itself here). Currently: none.
+    * (each must justify itself here). Currently none: even the IVF query
+    * uses data-independent seeded centroids (the k-means path is a separate
+    * prepared-index API, Similarity.ivfTopKKmeans).
     */
-  private val trainingAllowed: Set[String] = Set("embed_ivf", "ivf_recall")
+  private val trainingAllowed: Set[String] = Set.empty
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]

@@ -72,6 +72,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("k-means centroids beat random centroids at equal nProbe") {
+    val queries = vectors.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(vectors, queries, k = 5, dim = dim)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val rand = recallOf(Similarity.ivfTopK(vectors, queries, k = 5, dim = dim,
+      nCells = 8, nProbe = 2))
+    val km = recallOf(Similarity.ivfTopKKmeans(vectors, queries, k = 5,
+      nCells = 8, nProbe = 2))
+    // 10 true clusters: k-means cells align with them, random directions
+    // split them — trained centroids must measurably improve recall
+    assert(km > rand, s"k-means recall $km not above random-centroid $rand")
+    assert(km >= 0.9, s"k-means recall $km below 0.9 on clustered data")
+  }
+
   test("LSH near-dup pairs recover most exact pairs on clustered data") {
     val exact = Similarity.nearDupPairs(vectors, threshold = 0.95, dim = dim)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
