@@ -37,6 +37,14 @@ object GraftSession {
     // must stay inside whole-stage codegen; the 100-field default kicks them
     // out into the interpreted row path
     spark.conf.set("spark.sql.codegen.maxFields", "256")
+    // streaming state must spill past executor memory at scale: RocksDB
+    // state store (default HDFSBacked keeps every key on-heap), with
+    // changelog checkpointing so commits ship deltas, not full SST sets
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     // engine-native SQL functions (also injectable via GraftExtensions)
     graft.functions.DotProduct.register(spark)
     spark

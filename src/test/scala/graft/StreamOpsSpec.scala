@@ -14,6 +14,14 @@ class StreamOpsSpec extends SparkSpec {
   private def ev(name: String, user: String, sec: Long, dur: Long = 500) =
     PageEvent(name, user, new Timestamp(sec * 1000), dur)
 
+  test("streaming state runs on the RocksDB state store provider") {
+    // every stateful test in this suite (joins, sessions, dedup, FMGWS) and
+    // PipelineSpec's checkpoint-restart then exercises RocksDB end-to-end
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"),
+      "GraftSession.tune must pin the spill-capable state store")
+  }
+
   test("stream-stream join pairs events of the same user within the window") {
     val pages = MemoryStream[PageEvent](spark)
     val clicks = MemoryStream[PageEvent](spark)
