@@ -102,6 +102,17 @@ final class PageEventPipeline(spark: SparkSession, root: String,
       }
       .start()
 
+  /** Entry point C serving: the reference's HTTP surface (SSE /analytics,
+    * /publish, live chart page) over this pipeline's analytics store.
+    * port 0 = ephemeral (see AnalyticsServer.boundPort).
+    */
+  def startServer(port: Int = 0): AnalyticsServer = {
+    val topics = Map(Topics.T1 -> t1, Topics.T2 -> t2)
+    new AnalyticsServer(analytics,
+      (name, topic) => publish(name, topics.getOrElse(topic, t1)),
+      port = port).start()
+  }
+
   /** Rebuild the analytics snapshot from the T4 changelog (restart path):
     * last write per (name, window) wins, exactly like replaying the
     * reference's changelog topic into a fresh store.

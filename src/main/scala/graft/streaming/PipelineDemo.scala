@@ -29,7 +29,11 @@ object PipelineDemo {
     val supplier = p.startSupplier(ckpt, rowsPerSecond = 20)
     val job = p.startJob(ckpt)
 
-    // entry point C: 1 Hz /analytics poll (reference Flux.interval(1s))
+    // entry point C: the real HTTP surface (SSE /analytics + chart page),
+    // plus the same 1 Hz snapshot echoed to the console
+    val server = p.startServer()
+    println(s"[demo] serving http://127.0.0.1:${server.boundPort}/ " +
+      s"(SSE at /analytics, ingest at /publish)")
     val deadline = System.currentTimeMillis() + seconds * 1000L
     while (System.currentTimeMillis() < deadline) {
       Thread.sleep(1000)
@@ -37,7 +41,7 @@ object PipelineDemo {
       println(s"[analytics] now=$now ${p.analytics.snapshot(now)}")
     }
 
-    supplier.stop(); job.stop(); console.stop()
+    server.stop(); supplier.stop(); job.stop(); console.stop()
     val t4 = p.t4.batch(spark)
     println(s"[demo] T4 changelog rows: ${t4.count()}")
     t4.show(5, truncate = false)

@@ -83,6 +83,53 @@ class PipelineSpec extends SparkSpec {
     assert(t4Final == Set(("P1", 10L, 3L), ("P2", 15L, 1L)))
   }
 
+  test("SSE /analytics serves live JSON frames; /publish ingests over HTTP") {
+    val p = new PageEventPipeline(spark, tmpDir("topics"))
+    val ckpt = tmpDir("ckpt")
+    p.t2.append(Seq(
+      ("P1", "U1", 10001L, 101L), ("P1", "U2", 12000L, 300L),
+      ("P2", "U1", 14000L, 5000L)
+    ).toDF("name", "user", "date", "duration"))
+    val job = p.startJob(ckpt)
+    job.processAllAvailable()
+    job.stop()
+
+    // serve the snapshot as-of event time 14 s at a fast test cadence
+    val server = new graft.streaming.AnalyticsServer(
+      p.analytics, (n, _) => p.publish(n), nowSec = () => 14L,
+      intervalMs = 100L)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+
+      // >= 2 SSE frames of {page -> count} JSON (reference Flux.interval SSE)
+      val conn = new java.net.URI(s"$base/analytics").toURL.openConnection()
+      assert(conn.getContentType.startsWith("text/event-stream"))
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+      val frames = Iterator.continually(in.readLine())
+        .takeWhile(_ != null).filter(_.startsWith("data: ")).take(2).toList
+      in.close()
+      assert(frames.length == 2, s"expected 2 SSE frames, got $frames")
+      frames.foreach { f =>
+        assert(f == """data: {"P1":2,"P2":1}""", s"bad frame: $f")
+      }
+
+      // /publish mirrors the reference's one-row REST ingest
+      val pub = scala.io.Source.fromURL(s"$base/publish?name=PZ&topic=T1")
+      val body = try pub.mkString finally pub.close()
+      assert(body.contains(""""name":"PZ""""), s"bad publish echo: $body")
+      val t1Rows = PageEventCodec.fromWire(p.t1.batch(spark))
+        .filter($"name" === "PZ").count()
+      assert(t1Rows == 1L, "published event must land on T1")
+
+      // the chart page is served and subscribes to the SSE endpoint
+      val page = scala.io.Source.fromURL(s"$base/")
+      val html = try page.mkString finally page.close()
+      assert(html.contains("EventSource(\"/analytics\")"))
+    } finally server.stop()
+  }
+
   test("supplier generates schema-valid events at the configured rate") {
     val p = new PageEventPipeline(spark, tmpDir("topics"))
     val ckpt = tmpDir("ckpt")
