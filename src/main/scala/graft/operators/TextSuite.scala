@@ -136,7 +136,9 @@ object TextSuite {
     "tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM (SELECT doc_id,
+        |               unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                           ELSE string_split_regex(trim(text), '\s+') END) AS term
         |        FROM documents)
         |  GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

@@ -26,7 +26,11 @@ trait Topic {
   /** Batch view of everything published so far (for parity tests / oracles). */
   def batch(spark: SparkSession): DataFrame
 
-  /** Streaming sink side: write each micro-batch of a query to this topic. */
+  /** Streaming sink side: write each micro-batch of a query to this topic.
+    * Implementations must be idempotent per batchId: foreachBatch re-delivers
+    * a batch after recovery, and at-least-once appends would show duplicates
+    * to every downstream consumer.
+    */
   def sinkBatch(df: DataFrame, batchId: Long): Unit = append(df)
 }
 
@@ -38,15 +42,29 @@ final class FileTopic(val name: String, val schema: StructType, root: String)
   override def append(df: DataFrame): Unit =
     df.write.mode("append").json(dir)
 
+  /** Exactly-once under foreachBatch replay: each micro-batch lands in a
+    * batchId-named subpath. A replayed batchId whose _SUCCESS marker exists
+    * is skipped; a partial dir from a crash (no marker) is overwritten.
+    */
+  override def sinkBatch(df: DataFrame, batchId: Long): Unit = {
+    val path = s"$dir/batch-$batchId"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      df.write.mode("overwrite").json(path)
+  }
+
   override def stream(spark: SparkSession): DataFrame =
     spark.readStream.schema(schema)
       // bound per-trigger work so a large backlog replays incrementally
       // instead of as one giant first micro-batch
       .option("maxFilesPerTrigger", 64)
+      // batch subpaths from sinkBatch live one level down
+      .option("recursiveFileLookup", "true")
       .json(dir)
 
   override def batch(spark: SparkSession): DataFrame =
-    spark.read.schema(schema).json(dir)
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .json(dir)
 }
 
 object Topics {

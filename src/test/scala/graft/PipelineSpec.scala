@@ -130,6 +130,18 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("sinkBatch is idempotent when foreachBatch replays a micro-batch") {
+    val p = new PageEventPipeline(spark, tmpDir("topics"))
+    val df = Seq(("P1", "U1", 1000L, 200L)).toDF("name", "user", "date", "duration")
+    p.t2.sinkBatch(df, 7L)
+    val n1 = p.t2.batch(spark).count()
+    p.t2.sinkBatch(df, 7L) // recovery re-delivers the same batchId
+    assert(p.t2.batch(spark).count() == n1,
+      "replayed batch must not append duplicate rows")
+    p.t2.sinkBatch(df, 8L) // a NEW batch still lands
+    assert(p.t2.batch(spark).count() == n1 * 2)
+  }
+
   test("supplier generates schema-valid events at the configured rate") {
     val p = new PageEventPipeline(spark, tmpDir("topics"))
     val ckpt = tmpDir("ckpt")
