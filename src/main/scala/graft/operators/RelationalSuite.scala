@@ -320,7 +320,71 @@ object RelationalSuite {
       .agg(count(lit(1)).as("n_above"))
   }
 
+  /** Range (interval) join without an equi key: lineitems shipped inside
+    * any top-value order's 30-day window, counted per window. Binned to a
+    * hash equi-join (RangeJoin) — the theta form would plan as
+    * BroadcastNestedLoopJoin (PlanSpec pins the shape).
+    */
+  def rangeShipWindows(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_shipdate").cast("long").as("ship_s"))
+    val win = 30L * 86400
+    val ords = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 499000)
+      .select(col("o_orderkey"), col("o_orderdate").cast("long").as("start_s"))
+      .withColumn("end_s", col("start_s") + lit(win))
+    RangeJoin.pointInInterval(li, "ship_s", ords, "start_s", "end_s", binWidth = win)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_shipped"))
+  }
+
+  /** Analytic window-function suite: lag/lead/row_number/ntile + an
+    * event-time gap, per customer ordered by (date, key) — total order, so
+    * every column is integer-deterministic across engines.
+    */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+      row_number().over(w).as("rn"),
+      ntile(4).over(w).as("quartile"),
+      (col("o_orderdate").cast("long") -
+        lag(col("o_orderdate").cast("long"), 1).over(w)).as("gap_s"))
+  }
+
+  /** EXACT discrete percentiles per group, 100 TB-shaped: instead of
+    * cume_dist over raw rows (shuffles ALL rows into one partition per
+    * group — 3 groups would serialize the cluster), aggregate to
+    * (group, value, count) first — map-side combined, bounded by distinct
+    * values — then take the running-share cutoffs over that tiny table.
+    * cd = cum/n is the same k/n rational DuckDB's quantile_disc uses, so
+    * the >= p cutoffs agree bit-for-bit (both sides round the same real to
+    * the same double).
+    */
+  def exactPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("cd", sum(col("c")).over(w) / sum(col("c")).over(wAll))
+    def pctl(p: Double, name: String) =
+      cum.filter(col("cd") >= p).groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as(name))
+    pctl(0.5, "median_qty")
+      .join(pctl(0.9, "p90_qty"), "l_returnflag")
+      .join(pctl(0.99, "p99_qty"), "l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "range_count"        -> (rangeShipWindows _),
+    "window_funcs"       -> (windowFuncs _),
+    "exact_percentiles"  -> (exactPercentiles _),
     "above_avg_orders"   -> (aboveAvgOrders _),
     "approx_sketches"    -> (approxSketches _),
     "cube_agg"           -> (cubeAgg _),
@@ -344,6 +408,29 @@ object RelationalSuite {
     "scalar_functions"   -> (scalarFunctions _))
 
   val oracles: Map[String, String] = Map(
+    "range_count" ->
+      """SELECT o.o_orderkey, count(*) AS n_shipped
+        |FROM orders o JOIN lineitem l
+        |  ON epoch_us(l.l_shipdate) // 1000000 >= epoch_us(o.o_orderdate) // 1000000
+        | AND epoch_us(l.l_shipdate) // 1000000 <  epoch_us(o.o_orderdate) // 1000000 + 2592000
+        |WHERE o.o_totalprice > 499000
+        |GROUP BY 1""".stripMargin,
+    "window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_orderkey) OVER w AS prev_orderkey,
+        |       lead(o_orderkey) OVER w AS next_orderkey,
+        |       CAST(row_number() OVER w AS INT) AS rn,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       epoch_us(o_orderdate) // 1000000
+        |         - lag(epoch_us(o_orderdate) // 1000000) OVER w AS gap_s
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "exact_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.5) AS median_qty,
+        |       quantile_disc(l_quantity, 0.9) AS p90_qty,
+        |       quantile_disc(l_quantity, 0.99) AS p99_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "above_avg_orders" ->
       """SELECT o_orderpriority, count(*) AS n_above
         |FROM orders o

@@ -49,6 +49,14 @@ class PlanSpec extends SparkSpec {
       s"query side not broadcast in:\n$plan")
   }
 
+  test("range join bins to a hash equi-join, never a nested-loop") {
+    val plan = executedPlan(RelationalSuite.rangeShipWindows(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degraded to BNLJ:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"no equi-join on the bin key in:\n$plan")
+  }
+
   test("exact near-dup runs as a shuffled block-pair kernel, not a driver collect") {
     val plan = executedPlan(SimilaritySuite.embedNearDup(spark, dir))
     // the pairwise kernel must be a distributed MapGroups fed by a shuffle
