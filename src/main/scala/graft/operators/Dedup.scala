@@ -157,6 +157,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the dedup CLUSTERING step:
+    * pair generation (MinHash/SimHash/Jaccard) yields edges; training-data
+    * dedup keeps one canonical doc per component. Labels are propagated by
+    * `iters` rounds of min-label flooding (join on edges + min-aggregate),
+    * a FIXED-depth plan: no driver-side convergence loop, so query
+    * construction stays job-free (CollectLintSpec) and the whole thing is
+    * one Catalyst plan. Each round is shuffle-by-key with map-side combine.
+    *
+    * `iters` bounds the reachable distance: labels converge for components
+    * of diameter <= iters. Near-dup components are near-cliques (variants
+    * of one base document), so small `iters` converges; a 100 TB run with
+    * adversarial chain-shaped components would checkpoint between rounds
+    * and iterate to fixpoint instead (same per-round plan).
+    *
+    * Output: (doc_id, cluster_id = min doc_id of the component). Isolated
+    * docs (no edges) are not emitted — they are their own canonical doc.
+    */
+  def connectedComponents(pairs: DataFrame, iters: Int = 6,
+                          aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      labels = labels.union(viaNeighbor)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    }
+    labels
+  }
+
   /** 64-bit SimHash of the shingle hash multiset: per bit, majority vote of
     * +1/-1 across shingle hashes. Pure projection (64 in-row folds), then
     * near-dup candidates come from exact-match on any 16-bit chunk

@@ -83,6 +83,28 @@ object TextSuite {
     exact.join(cand, Seq("doc_a", "doc_b"))
   }
 
+  /** Dedup clustering: connected components over the exact near-dup pairs
+    * (jaccard >= 0.2) — one (doc, cluster) row per document that has at
+    * least one near-dup, cluster id = min doc id of the component. The
+    * oracle computes the transitive closure independently with a recursive
+    * CTE, so label-propagation convergence is part of what the hash checks.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.2))
+
+  /** The quality-filter stage of a training pipeline: partition the corpus
+    * by keep/drop at quality >= 0.5 and account for docs + token budget on
+    * each side. Pure projection + 2-group aggregate; the comparison reuses
+    * the bit-exact quality score (text_stats proves parity).
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((qualityScore(col("text")) >= 0.5).as("keep"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("keep"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+
   /** Term frequencies + document frequencies per (doc, term) — the TF-IDF
     * building blocks as two hash aggregations (explode -> count, then
     * distinct-by-construction -> count). Shuffles carry (doc_id, term)
@@ -128,6 +150,8 @@ object TextSuite {
     "ngram_jaccard"   -> (ngramJaccard _),
     "minhash_pairs"   -> (minhashPairs _),
     "minhash_recall"  -> (minhashRecall _),
+    "dedup_clusters"  -> (dedupClusters _),
+    "quality_filter"  -> (qualityFilter _),
     "simhash_sketch"  -> (simhashSketch _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
@@ -219,6 +243,56 @@ object TextSuite {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05""".stripMargin,
+    // transitive closure via recursive CTE — fully independent of the
+    // engine's label-propagation implementation
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS v, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v)
+        |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+    // keep/drop split must agree only if the quality doubles are
+    // bit-identical (text_stats pins that) AND the >= 0.5 cut lands the
+    // same docs on the same side
+    "quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    greatest(0.0, least(1.0,
+        |      least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+        |      least((CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
+        |      (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) AS quality
+        |  FROM t)
+        |SELECT quality >= 0.5 AS keep, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM q GROUP BY 1""".stripMargin,
     // the exact pair set at jaccard >= 0.2, computed WITHOUT any LSH — rows
     // can only match if the Spark side's minhash candidates cover it fully
     "minhash_recall" ->

@@ -76,6 +76,22 @@ class DedupSpec extends SparkSpec {
       s"expected the hot shingle to contribute C(40,2) pairs: ${unpruned.length}")
   }
 
+  test("connected components label chains and cliques to their min doc id") {
+    // chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21};
+    // doc 30 appears in no pair -> not emitted (its own canonical)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L), s"bad labels: $got")
+  }
+
   test("simhash: identical texts hash identically, near-dups land close") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
