@@ -12,10 +12,18 @@ object Bench {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/JIT/codegen startup otherwise lands entirely on
-    // whichever query sorts first (~5 s of pure session warmup)
+    // whichever query sorts first (~5 s of pure session warmup). Covers the
+    // scan/agg, join, and window execution paths so every timed query sees
+    // a warmed engine.
     try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count()
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      o.groupBy("o_orderpriority").count()
+        .join(o.select("o_orderpriority", "o_orderkey"), "o_orderpriority")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderpriority").orderBy("o_orderkey")))
+        .filter(col("rn") <= 3)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -110,6 +110,37 @@ object TextSuite {
       .groupBy(col("keep"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
+  /** Deterministic train/val/test split — the sharding step of a training
+    * pipeline. Spark's `sample`/`randomSplit` are seed-deterministic only
+    * per partition LAYOUT (a repartition reshuffles membership); hashing
+    * the stable doc id (first md5 byte: 0-199 train / 200-227 val / rest
+    * test of 256 ~ 78/11/11%) is layout-independent, reproducible on any
+    * engine, and exactly what a 100 TB pipeline wants — membership is a
+    * pure function of the row, no coordination.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    // first md5 byte as lowercase hex; 2-char hex compares lexicographically
+    // identically on every engine ('c8' = 200, 'e4' = 228 of 256)
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(spark, dir)
+      .select(
+        when(bucket < "c8", "train").when(bucket < "e4", "val")
+          .otherwise("test").as("split"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** Token-length histogram (curriculum / length-bucketing view): docs per
+    * 32-token bucket. Pure integer arithmetic — floor division portable to
+    * any engine.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(floor(tokenCount(col("text")).cast("long") / 32).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Term frequencies + document frequencies per (doc, term) — the TF-IDF
     * building blocks as two hash aggregations (explode -> count, then
     * distinct-by-construction -> count). Shuffles carry (doc_id, term)
@@ -157,6 +188,8 @@ object TextSuite {
     "minhash_recall"  -> (minhashRecall _),
     "dedup_clusters"  -> (dedupClusters _),
     "quality_filter"  -> (qualityFilter _),
+    "hash_split"      -> (hashSplit _),
+    "token_histogram" -> (tokenHistogram _),
     "simhash_sketch"  -> (simhashSketch _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
@@ -248,6 +281,23 @@ object TextSuite {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05""".stripMargin,
+    "hash_split" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 'c8' THEN 'train'
+        |            WHEN bucket < 'e4' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM t GROUP BY 1""".stripMargin,
+    "token_histogram" ->
+      """SELECT CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END) // 32 AS BIGINT) AS bucket,
+        |       count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     // transitive closure via recursive CTE — fully independent of the
     // engine's label-propagation implementation
     "dedup_clusters" ->
