@@ -320,6 +320,27 @@ object RelationalSuite {
       .agg(count(lit(1)).as("n_above"))
   }
 
+  /** Sketch accuracy gate: HyperLogLog++ is DETERMINISTIC for a fixed
+    * input (hash-based, no RNG), so its estimation error is a checkable
+    * property even though no other engine reproduces the estimate itself.
+    * The query emits exact distinct counts plus booleans asserting the
+    * estimates sit inside their tolerance (measured error: <= 2.7% at
+    * rsd 5%, <= 0.4% at rsd 1%; gates at 5% / 2%); the oracle recomputes
+    * the exact counts and expects every gate TRUE — an estimator
+    * regression flips a boolean and fails the hash.
+    */
+  def sketchAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("est_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supp"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("est_supp"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supp"),
+        (abs(col("est_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("hll_parts_ok"),
+        (abs(col("est_supp") - col("exact_supp")) <=
+          col("exact_supp") * 0.02).as("hll_supp_ok"))
+
   /** Range (interval) join without an equi key: lineitems shipped inside
     * any top-value order's 30-day window, counted per window. Binned to a
     * hash equi-join (RangeJoin) — the theta form would plan as
@@ -382,6 +403,7 @@ object RelationalSuite {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_accuracy"    -> (sketchAccuracy _),
     "range_count"        -> (rangeShipWindows _),
     "window_funcs"       -> (windowFuncs _),
     "exact_percentiles"  -> (exactPercentiles _),
@@ -408,6 +430,13 @@ object RelationalSuite {
     "scalar_functions"   -> (scalarFunctions _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_accuracy" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       count(DISTINCT l_suppkey) AS exact_supp,
+        |       TRUE AS hll_parts_ok,
+        |       TRUE AS hll_supp_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "range_count" ->
       """SELECT o.o_orderkey, count(*) AS n_shipped
         |FROM orders o JOIN lineitem l
