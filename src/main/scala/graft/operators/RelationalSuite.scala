@@ -320,6 +320,34 @@ object RelationalSuite {
       .agg(count(lit(1)).as("n_above"))
   }
 
+  /** Welford-UDAF accuracy gate. The online/merged moments are
+    * merge-order-dependent in their last bits (~1e-12 relative), so the
+    * values themselves cannot be hash-compared — but their distance from
+    * the decimal-exact two-pass moments is bounded far below 1e-9, which
+    * makes the tolerance check deterministic. The query emits the
+    * decimal-exact mean (oracle-matched bit-for-bit) plus booleans gating
+    * the Welford mean/variance against the exact values; the oracle
+    * recomputes n and the exact mean and expects every gate TRUE.
+    */
+  def momentsAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val welford = org.apache.spark.sql.functions.udaf(new graft.functions.WelfordAggregator)
+    val x = col("l_extendedprice").cast(DecimalType(18, 2))
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        welford(col("l_extendedprice")).as("m"),
+        count(lit(1)).as("n"),
+        sum(x).as("s1"),
+        sum(x * x).as("s2")) // (18,2)x(18,2) -> (37,4): exact
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val meanExact = col("s1").cast("double") / col("n")
+    val varExact = (s2d - s1d * s1d / col("n")) / (col("n") - 1)
+    agg.select(col("l_returnflag"), col("n"), meanExact.as("mean_price"),
+      (abs(col("m.mean") - meanExact) <= abs(meanExact) * 1e-9).as("welford_mean_ok"),
+      (abs(col("m.variance") - varExact) <= abs(varExact) * 1e-9).as("welford_var_ok"))
+  }
+
   /** Sketch accuracy gate: HyperLogLog++ is DETERMINISTIC for a fixed
     * input (hash-based, no RNG), so its estimation error is a checkable
     * property even though no other engine reproduces the estimate itself.
@@ -403,6 +431,7 @@ object RelationalSuite {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "moments_accuracy"   -> (momentsAccuracy _),
     "sketch_accuracy"    -> (sketchAccuracy _),
     "range_count"        -> (rangeShipWindows _),
     "window_funcs"       -> (windowFuncs _),
@@ -430,6 +459,13 @@ object RelationalSuite {
     "scalar_functions"   -> (scalarFunctions _))
 
   val oracles: Map[String, String] = Map(
+    "moments_accuracy" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*) AS mean_price,
+        |       TRUE AS welford_mean_ok,
+        |       TRUE AS welford_var_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "sketch_accuracy" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_partkey) AS exact_parts,
