@@ -110,6 +110,24 @@ object TextSuite {
       .groupBy(col("keep"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
 
+  /** SimHash signal gate: for every exact near-dup pair (jaccard >= 0.2,
+    * the oracle-computable side) the 64-bit SimHash hamming distance must
+    * sit under 24 bits — far below the ~32 expected of unrelated docs
+    * (measured max on the fixtures: 7 at sf0.01, 15 at sf0.1). The oracle
+    * recomputes the exact pair set and expects every gate TRUE, turning the
+    * hash-mix-dependent sketch into a driver-checkable signal: a SimHash
+    * regression that stops separating near-dups from noise fails the hash.
+    */
+  def simhashSignal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = Dedup.simhash(docs)
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 24).as("hamming_ok"))
+  }
+
   /** Deterministic train/val/test split — the sharding step of a training
     * pipeline. Spark's `sample`/`randomSplit` are seed-deterministic only
     * per partition LAYOUT (a repartition reshuffles membership); hashing
@@ -190,7 +208,8 @@ object TextSuite {
     "quality_filter"  -> (qualityFilter _),
     "hash_split"      -> (hashSplit _),
     "token_histogram" -> (tokenHistogram _),
-    "simhash_sketch"  -> (simhashSketch _))
+    "simhash_sketch"  -> (simhashSketch _),
+    "simhash_signal"  -> (simhashSignal _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -348,6 +367,29 @@ object TextSuite {
         |SELECT quality >= 0.5 AS keep, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM q GROUP BY 1""".stripMargin,
+    // exact pair set + TRUE gates: the Spark side computes real hamming
+    // distances; any pair over the 24-bit bound flips its boolean
+    "simhash_signal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard,
+        |       TRUE AS hamming_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
     // the exact pair set at jaccard >= 0.2, computed WITHOUT any LSH — rows
     // can only match if the Spark side's minhash candidates cover it fully
     "minhash_recall" ->
