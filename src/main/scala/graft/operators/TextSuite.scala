@@ -159,6 +159,28 @@ object TextSuite {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Sequence packing — assign documents to fixed-capacity token bins (the
+    * pretraining context-window packing step). Deterministic contiguous
+    * packing: docs are packed in doc_id order, bin = how many full
+    * capacities precede the doc's first token. Sharded (64 docs per shard)
+    * so the running-sum window is PARTITIONED — each shard packs
+    * independently and in parallel; a global window would serialize the
+    * corpus through one task. Integer arithmetic only, so the oracle is
+    * exact. Oversized docs (> capacity) still get a bin; a real pipeline
+    * would truncate or split them downstream.
+    */
+  def packBins(spark: SparkSession, dir: String, capacity: Long = 8192L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), floor(col("doc_id") / 64).as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / capacity).cast("long").as("bin"))
+  }
+
   /** Term frequencies + document frequencies per (doc, term) — the TF-IDF
     * building blocks as two hash aggregations (explode -> count, then
     * distinct-by-construction -> count). Shuffles carry (doc_id, term)
@@ -208,6 +230,7 @@ object TextSuite {
     "quality_filter"  -> (qualityFilter _),
     "hash_split"      -> (hashSplit _),
     "token_histogram" -> (tokenHistogram _),
+    "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
     "simhash_sketch"  -> (simhashSketch _),
     "simhash_signal"  -> (simhashSignal _))
 
@@ -317,6 +340,16 @@ object TextSuite {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END) // 32 AS BIGINT) AS bucket,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 64 AS shard,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) - n_tokens) // 8192 AS BIGINT) AS bin
+        |FROM t""".stripMargin,
     // transitive closure via recursive CTE — fully independent of the
     // engine's label-propagation implementation
     "dedup_clusters" ->
