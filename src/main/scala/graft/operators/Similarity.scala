@@ -269,6 +269,136 @@ object Similarity {
                     maxIter: Int = 10): DataFrame =
     ivfTopKWith(corpus, queries, k, kmeansCentroids(corpus, nCells, seed, maxIter), nProbe)
 
+  /** Product quantization (PQ) — the ANN COMPRESSION path: the embedding
+    * is split into nSub subvectors, each quantized to the nearest of k
+    * centroids in its own codebook, so a dim-64 float vector compresses to
+    * nSub byte-sized codes (64x smaller). Search is an ADC scan: the RAW
+    * query is scored against each corpus vector's RECONSTRUCTION
+    * (concatenated codebook entries) — no candidate pruning; the win is
+    * memory traffic, not candidate count (compose with IVF cells for
+    * both). Codebooks are seeded unit-free Gaussians (k-means would
+    * tighten them, same plumbing as ivfTopKKmeans) — data-independent, so
+    * the DuckDB oracle reproduces encode + reconstruct + rank exactly from
+    * the same literals.
+    */
+  /** Codebook values — ONE generator for the Spark plan constants and the
+    * oracle-SQL literals: [subvector][centroid][subDim]. Values are rounded
+    * to FLOAT precision: the fixtures' embeddings are float-derived, and
+    * float x float products are EXACT in double (24+24 <= 53 mantissa
+    * bits), so the reconstruction dot products round identically across
+    * engines regardless of mul+add vs FMA kernels — full-precision doubles
+    * were measured to diverge in the last ulp.
+    */
+  def pqCodebooks(nSub: Int, subDim: Int, k: Int,
+                  seed: Long): Seq[Seq[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nSub)(Seq.fill(k)(
+      Array.fill(subDim)(rng.nextGaussian().toFloat.toDouble)))
+  }
+
+  /** Code assignment for one subvector: argmin squared-L2 to the codebook,
+    * computed as argmax of (x . c - |c|^2/2) — the |x|^2 term is constant
+    * per row. Ties break to the higher centroid index (greatest-of-structs
+    * semantics); scores are continuous doubles, so ties do not occur.
+    */
+  private def pqCode(sub: Column, codebook: Seq[Array[Double]]): Column = {
+    val scored = codebook.zipWithIndex.map { case (c, i) =>
+      val cNormHalf = c.map(x => x * x).sum / 2.0
+      struct((dotNative(sub, array(c.map(lit(_)).toSeq: _*).cast("array<double>"))
+        - lit(cNormHalf)).as("score"), lit(i).as("idx"))
+    }
+    greatest(scored: _*).getField("idx")
+  }
+
+  /** PQ-encode the corpus: one small code per subvector. */
+  def pqEncode(corpus: DataFrame, dim: Int = 64, nSub: Int = 4, k: Int = 16,
+               seed: Long = 42L): DataFrame = {
+    require(dim % nSub == 0, s"nSub ($nSub) must divide dim ($dim)")
+    val subDim = dim / nSub
+    val books = pqCodebooks(nSub, subDim, k, seed)
+    val codes = (0 until nSub).map { s =>
+      pqCode(slice(col("embedding"), s * subDim + 1, subDim), books(s)).as(s"code_$s")
+    }
+    corpus.select(col("vec_id") +: codes: _*)
+  }
+
+  /** Data-fitted codebooks: per-subvector k-means (seeded mllib) — the
+    * quality path: random Gaussian codebooks quantize data they were never
+    * fitted to (measured recall 0.22 vs >=0.6 fitted on clustered
+    * vectors). Bounded driver output: nSub x k centroids.
+    */
+  def pqCodebooksKmeans(corpus: DataFrame, dim: Int = 64, nSub: Int = 4,
+                        k: Int = 16, seed: Long = 42L,
+                        maxIter: Int = 10): Seq[Seq[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val subDim = dim / nSub
+    (0 until nSub).map { s =>
+      val feats = corpus.select(array_to_vector(
+        slice(col("embedding"), s * subDim + 1, subDim).cast("array<double>"))
+        .as("features"))
+      new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter).fit(feats)
+        .clusterCenters.map(_.toArray).toSeq
+    }
+  }
+
+  /** ADC top-k against explicit codebooks: score raw queries against
+    * reconstructed corpus vectors. Reconstruction is a pure in-plan lookup
+    * (element_at into the literal codebook arrays) — the corpus embeddings
+    * are NOT read at scan time, which is the point of PQ.
+    */
+  /** Encode + decode in one plan: (vec_id, embedding, recon) — the recon
+    * column is the quantized approximation the ADC scan scores against;
+    * also the direct way to measure quantization error.
+    */
+  def pqReconstruct(corpus: DataFrame, books: Seq[Seq[Array[Double]]],
+                    dim: Int): DataFrame = {
+    val nSub = books.length
+    val subDim = dim / nSub
+    require(dim % nSub == 0, s"nSub ($nSub) must divide dim ($dim)")
+    val codes = (0 until nSub).map { s =>
+      pqCode(slice(col("embedding"), s * subDim + 1, subDim), books(s)).as(s"code_$s")
+    }
+    val encoded = corpus.select(col("vec_id") +: col("embedding") +: codes: _*)
+    val recon = concat((0 until nSub).map { s =>
+      val bookArr = array(books(s).map(c =>
+        array(c.map(lit(_)).toSeq: _*).cast("array<double>")): _*)
+      element_at(bookArr, col(s"code_$s").cast("int") + 1)
+    }: _*)
+    encoded.withColumn("recon", recon)
+      .select(col("vec_id"), col("embedding"), col("recon"))
+  }
+
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, topK: Int,
+                 books: Seq[Seq[Array[Double]]], dim: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm2Native(col("embedding")).as("q_norm"))
+    val scored = pqReconstruct(corpus, books, dim)
+      .select(col("vec_id"), col("recon"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotNative(col("recon"), col("q_emb")) /
+          (norm2Native(col("recon")) * col("q_norm"))).as("adc_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+             dim: Int = 64, nSub: Int = 4, k: Int = 16,
+             seed: Long = 42L): DataFrame =
+    pqTopKWith(corpus, queries, topK,
+      pqCodebooks(nSub, dim / nSub, k, seed), dim)
+
+  /** PQ over k-means-fitted codebooks — the quality path; training runs
+    * Spark jobs up front (prepared-index API, like ivfTopKKmeans).
+    */
+  def pqTopKKmeans(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+                   dim: Int = 64, nSub: Int = 4, k: Int = 16,
+                   seed: Long = 42L, maxIter: Int = 10): DataFrame =
+    pqTopKWith(corpus, queries, topK,
+      pqCodebooksKmeans(corpus, dim, nSub, k, seed, maxIter), dim)
+
   /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs.
     * Candidate pairs are deduped on ids only (distinct over rows carrying
     * the embedding arrays would shuffle and compare the vectors), then the

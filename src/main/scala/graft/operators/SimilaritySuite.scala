@@ -58,17 +58,34 @@ object SimilaritySuite {
       nCells = ivfCells, nProbe = ivfProbe, seed = seed)
   }
 
+  private val pqSub = 4
+  private val pqK = 16
+
+  /** PQ/ADC top-5: compressed-domain scan. Oracle-checked EXACTLY — the
+    * seeded codebooks are embedded as literals in the generated SQL, which
+    * reproduces encode -> reconstruct -> rank (pqOracle below).
+    */
+  def embedPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), topK = 5,
+      nSub = pqSub, k = pqK, seed = seed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk"    -> (embedTopK _),
     "embed_neardup" -> (embedNearDup _),
     "embed_ann"     -> (embedAnnTopK _),
-    "embed_ivf"     -> (embedIvfTopK _))
+    "embed_ivf"     -> (embedIvfTopK _),
+    "embed_pq"      -> (embedPqTopK _))
 
-  /** Doubles are embedded via Double.toString (shortest round-trip form);
-    * DuckDB's literal parser rounds to nearest, recovering the identical
-    * bit pattern.
+  /** Doubles are embedded in SCIENTIFIC notation with 17 significant
+    * digits: DuckDB types E-notation literals as DOUBLE and its parser
+    * rounds 17 significant digits to the exact nearest double. A plain
+    * decimal literal (Double.toString form) would parse as DECIMAL, whose
+    * DECIMAL->DOUBLE conversion was measured to land one ulp off.
     */
-  private def sqlArr(v: Seq[Double]): String = v.mkString("[", ", ", "]")
+  private def sqlArr(v: Seq[Double]): String =
+    v.map(d => f"$d%.17e").mkString("[", ", ", "]")
 
   /** Bucket id of one LSH table as SQL: sum of sign bits weighted 2^i —
     * identical to Spark's shiftleft(signBit)/OR fold (bits are disjoint).
@@ -145,9 +162,51 @@ object SimilaritySuite {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Generated oracle for embed_pq: per subvector pick the argmax-scoring
+    * codebook entry from the literals (scores are continuous — no ties, so
+    * list_position-of-max matches Spark's greatest-of-structs), concatenate
+    * the entries into the reconstruction, rank by ADC cosine.
+    */
+  private def pqOracle: String = {
+    val subDim = dim / pqSub
+    val books = Similarity.pqCodebooks(pqSub, subDim, pqK, seed)
+    val scoreArrs = (0 until pqSub).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      books(s).map { c =>
+        val cNormHalf = c.map(x => x * x).sum / 2.0
+        f"list_dot_product(e[$lo:$hi], ${sqlArr(c.toSeq)}) - $cNormHalf%.17e"
+      }.mkString("[", ",\n             ", "]")
+    }
+    val bookLits = (0 until pqSub).map { s =>
+      books(s).map(c => sqlArr(c.toSeq)).mkString("[", ", ", "]")
+    }
+    val reconParts = (0 until pqSub).map { s =>
+      s"${bookLits(s)}[list_position(sc$s, list_max(sc$s))]"
+    }
+    val recon = reconParts.reduce((a, b) => s"list_concat($a, $b)")
+    val scSelects = (0 until pqSub).map(s => s"${scoreArrs(s)} AS sc$s").mkString(",\n         ")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sc AS (
+       |  SELECT vec_id, e,
+       |         $scSelects
+       |  FROM s),
+       |recon AS (SELECT vec_id, $recon AS r FROM sc),
+       |q AS (SELECT vec_id AS query_id, e AS qe FROM s WHERE vec_id < 5)
+       |SELECT q.query_id, c.vec_id AS neighbor_id,
+       |       list_cosine_similarity(c.r, q.qe) AS adc_cos,
+       |       CAST(row_number() OVER (PARTITION BY q.query_id
+       |         ORDER BY list_cosine_similarity(c.r, q.qe) DESC,
+       |                  c.vec_id ASC) AS INT) AS rank
+       |FROM recon c, q
+       |WHERE c.vec_id <> q.query_id
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
+    "embed_pq"  -> pqOracle,
     "embed_topk" ->
       """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -72,6 +72,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall too low")
   }
 
+  test("PQ: ADC top-5 stays in-cluster; k-means codebooks cut recon error") {
+    // PQ quantizes cluster-mates to the SAME reconstruction, so exact-top-5
+    // recall is the wrong metric (ties collapse within-cluster order):
+    // judge by (a) cluster-mate precision of the ADC scan and (b)
+    // quantization error — the objective k-means provably minimizes
+    val queries = vectors.filter($"vec_id" < 10)
+    val km = Similarity.pqCodebooksKmeans(vectors, dim = dim, nSub = 4, k = 8)
+    val rand = Similarity.pqCodebooks(4, dim / 4, 8, 42L)
+    val got = Similarity.pqTopKWith(vectors, queries, 5, km, dim)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val precision = got.count { case (q, n) => n % 10 == q % 10 }.toDouble / got.length
+    assert(precision >= 0.9, s"PQ cluster precision $precision too low")
+    def mse(books: Seq[Seq[Array[Double]]]) =
+      Similarity.pqReconstruct(vectors, books, dim)
+        .select(avg(graft.functions.VectorFunctions.l2sq($"embedding", $"recon")))
+        .as[Double].head()
+    val (kmErr, randErr) = (mse(km), mse(rand))
+    assert(kmErr < randErr / 2,
+      s"k-means codebooks must at least halve quantization error: $kmErr vs $randErr")
+  }
+
   test("k-means centroids beat random centroids at equal nProbe") {
     val queries = vectors.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(vectors, queries, k = 5, dim = dim)
