@@ -57,6 +57,24 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on the bin key in:\n$plan")
   }
 
+  test("pack_bins runs sharded windows, never a single-partition sort") {
+    val plan = executedPlan(graft.operators.TextSuite.packBins(spark, dir))
+    assert(!plan.contains("SinglePartition"),
+      s"packing degraded to a single-partition global window:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"running sum not partitioned by shard in:\n$plan")
+  }
+
+  test("exact percentiles aggregate to value-counts before the window") {
+    val plan = executedPlan(RelationalSuite.exactPercentiles(spark, dir))
+    // the window must run over the (group, value, count) aggregate — rows
+    // bounded by distinct values — not over raw lineitem rows
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"no map-side combine before the percentile window in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"percentile window degraded to a single partition:\n$plan")
+  }
+
   test("exact near-dup runs as a shuffled block-pair kernel, not a driver collect") {
     val plan = executedPlan(SimilaritySuite.embedNearDup(spark, dir))
     // the pairwise kernel must be a distributed MapGroups fed by a shuffle
