@@ -17,6 +17,13 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Per-session handle to the previous connectedComponents edge cache —
+    * see the unpersist note inside connectedComponents.
+    */
+  private val lastComponentEdges =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, DataFrame]()
+
   /** Exact dedup: group by normalized-content fingerprint. Output one row
     * per distinct content: canonical (minimum) doc id and the duplicate
     * count. A 100 TB corpus shuffles only (hash, doc_id) pairs.
@@ -196,6 +203,13 @@ object Dedup {
     val edges = undirected
       .union(vertices.select(col("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // DataFrame caches are never GC-cleaned (CacheManager holds strong
+    // refs), so repeated invocations would pin one edge set each for the
+    // session lifetime. Evict the PREVIOUS invocation's cache — bounds the
+    // footprint to one live edge set per session; callers interleaving two
+    // concurrent component computations should persist externally instead.
+    Option(Dedup.lastComponentEdges.put(pairs.sparkSession, edges))
+      .foreach(_.unpersist(blocking = false))
     var labels = vertices.select(col("src").as("doc_id"),
       col("src").as("cluster_id"))
     for (_ <- 1 to iters) {

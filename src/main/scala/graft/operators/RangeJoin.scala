@@ -31,11 +31,17 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive (got $binWidth)")
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        // end is exclusive: the bin of the last contained value
-        floor((col(endCol) - 1) / binWidth).cast("long"))))
+    val binned = intervals
+      // malformed (empty/inverted) intervals contain no points — and MUST
+      // be dropped before the explode: sequence(a, b) with a > b generates
+      // a DESCENDING range, so one corrupted end < start row would explode
+      // into (start-end)/binWidth bins instead of zero
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin",
+        explode(sequence(
+          floor(col(startCol) / binWidth).cast("long"),
+          // end is exclusive: the bin of the last contained value
+          floor((col(endCol) - 1) / binWidth).cast("long"))))
     points.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
       .join(binned, "__bin")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

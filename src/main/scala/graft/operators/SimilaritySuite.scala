@@ -83,9 +83,14 @@ object SimilaritySuite {
     * rounds 17 significant digits to the exact nearest double. A plain
     * decimal literal (Double.toString form) would parse as DECIMAL, whose
     * DECIMAL->DOUBLE conversion was measured to land one ulp off.
+    * Locale.ROOT: a comma-decimal default locale would otherwise emit
+    * syntactically broken SQL.
     */
+  private def fmtD(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))
+
   private def sqlArr(v: Seq[Double]): String =
-    v.map(d => f"$d%.17e").mkString("[", ", ", "]")
+    v.map(fmtD).mkString("[", ", ", "]")
 
   /** Bucket id of one LSH table as SQL: sum of sign bits weighted 2^i —
     * identical to Spark's shiftleft(signBit)/OR fold (bits are disjoint).
@@ -175,7 +180,7 @@ object SimilaritySuite {
       val hi = (s + 1) * subDim
       books(s).map { c =>
         val cNormHalf = c.map(x => x * x).sum / 2.0
-        f"list_dot_product(e[$lo:$hi], ${sqlArr(c.toSeq)}) - $cNormHalf%.17e"
+        s"list_dot_product(e[$lo:$hi], ${sqlArr(c.toSeq)}) - ${fmtD(cNormHalf)}"
       }.mkString("[", ",\n             ", "]")
     }
     val bookLits = (0 until pqSub).map { s =>

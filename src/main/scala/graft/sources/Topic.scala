@@ -27,11 +27,13 @@ trait Topic {
   def batch(spark: SparkSession): DataFrame
 
   /** Streaming sink side: write each micro-batch of a query to this topic.
-    * Implementations must be idempotent per batchId: foreachBatch re-delivers
-    * a batch after recovery, and at-least-once appends would show duplicates
-    * to every downstream consumer.
+    * Implementations MUST be idempotent per batchId: foreachBatch
+    * re-delivers a batch after recovery, and at-least-once appends would
+    * show duplicates to every downstream consumer. Deliberately abstract —
+    * a default that appended would silently violate the contract for any
+    * implementation that forgot to override it.
     */
-  def sinkBatch(df: DataFrame, batchId: Long): Unit = append(df)
+  def sinkBatch(df: DataFrame, batchId: Long): Unit
 }
 
 final class FileTopic(val name: String, val schema: StructType, root: String)
@@ -45,10 +47,17 @@ final class FileTopic(val name: String, val schema: StructType, root: String)
   /** Exactly-once under foreachBatch replay: each micro-batch lands in a
     * batchId-named subpath. A replayed batchId whose _SUCCESS marker exists
     * is skipped; a partial dir from a crash (no marker) is overwritten.
+    * The marker check goes through the Hadoop FileSystem resolved from the
+    * path — java.io.File would silently report "absent" for every
+    * non-local root (hdfs://, s3a://), turning the skip into dead code on
+    * exactly the deployments the Topic swap point is for.
     */
   override def sinkBatch(df: DataFrame, batchId: Long): Unit = {
     val path = s"$dir/batch-$batchId"
-    if (!new java.io.File(s"$path/_SUCCESS").exists())
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = marker.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
       df.write.mode("overwrite").json(path)
   }
 

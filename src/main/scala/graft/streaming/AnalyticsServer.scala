@@ -37,7 +37,8 @@ final class AnalyticsServer(
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // SSE parks a thread per live client — cached pool, not the default
   // single-threaded executor, or the second subscriber would starve
-  server.setExecutor(Executors.newCachedThreadPool())
+  private val pool = Executors.newCachedThreadPool()
+  server.setExecutor(pool)
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'           => "\\\""
@@ -74,17 +75,26 @@ final class AnalyticsServer(
   })
 
   server.createContext("/publish", (ex: HttpExchange) => {
-    val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      .split("&").toSeq.filter(_.contains("="))
-      .map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
-      }.toMap
-    val ev = publishFn(params.getOrElse("name", "P1"),
-      params.getOrElse("topic", "T1"))
-    respond(ex, 200, "application/json",
-      s"""{"name":"${jsonEscape(ev.name)}","user":"${jsonEscape(ev.user)}",""" +
-        s""""date":${ev.date.getTime},"duration":${ev.duration}}""")
+    try {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").toSeq.filter(_.contains("="))
+        .map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+      val ev = publishFn(params.getOrElse("name", "P1"),
+        params.getOrElse("topic", "T1"))
+      respond(ex, 200, "application/json",
+        s"""{"name":"${jsonEscape(ev.name)}","user":"${jsonEscape(ev.user)}",""" +
+          s""""date":${ev.date.getTime},"duration":${ev.duration}}""")
+    } catch {
+      // without this the exchange is never closed and the client hangs
+      // until its own timeout instead of seeing the failure
+      case e: Exception =>
+        respond(ex, 500, "application/json",
+          s"""{"error":"${jsonEscape(String.valueOf(e.getMessage))}"}""")
+    }
   })
 
   server.createContext("/", (ex: HttpExchange) =>
@@ -100,7 +110,12 @@ final class AnalyticsServer(
 
   def start(): AnalyticsServer = { server.start(); this }
   def boundPort: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // the pool's non-daemon workers would otherwise outlive stop() by
+    // their 60 s keep-alive (and leak one pool per server under restart)
+    pool.shutdownNow()
+  }
 }
 
 object AnalyticsServer {

@@ -28,7 +28,7 @@ class CollectLintSpec extends SparkSpec {
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]
-    var current = "<none>"
+    @volatile var current = "<none>"
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
@@ -42,10 +42,11 @@ class CollectLintSpec extends SparkSpec {
           current = name
           val df = q(spark, dir)
           df.queryExecution.assertAnalyzed() // force full analysis, no exec
+          // drain the async bus BEFORE moving to the next query: attribution
+          // stays exact and no late-delivered job can slip past the check
+          org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext)
           if (trainingAllowed(name)) Nil else Some(name)
       }
-      // listener delivery is async: give the bus a moment to drain
-      Thread.sleep(1500)
       val hits = started.filter { case (site, n) =>
         // parquet footer/schema reads at `spark.read.parquet` are bounded
         // metadata jobs inherent to the scan, not data collects
