@@ -369,6 +369,22 @@ object RelationalSuite {
         (abs(col("est_supp") - col("exact_supp")) <=
           col("exact_supp") * 0.02).as("hll_supp_ok"))
 
+  /** Skew-salted fact join, oracle-checked by RESULT EQUALITY: salting is a
+    * physical rewrite (spread each hot key over `salt` shuffle partitions by
+    * salting the big side and replicating the small side), so the joined
+    * result must be identical to the plain join — which is exactly what the
+    * plain-SQL oracle asserts. SkewBucketSpec pins the physical semantics;
+    * this query makes the rewrite a driver-checked surface.
+    */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    Skew.saltedJoin(li, ords, Seq("l_orderkey"), salt = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** Range (interval) join without an equi key: lineitems shipped inside
     * any top-value order's 30-day window, counted per window. Binned to a
     * hash equi-join (RangeJoin) — the theta form would plan as
@@ -431,6 +447,7 @@ object RelationalSuite {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "salted_join"        -> (saltedJoinAgg _),
     "moments_accuracy"   -> (momentsAccuracy _),
     "sketch_accuracy"    -> (sketchAccuracy _),
     "range_count"        -> (rangeShipWindows _),
@@ -459,6 +476,12 @@ object RelationalSuite {
     "scalar_functions"   -> (scalarFunctions _))
 
   val oracles: Map[String, String] = Map(
+    "salted_join" ->
+      """SELECT o.o_orderpriority,
+        |       count(*) AS n_items,
+        |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     "moments_accuracy" ->
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -159,6 +159,28 @@ object TextSuite {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Benchmark decontamination — remove training documents that overlap an
+    * evaluation set by >= `minHits` word-3-gram shingles (docs 0-4 stand in
+    * for the eval set; a real pipeline would read the benchmark corpus).
+    * Scale shape: the eval shingle set is tiny and broadcast; the corpus
+    * side is one explode + broadcast-semi-join + count — no shuffle of
+    * document text, and the final left-anti join keys on doc_id only.
+    * Output: the surviving (clean) doc ids. The eval docs remove
+    * themselves (100% overlap), as do their near-duplicates.
+    */
+  def decontaminate(spark: SparkSession, dir: String,
+                    minHits: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docSh = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), 3)).as("h"))
+    val benchSh = docs.filter(col("doc_id") < 5)
+      .select(explode(shingleHashes(col("text"), 3)).as("h")).distinct()
+    val contaminated = docSh.join(broadcast(benchSh), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+    docs.join(contaminated, Seq("doc_id"), "left_anti").select(col("doc_id"))
+  }
+
   /** Sequence packing — assign documents to fixed-capacity token bins (the
     * pretraining context-window packing step). Deterministic contiguous
     * packing: docs are packed in doc_id order, bin = how many full
@@ -231,6 +253,7 @@ object TextSuite {
     "hash_split"      -> (hashSplit _),
     "token_histogram" -> (tokenHistogram _),
     "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
+    "decontaminate"   -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "simhash_sketch"  -> (simhashSketch _),
     "simhash_signal"  -> (simhashSignal _))
 
@@ -340,6 +363,23 @@ object TextSuite {
         |              ELSE len(string_split_regex(trim(text), '\s+')) END) // 32 AS BIGINT) AS bucket,
         |       count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    // string-shingle overlap counts equal the hash-shingle counts (the
+    // shingle -> 64-bit-hash map is injective at fixture scale)
+    "decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |contaminated AS (
+        |  SELECT doc_id FROM sh JOIN bench USING (s)
+        |  GROUP BY doc_id HAVING count(*) >= 8)
+        |SELECT d.doc_id FROM documents d
+        |ANTI JOIN contaminated c ON d.doc_id = c.doc_id""".stripMargin,
     "pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id // 64 AS shard,
