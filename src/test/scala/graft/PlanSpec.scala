@@ -57,6 +57,14 @@ class PlanSpec extends SparkSpec {
       s"no equi-join on the bin key in:\n$plan")
   }
 
+  test("decontaminate broadcasts the eval shingle set and anti-joins on ids") {
+    val plan = executedPlan(graft.operators.TextSuite.decontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set not broadcast in:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"survivor filter not an anti join in:\n$plan")
+  }
+
   test("pack_bins runs sharded windows, never a single-partition sort") {
     val plan = executedPlan(graft.operators.TextSuite.packBins(spark, dir))
     assert(!plan.contains("SinglePartition"),
