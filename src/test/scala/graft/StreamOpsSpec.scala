@@ -22,6 +22,41 @@ class StreamOpsSpec extends SparkSpec {
       "GraftSession.tune must pin the spill-capable state store")
   }
 
+  test("RocksDB sustains a 10k-key stateful aggregation across a restart") {
+    val ckpt = tmpDir("rocks10k")
+    // file topic source (recovers offsets across restarts — MemoryStream
+    // does not) + update-mode foreachBatch upsert, the pipeline's real
+    // serving shape
+    val topic = new graft.sources.FileTopic("T10K",
+      graft.model.PageEvent.wireSchema, tmpDir("topics10k"))
+    val store = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    def runBatch(events: Seq[(String, String, Long, Long)]): Unit = {
+      topic.append(events.toDF("name", "user", "date", "duration"))
+      val agg = graft.model.PageEventCodec.fromWire(topic.stream(spark))
+        .withWatermark("date", "10 minutes")
+        .groupBy($"user")
+        .agg(count(lit(1)).as("n"), sum($"duration").as("dur"))
+      val q = agg.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            store.put(r.getString(0), (r.getLong(1), r.getLong(2))))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // 10k distinct users, then a restart from the same checkpoint adds a
+    // second event for every user — state must survive the restart intact
+    runBatch((0 until 10000).map(i => ("P1", s"u$i", 100000L + i % 50, 10L)))
+    runBatch((0 until 10000).map(i => ("P2", s"u$i", 200000L + i % 50, 5L)))
+    assert(store.size == 10000)
+    // every user's final state reflects BOTH runs (no state loss on restart)
+    assert(store.values.forall(_ == (2L, 15L)),
+      s"state lost across restart: ${store.values.take(5)}")
+  }
+
   test("stream-stream join pairs events of the same user within the window") {
     val pages = MemoryStream[PageEvent](spark)
     val clicks = MemoryStream[PageEvent](spark)
