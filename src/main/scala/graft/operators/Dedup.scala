@@ -18,11 +18,14 @@ import graft.functions.TextFunctions._
 object Dedup {
 
   /** Per-session handle to the previous connectedComponents edge cache —
-    * see the unpersist note inside connectedComponents.
+    * see the unpersist note inside connectedComponents. WEAK-keyed on the
+    * session so a stopped/collected SparkSession doesn't stay pinned (with
+    * its last edge DataFrame) for the JVM lifetime; synchronized because
+    * WeakHashMap isn't thread-safe.
     */
   private val lastComponentEdges =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
 
   /** Exact dedup: group by normalized-content fingerprint. Output one row
     * per distinct content: canonical (minimum) doc id and the duplicate
@@ -173,13 +176,23 @@ object Dedup {
     * one Catalyst plan. Each round is shuffle-by-key with map-side combine.
     *
     * `iters` bounds the reachable distance: labels converge for components
-    * of diameter <= iters. Near-dup components are near-cliques (variants
-    * of one base document), so small `iters` converges; a 100 TB run with
-    * adversarial chain-shaped components would checkpoint between rounds
-    * and iterate to fixpoint instead (same per-round plan).
+    * of diameter <= iters. SIZING RECIPE: near-dup components are
+    * near-cliques (variants of one base document), so a small `iters`
+    * converges; to validate a choice on real data, run
+    * `unconverged(pairs, connectedComponents(pairs, iters))` and assert it
+    * is empty (one extra round must be a fixpoint) — DedupSpec does exactly
+    * this for the wired dedup_clusters parameters, and the recursive-CTE
+    * oracle independently fails the hash on any unconverged label. A
+    * 100 TB run with adversarial chain-shaped components would checkpoint
+    * between rounds and iterate to fixpoint instead (same per-round plan).
     *
     * Output: (doc_id, cluster_id = min doc_id of the component). Isolated
     * docs (no edges) are not emitted — they are their own canonical doc.
+    *
+    * NOTE: each invocation unpersists the PREVIOUS invocation's cached edge
+    * set for this session — execute (or persist) the returned labels before
+    * calling connectedComponents again on the same session, or the earlier
+    * labels silently recompute their whole pair-generation pipeline.
     */
   def connectedComponents(pairs: DataFrame, iters: Int = 6,
                           aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
@@ -218,6 +231,26 @@ object Dedup {
         .agg(min(col("cluster_id")).as("cluster_id"))
     }
     labels
+  }
+
+  /** Convergence check for connectedComponents output: the rows whose label
+    * would STILL change after one more min-label flooding round — empty iff
+    * `labels` is a fixpoint (i.e. `iters` covered every component's
+    * diameter). Opt-in: run it as an assertion in tests or after a
+    * production run; it is one extra round + an equi-join, not part of the
+    * labeling plan itself.
+    */
+  def unconverged(pairs: DataFrame, labels: DataFrame,
+                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val undirected = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = undirected.union(
+      undirected.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+    val next = edges.join(labels, edges("dst") === labels("doc_id"))
+      .groupBy(edges("src").as("doc_id"))
+      .agg(min(col("cluster_id")).as("next_id"))
+    labels.join(next, "doc_id").filter(col("next_id") =!= col("cluster_id"))
   }
 
   /** 64-bit SimHash of the shingle hash multiset: per bit, majority vote of

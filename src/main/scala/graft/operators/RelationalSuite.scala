@@ -343,9 +343,16 @@ object RelationalSuite {
     val s2d = col("s2").cast("double")
     val meanExact = col("s1").cast("double") / col("n")
     val varExact = (s2d - s1d * s1d / col("n")) / (col("n") - 1)
+    // mixed absolute+relative tolerance: a pure-relative gate degenerates to
+    // zero width when the exact value is 0 (constant group) and the n=1
+    // variance is 0/0 — guard both so the gate is total over any grouping,
+    // not just the fixture's
+    def ok(got: Column, exact: Column): Column =
+      abs(got - exact) <= greatest(abs(exact) * 1e-9, lit(1e-6))
     agg.select(col("l_returnflag"), col("n"), meanExact.as("mean_price"),
-      (abs(col("m.mean") - meanExact) <= abs(meanExact) * 1e-9).as("welford_mean_ok"),
-      (abs(col("m.variance") - varExact) <= abs(varExact) * 1e-9).as("welford_var_ok"))
+      ok(col("m.mean"), meanExact).as("welford_mean_ok"),
+      when(col("n") <= 1, lit(true))
+        .otherwise(ok(col("m.variance"), varExact)).as("welford_var_ok"))
   }
 
   /** Sketch accuracy gate: HyperLogLog++ is DETERMINISTIC for a fixed

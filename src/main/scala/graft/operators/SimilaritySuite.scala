@@ -168,9 +168,12 @@ object SimilaritySuite {
   }
 
   /** Generated oracle for embed_pq: per subvector pick the argmax-scoring
-    * codebook entry from the literals (scores are continuous — no ties, so
-    * list_position-of-max matches Spark's greatest-of-structs), concatenate
-    * the entries into the reconstruction, rank by ADC cosine.
+    * codebook entry from the literals, concatenate the entries into the
+    * reconstruction, rank by ADC cosine. Argmax ties resolve to the HIGHEST
+    * index — matching Spark's greatest-of-structs in pqCode — via
+    * list_position over the REVERSED score list (a first-index pick would
+    * silently diverge on an exact score tie, plausible with
+    * float-rounded duplicate codebook subvectors).
     */
   private def pqOracle: String = {
     val subDim = dim / pqSub
@@ -187,7 +190,7 @@ object SimilaritySuite {
       books(s).map(c => sqlArr(c.toSeq)).mkString("[", ", ", "]")
     }
     val reconParts = (0 until pqSub).map { s =>
-      s"${bookLits(s)}[list_position(sc$s, list_max(sc$s))]"
+      s"${bookLits(s)}[$pqK + 1 - list_position(list_reverse(sc$s), list_max(sc$s))]"
     }
     val recon = reconParts.reduce((a, b) => s"list_concat($a, $b)")
     val scSelects = (0 until pqSub).map(s => s"${scoreArrs(s)} AS sc$s").mkString(",\n         ")

@@ -259,6 +259,30 @@ object TextSuite {
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
+  /** Shared oracle prologue: distinct word-3-gram shingles per doc, with the
+    * SAME stop-shingle pruning the engine applies (ngramJaccardPairs
+    * maxDocFreqFrac = 0.02, absolute floor 8) — string-shingle document
+    * frequency equals hash-shingle df because the shingle -> 64-bit-hash map
+    * is injective at fixture scale. With the cutoff on BOTH sides, engine
+    * and oracle stay exact-equal even on a corpus where pruning actually
+    * fires, instead of resting on the measured fixture property that
+    * nothing prunes (max df 1.4% at sf0.01, 0.5% at sf0.1 — also pinned by
+    * DedupSpec's headroom test).
+    */
+  private val prunedShingles =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks,
+      |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+      |                               FROM documents) + 1)) AS i)
+      |  WHERE i + 2 <= len(t)),
+      |dfq AS (SELECT s, count(*) AS df_sh FROM sh0 GROUP BY 1),
+      |sh AS (
+      |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfq USING (s)
+      |  WHERE df_sh <= greatest((SELECT count(*) FROM documents) * 0.02, 8.0))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "tfidf_top_terms" ->
       """WITH tf AS (
@@ -327,14 +351,7 @@ object TextSuite {
          |       count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
     "ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks,
-        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
-        |                               FROM documents) + 1)) AS i)
-        |  WHERE i + 2 <= len(t)),
+      s"""WITH $prunedShingles,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -393,14 +410,7 @@ object TextSuite {
     // transitive closure via recursive CTE — fully independent of the
     // engine's label-propagation implementation
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks,
-        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
-        |                               FROM documents) + 1)) AS i)
-        |  WHERE i + 2 <= len(t)),
+      s"""WITH RECURSIVE $prunedShingles,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -443,14 +453,7 @@ object TextSuite {
     // exact pair set + TRUE gates: the Spark side computes real hamming
     // distances; any pair over the 24-bit bound flips its boolean
     "simhash_signal" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks,
-        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
-        |                               FROM documents) + 1)) AS i)
-        |  WHERE i + 2 <= len(t)),
+      s"""WITH $prunedShingles,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -466,14 +469,7 @@ object TextSuite {
     // the exact pair set at jaccard >= 0.2, computed WITHOUT any LSH — rows
     // can only match if the Spark side's minhash candidates cover it fully
     "minhash_recall" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks,
-        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
-        |                               FROM documents) + 1)) AS i)
-        |  WHERE i + 2 <= len(t)),
+      s"""WITH $prunedShingles,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

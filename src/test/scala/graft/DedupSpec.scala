@@ -92,6 +92,50 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L), s"bad labels: $got")
   }
 
+  test("fixture shingle df stays below the default prune cutoff (headroom)") {
+    // the engine AND the DuckDB oracles now both prune at
+    // max(0.02 * n_docs, 8) — this pins the complementary fixture property
+    // that nothing actually prunes there, so a fixture refresh that grows a
+    // hot shingle past the cutoff is caught here (not as a silent semantic
+    // shift), and the measured df numbers quoted in Dedup.ngramJaccardPairs
+    // stay honest
+    import graft.functions.TextFunctions.shingleHashes
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.model.Tables.documents(spark, s"/root/testdata/$sf")
+      val sh = docs.select(col("doc_id"),
+        explode(shingleHashes(col("text"), 3)).as("h"))
+      val (maxDf, nDocs) = sh.groupBy(col("h")).count()
+        .agg(max(col("count"))).as[Long].head() -> docs.count()
+      val cutoff = math.max(nDocs * 0.02, 8.0)
+      assert(maxDf <= cutoff,
+        s"$sf: max shingle df $maxDf exceeds prune cutoff $cutoff — " +
+          "the wired dedup queries would now diverge from an unpruned run")
+    }
+  }
+
+  test("connected components: iters=4 is a fixpoint on the fixture; " +
+    "unconverged detects an undersized iters") {
+    // the wired dedup_clusters parameters must fully converge — one more
+    // round is a no-op (ADVICE r2: expose convergence as an assertion)
+    val docs = graft.model.Tables.documents(spark, "/root/testdata/sf0.01")
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+      .persist()
+    try {
+      val labels = Dedup.connectedComponents(pairs, iters = 4).persist()
+      assert(Dedup.unconverged(pairs, labels).isEmpty,
+        "dedup_clusters iters=4 no longer converges on the fixture")
+      labels.unpersist(blocking = false)
+    } finally pairs.unpersist(blocking = false)
+
+    // sanity of the detector itself: a diameter-5 chain cannot converge in
+    // 2 rounds, and unconverged must say so
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val short = Dedup.connectedComponents(chain, iters = 2)
+    assert(!Dedup.unconverged(chain, short).isEmpty,
+      "unconverged failed to flag a known-undersized iters")
+  }
+
   test("simhash: identical texts hash identically, near-dups land close") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
