@@ -9,9 +9,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native expression computing the distinct hashed word-n-gram shingles of
-  * a text column in ONE pass per row: tokenize on whitespace, FNV-1a hash
-  * each token, combine n consecutive token hashes polynomially, dedupe.
+/** Native expression computing the hashed word-n-gram shingles of a text
+  * column in ONE pass per row: tokenize on whitespace, FNV-1a hash each
+  * token, combine n consecutive token hashes polynomially; `distinct`
+  * dedupes (the set form MinHash/SimHash/Jaccard need), `distinct = false`
+  * keeps every occurrence (the multiset form frequency/repetition
+  * statistics need).
   *
   * Why: the composable pipeline (split -> transform(sequence)/concat_ws ->
   * array_distinct -> transform(xxhash64)) runs on the interpreted
@@ -20,11 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * is one JVM method call per row (~0.5 s for the same work).
   *
   * The hash VALUES are engine-internal: downstream operators (MinHash,
-  * SimHash, Jaccard joins) only need equal-shingle <=> equal-hash
-  * (collision odds ~d^2/2^64). Tokenization treats ASCII control chars +
-  * space as separators, matching `\s+` on the fixture corpus.
+  * SimHash, Jaccard joins, gram counting) only need equal-shingle <=>
+  * equal-hash (collision odds ~d^2/2^64). Tokenization treats ASCII
+  * control chars + space as separators, matching `\s+` on the fixture
+  * corpus.
   */
-case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true)
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -34,11 +39,11 @@ case class ShingleHash(child: Expression, n: Int) extends UnaryExpression {
       s"shingle_hashes expects (string, n>=1), got ${child.dataType.simpleString}, n=$n")
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHash.compute(input.asInstanceOf[UTF8String], n)
+    ShingleHash.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleHash.compute($c, $n)")
+      s"graft.functions.ShingleHash.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -49,17 +54,22 @@ object ShingleHash {
   def shingleHashesNative(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHash(GraftColumnBridge.expression(c), n))
 
+  /** Multiset form: one hash per shingle OCCURRENCE, in document order. */
+  def shingleHashesAllNative(c: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHash(GraftColumnBridge.expression(c), n, distinct = false))
+
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
 
-  /** One-pass tokenize + hash + n-gram combine + dedupe. Called from both
+  /** One-pass tokenize + hash + n-gram combine (+ dedupe). Called from both
     * the interpreted eval and the generated code (one invocation per row).
     */
-  def compute(s: UTF8String, n: Int): ArrayData = {
+  def compute(s: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     val bytes = s.getBytes
     val ring = new Array[Long](n)   // last n token hashes, circular
     var tokenCount = 0
-    val seen = new java.util.HashSet[java.lang.Long]()
+    val seen = if (distinct) new java.util.HashSet[java.lang.Long]() else null
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
 
     var i = 0
@@ -84,7 +94,7 @@ object ShingleHash {
             g ^= (g >>> 32)
             j += 1
           }
-          if (seen.add(g)) out += g
+          if (!distinct || seen.add(g)) out += g
         }
       } else i += 1
     }

@@ -121,4 +121,11 @@ object TextFunctions {
     */
   def shingleHashes(c: Column, n: Int = 3): Column =
     ShingleHash.shingleHashesNative(c, n)
+
+  /** Multiset variant: one 64-bit hash per n-gram OCCURRENCE (document
+    * order preserved) — the input to gram-frequency statistics
+    * (repetition signals), where deduping would destroy the counts.
+    */
+  def shingleHashesAll(c: Column, n: Int = 3): Column =
+    ShingleHash.shingleHashesAllNative(c, n)
 }

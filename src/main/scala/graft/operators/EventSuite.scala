@@ -61,12 +61,42 @@ object EventSuite {
   def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame =
     AsOf.eventsAsOfOrders(spark, dir)
 
+  /** Ordered conversion funnel view -> click -> purchase: a user converts
+    * a stage only with an event STRICTLY AFTER their entry into the
+    * previous stage and within a 1-day deadline (without the deadline the
+    * fixture's dense event stream converts everyone — measured 150/60/25
+    * with it at sf0.01). Stage k is a conditional min-aggregate per user
+    * joined against stage k-1 — every shuffle keys on user_id, so the
+    * three stages co-partition and the per-stage frames shrink
+    * monotonically (classic funnel shape: stage tables are tiny next to
+    * the event log). Output: users remaining at each stage.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("INTERVAL 1 DAY")
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + day)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+      .unionAll(s2.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+      .unionAll(s3.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "page_counts"          -> (pageCounts _),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
-    "asof_join"            -> (eventsAsofOrders _))
+    "asof_join"            -> (eventsAsofOrders _),
+    "funnel"               -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "page_counts" ->
@@ -102,6 +132,23 @@ object EventSuite {
         |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    "funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s2.t2 + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin,
     "asof_join" ->
       """WITH ranked AS (
         |  SELECT e.event_id, e.user_id,

@@ -71,12 +71,45 @@ object SimilaritySuite {
       nSub = pqSub, k = pqK, seed = seed)
   }
 
+  /** Int8 min/max embedding quantization — the storage-compression step of
+    * an embedding pipeline (4x smaller than float32, 8x than double). Per
+    * vector: scale = (max-min)/255, code q = floor((x-min)/scale + 0.5) in
+    * [0,255], reconstruction x' = min + q*scale. Output per vector: the
+    * integer code checksum (pins every code exactly) plus the max absolute
+    * reconstruction error and its half-scale bound gate. Pure projection —
+    * one pass, no shuffle; higher-order functions are interpreted but the
+    * work is O(rows x dim), not a join hot path. Both engines run the
+    * identical double-precision op sequence, so the oracle hash is exact.
+    * Constant vectors (scale 0) quantize to code 0 with zero error.
+    */
+  def embedQuant(spark: SparkSession, dir: String): DataFrame = {
+    val vCol = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vCol.as("v"))
+      .select(col("vec_id"), col("v"), array_min(col("v")).as("mn"),
+        ((array_max(col("v")) - array_min(col("v"))) / 255.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("v"), x =>
+          when(col("scale") > 0, floor((x - col("mn")) / col("scale") + 0.5))
+            .otherwise(0L)).as("q"),
+        transform(col("v"), x =>
+          when(col("scale") > 0,
+            abs(x - (col("mn") +
+              floor((x - col("mn")) / col("scale") + 0.5).cast("double") * col("scale"))))
+            .otherwise(0.0)).as("err"))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), _ + _).as("q_sum"),
+        array_max(col("err")).as("max_abs_err"),
+        (array_max(col("err")) <= col("scale") / 2 + 1e-12).as("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk"    -> (embedTopK _),
     "embed_neardup" -> (embedNearDup _),
     "embed_ann"     -> (embedAnnTopK _),
     "embed_ivf"     -> (embedIvfTopK _),
-    "embed_pq"      -> (embedPqTopK _))
+    "embed_pq"      -> (embedPqTopK _),
+    "embed_quant"   -> (embedQuant _))
 
   /** Doubles are embedded in SCIENTIFIC notation with 17 significant
     * digits: DuckDB types E-notation literals as DOUBLE and its parser
@@ -233,5 +266,27 @@ object SimilaritySuite {
         |                              CAST(b.embedding AS DOUBLE[])) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin)
+        |                             CAST(b.embedding AS DOUBLE[])) > 0.4""".stripMargin,
+    // identical double-precision op sequence as the engine (same divides,
+    // same floor(x + 0.5) rounding, same reconstruction), so the hash
+    // compare pins every quantization code and error bit-for-bit
+    "embed_quant" ->
+      """WITH s AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE) AS mn,
+        |         (CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)
+        |          - CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS DOUBLE)) / 255.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(v, x ->
+        |    CASE WHEN scale > 0 THEN CAST(floor((x - mn) / scale + 0.5) AS BIGINT)
+        |         ELSE 0 END)) AS BIGINT) AS q_sum,
+        |  CASE WHEN scale > 0 THEN list_max(list_transform(v, x ->
+        |    abs(x - (mn + floor((x - mn) / scale + 0.5) * scale))))
+        |       ELSE 0.0 END AS max_abs_err,
+        |  (CASE WHEN scale > 0 THEN list_max(list_transform(v, x ->
+        |    abs(x - (mn + floor((x - mn) / scale + 0.5) * scale))))
+        |       ELSE 0.0 END) <= scale / 2 + 1e-12 AS within_bound
+        |FROM s""".stripMargin)
 }

@@ -181,6 +181,125 @@ object TextSuite {
     docs.join(contaminated, Seq("doc_id"), "left_anti").select(col("doc_id"))
   }
 
+  /** Gopher-style repetition signals — the quality heuristics that catch
+    * boilerplate and degenerate generations: fraction of token mass in the
+    * single most frequent word / bigram, and the distinct-word ratio. The
+    * fixtures have no newlines, so the line-based variants collapse to
+    * these word-level forms. Shape: two explode -> (doc, gram) hash-agg
+    * pipelines (map-side combined, shuffling (doc_id, gram) pairs only)
+    * joined back per doc — NOT an in-row higher-order fold, which would run
+    * interpreted (HOFs are CodegenFallback).
+    */
+  def repSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val words = docs.select(col("doc_id"), explode(toks).as("g"))
+    val wordAgg = words.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_word"),
+        count(lit(1)).as("n_distinct"))
+    val bigrams = docs.select(col("doc_id"),
+      explode(when(size(toks) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .as("g"))
+    val biAgg = bigrams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    docs.select(col("doc_id"))
+      .join(wordAgg, Seq("doc_id"), "left")
+      .join(biAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_word").cast("double") / col("n_tokens"), lit(0.0))
+          .as("top_word_frac"),
+        coalesce(col("n_distinct").cast("double") / col("n_tokens"), lit(0.0))
+          .as("distinct_word_ratio"),
+        coalesce(col("top_bigram").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  /** Per-source frequency capping — the training-mix step that stops one
+    * domain from dominating the corpus: keep at most `cap` docs per source,
+    * chosen by a DETERMINISTIC hash order (md5 of the doc id), so the
+    * sample is reproducible on any engine and independent of partition
+    * layout. One row_number window partitioned by source; a skewed source
+    * at 100 TB caps the window input with the same stop-key salting used in
+    * Skew.saltedJoin, but the window itself only ever scans `cap` + spill.
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= cap)
+      .select(col("source"), col("doc_id"), col("rank_in_source"))
+  }
+
+  /** Document chunking with stride — the sequence-prep step that splits
+    * long documents into overlapping context-window pieces. Emits
+    * (doc_id, chunk_id, chunk_start, chunk_tokens) per chunk: starts at
+    * 0, stride, 2*stride, ... while inside the doc; the last chunk is
+    * truncated. Pure integer arithmetic (`sequence` + `posexplode`, one
+    * codegen'd projection, no shuffle) so the oracle is exact. Sized to
+    * the fixtures' short docs (64/48); a real pipeline uses 2048/1792.
+    */
+  def chunkDocs(spark: SparkSession, dir: String,
+                size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong)))
+          .as(Seq("chunk_id", "chunk_start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start"),
+        least(lit(size.toLong), col("n_tokens") - col("chunk_start"))
+          .as("chunk_tokens"))
+  }
+
+  /** Bloom-filter decontamination gate. `decontaminate` broadcasts the
+    * EXACT eval shingle set — fine for one benchmark, but the broadcast
+    * grows with the eval corpus. The Bloom path (graft.functions.Bloom)
+    * ships a fixed-size filter instead, with zero false negatives by
+    * construction: every truly contaminated doc is always flagged; false
+    * positives only add candidates for the exact verifier.
+    *
+    * This query IS the gate: for every EXACTLY contaminated doc (>= minHits
+    * shingle overlaps, the oracle-computable side) it emits whether the
+    * Bloom pre-filter also flagged it. The oracle expects TRUE on every
+    * row, so a Bloom regression that drops a contaminated doc fails the
+    * hash. BloomSpec separately pins the false-positive rate.
+    */
+  def bloomDecontamGate(spark: SparkSession, dir: String,
+                        minHits: Int = 8): DataFrame = {
+    import graft.functions.Bloom
+    val docs = Tables.documents(spark, dir)
+    val docSh = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), 3)).as("h"))
+    val benchSh = docs.filter(col("doc_id") < 5)
+      .select(explode(shingleHashes(col("text"), 3)).as("h")).distinct()
+    // the production-shaped side: a 64 KiB filter instead of an exact set
+    val bloom = benchSh.agg(
+      Bloom.bloomAgg(col("h"), expectedItems = 4096L, numBits = 1L << 19)
+        .as("bloom"))
+    val bloomHits = docSh.filter(Bloom.mightContain(bloom, col("h")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom_hits"))
+    // the exact side (same plan as decontaminate's contaminated set)
+    val exact = docSh.join(broadcast(benchSh), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+    exact.join(bloomHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_bloom_hits"), lit(0L)) >= minHits).as("bloom_flagged"))
+  }
+
   /** Sequence packing — assign documents to fixed-capacity token bins (the
     * pretraining context-window packing step). Deterministic contiguous
     * packing: docs are packed in doc_id order, bin = how many full
@@ -255,7 +374,11 @@ object TextSuite {
     "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
     "decontaminate"   -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "simhash_sketch"  -> (simhashSketch _),
-    "simhash_signal"  -> (simhashSignal _))
+    "simhash_signal"  -> (simhashSignal _),
+    "rep_signals"     -> (repSignals _),
+    "domain_cap"      -> ((s: SparkSession, d: String) => domainCap(s, d)),
+    "chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
+    "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -466,6 +589,70 @@ object TextSuite {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
+    "rep_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |wa AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word,
+        |         count(*) AS n_distinct
+        |  FROM wc GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+        |  FROM t,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 1 <= len(toks)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (
+        |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+        |  FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(wa.top_word::DOUBLE / wa.n_tokens, 0.0) AS top_word_frac,
+        |  coalesce(wa.n_distinct::DOUBLE / wa.n_tokens, 0.0) AS distinct_word_ratio,
+        |  coalesce(ba.top_bigram::DOUBLE / ba.n_bigrams, 0.0) AS top_bigram_frac
+        |FROM documents d
+        |LEFT JOIN wa ON d.doc_id = wa.doc_id
+        |LEFT JOIN ba ON d.doc_id = ba.doc_id""".stripMargin,
+    "domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id,
+        |       CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS INT)
+        |         AS rank_in_source
+        |FROM r QUALIFY rank_in_source <= 10""".stripMargin,
+    "chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_id, s AS chunk_start,
+        |       least(64, n_tokens - s) AS chunk_tokens
+        |FROM (SELECT doc_id, n_tokens, unnest(range(0, n_tokens, 48)) AS s
+        |      FROM t WHERE n_tokens > 0)""".stripMargin,
+    // exact contaminated docs, each expected bloom_flagged = TRUE: the
+    // Bloom pre-filter can never miss a contaminated doc (no false
+    // negatives by construction), so any FALSE is an engine regression
+    "bloom_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5)
+        |SELECT doc_id, TRUE AS bloom_flagged
+        |FROM sh JOIN bench USING (s)
+        |GROUP BY doc_id HAVING count(*) >= 8""".stripMargin,
     // the exact pair set at jaccard >= 0.2, computed WITHOUT any LSH — rows
     // can only match if the Spark side's minhash candidates cover it fully
     "minhash_recall" ->

@@ -33,6 +33,25 @@ object StreamOps {
         col("r_date") <= col("l_date") + expr(s"INTERVAL $windowSec SECONDS"))
   }
 
+  /** Streaming dedup — the online twin of Dedup.exact: drop events whose
+    * dedup key was already seen, with the dedup STATE BOUNDED BY THE
+    * WATERMARK (`dropDuplicatesWithinWatermark`): two copies inside the
+    * watermark window dedup exactly; state for keys older than the
+    * watermark is evicted, so a 100 TB/day stream holds only a window's
+    * worth of keys instead of growing forever — the classic unbounded
+    * `dropDuplicates` failure mode. Exactly-once within the window,
+    * at-least-once across windows: the right contract for ingest dedup
+    * where late replays beyond the window are re-verified downstream by
+    * the batch dedup anyway.
+    *
+    * `keyCols` defaults to the content identity (name, user, date) — the
+    * wire-level duplicate shape produced by producer retries.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "30 seconds",
+                  keyCols: Seq[String] = Seq("name", "user", "date")): DataFrame =
+    events.withWatermark("date", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionUpdate(user: String, nEvents: Long, totalDuration: Long,
                                  closed: Boolean)
   // public: the state encoder's generated code instantiates it reflectively

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a one-row/one-column DataFrame as an uncorrelated scalar subquery
+    * expression — the form expressions like `BloomFilterMightContain`
+    * require for their "constant" side. The subquery executes once per
+    * query (Spark subquery reuse), not per row.
+    */
+  def scalarSubquery(df: DataFrame): Column =
+    column(catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed))
 }

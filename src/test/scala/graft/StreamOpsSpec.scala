@@ -112,9 +112,7 @@ class StreamOpsSpec extends SparkSpec {
     val input = MemoryStream[PageEvent](spark)
     // dedup key (name, user, date): watermark bounds the dedup state so it
     // is evicted once duplicates can no longer arrive
-    val q = input.toDF()
-      .withWatermark("date", "1 minute")
-      .dropDuplicatesWithinWatermark("name", "user", "date")
+    val q = StreamOps.dedupStream(input.toDF(), watermark = "1 minute")
       .writeStream.format("memory").queryName("dedup_stream")
       .option("checkpointLocation", tmpDir("ddw"))
       .outputMode("append").start()
