@@ -34,7 +34,16 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    // Per-query GC attribution: a query that inherits a heap full of the
+    // previous queries' garbage reports THEIR cost as its own wall time.
+    // Logging GC delta per query makes that interference visible instead of
+    // letting it masquerade as a plan regression (round-3 postmortem: six
+    // queries reported 6-12x their isolated times in-suite).
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the whole projection).
@@ -43,13 +52,18 @@ object Bench {
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
-      name -> dt
+      val gc = (gcMillis() - gc0) / 1e3
+      // release any per-query operator caches (connectedComponents' edge
+      // set) so one query's storage footprint can't tax the next 50
+      graft.operators.Dedup.releaseComponentCache(spark)
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (gc $gc%5.2f s)")
+      name -> (dt, gc)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).sum
+    val gcTotal = results.map(_._2._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,18 @@ object Dedup {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
 
+  /** Caller-visible release of this session's connectedComponents edge
+    * cache. The cache must outlive the RETURNED labels' execution (the
+    * flooding rounds read it), so connectedComponents cannot unpersist it
+    * itself; without a release it stays resident until the NEXT invocation
+    * or session end — in a long multi-query session (Bench, Verify, a
+    * notebook) that occupies storage memory for every unrelated query that
+    * follows. Call this after executing the labels; a no-op when nothing is
+    * cached, so per-query harness hooks can call it unconditionally.
+    */
+  def releaseComponentCache(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(lastComponentEdges.remove(spark)).foreach(_.unpersist(blocking = false))
+
   /** Exact dedup: group by normalized-content fingerprint. Output one row
     * per distinct content: canonical (minimum) doc id and the duplicate
     * count. A 100 TB corpus shuffles only (hash, doc_id) pairs.
@@ -192,11 +204,43 @@ object Dedup {
     * NOTE: each invocation unpersists the PREVIOUS invocation's cached edge
     * set for this session — execute (or persist) the returned labels before
     * calling connectedComponents again on the same session, or the earlier
-    * labels silently recompute their whole pair-generation pipeline.
+    * labels silently recompute their whole pair-generation pipeline. After
+    * executing the returned labels, call `releaseComponentCache(session)`
+    * to free the cache immediately instead of leaving it resident for the
+    * rest of the session.
     */
   def connectedComponents(pairs: DataFrame, iters: Int = 6,
-                          aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          roundPartitions: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // The flooding rounds move EDGE-sized data — orders of magnitude less
+    // than the corpus that produced the pairs — so their shuffle partition
+    // count should be sized to the edge volume, not inherited from the
+    // corpus-sized session default. `roundPartitions > 0` runs the rounds
+    // in a config-scoped child session (shared SparkContext + cache, own
+    // SQLConf) pinned to that count, with AQE partition coalescing off:
+    // the edge cache is persisted already partitioned at this exact count,
+    // and coalescing would only shrink the label side into a mismatched
+    // partitioning that forces an extra exchange per round (measured:
+    // wired dedup_clusters 6.3-7.8 s at the 32-partition session default
+    // vs 2.1-2.7 s at 8 round partitions, sf0.1 local[32] — the rounds are
+    // pure orchestration at fixture scale). 0 = inherit the caller's
+    // session conf unchanged.
+    val spark = if (roundPartitions <= 0) pairs.sparkSession else {
+      val parent = pairs.sparkSession
+      val child = parent.newSession()
+      // newSession starts from the context's initial conf: carry over the
+      // caller's runtime SQL conf (timezone, codegen, AQE posture), then
+      // override the two knobs scoped to the flooding rounds
+      parent.conf.getAll.foreach { case (k, v) =>
+        try child.conf.set(k, v) catch { case _: Exception => () }
+      }
+      child.conf.set("spark.sql.shuffle.partitions", roundPartitions.toString)
+      child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      child
+    }
+    val pairsLocal = if (spark eq pairs.sparkSession) pairs
+      else org.apache.spark.sql.GraftColumnBridge.ofRows(spark, pairs)
     // Plan-shape discipline for iterative dataflow (both measured at sf0.1):
     //  - The naive round labels' = agg(labels UNION join(edges, labels))
     //    references `labels` TWICE, so round k's logical plan holds 2^k
@@ -210,8 +254,8 @@ object Dedup {
     //    spill, never OOM. (.rdd/localCheckpoint lineage-cutting is NOT an
     //    option here: under AQE, Dataset.rdd finalizes the plan by RUNNING
     //    its stages — query construction must stay job-free.)
-    val undirected = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val undirected = pairsLocal.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairsLocal.select(col(bCol).as("src"), col(aCol).as("dst")))
     val vertices = undirected.select(col("src")).distinct()
     val edges = undirected
       .union(vertices.select(col("src"), col("src").as("dst")))

@@ -94,9 +94,14 @@ object TextSuite {
     // component has 4 vertices (diameter <= 3, measured via the oracle's
     // own closure), and the recursive-CTE oracle fails the hash if label
     // propagation ever stops short of convergence
+    // roundPartitions = 8: the near-dup edge set is orders of magnitude
+    // smaller than the corpus (sparse pairs at jaccard >= 0.2), so the
+    // flooding rounds run at an edge-sized partition count instead of the
+    // corpus-sized session default — at 100 TB size this to edge bytes /
+    // target partition size, not to the scan parallelism
     Dedup.connectedComponents(
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.2),
-      iters = 4)
+      iters = 4, roundPartitions = 8)
 
   /** The quality-filter stage of a training pipeline: partition the corpus
     * by keep/drop at quality >= 0.5 and account for docs + token budget on
@@ -162,20 +167,31 @@ object TextSuite {
   /** Benchmark decontamination — remove training documents that overlap an
     * evaluation set by >= `minHits` word-3-gram shingles (docs 0-4 stand in
     * for the eval set; a real pipeline would read the benchmark corpus).
-    * Scale shape: the eval shingle set is tiny and broadcast; the corpus
-    * side is one explode + broadcast-semi-join + count — no shuffle of
-    * document text, and the final left-anti join keys on doc_id only.
-    * Output: the surviving (clean) doc ids. The eval docs remove
-    * themselves (100% overlap), as do their near-duplicates.
+    * Scale shape — Bloom prune, then exact verify: a fixed-size (64 KiB)
+    * Bloom filter over the eval shingles is shipped as a scalar subquery
+    * and applied per corpus shingle FIRST, so the exact broadcast join only
+    * sees the (tiny) candidate stream — corpus-side work per shingle is one
+    * codegen'd filter probe, and the broadcast exact set is consulted only
+    * for rows the Bloom already flagged. Bloom false negatives are
+    * impossible by construction, so the composition is EXACTLY equivalent
+    * to the pure broadcast-join plan (false positives are re-checked by the
+    * exact join); the oracle is unchanged. The final left-anti join keys on
+    * doc_id only. Output: the surviving (clean) doc ids. The eval docs
+    * remove themselves (100% overlap), as do their near-duplicates.
     */
   def decontaminate(spark: SparkSession, dir: String,
                     minHits: Int = 8): DataFrame = {
+    import graft.functions.Bloom
     val docs = Tables.documents(spark, dir)
     val docSh = docs.select(col("doc_id"),
       explode(shingleHashes(col("text"), 3)).as("h"))
     val benchSh = docs.filter(col("doc_id") < 5)
       .select(explode(shingleHashes(col("text"), 3)).as("h")).distinct()
-    val contaminated = docSh.join(broadcast(benchSh), "h")
+    val bloom = benchSh.agg(
+      Bloom.bloomAgg(col("h"), expectedItems = 4096L, numBits = 1L << 19)
+        .as("bloom"))
+    val contaminated = docSh.filter(Bloom.mightContain(bloom, col("h")))
+      .join(broadcast(benchSh), "h")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)
     docs.join(contaminated, Seq("doc_id"), "left_anti").select(col("doc_id"))
@@ -186,24 +202,29 @@ object TextSuite {
     * single most frequent word / bigram, and the distinct-word ratio. The
     * fixtures have no newlines, so the line-based variants collapse to
     * these word-level forms. Shape: two explode -> (doc, gram) hash-agg
-    * pipelines (map-side combined, shuffling (doc_id, gram) pairs only)
-    * joined back per doc — NOT an in-row higher-order fold, which would run
-    * interpreted (HOFs are CodegenFallback).
+    * pipelines (map-side combined) joined back per doc. Grams are built by
+    * the native multiset ShingleHash expression (one codegen'd pass per
+    * row, `distinct = false` keeps every occurrence), so the shuffle
+    * carries (doc_id, 64-bit gram hash) pairs, never gram STRINGS — and
+    * never touches the interpreted higher-order-function path (HOFs are
+    * CodegenFallback; the transform/concat_ws formulation of this same
+    * query measured 17.4 s at sf0.1 vs ~1 s native). All three output
+    * signals are count statistics (sum/max/count-distinct over per-gram
+    * multiplicities), which the hashed grams preserve exactly as long as
+    * the gram -> hash map is injective on the corpus (collision odds
+    * ~d^2/2^64 — the same argument ngram_jaccard's oracle rests on).
     */
   def repSignals(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
-    val words = docs.select(col("doc_id"), explode(toks).as("g"))
+    val words = docs.select(col("doc_id"),
+      explode(shingleHashesAll(col("text"), 1)).as("g"))
     val wordAgg = words.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("top_word"),
         count(lit(1)).as("n_distinct"))
     val bigrams = docs.select(col("doc_id"),
-      explode(when(size(toks) < 2, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
-        .as("g"))
+      explode(shingleHashesAll(col("text"), 2)).as("g"))
     val biAgg = bigrams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

@@ -19,4 +19,15 @@ object GraftColumnBridge {
   def scalarSubquery(df: DataFrame): Column =
     column(catalyst.expressions.ScalarSubquery(
       df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed))
+
+  /** Re-root a DataFrame's (already analyzed) plan in another session —
+    * the standard way to give one query a session-scoped SQL conf (e.g. a
+    * shuffle partition count sized to ITS data) without mutating the
+    * caller's session. The analyzed plan is self-contained (relations and
+    * functions are resolved), so re-analysis under the target session is a
+    * no-op on the subtree.
+    */
+  def ofRows(spark: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed)
 }
