@@ -103,13 +103,73 @@ object SimilaritySuite {
         (array_max(col("err")) <= col("scale") / 2 + 1e-12).as("within_bound"))
   }
 
+  /** Oracle-checked gate for the PREPARED-INDEX path (ivfTopKKmeans): IVF
+    * over k-means-trained centroids must recover >= 2 of each query's exact
+    * top-5 (recall >= 0.4 per query; measured 0.6-1.0 per query at both
+    * sf0.01 and sf0.1, so the gate has a full hit of margin against k-means
+    * partitioning jitter). The exact side is computed in-engine; the oracle
+    * derives the expected (query_id, TRUE) rows from the table, so a recall
+    * regression — bad training, broken cell probe, scoring drift — flips a
+    * row to FALSE and fails the hash. Training runs bounded-output Spark
+    * jobs at construction (declared prepared-index contract; see
+    * CollectLintSpec.trainingAllowed).
+    */
+  def ivfKmeansRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    // maxIter 5: the gate needs converged-enough cells, not a polished
+    // index — halves the training jobs the bench pays for this query
+    val approx = Similarity.ivfTopKKmeans(emb, qs, k = 5, nCells = 8, nProbe = 4,
+        maxIter = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("query_id"), (col("n_found") >= 2).as("recall_ok"))
+  }
+
+  /** Oracle-checked gate for the PQ quality path (pqCodebooksKmeans): the
+    * k-means-fitted codebooks must reconstruct the corpus with LOWER total
+    * squared error than the seeded data-independent codebooks — the
+    * training objective itself, so the property holds on any corpus and is
+    * robust to k-means partitioning jitter (a top-k recall gate is NOT
+    * meaningful here: the fixture's near-random vectors are PQ's worst
+    * case and measured recall is ~0.1-0.3 for either codebook). The
+    * squared-error fold is a higher-order function (interpreted), but it
+    * runs once per vector on a bounded column — not in a join kernel.
+    */
+  def pqKmeansGain(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // maxIter 5 (see ivfKmeansRecall): even one k-means sweep already
+    // drops SSE far below the untrained codebooks the gate compares against
+    val trained = Similarity.pqCodebooksKmeans(emb, dim, pqSub, pqK, seed,
+      maxIter = 5)
+    val seeded = Similarity.pqCodebooks(pqSub, dim / pqSub, pqK, seed)
+    def sse(books: Seq[Seq[Array[Double]]], as: String): DataFrame =
+      Similarity.pqReconstruct(emb, books, dim)
+        .select(aggregate(
+          zip_with(col("embedding").cast("array<double>"), col("recon"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _).as("se"))
+        .agg(sum(col("se")).as(as))
+    Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(sse(trained, "sse_trained"))
+      .crossJoin(sse(seeded, "sse_seeded"))
+      .select(col("n_vectors"),
+        (col("sse_trained") < col("sse_seeded")).as("trained_better"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_topk"    -> (embedTopK _),
     "embed_neardup" -> (embedNearDup _),
     "embed_ann"     -> (embedAnnTopK _),
     "embed_ivf"     -> (embedIvfTopK _),
     "embed_pq"      -> (embedPqTopK _),
-    "embed_quant"   -> (embedQuant _))
+    "embed_quant"   -> (embedQuant _),
+    "ivf_kmeans_recall" -> (ivfKmeansRecall _),
+    "pq_kmeans_gain"    -> (pqKmeansGain _))
 
   /** Doubles are embedded in SCIENTIFIC notation with 17 significant
     * digits: DuckDB types E-notation literals as DOUBLE and its parser
@@ -248,6 +308,15 @@ object SimilaritySuite {
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
     "embed_pq"  -> pqOracle,
+    // gates: the engine computes the measured side (recall vs in-engine
+    // exact top-k / trained-vs-seeded SSE); the oracle derives the expected
+    // all-TRUE rows from the table, so any quality regression hash-fails
+    "ivf_kmeans_recall" ->
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "pq_kmeans_gain" ->
+      """SELECT count(*) AS n_vectors, TRUE AS trained_better
+        |FROM embeddings""".stripMargin,
     "embed_topk" ->
       """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

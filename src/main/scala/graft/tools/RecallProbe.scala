@@ -31,6 +31,20 @@ object RecallProbe {
           .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
         println(f"ivf nCells=$nc nProbe=$np recall=${(exact intersect ivf).size.toDouble / exact.size}%.3f")
       }
+      for ((nc, np) <- Seq((8, 3), (8, 4), (16, 8))) {
+        val ivfK = Similarity.ivfTopKKmeans(emb, queries, k = 5, nCells = nc, nProbe = np)
+          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+        val perQ = exact.groupBy(_._1).map { case (q, s) =>
+          (s intersect ivfK).size.toDouble / s.size }
+        println(f"ivfKMEANS nCells=$nc nProbe=$np recall=${(exact intersect ivfK).size.toDouble / exact.size}%.3f minPerQuery=${perQ.min}%.3f")
+      }
+      for ((ns, kk) <- Seq((4, 16), (4, 32))) {
+        val pqK = Similarity.pqTopKKmeans(emb, queries, topK = 5, nSub = ns, k = kk)
+          .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+        val perQ = exact.groupBy(_._1).map { case (q, s) =>
+          (s intersect pqK).size.toDouble / s.size }
+        println(f"pqKMEANS nSub=$ns k=$kk recall=${(exact intersect pqK).size.toDouble / exact.size}%.3f minPerQuery=${perQ.min}%.3f")
+      }
       val docs = Tables.documents(spark, dir)
       val exactJac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.05)
         .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()

@@ -20,11 +20,15 @@ class CollectLintSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   /** Queries whose construction may run bounded-output driver-side jobs
-    * (each must justify itself here). Currently none: even the IVF query
-    * uses data-independent seeded centroids (the k-means path is a separate
-    * prepared-index API, Similarity.ivfTopKKmeans).
+    * (each must justify itself here). The wired ANN queries (embed_ann,
+    * embed_ivf, embed_pq) use data-independent seeded constants and stay
+    * job-free; the two k-means GATE queries exercise the prepared-index
+    * APIs (ivfTopKKmeans / pqCodebooksKmeans), whose training runs
+    * executor-side with bounded driver output — nCells (8) and nSub x k
+    * (64) centroid vectors respectively, never O(n) data.
     */
-  private val trainingAllowed: Set[String] = Set.empty
+  private val trainingAllowed: Set[String] =
+    Set("ivf_kmeans_recall", "pq_kmeans_gain")
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]

@@ -54,4 +54,44 @@ class FixtureParitySpec extends SparkSpec {
     assert(streamed == batch,
       s"streaming diverged: ${streamed.diff(batch).take(5)} vs ${batch.diff(streamed).take(5)}")
   }
+
+  test("dedupStream over the events fixture converges to batch dropDuplicates") {
+    val dir = "/root/testdata/sf0.001"
+    // distinct base set: any duplicates the STREAM must remove are the ones
+    // we inject below, all within the watermark window of their originals —
+    // the contract dropDuplicatesWithinWatermark actually makes (exactly-
+    // once within the window; replays beyond it are the batch dedup's job)
+    val base = graft.model.Tables.events(spark, dir)
+      .select(col("event_type").as("name"),
+        col("user_id").cast("string").as("user"), col("ts").as("date"))
+      .dropDuplicates("name", "user", "date")
+      .orderBy(col("date"))
+      .as[(String, String, Timestamp)].collect()
+    assert(base.nonEmpty)
+    // producer-retry shape: every 7th event arrives twice, back to back
+    val replay = base.zipWithIndex.flatMap { case (r, i) =>
+      if (i % 7 == 0) Seq(r, r) else Seq(r)
+    }
+    val batchAnswer = base.toSet
+
+    val input = MemoryStream[(String, String, Timestamp)](spark)
+    val q = graft.streaming.StreamOps.dedupStream(
+        input.toDF().toDF("name", "user", "date"), watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fixture_dedup")
+      .option("checkpointLocation", tmpDir("fd"))
+      .start()
+    replay.grouped(400).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("fixture_dedup")
+      .as[(String, String, Timestamp)].collect()
+    assert(streamed.length == streamed.toSet.size, "duplicates survived dedupStream")
+    assert(streamed.toSet == batchAnswer,
+      s"stream-final != batch dropDuplicates: " +
+        s"${streamed.toSet.diff(batchAnswer).take(3)} vs ${batchAnswer.diff(streamed.toSet).take(3)}")
+  }
 }
