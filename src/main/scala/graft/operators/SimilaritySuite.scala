@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.{dotNative, norm2Native}
 import graft.model.Tables
 
 /** Similarity-search queries over the `embeddings` fixture. The exact
@@ -161,7 +162,34 @@ object SimilaritySuite {
         (col("sse_trained") < col("sse_seeded")).as("trained_better"))
   }
 
+  /** Embedding-level decontamination — the semantic twin of the n-gram
+    * `decontaminate` query: flag corpus vectors whose cosine similarity to
+    * ANY eval vector (vec_id < 5 stands in for the benchmark set) exceeds
+    * the threshold. Catches paraphrased/translated contamination that
+    * shingle overlap misses. Scale shape: the eval set is broadcast; the
+    * corpus is scanned ONCE, each vector scored against the handful of
+    * eval embeddings (k eval benchmarks, not k corpus rows) and
+    * max-aggregated per vector — no corpus self-join, no shuffle of
+    * embeddings (the groupBy carries only (vec_id, cos)). max() over
+    * doubles is order-independent, so the oracle hash is exact.
+    */
+  def embedDecontam(spark: SparkSession, dir: String,
+                    threshold: Double = 0.30): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val eval = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("e_emb"))
+    emb.filter(col("vec_id") >= 5)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"),
+        (dotNative(col("embedding"), col("e_emb")) /
+          (norm2Native(col("embedding")) * norm2Native(col("e_emb")))).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_eval_cos"))
+      .filter(col("max_eval_cos") > threshold)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
     "embed_topk"    -> (embedTopK _),
     "embed_neardup" -> (embedNearDup _),
     "embed_ann"     -> (embedAnnTopK _),
@@ -314,6 +342,14 @@ object SimilaritySuite {
     "ivf_kmeans_recall" ->
       """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "embed_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT c.vec_id, max(list_cosine_similarity(c.emb, ev.emb)) AS max_eval_cos
+        |FROM e c, (SELECT emb FROM e WHERE vec_id < 5) ev
+        |WHERE c.vec_id >= 5
+        |GROUP BY c.vec_id
+        |HAVING max(list_cosine_similarity(c.emb, ev.emb)) > 0.30""".stripMargin,
     "pq_kmeans_gain" ->
       """SELECT count(*) AS n_vectors, TRUE AS trained_better
         |FROM embeddings""".stripMargin,

@@ -285,6 +285,36 @@ object TextSuite {
           .as("chunk_tokens"))
   }
 
+  /** Training-mix allocation — the data-mixing step that turns per-source
+    * token inventories into sampling weights: no source may contribute more
+    * than `capFrac` of the total token budget; excess mass is redistributed
+    * to the uncapped sources by renormalization. All accounting is in the
+    * INTEGER token domain (capped_tokens = least(tokens, floor(frac *
+    * grand))), so sums are order-independent and the final weights divide
+    * two exactly-summed longs — bit-exact across engines. Scale shape: one
+    * corpus aggregation shuffling (source, count) pairs; the windows then
+    * run over ONE ROW PER SOURCE (k rows, not corpus rows), so the
+    * unpartitioned window is bounded by the source vocabulary, never by
+    * data volume.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+                     capFrac: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    Tables.documents(spark, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("capped_tokens",
+        least(col("total_tokens"),
+          floor(sum(col("total_tokens")).over(w) * capFrac)))
+      .withColumn("mix_weight",
+        col("capped_tokens").cast("double") /
+          sum(col("capped_tokens")).over(w).cast("double"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("capped_tokens"), col("mix_weight"))
+  }
+
   /** Bloom-filter decontamination gate. `decontaminate` broadcasts the
     * EXACT eval shingle set — fine for one benchmark, but the broadcast
     * grows with the eval corpus. The Bloom path (graft.functions.Bloom)
@@ -399,7 +429,8 @@ object TextSuite {
     "rep_signals"     -> (repSignals _),
     "domain_cap"      -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
-    "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)))
+    "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)),
+    "token_budget_mix" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -674,6 +705,25 @@ object TextSuite {
         |SELECT doc_id, TRUE AS bloom_flagged
         |FROM sh JOIN bench USING (s)
         |GROUP BY doc_id HAVING count(*) >= 8""".stripMargin,
+    // integer-domain mix accounting (see tokenBudgetMix): 0.3e0 parses as
+    // DOUBLE in DuckDB, matching Spark's double multiply before floor
+    "token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                       ELSE len(string_split_regex(trim(text), '\s+')) END)
+        |              AS BIGINT) AS total_tokens
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT source, n_docs, total_tokens,
+        |         least(total_tokens,
+        |               CAST(floor(sum(total_tokens) OVER () * 0.3e0) AS BIGINT))
+        |           AS capped_tokens
+        |  FROM t)
+        |SELECT source, n_docs, total_tokens, capped_tokens,
+        |       CAST(capped_tokens AS DOUBLE) /
+        |         CAST(sum(capped_tokens) OVER () AS DOUBLE) AS mix_weight
+        |FROM c""".stripMargin,
     // the exact pair set at jaccard >= 0.2, computed WITHOUT any LSH — rows
     // can only match if the Spark side's minhash candidates cover it fully
     "minhash_recall" ->
