@@ -63,6 +63,21 @@ class PlanSpec extends SparkSpec {
       s"eval shingle set not broadcast in:\n$plan")
     assert(plan.contains("LeftAnti"),
       s"survivor filter not an anti join in:\n$plan")
+    // the fixed-size Bloom prefilter must prune the corpus shingle stream
+    // BEFORE the exact broadcast join — the composition that keeps the
+    // exact side's input bounded at 100 TB
+    assert(plan.contains("might_contain"),
+      s"Bloom prefilter missing from the corpus side in:\n$plan")
+  }
+
+  test("rep_signals builds grams natively, never via interpreted HOFs") {
+    val plan = executedPlan(graft.operators.TextSuite.repSignals(spark, dir))
+    assert(plan.contains("shinglehash("),
+      s"native multiset ShingleHash missing in:\n$plan")
+    // the round-3 regression shape: transform(sequence)/concat_ws bigram
+    // construction runs on the CodegenFallback path (17.4 s vs ~1 s)
+    assert(!plan.contains("concat_ws") && !plan.contains("transform("),
+      s"interpreted higher-order gram construction crept back in:\n$plan")
   }
 
   test("pack_bins runs sharded windows, never a single-partition sort") {
