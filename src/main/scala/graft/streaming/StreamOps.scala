@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.model.PageEvent
 
@@ -51,6 +52,51 @@ object StreamOps {
                   keyCols: Seq[String] = Seq("name", "user", "date")): DataFrame =
     events.withWatermark("date", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class KeyedValue(key: String, value: Long)
+
+  /** Per-key change suppression on the Spark 4 `transformWithState`
+    * processor API — the Kafka Streams `suppress` / KTable-dedup analogue:
+    * a changelog stream that re-emits unchanged values (upstream retries,
+    * periodic refreshes, repeated update-mode refinements that settled on
+    * the same value) is filtered down to rows whose value actually CHANGED
+    * for their key. State is one value per key in the RocksDB state store
+    * (transformWithState requires it; GraftSession.tune configures it),
+    * optionally TTL-evicted so idle keys don't accumulate forever — the
+    * bounded-state posture every 100 TB/day changelog consumer needs.
+    * Batches are processed in arrival order; within a batch the LAST value
+    * per key wins (update-stream semantics), matching what a downstream
+    * serving sink (e.g. the SSE endpoint) would display.
+    */
+  final class EmitOnChange(ttl: TTLConfig)
+    extends StatefulProcessor[String, KeyedValue, KeyedValue] {
+    @transient private var last: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last", Encoders.scalaLong, ttl)
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+                                 timers: TimerValues): Iterator[KeyedValue] = {
+      var out: Option[KeyedValue] = None
+      rows.foreach(r => out = Some(r))
+      out match {
+        case Some(r) if !last.exists() || last.get() != r.value =>
+          last.update(r.value)
+          Iterator.single(r)
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** Suppress unchanged per-key values: see [[EmitOnChange]]. `ttlMs > 0`
+    * bounds state for idle keys (a key silent past the TTL re-emits its
+    * next value even if unchanged — the standard suppression trade-off).
+    */
+  def emitOnChange(rows: Dataset[KeyedValue], ttlMs: Long = 0L): Dataset[KeyedValue] = {
+    implicit val enc = Encoders.product[KeyedValue]
+    val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+      else TTLConfig.NONE
+    rows.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new EmitOnChange(ttl), TimeMode.None(), OutputMode.Update())
+  }
 
   final case class SessionUpdate(user: String, nEvents: Long, totalDuration: Long,
                                  closed: Boolean)

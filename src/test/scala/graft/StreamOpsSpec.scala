@@ -108,6 +108,34 @@ class StreamOpsSpec extends SparkSpec {
       s"unexpected sessions: $got")
   }
 
+  test("emitOnChange (transformWithState) suppresses unchanged per-key values") {
+    val input = MemoryStream[StreamOps.KeyedValue](spark)
+    val q = StreamOps.emitOnChange(input.toDS())
+      .toDF().writeStream.format("memory").queryName("eoc")
+      .option("checkpointLocation", tmpDir("eoc"))
+      .outputMode("update").start()
+
+    import StreamOps.KeyedValue
+    input.addData(KeyedValue("P1", 1), KeyedValue("P2", 5))
+    q.processAllAvailable()
+    // unchanged values re-sent -> suppressed; P2 changes -> passes
+    input.addData(KeyedValue("P1", 1), KeyedValue("P2", 6))
+    q.processAllAvailable()
+    // within one batch the LAST value per key wins: (7 then 6) = change to 6?
+    // no — P2 was already 6, so the settled value is suppressed
+    input.addData(KeyedValue("P2", 7), KeyedValue("P2", 6))
+    q.processAllAvailable()
+    input.addData(KeyedValue("P1", 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("eoc").as[(String, Long)].collect().toList
+    assert(got.count(_._1 == "P1") == 2 && got.contains(("P1", 1L)) && got.contains(("P1", 2L)),
+      s"P1 should emit exactly its two distinct values: $got")
+    assert(got.filter(_._1 == "P2") == List(("P2", 5L), ("P2", 6L)),
+      s"P2 should emit 5 then 6 and suppress the settled repeat: $got")
+  }
+
   test("streaming dedup drops duplicate events across micro-batches") {
     val input = MemoryStream[PageEvent](spark)
     // dedup key (name, user, date): watermark bounds the dedup state so it
