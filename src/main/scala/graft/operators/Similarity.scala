@@ -390,6 +390,48 @@ object Similarity {
     pqTopKWith(corpus, queries, topK,
       pqCodebooks(nSub, dim / nSub, k, seed), dim)
 
+  /** IVF-PQ — the production ANN composition (the FAISS IVFADC shape): IVF
+    * cells prune the candidate set, PQ reconstructions score the survivors
+    * in the compressed domain. At 100 TB this is THE serving layout — the
+    * raw embedding column is read once at index build; the search scans
+    * only probed cells and only nSub-byte codes per candidate. Join is
+    * keyed on cell (broadcast query probes), never a cross join; scoring
+    * matches pqTopKWith's ADC convention so IVF-PQ degrades to PQ when
+    * every cell is probed.
+    */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame, topK: Int,
+                    centroids: Seq[Seq[Double]], books: Seq[Seq[Array[Double]]],
+                    nProbe: Int, dim: Int): DataFrame = {
+    val recon = pqReconstruct(corpus, books, dim)
+      .withColumn("cell", cellAssign(centroids))
+      .select(col("vec_id"), col("recon"), col("cell"))
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(col("embedding"),
+        array(c.map(lit(_)): _*).cast("array<double>")).as("score"),
+        lit(i).as("cell"))
+    }: _*)
+    val qProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm2Native(col("embedding")).as("q_norm"),
+        explode(slice(reverse(array_sort(cellScores)), 1, nProbe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("probe.cell").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_cos").desc, col("neighbor_id").asc)
+    recon.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotNative(col("recon"), col("q_emb")) /
+          (norm2Native(col("recon")) * col("q_norm"))).as("adc_cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+                dim: Int = 64, nCells: Int = 16, nProbe: Int = 4,
+                nSub: Int = 4, k: Int = 16, seed: Long = 42L): DataFrame =
+    ivfPqTopKWith(corpus, queries, topK, ivfCentroids(nCells, dim, seed),
+      pqCodebooks(nSub, dim / nSub, k, seed), nProbe, dim)
+
   /** PQ over k-means-fitted codebooks — the quality path; training runs
     * Spark jobs up front (prepared-index API, like ivfTopKKmeans).
     */

@@ -72,6 +72,17 @@ object SimilaritySuite {
       nSub = pqSub, k = pqK, seed = seed)
   }
 
+  /** IVF-PQ top-5: the FAISS-IVFADC-shaped composition — IVF cells prune,
+    * PQ reconstructions score. Oracle-checked EXACTLY: the generated SQL
+    * combines the ivf cell-assign/probe CTEs with the pq reconstruction
+    * CTEs from the same seeded literals (ivfPqOracle below).
+    */
+  def embedIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), topK = 5,
+      nCells = ivfCells, nProbe = ivfProbe, nSub = pqSub, k = pqK, seed = seed)
+  }
+
   /** Int8 min/max embedding quantization — the storage-compression step of
     * an embedding pipeline (4x smaller than float32, 8x than double). Per
     * vector: scale = (max-min)/255, code q = floor((x-min)/scale + 0.5) in
@@ -195,6 +206,7 @@ object SimilaritySuite {
     "embed_ann"     -> (embedAnnTopK _),
     "embed_ivf"     -> (embedIvfTopK _),
     "embed_pq"      -> (embedPqTopK _),
+    "embed_ivfpq"   -> (embedIvfPqTopK _),
     "embed_quant"   -> (embedQuant _),
     "ivf_kmeans_recall" -> (ivfKmeansRecall _),
     "pq_kmeans_gain"    -> (pqKmeansGain _))
@@ -332,10 +344,69 @@ object SimilaritySuite {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Generated oracle for embed_ivfpq: the ivfOracle cell-assign/probe
+    * CTEs composed with the pqOracle reconstruction CTEs, all from the
+    * same seeded literals; candidates come from probed cells, scores from
+    * reconstructions.
+    */
+  private def ivfPqOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val cellScores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    val subDim = dim / pqSub
+    val books = Similarity.pqCodebooks(pqSub, subDim, pqK, seed)
+    val scoreArrs = (0 until pqSub).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      books(s).map { c =>
+        val cNormHalf = c.map(x => x * x).sum / 2.0
+        s"list_dot_product(e[$lo:$hi], ${sqlArr(c.toSeq)}) - ${fmtD(cNormHalf)}"
+      }.mkString("[", ",\n             ", "]")
+    }
+    val bookLits = (0 until pqSub).map { s =>
+      books(s).map(c => sqlArr(c.toSeq)).mkString("[", ", ", "]")
+    }
+    val reconParts = (0 until pqSub).map { s =>
+      s"${bookLits(s)}[$pqK + 1 - list_position(list_reverse(sc$s), list_max(sc$s))]"
+    }
+    val recon = reconParts.reduce((a, b) => s"list_concat($a, $b)")
+    val scSelects = (0 until pqSub).map(s => s"${scoreArrs(s)} AS sc$s").mkString(",\n         ")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${cellScores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cell FROM cells WHERE vec_id < 5
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) <= $ivfProbe),
+       |sc AS (
+       |  SELECT vec_id, e,
+       |         $scSelects
+       |  FROM s),
+       |recon AS (SELECT vec_id, $recon AS r FROM sc)
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |       list_cosine_similarity(r.r, p.qe) AS adc_cos,
+       |       CAST(row_number() OVER (PARTITION BY p.query_id
+       |         ORDER BY list_cosine_similarity(r.r, p.qe) DESC,
+       |                  a.vec_id ASC) AS INT) AS rank
+       |FROM assign a
+       |JOIN probes p ON a.cell = p.cell
+       |JOIN recon r ON r.vec_id = a.vec_id
+       |WHERE a.vec_id <> p.query_id
+       |QUALIFY rank <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
     "embed_pq"  -> pqOracle,
+    "embed_ivfpq" -> ivfPqOracle,
     // gates: the engine computes the measured side (recall vs in-engine
     // exact top-k / trained-vs-seeded SSE); the oracle derives the expected
     // all-TRUE rows from the table, so any quality regression hash-fails
