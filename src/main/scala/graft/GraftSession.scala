@@ -47,6 +47,7 @@ object GraftSession {
       "true")
     // engine-native SQL functions (also injectable via GraftExtensions)
     graft.functions.DotProduct.register(spark)
+    graft.functions.ShingleHash.register(spark)
     spark
   }
 }

@@ -115,8 +115,12 @@ object DotProduct {
   * spark.sql.extensions=graft.functions.GraftExtensions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier(DotProduct.functionName),
       new ExpressionInfo(classOf[DotProduct].getName, DotProduct.functionName),
       DotProduct.sqlBuilder))
+    e.injectFunction((FunctionIdentifier(ShingleHash.functionName),
+      new ExpressionInfo(classOf[ShingleHash].getName, ShingleHash.functionName),
+      ShingleHash.sqlBuilder))
+  }
 }

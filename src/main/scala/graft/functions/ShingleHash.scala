@@ -51,6 +51,35 @@ case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true)
 
 object ShingleHash {
 
+  val functionName = "shingle_hashes"
+
+  /** SQL builder: `shingle_hashes(text, n [, keep_duplicates])` — n and the
+    * optional multiset flag must be literals (they parameterize codegen).
+    * Shared by the session registry and the GraftExtensions injection path.
+    */
+  val sqlBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2 || exprs.length == 3,
+      s"$functionName takes (text, n[, keep_duplicates]), got ${exprs.length} args")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val n = exprs(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$functionName: n must be an INT literal, got $other")
+    }
+    val distinct = exprs match {
+      case Seq(_, _, Literal(b: Boolean, BooleanType)) => !b
+      case Seq(_, _) => true
+      case Seq(_, _, other) => throw new IllegalArgumentException(
+        s"$functionName: keep_duplicates must be a BOOLEAN literal, got $other")
+    }
+    ShingleHash(exprs.head, n, distinct)
+  }
+
+  /** Register `shingle_hashes` for SQL use on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      functionName, sqlBuilder, "built-in")
+
   def shingleHashesNative(c: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHash(GraftColumnBridge.expression(c), n))
 

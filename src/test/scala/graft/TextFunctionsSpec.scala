@@ -83,4 +83,22 @@ class TextFunctionsSpec extends SparkSpec {
     val rep = shingleSeq("x y z x y z x y")
     assert(rep.size == rep.toSet.size)
   }
+
+  test("shingle_hashes is SQL-callable and matches the Column API") {
+    val viaSql = spark.sql(
+      "SELECT shingle_hashes('a b c d', 2) AS s," +
+        " shingle_hashes('x x x', 1, true) AS m")
+      .as[(Seq[Long], Seq[Long])].collect().head
+    val viaCol = Seq(("a b c d", "x x x")).toDF("t2", "t1")
+      .select(graft.functions.TextFunctions.shingleHashes($"t2", 2).as("s"),
+        graft.functions.TextFunctions.shingleHashesAll($"t1", 1).as("m"))
+      .as[(Seq[Long], Seq[Long])].collect().head
+    assert(viaSql == viaCol)
+    assert(viaSql._1.size == 3 && viaSql._2.size == 3) // 3 bigrams; 3 occurrences kept
+    // non-literal n must be rejected, not silently miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b', CAST(rand()*2 AS INT))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"), err.getMessage)
+  }
 }
