@@ -18,8 +18,16 @@ object MediaSuite {
     Multimodal.extractFeatures(media).toDF()
   }
 
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(Tables.documents(spark, dir))
+      .as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(media).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_features" -> (mediaFeatures _))
+    "media_features" -> (mediaFeatures _),
+    "frame_sample"   -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "media_features" ->
@@ -40,5 +48,21 @@ object MediaSuite {
         |       (CASE WHEN kind = 'video'
         |             THEN least(8, 1 + strlen(text) // 1024)
         |             ELSE 0 END)::INT AS n_frames_sampled
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    // same deterministic media derivation; evenly-spaced byte offsets via
+    // integer division, one row per sampled frame of each video payload
+    "frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+        |         strlen(text)::BIGINT AS n_bytes
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, n_bytes,
+        |         least(8, 1 + n_bytes // 1024)::INT AS n_frames
+        |  FROM m WHERE kind = 'video')
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(i * (n_bytes // n_frames) AS BIGINT) AS frame_offset
+        |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(n_frames)) AS i
+        |      FROM v)""".stripMargin)
 }

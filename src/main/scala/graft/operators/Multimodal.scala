@@ -72,6 +72,31 @@ object Multimodal {
     else (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
   }
 
+  /** One sampled frame: byte offset into the payload where a real pipeline
+    * seeks the codec (re-decoding from the nearest keyframe).
+    */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_offset: Long)
+
+  /** Evenly-spaced frame sampling for video rows — the clip-selection step
+    * of a video training pipeline: the decoder reports the frame count;
+    * emit one descriptor per sampled frame with its byte offset. flatMap
+    * shape: each row expands to at most the decoder's bounded frame count,
+    * no shuffle, no driver involvement; the descriptors join back on
+    * doc_id or feed a second decode pass that materializes pixels.
+    */
+  def sampleFrames(media: Dataset[MediaRow],
+                   decoder: MediaDecoder = StubDecoder): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val dec = decoder.decode(r.kind, r.payload, r.meta_width, r.meta_height)
+      if (dec.nFrames <= 0) Iterator.empty
+      else {
+        val step = r.payload.length.toLong / dec.nFrames
+        (0 until dec.nFrames).iterator.map(i => FrameSample(r.doc_id, i, i * step))
+      }
+    }
+  }
+
   /** Decode + feature-extract, one decoder per partition, streamed. This is
     * the batch shape that matters at scale: no driver involvement, no
     * per-row decoder setup, output is a typed Dataset that joins back on
