@@ -285,6 +285,46 @@ object TextSuite {
           .as("chunk_tokens"))
   }
 
+  /** The composed training-corpus pipeline — the operators above chained
+    * in production order: quality filter (score >= 0.5) -> exact dedup
+    * (keep the canonical minimum doc per normalized-content fingerprint,
+    * computed among the quality survivors) -> benchmark decontamination
+    * (drop docs with >= 8 distinct shingle overlaps vs the eval set) ->
+    * domain capping (at most `cap` docs per source by deterministic md5
+    * order among what survived). One DataFrame, one Catalyst plan: the
+    * optimizer sees the whole DAG, so the text column is scanned once per
+    * stage that needs it and every intermediate carries ids + keys only.
+    * This is the query a user runs nightly; each stage is independently
+    * oracle-verified by its standalone query, and this composition is
+    * oracle-verified end to end.
+    */
+  def trainCorpus(spark: SparkSession, dir: String,
+                  cap: Int = 10, minHits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val q = docs.filter(qualityScore(col("text")) >= 0.5)
+    val canonical = q
+      .select(col("doc_id"), contentFingerprint(col("text")).as("fp"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val d = q.join(canonical, Seq("doc_id"), "left_semi")
+    val benchSh = docs.filter(col("doc_id") < 5)
+      .select(explode(shingleHashes(col("text"), 3)).as("h")).distinct()
+    val contaminated = d
+      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("h"))
+      .join(broadcast(benchSh), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+    val clean = d.join(contaminated, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rk"), col("doc_id"))
+    clean.select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= cap)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Training-mix allocation — the data-mixing step that turns per-source
     * token inventories into sampling weights: no source may contribute more
     * than `capFrac` of the total token budget; excess mass is redistributed
@@ -430,7 +470,8 @@ object TextSuite {
     "domain_cap"      -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)),
-    "token_budget_mix" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)))
+    "token_budget_mix" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
+    "train_corpus"    -> ((s: SparkSession, d: String) => trainCorpus(s, d)))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -705,6 +746,51 @@ object TextSuite {
         |SELECT doc_id, TRUE AS bloom_flagged
         |FROM sh JOIN bench USING (s)
         |GROUP BY doc_id HAVING count(*) >= 8""".stripMargin,
+    // end-to-end composition: quality >= 0.5 -> canonical-per-fingerprint
+    // among survivors -> drop >= 8 eval-shingle overlaps -> cap 10 per
+    // source by md5 order; each stage reuses its standalone oracle's form
+    "train_corpus" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, text FROM t
+        |  WHERE greatest(0.0, least(1.0,
+        |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+        |    least((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
+        |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) >= 0.5),
+        |fp AS (SELECT doc_id, source, text, md5($norm) AS fp FROM q),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |d AS (SELECT fp.doc_id, fp.source, fp.text FROM fp JOIN keep USING (doc_id)),
+        |dtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t2 FROM d),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
+        |  FROM dtoks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t2)),
+        |btoks AS (SELECT string_split_regex(trim(text), '\\s+') AS t2
+        |          FROM documents WHERE doc_id < 5),
+        |bsh AS (
+        |  SELECT DISTINCT t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
+        |  FROM btoks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t2)),
+        |cont AS (SELECT doc_id FROM dsh JOIN bsh USING (s)
+        |         GROUP BY doc_id HAVING count(*) >= 8),
+        |f AS (SELECT doc_id, source FROM d
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM f)
+        |WHERE r <= 10""".stripMargin,
     // integer-domain mix accounting (see tokenBudgetMix): 0.3e0 parses as
     // DOUBLE in DuckDB, matching Spark's double multiply before floor
     "token_budget_mix" ->
