@@ -376,13 +376,30 @@ object RelationalSuite {
       li.groupBy(col("l_returnflag")).agg(
         countDistinct(col(c)).as(ex),
         approx_count_distinct(col(c), rsd).as(est))
+    // percentile sketch gate — in RANK space, the sketch's native contract:
+    // approx_percentile at accuracy 10000 has rank error <= 1/10000, so
+    // the p50/p99 estimates must land between the exact quantiles one
+    // percent of rank away on either side (a value-space tolerance would
+    // depend on the price distribution; the rank band does not). The exact
+    // interpolated percentiles stay engine-side (exact_percentiles pins
+    // the engine's percentile math against DuckDB separately).
+    val pct = li.groupBy(col("l_returnflag")).agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
+      expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+      expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+      expr("percentile(l_extendedprice, 0.985)").as("lo99"),
+      expr("percentile(l_extendedprice, 0.995)").as("hi99"))
     one("l_partkey", 0.05, "exact_parts", "est_parts")
       .join(one("l_suppkey", 0.01, "exact_supp", "est_supp"), "l_returnflag")
+      .join(pct, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"), col("exact_supp"),
         (abs(col("est_parts") - col("exact_parts")) <=
           col("exact_parts") * 0.05).as("hll_parts_ok"),
         (abs(col("est_supp") - col("exact_supp")) <=
-          col("exact_supp") * 0.02).as("hll_supp_ok"))
+          col("exact_supp") * 0.02).as("hll_supp_ok"),
+        col("ap50").between(col("lo50"), col("hi50")).as("p50_in_band"),
+        col("ap99").between(col("lo99"), col("hi99")).as("p99_in_band"))
   }
 
   /** Skew-salted fact join, oracle-checked by RESULT EQUALITY: salting is a
@@ -510,7 +527,9 @@ object RelationalSuite {
         |       count(DISTINCT l_partkey) AS exact_parts,
         |       count(DISTINCT l_suppkey) AS exact_supp,
         |       TRUE AS hll_parts_ok,
-        |       TRUE AS hll_supp_ok
+        |       TRUE AS hll_supp_ok,
+        |       TRUE AS p50_in_band,
+        |       TRUE AS p99_in_band
         |FROM lineitem GROUP BY 1""".stripMargin,
     "range_count" ->
       """SELECT o.o_orderkey, count(*) AS n_shipped
