@@ -25,6 +25,13 @@ object Bench {
           Window.partitionBy("o_orderpriority").orderBy("o_orderkey")))
         .filter(col("rn") <= 3)
         .write.format("noop").mode("overwrite").save()
+      // iterative join+agg shape (persist, child-session rounds, AQE loop
+      // replanning): otherwise its whole-stage codegen + JIT cost lands on
+      // the first clustering query instead of the engine warmup
+      val pairs = spark.range(4).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      graft.operators.Dedup.connectedComponents(pairs, iters = 2, roundPartitions = 2)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Dedup.releaseComponentCache(spark)
     } catch { case _: Throwable => () }
     // optional comma-separated query filter for local iteration, e.g.
     // SPARK_GRAFT_ONLY=dedup_clusters,ngram_jaccard — driver runs unfiltered

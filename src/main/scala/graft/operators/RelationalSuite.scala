@@ -384,12 +384,14 @@ object RelationalSuite {
     // interpolated percentiles stay engine-side (exact_percentiles pins
     // the engine's percentile math against DuckDB separately).
     val pct = li.groupBy(col("l_returnflag")).agg(
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
-      percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("ap99"),
-      expr("percentile(l_extendedprice, 0.49)").as("lo50"),
-      expr("percentile(l_extendedprice, 0.51)").as("hi50"),
-      expr("percentile(l_extendedprice, 0.985)").as("lo99"),
-      expr("percentile(l_extendedprice, 0.995)").as("hi99"))
+      percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)),
+        lit(10000)).as("ap"),
+      // one exact-percentile buffer for all four band edges, not four sorts
+      expr("percentile(l_extendedprice, array(0.49, 0.51, 0.985, 0.995))").as("ex"))
+      .select(col("l_returnflag"),
+        col("ap")(0).as("ap50"), col("ap")(1).as("ap99"),
+        col("ex")(0).as("lo50"), col("ex")(1).as("hi50"),
+        col("ex")(2).as("lo99"), col("ex")(3).as("hi99"))
     one("l_partkey", 0.05, "exact_parts", "est_parts")
       .join(one("l_suppkey", 0.01, "exact_supp", "est_supp"), "l_returnflag")
       .join(pct, "l_returnflag")
