@@ -285,6 +285,34 @@ object TextSuite {
           .as("chunk_tokens"))
   }
 
+  /** Count-min-sketch heavy hitters with accuracy gates — the
+    * constant-memory frequency estimator a 100 TB pipeline uses for
+    * heavy-hitter detection and skew diagnosis where exact per-key counts
+    * would shuffle the world. The query builds one seeded sketch over the
+    * token stream (a scalar subquery, like the Bloom path), takes the
+    * exact top-20 tokens (deterministic tie-break), and gates the sketch's
+    * two contracts per token: estimate >= exact ALWAYS (hard guarantee),
+    * and estimate <= exact + ceil(eps x N) with confidence 0.99
+    * (deterministic for the fixed seed). The oracle recomputes the exact
+    * top-20 and expects every gate TRUE — an estimator regression flips a
+    * boolean and fails the hash.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      eps: Double = 0.001): DataFrame = {
+    import graft.functions.Cms
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(Cms.cmsAgg(col("tok"), eps, 0.99, 42).as("cms"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+      .crossJoin(broadcast(total))
+      .select(col("tok"), col("n_exact"),
+        (Cms.estimate(sketch, col("tok")) >= col("n_exact")).as("cms_lower_ok"),
+        (Cms.estimate(sketch, col("tok")) <=
+          col("n_exact") + ceil(col("n_total") * eps)).as("cms_upper_ok"))
+  }
+
   /** The composed training-corpus pipeline — the operators above chained
     * in production order: quality filter (score >= 0.5) -> exact dedup
     * (keep the canonical minimum doc per normalized-content fingerprint,
@@ -471,7 +499,8 @@ object TextSuite {
     "chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)),
     "token_budget_mix" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
-    "train_corpus"    -> ((s: SparkSession, d: String) => trainCorpus(s, d)))
+    "train_corpus"    -> ((s: SparkSession, d: String) => trainCorpus(s, d)),
+    "cms_heavy_hitters" -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -746,6 +775,16 @@ object TextSuite {
         |SELECT doc_id, TRUE AS bloom_flagged
         |FROM sh JOIN bench USING (s)
         |GROUP BY doc_id HAVING count(*) >= 8""".stripMargin,
+    // exact top-20 token counts; both gate booleans expected TRUE (CMS
+    // overestimates only, and the eps band holds for the fixed seed)
+    "cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |                     ELSE string_split_regex(trim(text), '\s+') END) AS tok
+        |  FROM documents),
+        |exact AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1)
+        |SELECT tok, n_exact, TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+        |FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 20""".stripMargin,
     // end-to-end composition: quality >= 0.5 -> canonical-per-fingerprint
     // among survivors -> drop >= 8 eval-shingle overlaps -> cap 10 per
     // source by md5 order; each stage reuses its standalone oracle's form

@@ -84,6 +84,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rep.size == rep.toSet.size)
   }
 
+  test("cms_estimate: overestimate-only contract and null pass-through") {
+    import graft.functions.Cms
+    val vals = Seq("a", "a", "a", "b", "b", "c").toDF("v")
+    val sketch = vals.agg(Cms.cmsAgg($"v", 0.01, 0.99, 7).as("cms"))
+    val got = Seq(("a", 3L), ("b", 2L), ("c", 1L), ("zz", 0L)).toDF("v", "exact")
+      .select($"v", $"exact", Cms.estimate(sketch, $"v").as("est"))
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (v, exact, est) =>
+      assert(est >= exact, s"CMS underestimated $v: $est < $exact")
+    }
+    val nullEst = Seq(Option.empty[String]).toDF("v")
+      .select(Cms.estimate(sketch, $"v").as("est"))
+      .collect().head
+    assert(nullEst.isNullAt(0), "null item must probe to null")
+  }
+
   test("shingle_hashes is SQL-callable and matches the Column API") {
     val viaSql = spark.sql(
       "SELECT shingle_hashes('a b c d', 2) AS s," +
