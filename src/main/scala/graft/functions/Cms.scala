@@ -27,13 +27,22 @@ case class CmsEstimate(sketch: Expression, item: Expression)
   override def right: Expression = item
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (sketch.dataType == BinaryType &&
+  override def checkInputDataTypes(): TypeCheckResult = {
+    // the sketch is deserialized once (lazily) and reused for every row, so
+    // it must be a plan constant — same restriction Spark places on
+    // BloomFilterMightContain's filter side
+    val constantSketch = sketch.foldable ||
+      sketch.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]
+    if (!constantSketch)
+      TypeCheckResult.TypeCheckFailure(
+        "cms_estimate: the sketch side must be a literal or scalar subquery")
+    else if (sketch.dataType == BinaryType &&
         (item.dataType == StringType || item.dataType == LongType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"cms_estimate expects (binary sketch, string|long item), got " +
         s"(${sketch.dataType.simpleString}, ${item.dataType.simpleString})")
+  }
 
   @transient private lazy val cms: CountMinSketch = {
     val bytes = sketch.eval(null).asInstanceOf[Array[Byte]]

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * control chars + space as separators, matching `\s+` on the fixture
   * corpus.
   */
-case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true)
+case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true,
+                       winnow: Int = 0)
   extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -39,11 +40,11 @@ case class ShingleHash(child: Expression, n: Int, distinct: Boolean = true)
       s"shingle_hashes expects (string, n>=1), got ${child.dataType.simpleString}, n=$n")
 
   override def nullSafeEval(input: Any): Any =
-    ShingleHash.compute(input.asInstanceOf[UTF8String], n, distinct)
+    ShingleHash.compute(input.asInstanceOf[UTF8String], n, distinct, winnow)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.ShingleHash.compute($c, $n, $distinct)")
+      s"graft.functions.ShingleHash.compute($c, $n, $distinct, $winnow)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -91,10 +92,23 @@ object ShingleHash {
   private final val FnvOffset = 0xcbf29ce484222325L
   private final val FnvPrime = 0x100000001b3L
 
-  /** One-pass tokenize + hash + n-gram combine (+ dedupe). Called from both
-    * the interpreted eval and the generated code (one invocation per row).
+  /** One-pass tokenize + hash + n-gram combine (+ dedupe, + optional
+    * winnowing). Called from both the interpreted eval and the generated
+    * code (one invocation per row).
+    *
+    * `winnow > 0` applies standard robust winnowing (Schleimer/Wilkerson/
+    * Aiken, MOSS): slide a window of `winnow` consecutive gram hashes over
+    * the document-order multiset and select each window's minimum
+    * (rightmost on ties), recording a selection only when the position
+    * changes. GUARANTEE: two documents sharing a token run of length
+    * >= winnow + n - 1 always share a selected fingerprint — positional
+    * plagiarism/near-dup detection at ~1/winnow the fingerprint density.
+    * `distinct` then dedupes the selected VALUES (the set form a
+    * fingerprint join wants).
     */
-  def compute(s: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
+  def compute(s: UTF8String, n: Int, distinct: Boolean = true,
+              winnow: Int = 0): ArrayData = {
+    if (winnow > 0) return winnowed(s, n, distinct, winnow)
     val bytes = s.getBytes
     val ring = new Array[Long](n)   // last n token hashes, circular
     var tokenCount = 0
@@ -128,6 +142,37 @@ object ShingleHash {
       } else i += 1
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Winnowing selection over the full multiset gram sequence. A document
+    * with fewer grams than the window still emits its global minimum, so
+    * every non-empty document carries at least one fingerprint.
+    */
+  private def winnowed(s: UTF8String, n: Int, distinct: Boolean,
+                       w: Int): ArrayData = {
+    val grams = compute(s, n, distinct = false, winnow = 0).toLongArray()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (grams.nonEmpty) {
+      val win = math.min(w, grams.length)
+      var lastPos = -1
+      var start = 0
+      while (start + win <= grams.length) {
+        // rightmost minimum of the window
+        var p = start
+        var i = start + 1
+        while (i < start + win) {
+          if (grams(i) <= grams(p)) p = i
+          i += 1
+        }
+        if (p != lastPos) { out += grams(p); lastPos = p }
+        start += 1
+      }
+    }
+    if (!distinct) new GenericArrayData(out.toArray)
+    else {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      new GenericArrayData(out.filter(seen.add(_)).toArray)
+    }
   }
 
   private def isSpace(b: Byte): Boolean =

@@ -128,4 +128,16 @@ object TextFunctions {
     */
   def shingleHashesAll(c: Column, n: Int = 3): Column =
     ShingleHash.shingleHashesAllNative(c, n)
+
+  /** Winnowed document fingerprints (MOSS-style): the distinct minima of
+    * each `w`-window of consecutive gram hashes — ~1/w the density of the
+    * full shingle set, with the guarantee that documents sharing a token
+    * run of length >= w + n - 1 share a fingerprint. The positional
+    * near-dup/plagiarism sketch; pairs join on these instead of the full
+    * shingle stream.
+    */
+  def winnowHashes(c: Column, n: Int = 3, w: Int = 4): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ShingleHash(org.apache.spark.sql.GraftColumnBridge.expression(c), n,
+        distinct = true, winnow = w))
 }

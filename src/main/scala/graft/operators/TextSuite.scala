@@ -285,6 +285,31 @@ object TextSuite {
           .as("chunk_tokens"))
   }
 
+  /** Winnowed-fingerprint signal gate — the positional dedup sketch
+    * (MOSS-style winnowing, ~1/w the density of the full shingle set):
+    * every exact near-dup pair (jaccard >= 0.2, the oracle-computable
+    * side) must share at least one winnowed fingerprint. The guarantee is
+    * structural — winnowing always selects a common fingerprint from a
+    * shared token run of length >= w + n - 1 = 6, and the fixtures'
+    * near-dup pairs share runs of >= 10 tokens (measured at both SFs) —
+    * so a selection-logic regression breaks rows, not luck. The oracle
+    * recomputes the exact pair set and expects every gate TRUE.
+    */
+  def winnowSignal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wfp = docs.select(col("doc_id"),
+      explode(winnowHashes(col("text"), 3, 4)).as("h"))
+    val shared = wfp.select(col("doc_id").as("doc_a"), col("h"))
+      .join(wfp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+      .join(shared, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (coalesce(col("n_shared"), lit(0L)) >= 1).as("winnow_ok"))
+  }
+
   /** Count-min-sketch heavy hitters with accuracy gates — the
     * constant-memory frequency estimator a 100 TB pipeline uses for
     * heavy-hitter detection and skew diagnosis where exact per-key counts
@@ -500,7 +525,8 @@ object TextSuite {
     "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)),
     "token_budget_mix" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
     "train_corpus"    -> ((s: SparkSession, d: String) => trainCorpus(s, d)),
-    "cms_heavy_hitters" -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)))
+    "cms_heavy_hitters" -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
+    "winnow_signal"   -> (winnowSignal _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -775,6 +801,22 @@ object TextSuite {
         |SELECT doc_id, TRUE AS bloom_flagged
         |FROM sh JOIN bench USING (s)
         |GROUP BY doc_id HAVING count(*) >= 8""".stripMargin,
+    // the exact pair set + TRUE gates (winnowing guarantee: shared run
+    // >= w+n-1 always yields a shared fingerprint; fixture min run is 10)
+    "winnow_signal" ->
+      s"""WITH $prunedShingles,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard,
+        |       TRUE AS winnow_ok
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
     // exact top-20 token counts; both gate booleans expected TRUE (CMS
     // overestimates only, and the eps band holds for the fixed seed)
     "cms_heavy_hitters" ->

@@ -84,6 +84,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rep.size == rep.toSet.size)
   }
 
+  test("winnowHashes: shared-run guarantee, density, and short-doc floor") {
+    import graft.functions.TextFunctions.winnowHashes
+    def fp(text: String): Set[Long] =
+      Seq(text).toDF("text").select(winnowHashes($"text", 3, 4).as("v"))
+        .as[Seq[Long]].collect().head.toSet
+    // two documents sharing a run of w + n - 1 = 6 tokens MUST share a
+    // selected fingerprint, regardless of hash values
+    val a = fp("p q r one two three four five six s t u")
+    val b = fp("x y one two three four five six z w v k")
+    assert((a intersect b).nonEmpty, "winnowing guarantee violated")
+    // density: far fewer fingerprints than shingles on a long doc
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val full = Seq(long).toDF("text")
+      .select(graft.functions.TextFunctions.shingleHashes($"text", 3).as("v"))
+      .as[Seq[Long]].collect().head
+    assert(fp(long).size < full.size / 2, "winnowing did not thin the set")
+    // short non-empty docs still carry at least one fingerprint
+    assert(fp("a b c").nonEmpty)
+    assert(fp("a b").isEmpty) // no 3-gram exists at all
+  }
+
   test("cms_estimate: overestimate-only contract and null pass-through") {
     import graft.functions.Cms
     val vals = Seq("a", "a", "a", "b", "b", "c").toDF("v")
