@@ -299,12 +299,18 @@ object TextSuite {
     val docs = Tables.documents(spark, dir)
     val wfp = docs.select(col("doc_id"),
       explode(winnowHashes(col("text"), 3, 4)).as("h"))
-    val shared = wfp.select(col("doc_id").as("doc_a"), col("h"))
-      .join(wfp.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+    // verify the KNOWN pair set rather than self-joining fingerprints
+    // globally: expand each pair by side a's fingerprints, then equi-join
+    // side b on (doc_b, h) — work is bounded by |pairs| x fingerprints-
+    // per-doc, never by global fingerprint co-occurrence (a hot shared
+    // fingerprint can't quadratically expand a verification query)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+    val shared = pairs.select(col("doc_a"), col("doc_b"))
+      .join(wfp.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(wfp.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
-    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+    pairs
       .join(shared, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         (coalesce(col("n_shared"), lit(0L)) >= 1).as("winnow_ok"))
