@@ -285,6 +285,40 @@ object TextSuite {
           .as("chunk_tokens"))
   }
 
+  /** Realize the training mix — the sampling pass that EXECUTES
+    * tokenBudgetMix's plan: each source is downsampled at
+    * rate = min(1, mix_weight x budget / source_tokens), so the expected
+    * kept-token mass per source matches its allocated share of the target
+    * budget (`budgetFrac` of the corpus). Membership is a pure function of
+    * the stable doc id (md5-derived uniform in [0,1), the same
+    * layout-independence argument as hashSplit) — reproducible on any
+    * engine, any partitioning, no RNG state. Scale shape: the tiny
+    * per-source rate table broadcasts; the corpus is scanned once and
+    * aggregated per source.
+    */
+  def mixRealize(spark: SparkSession, dir: String, capFrac: Double = 0.3,
+                 budgetFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val rates = tokenBudgetMix(spark, dir, capFrac)
+      .withColumn("budget",
+        floor(sum(col("total_tokens")).over(w) * budgetFrac))
+      .select(col("source"),
+        least(lit(1.0),
+          col("mix_weight") * col("budget") / col("total_tokens")).as("rate"))
+    // md5-derived uniform: first 8 hex chars as uint32 / 2^32 — division
+    // by a power of two is exact, so the boundary compare is portable
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") / lit(4294967296.0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(broadcast(rates), "source")
+      .filter(u < col("rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+  }
+
   /** Winnowed-fingerprint signal gate — the positional dedup sketch
     * (MOSS-style winnowing, ~1/w the density of the full shingle set):
     * every exact near-dup pair (jaccard >= 0.2, the oracle-computable
@@ -532,7 +566,8 @@ object TextSuite {
     "token_budget_mix" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
     "train_corpus"    -> ((s: SparkSession, d: String) => trainCorpus(s, d)),
     "cms_heavy_hitters" -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
-    "winnow_signal"   -> (winnowSignal _))
+    "winnow_signal"   -> (winnowSignal _),
+    "mix_realize"     -> ((s: SparkSession, d: String) => mixRealize(s, d)))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -807,6 +842,36 @@ object TextSuite {
         |SELECT doc_id, TRUE AS bloom_flagged
         |FROM sh JOIN bench USING (s)
         |GROUP BY doc_id HAVING count(*) >= 8""".stripMargin,
+    // mirrors mixRealize: same integer-domain mix, 0.3e0/0.5e0/1.0e0 as
+    // DOUBLE literals, md5-uint32/2^32 uniform (exact power-of-two divide)
+    "mix_realize" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |      FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT source, total_tokens,
+        |         least(total_tokens,
+        |               CAST(floor(sum(total_tokens) OVER () * 0.3e0) AS BIGINT))
+        |           AS capped,
+        |         CAST(floor(sum(total_tokens) OVER () * 0.5e0) AS BIGINT) AS budget
+        |  FROM s),
+        |r AS (
+        |  SELECT source,
+        |         least(1.0e0,
+        |           CAST(capped AS DOUBLE) / CAST(sum(capped) OVER () AS DOUBLE)
+        |             * budget / total_tokens) AS rate
+        |  FROM c)
+        |SELECT t.source, count(*) AS n_kept,
+        |       CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
+        |FROM t JOIN r ON t.source = r.source
+        |WHERE CAST('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |        / 4294967296.0e0 < r.rate
+        |GROUP BY 1""".stripMargin,
     // the exact pair set + TRUE gates (winnowing guarantee: shared run
     // >= w+n-1 always yields a shared fingerprint; fixture min run is 10)
     "winnow_signal" ->
