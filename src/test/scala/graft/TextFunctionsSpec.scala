@@ -105,6 +105,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp("a b").isEmpty) // no 3-gram exists at all
   }
 
+  test("winnowHashes: shared-run guarantee holds on generated documents") {
+    import graft.functions.TextFunctions.winnowHashes
+    import org.scalacheck.Gen
+    // 60 random document pairs, each with an independently random prefix/
+    // suffix around a planted shared run of exactly w + n - 1 = 6 tokens —
+    // the minimal length the winnowing theorem covers
+    val params = Gen.Parameters.default
+    def words(n: Int, seed: Long): Seq[String] =
+      (0 until n).flatMap(i => Gen.chooseNum(0, 9999).apply(
+        params, org.scalacheck.rng.Seed(seed * 1000 + i)).map(v => s"w$v"))
+    val pairs = (1 to 60).map { i =>
+      val run = words(6, i).map(w => s"run${i}_$w") // run tokens unique per pair
+      val a = (words(10, i * 7 + 1) ++ run ++ words(10, i * 7 + 2)).mkString(" ")
+      val b = (words(4, i * 7 + 3) ++ run ++ words(14, i * 7 + 4)).mkString(" ")
+      (a, b)
+    }
+    val fps = pairs.zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i, 0, a), (i, 1, b)) }
+      .toDF("pair", "side", "text")
+      .select($"pair", $"side", winnowHashes($"text", 3, 4).as("v"))
+      .as[(Int, Int, Seq[Long])].collect()
+      .groupBy(_._1).map { case (p, rows) =>
+        p -> rows.sortBy(_._2).map(_._3.toSet)
+      }
+    fps.foreach { case (p, sides) =>
+      assert((sides(0) intersect sides(1)).nonEmpty,
+        s"pair $p: no shared fingerprint despite a planted 6-token run")
+    }
+    assert(fps.size == 60)
+  }
+
   test("cms_estimate: overestimate-only contract and null pass-through") {
     import graft.functions.Cms
     val vals = Seq("a", "a", "a", "b", "b", "c").toDF("v")
