@@ -298,6 +298,8 @@ object TextSuite {
     */
   def mixRealize(spark: SparkSession, dir: String, capFrac: Double = 0.3,
                  budgetFrac: Double = 0.5): DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
     val rates = tokenBudgetMix(spark, dir, capFrac)
@@ -432,6 +434,8 @@ object TextSuite {
     */
   def tokenBudgetMix(spark: SparkSession, dir: String,
                      capFrac: Double = 0.3): DataFrame = {
+    require(capFrac > 0.0 && capFrac <= 1.0,
+      s"capFrac must be in (0, 1], got $capFrac")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy()
     Tables.documents(spark, dir)

@@ -31,6 +31,15 @@ class GuardSpec extends SparkSpec {
     assert(Skew.saltedJoin(big, small, Seq("k"), joinType = "left").count() == 1)
   }
 
+  test("mix planners reject out-of-range fractions") {
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.TextSuite.tokenBudgetMix(spark, "/tmp", capFrac = 0.0))
+    assert(e1.getMessage.contains("capFrac"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.TextSuite.mixRealize(spark, "/tmp", budgetFrac = 1.5))
+    assert(e2.getMessage.contains("budgetFrac"))
+  }
+
   test("dot_product SQL function rejects wrong arity") {
     graft.functions.DotProduct.register(spark)
     Seq((Array(1.0f), Array(2.0f))).toDF("a", "b").createOrReplaceTempView("gv")
