@@ -90,7 +90,31 @@ object EventSuite {
       .unionAll(s3.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
   }
 
+  /** Day-over-day retention — the cohort view every activity log feeds:
+    * for each active day, how many users were active and how many of them
+    * return the next day. One distinct (user, day) projection joined to
+    * itself shifted by a day — both sides key on (user_id, day), so the
+    * join co-partitions, and the ratio divides two exactly-counted longs
+    * (no float accumulation). Days are integer epoch-day buckets, exact on
+    * both engines.
+    */
+  def retentionDaily(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(col("ts").cast("long") / 86400).as("day")).distinct()
+    val next = days.select(col("user_id"), (col("day") - 1).as("day"),
+      lit(1L).as("ret"))
+    days.join(next, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("ret"), lit(0L))).as("n_retained"))
+      .select(col("day"), col("n_active"), col("n_retained"),
+        (col("n_retained").cast("double") / col("n_active").cast("double"))
+          .as("retention"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_daily"      -> (retentionDaily _),
     "page_counts"          -> (pageCounts _),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
@@ -99,6 +123,18 @@ object EventSuite {
     "funnel"               -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "retention_daily" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |  FROM events)
+        |SELECT a.day, count(*) AS n_active,
+        |       CAST(count(b.user_id) AS BIGINT) AS n_retained,
+        |       CAST(count(b.user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS retention
+        |FROM d a LEFT JOIN d b
+        |  ON a.user_id = b.user_id AND b.day = a.day + 1
+        |GROUP BY 1""".stripMargin,
     "page_counts" ->
       """SELECT event_type,
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,

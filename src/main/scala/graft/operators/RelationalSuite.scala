@@ -38,6 +38,51 @@ object RelationalSuite {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q3-shaped shipping-priority query: the classic 3-way
+    * fact-to-fact-to-dimension join with disjoint date predicates on both
+    * fact sides, discounted-revenue aggregation per order, top 10. Plan
+    * shape that matters: both date filters push to the parquet scans, the
+    * customer side broadcasts, the orders-lineitem join shuffles once on
+    * the order key, and the top-10 collapses to TakeOrderedAndProject.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    val cut = lit("1998-01-01").cast("timestamp")
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(Tables.orders(spark, dir).filter(col("o_orderdate") < cut),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("long").as("o_orderdate_s"))
+      .agg(sum(disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q10-shaped returned-item report: customers ranked by revenue
+    * lost to returns in a half-year window — fact-fact join filtered on
+    * both sides, per-customer aggregate, top 20 by revenue. Deterministic
+    * tie-break on the key keeps the top-k oracle-exact.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      .agg(sum(disc).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** Filter + narrow projection — exists to prove scan hygiene: the predicate
     * and the 3-column read schema both reach the parquet reader
     * (PushedFilters / ReadSchema in explain).
@@ -482,6 +527,8 @@ object RelationalSuite {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping"        -> (q3Shipping _),
+    "q10_returns"        -> (q10Returns _),
     "salted_join"        -> (saltedJoinAgg _),
     "moments_accuracy"   -> (momentsAccuracy _),
     "sketch_accuracy"    -> (sketchAccuracy _),
@@ -597,6 +644,34 @@ object RelationalSuite {
         |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer
         |GROUP BY CUBE (c_mktsegment, c_nationkey)""".stripMargin,
+    "q3_shipping" ->
+      """SELECT o_orderkey, epoch_us(o_orderdate) // 1000000 AS o_orderdate_s,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
