@@ -72,6 +72,19 @@ object SimilaritySuite {
       nSub = pqSub, k = pqK, seed = seed)
   }
 
+  /** LSH-bucketed near-dup pairs — the scale path for embed_neardup (the
+    * block-pair kernel verifies exactly; this prunes candidates first so a
+    * 100 TB corpus never materializes all blocks). Coarse buckets (6 bits
+    * x 8 tables, the embed_ann calibration) because the fixture vectors
+    * are near-random. Oracle-checked EXACTLY: the generated SQL reproduces
+    * buckets -> candidate pairs -> cosine filter from the same seeded
+    * hyperplane literals, so the comparison is exact even though LSH
+    * recall at this threshold is probabilistic.
+    */
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), threshold = 0.4,
+      nBits = annBits, tables = annTables, seed = seed)
+
   /** IVF-PQ top-5: the FAISS-IVFADC-shaped composition — IVF cells prune,
     * PQ reconstructions score. Oracle-checked EXACTLY: the generated SQL
     * combines the ivf cell-assign/probe CTEs with the pq reconstruction
@@ -208,6 +221,7 @@ object SimilaritySuite {
     "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
     "embed_topk"    -> (embedTopK _),
     "embed_neardup" -> (embedNearDup _),
+    "embed_neardup_lsh" -> (embedNearDupLsh _),
     "embed_ann"     -> (embedAnnTopK _),
     "embed_ivf"     -> (embedIvfTopK _),
     "embed_pq"      -> (embedPqTopK _),
@@ -349,6 +363,32 @@ object SimilaritySuite {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Generated oracle for embed_neardup_lsh: reproduce buckets ->
+    * candidate pairs -> exact-cosine filter from the hyperplane literals.
+    */
+  private def nearDupLshOracle: String = {
+    val buckets = (0 until annTables).map { t =>
+      bucketExpr(Similarity.hyperplaneValues(annBits, dim, seed + t * 1000))
+    }
+    val tableIds = (0 until annTables).mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, e,
+       |         unnest(${buckets.mkString("[", ",\n                 ", "]")}) AS bucket,
+       |         unnest($tableIds) AS table_id
+       |  FROM s),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id)
+       |SELECT c.id_a, c.id_b, list_cosine_similarity(ea.e, eb.e) AS cos
+       |FROM cand c
+       |JOIN s ea ON ea.vec_id = c.id_a
+       |JOIN s eb ON eb.vec_id = c.id_b
+       |WHERE list_cosine_similarity(ea.e, eb.e) > 0.4""".stripMargin
+  }
+
   /** Generated oracle for embed_ivfpq: the ivfOracle cell-assign/probe
     * CTEs composed with the pqOracle reconstruction CTEs, all from the
     * same seeded literals; candidates come from probed cells, scores from
@@ -412,6 +452,7 @@ object SimilaritySuite {
     "embed_ivf" -> ivfOracle,
     "embed_pq"  -> pqOracle,
     "embed_ivfpq" -> ivfPqOracle,
+    "embed_neardup_lsh" -> nearDupLshOracle,
     // gates: the engine computes the measured side (recall vs in-engine
     // exact top-k / trained-vs-seeded SSE); the oracle derives the expected
     // all-TRUE rows from the table, so any quality regression hash-fails
