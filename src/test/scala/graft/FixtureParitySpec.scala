@@ -55,6 +55,51 @@ class FixtureParitySpec extends SparkSpec {
       s"streaming diverged: ${streamed.diff(batch).take(5)} vs ${batch.diff(streamed).take(5)}")
   }
 
+  test("streaming session windows over the fixture converge to batch session_counts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.operators.EventSuite.sessionCounts(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+
+    // event-time-ordered replay; the watermark only bounds lateness, and
+    // in-order data is never late, so every session merges exactly as in
+    // batch and final (update-mode, last-refinement-wins) state = batch
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .orderBy(col("ts"))
+      .as[(Long, Timestamp)].collect()
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val counts = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("n_events"))
+    // session windows stream in APPEND mode only (a merged session can't
+    // be retracted): sessions emit once the watermark passes their close
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("sess_parity")
+      .option("checkpointLocation", tmpDir("sp"))
+      .start()
+    rows.grouped(400).foreach { chunk =>
+      input.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    // sentinel far past the last session advances the watermark so every
+    // real session closes and appends (same pattern as StreamOpsSpec)
+    val flushTs = new Timestamp(rows.last._2.getTime + 7L * 86400 * 1000)
+    input.addData((-1L, flushTs))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sess_parity")
+      .filter($"user_id" >= 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"session parity diverged: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+  }
+
   test("dedupStream over the events fixture converges to batch dropDuplicates") {
     val dir = "/root/testdata/sf0.001"
     // distinct base set: any duplicates the STREAM must remove are the ones
