@@ -61,6 +61,34 @@ object RelationalSuite {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped local-supplier volume: the classic 6-way join —
+    * customer⋈orders⋈lineitem⋈supplier⋈nation⋈region with the local-supply
+    * condition (customer and supplier share a nation), revenue per nation.
+    * The shape Catalyst's join planning exists for: the region→nation→
+    * supplier dimension chain broadcasts, the fact-fact join shuffles once
+    * on the order key, and the extra c_nationkey = s_nationkey equi-clause
+    * rides the supplier join instead of becoming a post-join filter.
+    */
+  def q5LocalVolume(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(disc).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q10-shaped returned-item report: customers ranked by revenue
     * lost to returns in a half-year window — fact-fact join filtered on
     * both sides, per-customer aggregate, top 20 by revenue. Deterministic
@@ -528,6 +556,7 @@ object RelationalSuite {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping"        -> (q3Shipping _),
+    "q5_local_volume"    -> (q5LocalVolume _),
     "q10_returns"        -> (q10Returns _),
     "salted_join"        -> (saltedJoinAgg _),
     "moments_accuracy"   -> (momentsAccuracy _),
@@ -658,6 +687,22 @@ object RelationalSuite {
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "q10_returns" ->
       """SELECT c_custkey, c_name, c_acctbal, c_nationkey,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
