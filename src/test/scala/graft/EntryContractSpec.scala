@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Driver-contract integrity: SparkEntry concatenates five suite maps, so
+  * a duplicated query name across suites would SILENTLY drop one of the
+  * two implementations (last map wins) — and an oracle without a wired
+  * query would silently never be checked. Both are pure-map invariants, no
+  * Spark session needed.
+  */
+class EntryContractSpec extends AnyFunSuite {
+
+  private val suites = Seq(
+    "EventSuite" -> (EventSuite.queries.keySet, EventSuite.oracles.keySet),
+    "RelationalSuite" -> (RelationalSuite.queries.keySet, RelationalSuite.oracles.keySet),
+    "TextSuite" -> (TextSuite.queries.keySet, TextSuite.oracles.keySet),
+    "SimilaritySuite" -> (SimilaritySuite.queries.keySet, SimilaritySuite.oracles.keySet),
+    "MediaSuite" -> (MediaSuite.queries.keySet, MediaSuite.oracles.keySet))
+
+  test("no query name collides across suites") {
+    val all = suites.flatMap { case (n, (qs, _)) => qs.map(_ -> n) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"colliding query names: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle has a wired query, within its own suite") {
+    suites.foreach { case (n, (qs, os)) =>
+      val orphans = os.diff(qs)
+      assert(orphans.isEmpty, s"$n oracles without a query: $orphans")
+    }
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("the no-oracle set stays the declared seed-dependent four") {
+    val noOracle = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(noOracle == Set("approx_sketches", "custom_agg_moments",
+      "minhash_pairs", "simhash_sketch"),
+      s"unexpected rows-only queries (each needs a paired gate + a reason): $noOracle")
+  }
+}
