@@ -321,6 +321,29 @@ object TextSuite {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
   }
 
+  /** Split-leakage detection — the QA pass every train/val/test split
+    * needs: near-duplicate pairs whose members land in DIFFERENT splits
+    * leak training signal into evaluation even when exact duplicates were
+    * removed. Reuses the exact near-dup pair set (jaccard >= 0.2) and the
+    * hashSplit bucket function; emits only the leaking pairs with both
+    * split labels. A clean pipeline drives this to empty by deduping
+    * BEFORE splitting (the wired train_corpus order); on the raw fixture
+    * it is non-empty by construction, which is exactly what makes it a
+    * checkable surface.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val splits = Tables.documents(spark, dir).select(col("doc_id"),
+      when(bucket < "c8", "train").when(bucket < "e4", "val")
+        .otherwise("test").as("split"))
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.2)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        col("jaccard"))
+  }
+
   /** Winnowed-fingerprint signal gate — the positional dedup sketch
     * (MOSS-style winnowing, ~1/w the density of the full shingle set):
     * every exact near-dup pair (jaccard >= 0.2, the oracle-computable
@@ -571,7 +594,8 @@ object TextSuite {
     "train_corpus"    -> ((s: SparkSession, d: String) => trainCorpus(s, d)),
     "cms_heavy_hitters" -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
     "winnow_signal"   -> (winnowSignal _),
-    "mix_realize"     -> ((s: SparkSession, d: String) => mixRealize(s, d)))
+    "mix_realize"     -> ((s: SparkSession, d: String) => mixRealize(s, d)),
+    "split_leakage"   -> (splitLeakage _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -846,6 +870,33 @@ object TextSuite {
         |SELECT doc_id, TRUE AS bloom_flagged
         |FROM sh JOIN bench USING (s)
         |GROUP BY doc_id HAVING count(*) >= 8""".stripMargin,
+    // exact near-dup pairs straddling split boundaries (same pruned-shingle
+    // pair set as ngram_jaccard, same md5-hex split rule as hash_split)
+    "split_leakage" ->
+      s"""WITH $prunedShingles,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |         inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+        |sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c8' THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e4' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b, p.jaccard
+        |FROM pairs p
+        |JOIN sp a ON a.doc_id = p.doc_a
+        |JOIN sp b ON b.doc_id = p.doc_b
+        |WHERE a.split <> b.split""".stripMargin,
     // mirrors mixRealize: same integer-domain mix, 0.3e0/0.5e0/1.0e0 as
     // DOUBLE literals, md5-uint32/2^32 uniform (exact power-of-two divide)
     "mix_realize" ->
