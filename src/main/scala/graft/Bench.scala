@@ -66,11 +66,23 @@ object Bench {
       System.err.println(f"[bench] $name%-22s $dt%8.2f s  (gc $gc%5.2f s)")
       name -> (dt, gc)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver records only the LAST 2000 chars of bench output
+    // (BENCH_r04's tail cut the line mid-queries and lost the total): keep
+    // per-query times at 3 decimals so the whole line fits, and emit
+    // "value" LAST so the headline total survives even if the head of the
+    // line is ever truncated again.
     val total = results.map(_._2._1).sum
     val gcTotal = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, (v, _)) =>
+        s"\"" + k + "\":" + String.format(s"%.${dp}f", Double.box(v))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","unit":"sec","sf":"$sfName","queries":$qs,""" +
+        s""""gc_sec":${f"$gcTotal%.2f"},"value":${f"$total%.3f"}}"""
+    }
+    val l3 = line(3)
+    println(if (l3.length <= 1800) l3 else line(2))
     spark.stop()
   }
 }
