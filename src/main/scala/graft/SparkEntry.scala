@@ -21,12 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventSuite.queries ++ RelationalSuite.queries ++ TextSuite.queries ++
-      SimilaritySuite.queries ++ MediaSuite.queries
+      SimilaritySuite.queries ++ MediaSuite.queries ++ StorageSuite.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
   def oracleSql: Map[String, String] =
     EventSuite.oracles ++ RelationalSuite.oracles ++ TextSuite.oracles ++
-      SimilaritySuite.oracles ++ MediaSuite.oracles
+      SimilaritySuite.oracles ++ MediaSuite.oracles ++ StorageSuite.oracles
 }

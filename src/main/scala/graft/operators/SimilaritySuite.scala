@@ -217,8 +217,33 @@ object SimilaritySuite {
       .filter(col("max_eval_cos") > threshold)
   }
 
+  /** SemDeDup over the embeddings fixture: nearest-centroid cells (the
+    * seeded IVF centroids — data-independent plan constants), then
+    * keep-min-id among within-cell pairs with cosine > 0.4 (the
+    * embed_neardup calibration: the fixture's max pairwise cosine is
+    * ~0.51, so the threshold drops a real but small near-dup tail).
+    * Output: the surviving (vec_id, cell) rows. Oracle-checked EXACTLY —
+    * the generated SQL reproduces cell-assign + the NOT EXISTS survivor
+    * rule from the same centroid literals (semdedupOracle).
+    */
+  def semDedupSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, dir),
+      Similarity.ivfCentroids(ivfCells, dim, seed), tau = 0.4)
+
+  /** Matryoshka prefix-dim rerank: coarse top-20 on the first 16 of 64
+    * dims, exact full-dim rerank to top-5. Exact arithmetic end to end,
+    * so the oracle reproduces both passes (matryoshkaOracle).
+    */
+  def matryoshkaRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+      prefixDim = 16, m = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
+    "semdedup"       -> (semDedupSurvivors _),
+    "matryoshka_rerank" -> (matryoshkaRerank _),
     "embed_topk"    -> (embedTopK _),
     "embed_neardup" -> (embedNearDup _),
     "embed_neardup_lsh" -> (embedNearDupLsh _),
@@ -447,7 +472,60 @@ object SimilaritySuite {
        |QUALIFY rank <= 5""".stripMargin
   }
 
+  /** Generated oracle for semdedup: the ivfOracle cell assignment (argmax
+    * by centroid-dot, ties -> higher cell, matching greatest-of-structs)
+    * plus the keep-min-id survivor rule as NOT EXISTS — the same pipeline
+    * as Similarity.semDedup. 0.4e0: E-notation forces a DOUBLE literal
+    * (DuckDB types 0.4 as DECIMAL, whose comparison boundary diverges).
+    */
+  private def semdedupOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, e, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1)
+       |SELECT a.vec_id, a.cell FROM assign a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM assign b
+       |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+       |    AND list_cosine_similarity(b.e, a.e) > 0.4e0)""".stripMargin
+  }
+
+  /** Generated oracle for matryoshka_rerank: coarse top-20 by prefix-16
+    * cosine (list slice), exact full-dim rerank — the same two passes as
+    * Similarity.matryoshkaTopK, same tie-breaks on both windows.
+    */
+  private def matryoshkaOracle: String =
+    """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM s WHERE vec_id < 5),
+      |coarse AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id
+      |  FROM s c, q
+      |  WHERE c.vec_id <> q.query_id
+      |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+      |    ORDER BY list_cosine_similarity(c.e[1:16], q.qe[1:16]) DESC,
+      |             c.vec_id ASC) <= 20)
+      |SELECT co.query_id, co.neighbor_id,
+      |       list_cosine_similarity(ce.e, qe.qe) AS cos,
+      |       CAST(row_number() OVER (PARTITION BY co.query_id
+      |         ORDER BY list_cosine_similarity(ce.e, qe.qe) DESC,
+      |                  co.neighbor_id ASC) AS INT) AS rank
+      |FROM coarse co
+      |JOIN s ce ON ce.vec_id = co.neighbor_id
+      |JOIN q qe ON qe.query_id = co.query_id
+      |QUALIFY rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "semdedup" -> semdedupOracle,
+    "matryoshka_rerank" -> matryoshkaOracle,
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
     "embed_pq"  -> pqOracle,

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Physical-layout operators — the storage-side levers that remove work
+  * before any operator runs, which at 100 TB matter more than any plan
+  * tweak:
+  *
+  *   - BUCKETING: pre-shuffle a table once at write time (hash of the
+  *     join/agg key into a fixed bucket count). Every later equi-join or
+  *     aggregation on that key reads co-located buckets and skips its
+  *     exchange entirely — the dominant recurring cost of a fact-fact
+  *     join, paid once instead of per query.
+  *   - PARTITION PRUNING: lay the table out as one directory per value of
+  *     a low-cardinality filter column. A query filtering on it never
+  *     opens the other directories — the scan is pruned by the CATALOG
+  *     (file listing), before row groups, before I/O.
+  *
+  * Both queries BUILD their layout from the fixture at construction time
+  * (executor-side write jobs — the prepared-layout analogue of k-means
+  * index training, declared in CollectLintSpec's allow-list) and then run
+  * the query against the layout. Results are layout-independent by
+  * construction, so the DuckDB oracles run the same logical query against
+  * the raw parquet — any row the layout loses or duplicates is a hash
+  * mismatch. The plan-level guarantees (no exchange under the bucketed
+  * join, partition filters at the pruned scan) are pinned in PlanSpec.
+  */
+object StorageSuite {
+
+  private def sfTag(dir: String): String =
+    new java.io.File(dir).getName.replace('.', '_')
+
+  private def layoutRoot(dir: String): String =
+    s"/tmp/graft_layout_${sfTag(dir)}"
+
+  private val nBuckets = 8
+
+  private def writeBucketed(df: DataFrame, table: String, path: String,
+                            key: String): Unit = {
+    // repartition to one shuffle partition per bucket before the write so
+    // each bucket lands in ONE file — multi-file buckets would force the
+    // reader to re-sort (and at scale, to spill) what the layout already
+    // ordered
+    df.repartition(nBuckets, col(key))
+      .write.format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** The co-located join itself (exposed for the PlanSpec pin): both sides
+    * are bucketed by the join key with the same bucket count, so the
+    * SortMergeJoin consumes the scans' bucket partitioning directly — ZERO
+    * exchanges in the plan. The merge hint keeps the tiny fixture side
+    * from broadcasting, which would hide the property being demonstrated.
+    */
+  def bucketedJoinPlan(spark: SparkSession, tag: String): DataFrame =
+    spark.table(s"graft_li_bkt_$tag").hint("merge")
+      .join(spark.table(s"graft_ord_bkt_$tag"),
+        col("l_orderkey") === col("o_orderkey"))
+
+  /** Revenue per order priority through a bucketed fact-fact join:
+    * lineitem and orders are written bucketed by order key, and the join
+    * reads both layouts with no shuffle of either fact table. The only
+    * exchange left in the query is the final 5-group aggregate of partial
+    * results. DECIMAL(18,2) sum for cross-engine double parity.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = sfTag(dir)
+    val root = layoutRoot(dir)
+    writeBucketed(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice"),
+      s"graft_li_bkt_$tag", s"$root/li_bkt", "l_orderkey")
+    writeBucketed(
+      Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+      s"graft_ord_bkt_$tag", s"$root/ord_bkt", "o_orderkey")
+    bucketedJoinPlan(spark, tag)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** The pruned scan + aggregate (exposed for the PlanSpec pin): the
+    * filter on the partition column becomes a PartitionFilter — directory
+    * pruning at file-listing time, so 4 of the 5 event_type directories
+    * are never opened, let alone read.
+    */
+  def partitionPrunePlan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${layoutRoot(dir)}/events_by_type")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** Purchase-event rollup over a partitioned layout: events are written
+    * partitioned by event_type; the query's event_type filter prunes to
+    * one directory. The timestamp column is left out of the layout copy —
+    * the rollup needs none of it, and the ns-precision round-trip is
+    * exercised by the streaming suite.
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.partitionBy("event_type").mode("overwrite")
+      .parquet(s"${layoutRoot(dir)}/events_by_type")
+    partitionPrunePlan(spark, dir)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join"   -> (bucketedJoin _),
+    "partition_prune" -> (partitionPrune _))
+
+  val oracles: Map[String, String] = Map(
+    // the oracles query the RAW parquet: layout round-trip fidelity is
+    // exactly what the hash compare then proves
+    "bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "partition_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin)
+}

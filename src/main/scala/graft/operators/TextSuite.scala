@@ -154,6 +154,28 @@ object TextSuite {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
   }
 
+  /** Stratified train/val/test split — per-LANGUAGE fractions instead of
+    * hashSplit's global ones: the high-resource stratum (en) keeps 90% for
+    * training, low-resource strata reserve a larger eval share (70/15/15)
+    * so their val/test sets stay statistically useful — the standard
+    * rebalancing move in multilingual corpus prep. Same layout-independent
+    * md5-threshold assignment as hashSplit (first hash byte as 2-char hex;
+    * 'e6' = 230/256 ~ 0.90, 'f3' = 243/256; 'b3' = 179/256 ~ 0.70,
+    * 'd9' = 217/256), so membership is a pure row function — no shuffle
+    * beyond the final count, deterministic at any scale and partitioning.
+    */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val trainT = when(col("lang") === "en", lit("e6")).otherwise(lit("b3"))
+    val valT = when(col("lang") === "en", lit("f3")).otherwise(lit("d9"))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(bucket < trainT, "train").when(bucket < valT, "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Token-length histogram (curriculum / length-bucketing view): docs per
     * 32-token bucket. Pure integer arithmetic — floor division portable to
     * any engine.
@@ -581,6 +603,7 @@ object TextSuite {
     "dedup_clusters"  -> (dedupClusters _),
     "quality_filter"  -> (qualityFilter _),
     "hash_split"      -> (hashSplit _),
+    "stratified_split" -> (stratifiedSplit _),
     "token_histogram" -> (tokenHistogram _),
     "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
     "decontaminate"   -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -715,6 +738,18 @@ object TextSuite {
         |       count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM t GROUP BY 1""".stripMargin,
+    "stratified_split" ->
+      """WITH t AS (
+        |  SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+        |         CASE WHEN lang = 'en' THEN 'e6' ELSE 'b3' END AS train_t,
+        |         CASE WHEN lang = 'en' THEN 'f3' ELSE 'd9' END AS val_t
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN bucket < train_t THEN 'train'
+        |            WHEN bucket < val_t THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n_docs
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "token_histogram" ->
       """SELECT CAST((CASE WHEN length(trim(text)) = 0 THEN 0
         |              ELSE len(string_split_regex(trim(text), '\s+')) END) // 32 AS BIGINT) AS bucket,

@@ -19,16 +19,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 class CollectLintSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  /** Queries whose construction may run bounded-output driver-side jobs
-    * (each must justify itself here). The wired ANN queries (embed_ann,
+  /** Queries whose construction may run declared preparation jobs (each
+    * must justify itself here). The wired ANN queries (embed_ann,
     * embed_ivf, embed_pq) use data-independent seeded constants and stay
     * job-free; the two k-means GATE queries exercise the prepared-index
     * APIs (ivfTopKKmeans / pqCodebooksKmeans), whose training runs
     * executor-side with bounded driver output — nCells (8) and nSub x k
-    * (64) centroid vectors respectively, never O(n) data.
+    * (64) centroid vectors respectively, never O(n) data. The two LAYOUT
+    * queries (bucketed_join, partition_prune) build their physical layout
+    * at construction: executor-side WRITE jobs whose only driver-visible
+    * output is commit metadata — data flows executor -> disk, never to
+    * the driver.
     */
   private val trainingAllowed: Set[String] =
-    Set("ivf_kmeans_recall", "pq_kmeans_gain")
+    Set("ivf_kmeans_recall", "pq_kmeans_gain",
+      "bucketed_join", "partition_prune")
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
 
-/** Driver-contract integrity: SparkEntry concatenates five suite maps, so
+/** Driver-contract integrity: SparkEntry concatenates six suite maps, so
   * a duplicated query name across suites would SILENTLY drop one of the
   * two implementations (last map wins) — and an oracle without a wired
   * query would silently never be checked. Both are pure-map invariants, no
@@ -17,7 +17,8 @@ class EntryContractSpec extends AnyFunSuite {
     "RelationalSuite" -> (RelationalSuite.queries.keySet, RelationalSuite.oracles.keySet),
     "TextSuite" -> (TextSuite.queries.keySet, TextSuite.oracles.keySet),
     "SimilaritySuite" -> (SimilaritySuite.queries.keySet, SimilaritySuite.oracles.keySet),
-    "MediaSuite" -> (MediaSuite.queries.keySet, MediaSuite.oracles.keySet))
+    "MediaSuite" -> (MediaSuite.queries.keySet, MediaSuite.oracles.keySet),
+    "StorageSuite" -> (StorageSuite.queries.keySet, StorageSuite.oracles.keySet))
 
   test("no query name collides across suites") {
     val all = suites.flatMap { case (n, (qs, _)) => qs.map(_ -> n) }

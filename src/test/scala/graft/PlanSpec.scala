@@ -98,6 +98,33 @@ class PlanSpec extends SparkSpec {
       s"percentile window degraded to a single partition:\n$plan")
   }
 
+  test("bucketed fact-fact join reads co-located buckets with zero exchanges") {
+    // build the layout, then pin the join-only plan: bucketing must carry
+    // the partitioning through both scans into the SortMergeJoin
+    graft.operators.StorageSuite.bucketedJoin(spark, dir)
+    val plan = executedPlan(
+      graft.operators.StorageSuite.bucketedJoinPlan(spark, "sf0_001"))
+    assert(plan.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("BroadcastExchange"),
+      s"bucketed join still shuffles/broadcasts a side:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      s"scan does not report bucketed read:\n$plan")
+  }
+
+  test("partition-column filter prunes directories at the scan") {
+    graft.operators.StorageSuite.partitionPrune(spark, dir)
+    val plan = executedPlan(
+      graft.operators.StorageSuite.partitionPrunePlan(spark, dir))
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.substring(plan.indexOf("PartitionFilters: [")).take(120)
+        .contains("event_type"),
+      s"event_type filter did not become a partition filter:\n$plan")
+    // the filter must NOT also appear as a pushed data filter — partition
+    // columns never reach row groups
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type"),
+      s"partition column leaked into data filters:\n$plan")
+  }
+
   test("exact near-dup runs as a shuffled block-pair kernel, not a driver collect") {
     val plan = executedPlan(SimilaritySuite.embedNearDup(spark, dir))
     // the pairwise kernel must be a distributed MapGroups fed by a shuffle
