@@ -263,6 +263,54 @@ object TextSuite {
           .as("top_bigram_frac"))
   }
 
+  /** Corpus-LM typicality scoring — the CCNet-style quality signal, but
+    * with the LM trained on the corpus ITSELF: score each document by how
+    * typical its bigrams are of the whole corpus. Degenerate docs (word
+    * salad, wrong language, encoding damage) sit in the low-typicality /
+    * high-hapax tail; boilerplate sits at the high-typicality extreme.
+    * Signals per doc:
+    *   - typicality  = mean over the doc's bigram occurrences of the
+    *     bigram's corpus probability cf(g)/N — the arithmetic-mean
+    *     analogue of LM likelihood. Arithmetic mean instead of the
+    *     geometric (perplexity) form ON PURPOSE: it needs no log(), so
+    *     every pre-division aggregate stays in exact BIGINT arithmetic
+    *     and the oracle hash cannot drift on transcendental-function ulps
+    *     (Math.log and libm need not round identically).
+    *   - hapax_frac  = fraction of the doc's bigrams occurring exactly
+    *     once in the ENTIRE corpus (unseen-elsewhere mass — the OOV-rate
+    *     analogue).
+    * Shape: explode the native multiset gram hashes (codegen'd, hashes
+    * not strings through the shuffle — the rep_signals lesson), build the
+    * (gram, cf) model table with one hash-agg, equi-join doc grams to it
+    * keyed on the gram hash, re-agg per doc. At 100 TB both shuffles key
+    * on the 64-bit gram hash; the model table never reaches the driver
+    * and the corpus-total N is a one-row broadcast scalar. Counts are
+    * preserved exactly under gram hashing as long as the hash is
+    * injective on the corpus vocabulary (same ~d^2/2^64 argument as
+    * ngram_jaccard / rep_signals).
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"),
+      explode(shingleHashesAll(col("text"), 2)).as("g"))
+    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("cf"))
+    val total = model.agg(sum(col("cf")).as("n_total"))
+    val perDoc = grams.join(model, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cf")).as("sum_cf"),
+        sum(when(col("cf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_cf").cast("double") /
+          (col("n_bigrams") * col("n_total")).cast("double"), lit(0.0))
+          .as("typicality"),
+        coalesce(col("n_hapax").cast("double") /
+          col("n_bigrams").cast("double"), lit(0.0)).as("hapax_frac"))
+  }
+
   /** Per-source frequency capping — the training-mix step that stops one
     * domain from dominating the corpus: keep at most `cap` docs per source,
     * chosen by a DETERMINISTIC hash order (md5 of the doc id), so the
@@ -610,6 +658,7 @@ object TextSuite {
     "simhash_sketch"  -> (simhashSketch _),
     "simhash_signal"  -> (simhashSignal _),
     "rep_signals"     -> (repSignals _),
+    "lm_score"        -> (lmScore _),
     "domain_cap"      -> ((s: SparkSession, d: String) => domainCap(s, d)),
     "chunk_docs"      -> ((s: SparkSession, d: String) => chunkDocs(s, d)),
     "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)),
@@ -871,6 +920,32 @@ object TextSuite {
         |FROM documents d
         |LEFT JOIN wa ON d.doc_id = wa.doc_id
         |LEFT JOIN ba ON d.doc_id = ba.doc_id""".stripMargin,
+    "lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b
+        |  FROM t,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 1 <= len(toks)),
+        |cf AS (SELECT b, count(*) AS cf FROM bg GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_total FROM bg),
+        |pd AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, sum(cf.cf) AS sum_cf,
+        |         sum(CASE WHEN cf.cf = 1 THEN 1 ELSE 0 END) AS n_hapax
+        |  FROM bg JOIN cf USING (b) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       coalesce(pd.sum_cf::DOUBLE / (pd.n_bigrams * tot.n_total)::DOUBLE, 0.0)
+        |         AS typicality,
+        |       coalesce(pd.n_hapax::DOUBLE / pd.n_bigrams::DOUBLE, 0.0) AS hapax_frac
+        |FROM documents d
+        |LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |CROSS JOIN tot""".stripMargin,
     "domain_cap" ->
       """WITH r AS (
         |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk

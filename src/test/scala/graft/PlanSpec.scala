@@ -80,6 +80,18 @@ class PlanSpec extends SparkSpec {
       s"interpreted higher-order gram construction crept back in:\n$plan")
   }
 
+  test("lm_score builds grams natively and broadcasts only the corpus total") {
+    val plan = executedPlan(graft.operators.TextSuite.lmScore(spark, dir))
+    assert(plan.contains("shinglehash("),
+      s"native multiset ShingleHash missing in:\n$plan")
+    assert(!plan.contains("concat_ws") && !plan.contains("transform("),
+      s"interpreted higher-order gram construction crept back in:\n$plan")
+    // the one-row corpus total must come in as a broadcast, not shuffle the
+    // per-doc side
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"corpus-total scalar is not broadcast:\n$plan")
+  }
+
   test("pack_bins runs sharded windows, never a single-partition sort") {
     val plan = executedPlan(graft.operators.TextSuite.packBins(spark, dir))
     assert(!plan.contains("SinglePartition"),
