@@ -104,17 +104,68 @@ object StorageSuite {
     * the rollup needs none of it, and the ns-precision round-trip is
     * exercised by the streaming suite.
     */
-  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+  private def writeEventsByType(spark: SparkSession, dir: String): Unit =
     Tables.events(spark, dir)
       .select("event_id", "user_id", "value", "event_type")
       .write.partitionBy("event_type").mode("overwrite")
       .parquet(s"${layoutRoot(dir)}/events_by_type")
+
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    writeEventsByType(spark, dir)
     partitionPrunePlan(spark, dir)
+  }
+
+  /** Event-type dimension, written as its own (tiny) parquet table — the
+    * star-schema shape. It must be a real datasource scan, not an inline
+    * literal: Catalyst folds a Filter over a LocalRelation into the
+    * relation itself, and the PartitionPruning rule then sees no selective
+    * predicate left to prune with.
+    */
+  private def writeTypeDim(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq(("view", "browse"), ("click", "browse"), ("error", "ops"),
+      ("purchase", "convert"), ("signup", "convert"))
+      .toDF("event_type", "category")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${layoutRoot(dir)}/type_dim")
+  }
+
+  /** The DPP join itself (exposed for the PlanSpec pin): the filter lives
+    * on the DIM side only — the fact scan has no static event_type
+    * predicate, so every pruned directory is pruned DYNAMICALLY, by the
+    * runtime subquery DPP injects from the broadcast dim.
+    */
+  def dppJoinPlan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${layoutRoot(dir)}/events_by_type")
+      .join(spark.read.parquet(s"${layoutRoot(dir)}/type_dim")
+        .filter(col("category") === "convert"),
+        Seq("event_type"))
+      .groupBy(col("event_type"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double")
+          .as("total_value"))
+
+  /** Dynamic partition pruning — the join-driven sibling of the static
+    * prune: the fact table is partitioned on the join key and the only
+    * selective filter sits on the dimension side (`category = 'convert'`).
+    * Spark broadcasts the filtered dim and re-uses that broadcast as a
+    * runtime IN-subquery partition filter on the fact scan, so only the
+    * matching directories are listed and read. At 100 TB this is the
+    * star-schema workhorse: the date/tenant/type dimension decides which
+    * partitions of the fact table exist for the query, with no static
+    * predicate on the fact side at all. Plan pin (PlanSpec): the fact
+    * scan's PartitionFilters must carry a dynamicpruningexpression.
+    */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    writeEventsByType(spark, dir)
+    writeTypeDim(spark, dir)
+    dppJoinPlan(spark, dir)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"   -> (bucketedJoin _),
-    "partition_prune" -> (partitionPrune _))
+    "partition_prune" -> (partitionPrune _),
+    "dpp_join"        -> (dppJoin _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
@@ -129,5 +180,16 @@ object StorageSuite {
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "dpp_join" ->
+      """WITH dim AS (
+        |  SELECT * FROM (VALUES
+        |    ('view','browse'), ('click','browse'), ('error','ops'),
+        |    ('purchase','convert'), ('signup','convert'))
+        |    AS t(event_type, category))
+        |SELECT e.event_type, d.category, count(*) AS n_events,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |WHERE d.category = 'convert'
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -137,6 +137,16 @@ class PlanSpec extends SparkSpec {
       s"partition column leaked into data filters:\n$plan")
   }
 
+  test("dim-side filter prunes fact partitions dynamically at the scan") {
+    graft.operators.StorageSuite.dppJoin(spark, dir)
+    val plan = executedPlan(
+      graft.operators.StorageSuite.dppJoinPlan(spark, dir))
+    // no static event_type predicate exists in the query, so any pruning
+    // visible at the fact scan must be the DPP runtime subquery
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"fact scan carries no dynamic pruning filter:\n$plan")
+  }
+
   test("exact near-dup runs as a shuffled block-pair kernel, not a driver collect") {
     val plan = executedPlan(SimilaritySuite.embedNearDup(spark, dir))
     // the pairwise kernel must be a distributed MapGroups fed by a shuffle
