@@ -81,8 +81,10 @@ object Bench {
       s"""{"metric":"total","unit":"sec","sf":"$sfName","queries":$qs,""" +
         s""""gc_sec":${f"$gcTotal%.2f"},"value":${f"$total%.3f"}}"""
     }
-    val l3 = line(3)
-    println(if (l3.length <= 1800) l3 else line(2))
+    // pick the most precise variant that leaves ~300 chars of slack in the
+    // recorder's 2000-char tail (sbt prints a "[success] Total time" line
+    // after ours); at 1 decimal even ~140 queries fit
+    println(Seq(3, 2, 1).map(line).find(_.length <= 1700).getOrElse(line(1)))
     spark.stop()
   }
 }

@@ -240,8 +240,50 @@ object SimilaritySuite {
       prefixDim = 16, m = 20)
   }
 
+  /** Per-label centroid similarity matrix — the corpus-drift audit a mix
+    * review reads: how semantically close are the embedding clusters of
+    * each label/domain? The centroid cosine needs only per-(label, dim)
+    * SUMS (the 1/n normalizations cancel inside cosine), so the whole
+    * query is one posexplode -> (label, dim) hash aggregate over the
+    * corpus — a single scan however many vectors there are — followed by
+    * arithmetic on a |labels| x dim table that fits anywhere. Floats are
+    * lifted to the integer domain first (x 2^14, exact in double, rounded
+    * half-away-from-zero identically by both engines): integer sums are
+    * order-independent where float sums are not, which is what makes the
+    * result reproducible across partitionings AND hash-comparable across
+    * engines. The 2^14 scale keeps every value on the long path — sums
+    * ~2^21, pairwise dots < 2^50 — safely under 2^53, so even the final
+    * long -> double conversions are EXACT (a 2^30 scale pushed the dots
+    * to ~2^75, where DuckDB's int128 -> double conversion double-rounds a
+    * ulp off Spark's). Headroom: exactness holds to ~10^7 vectors per
+    * label at unit-scale components; widen the dot aggregate to decimal
+    * beyond that.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val comp = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        round(col("v").cast("double") * lit(16384L)).cast("long").as("lv"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("lv")).as("s"))
+    val dots = comp.select(col("label").as("la"), col("pos"), col("s").as("sa"))
+      .join(comp.select(col("label").as("lb"), col("pos"), col("s").as("sb")),
+        "pos")
+      .filter(col("la") <= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("sa") * col("sb")).cast("double").as("dot"))
+    val norms = dots.filter(col("la") === col("lb"))
+      .select(col("la").as("l"), sqrt(col("dot")).as("nrm"))
+    dots.filter(col("la") < col("lb"))
+      .join(norms.select(col("l").as("la"), col("nrm").as("norm_a")), "la")
+      .join(norms.select(col("l").as("lb"), col("nrm").as("norm_b")), "lb")
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        (col("dot") / (col("norm_a") * col("norm_b"))).as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
+    "label_centroids" -> (labelCentroids _),
     "semdedup"       -> (semDedupSurvivors _),
     "matryoshka_rerank" -> (matryoshkaRerank _),
     "embed_topk"    -> (embedTopK _),
@@ -524,6 +566,32 @@ object SimilaritySuite {
       |QUALIFY rank <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // float components are lifted to exact scaled longs (x 2^14, rounded
+    // half-away-from-zero — DuckDB round() and Spark round() agree); all
+    // aggregates below stay under 2^53, so the long -> double conversions
+    // are exact and only the cosine itself is (identical) double math
+    "label_centroids" ->
+      """WITH comp AS (
+        |  SELECT label, i AS pos,
+        |         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 16384e0)
+        |                  AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings,
+        |       (SELECT unnest(range(1, (SELECT max(len(embedding))
+        |                                FROM embeddings) + 1)) AS i)
+        |  WHERE i <= len(embedding)
+        |  GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |         CAST(sum(a.s * b.s) AS DOUBLE) AS dot
+        |  FROM comp a JOIN comp b ON a.pos = b.pos AND a.label <= b.label
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT la AS l, sqrt(dot) AS nrm FROM dots WHERE la = lb)
+        |SELECT d.la AS label_a, d.lb AS label_b,
+        |       d.dot / (na.nrm * nb.nrm) AS cosine
+        |FROM dots d
+        |JOIN norms na ON na.l = d.la
+        |JOIN norms nb ON nb.l = d.lb
+        |WHERE d.la < d.lb""".stripMargin,
     "semdedup" -> semdedupOracle,
     "matryoshka_rerank" -> matryoshkaOracle,
     "embed_ann" -> annOracle,

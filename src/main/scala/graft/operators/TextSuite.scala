@@ -639,6 +639,82 @@ object TextSuite {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Graded n-gram decontamination — the overlap-FRACTION variant of
+    * `decontaminate`. Absolute hit counts (n_hits >= 8) treat a 40-word
+    * doc and a 4000-word doc alike; real benchmark-contamination audits
+    * flag a document when a large SHARE of its shingles appears in the
+    * benchmark (the WMDP/GPT-4-report style rule). One corpus scan: each
+    * doc's distinct shingle stream is left-joined against the broadcast
+    * benchmark shingle set, and a single hash aggregate counts total and
+    * matched shingles per doc — total work is one shuffle keyed on doc_id
+    * regardless of corpus size, and the benchmark side stays broadcast-
+    * small (one benchmark suite vs 100 TB of corpus). The long/long
+    * division is IEEE-identical across engines, so the >= threshold cut
+    * lands the same docs on both sides.
+    */
+  def contamFrac(spark: SparkSession, dir: String,
+                 minFrac: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val docSh = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), 3)).as("h"))
+    val benchSh = docs.filter(col("doc_id") < 5)
+      .select(explode(shingleHashes(col("text"), 3)).as("h")).distinct()
+    docSh.join(broadcast(benchSh.withColumn("hit", lit(1))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hits"))
+      .withColumn("contam_frac", col("n_hits") / col("n_sh"))
+      .filter(col("contam_frac") >= minFrac)
+      .select(col("doc_id"), col("n_sh"), col("n_hits"), col("contam_frac"))
+  }
+
+  /** Per-source adaptive quality gate — a single global quality cutoff
+    * (quality_filter's 0.5) over-prunes clean-but-terse sources and
+    * under-prunes noisy ones; production pipelines cut each source at its
+    * OWN quantile. Every doc gets its within-source cumulative quality
+    * rank (cume_dist: value-based, tie-stable, engine-portable), and the
+    * bottom `pct` of each source is dropped. Shape: one window partitioned
+    * by source (shuffle on source, no global sort) feeding a per-source
+    * aggregate — at 100 TB the window is per-source-partition parallel,
+    * and a skewed giant source salts the same way domain_cap's window
+    * does. Output: per-source doc/keep counts + surviving token budget.
+    */
+  def adaptiveQuality(spark: SparkSession, dir: String,
+                      pct: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir).select(col("source"),
+      qualityScore(col("text")).as("quality"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    scored
+      .withColumn("cd", cume_dist().over(
+        Window.partitionBy(col("source")).orderBy(col("quality"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cd") >= pct, 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("cd") >= pct, col("n_tokens"))), lit(0L))
+          .as("kept_tokens"))
+  }
+
+  /** Cross-source duplication audit — the mix-planning question "which of
+    * my data sources are copies of each other?" asked BEFORE sources are
+    * weighted (token_budget_mix) or capped (domain_cap): near-dup pairs
+    * (the same df-pruned shingle join every dedup query shares) are
+    * labeled with their sources and counted per unordered source pair.
+    * Cost is the pair set plus two id-keyed joins against the (doc_id,
+    * source) projection; output is at most |sources|^2 rows however big
+    * the corpus — the audit table a 100 TB mix review actually reads.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_x")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_y")), "doc_b")
+      .filter(col("src_x") =!= col("src_y"))
+      .groupBy(least(col("src_x"), col("src_y")).as("source_a"),
+        greatest(col("src_x"), col("src_y")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats"      -> (textStats _),
@@ -667,7 +743,10 @@ object TextSuite {
     "cms_heavy_hitters" -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
     "winnow_signal"   -> (winnowSignal _),
     "mix_realize"     -> ((s: SparkSession, d: String) => mixRealize(s, d)),
-    "split_leakage"   -> (splitLeakage _))
+    "split_leakage"   -> (splitLeakage _),
+    "contam_frac"     -> ((s: SparkSession, d: String) => contamFrac(s, d)),
+    "adaptive_quality" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
+    "source_overlap"  -> (sourceOverlap _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -1141,5 +1220,71 @@ object TextSuite {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin)
+        |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
+    // UNpruned shingles (the decontaminate CTE, not prunedShingles): a
+    // benchmark shingle must count as a hit even when it is corpus-common
+    "contam_frac" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |g AS (
+        |  SELECT sh.doc_id, count(*) AS n_sh,
+        |         CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM sh LEFT JOIN bench b USING (s)
+        |  GROUP BY 1)
+        |SELECT doc_id, n_sh, n_hits, n_hits / n_sh AS contam_frac
+        |FROM g WHERE n_hits / n_sh >= 0.3e0""".stripMargin,
+    // quality expression copied bit-for-bit from quality_filter's oracle;
+    // cume_dist is value-based (ties collapse), so rank parity needs only
+    // the quality doubles to be bit-identical — which text_stats pins
+    "adaptive_quality" ->
+      """WITH t AS (
+        |  SELECT source, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, len(toks)::BIGINT AS n_tokens,
+        |    greatest(0.0, least(1.0,
+        |      least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+        |      least((CASE WHEN len(toks) = 0 THEN 0.0
+        |             ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
+        |      (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |             ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) AS quality
+        |  FROM t),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |         cume_dist() OVER (PARTITION BY source ORDER BY quality) AS cd
+        |  FROM q)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN cd >= 0.25e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(coalesce(sum(CASE WHEN cd >= 0.25e0 THEN n_tokens END), 0) AS BIGINT) AS kept_tokens
+        |FROM c GROUP BY 1""".stripMargin,
+    "source_overlap" ->
+      s"""WITH $prunedShingles,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT least(x.source, y.source) AS source_a,
+        |       greatest(x.source, y.source) AS source_b,
+        |       count(*) AS n_pairs
+        |FROM pairs
+        |JOIN src x ON x.doc_id = doc_a
+        |JOIN src y ON y.doc_id = doc_b
+        |WHERE x.source <> y.source
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -132,4 +132,47 @@ class TrainPrepSpec extends SparkSpec {
     assert(stages(0) >= stages(1) && stages(1) >= stages(2),
       s"funnel not monotone: ${stages.toSeq}")
   }
+
+  test("contamFrac flags the benchmark docs themselves at exactly 1.0") {
+    val flagged = TextSuite.contamFrac(spark, sf).cache()
+    // every benchmark doc overlaps itself completely
+    assert(flagged.filter(col("doc_id") < 5 && col("contam_frac") =!= 1.0)
+      .count() == 0, "a benchmark doc scored below full overlap")
+    assert(flagged.filter(col("doc_id") < 5).count() == 5)
+    // fraction is a fraction, and hits can never exceed the doc's shingles
+    assert(flagged.filter(col("n_hits") > col("n_sh")
+      || col("contam_frac") < 0 || col("contam_frac") > 1).count() == 0)
+    flagged.unpersist()
+  }
+
+  test("adaptiveQuality keeps the top three quarters of every source") {
+    val aq = TextSuite.adaptiveQuality(spark, sf).cache()
+    assert(aq.filter(col("n_kept") > col("n_docs")).count() == 0)
+    // cume_dist >= 0.25 keeps >= 75% of rows (ties only ADD rows at the
+    // cut, never remove them)
+    assert(aq.filter(col("n_kept") * 4 < col("n_docs") * 3).count() == 0,
+      "a source kept fewer than 3/4 of its docs")
+    aq.unpersist()
+  }
+
+  test("sourceOverlap emits ordered source pairs with positive counts") {
+    val so = TextSuite.sourceOverlap(spark, sf).cache()
+    assert(so.count() > 0, "fixture has cross-source near-dups; none found")
+    assert(so.filter(col("source_a") >= col("source_b")).count() == 0,
+      "pair ordering not canonical")
+    assert(so.filter(col("n_pairs") < 1).count() == 0)
+    so.unpersist()
+  }
+
+  test("labelCentroids yields every unordered label pair with |cos| <= 1") {
+    val lc = SimilaritySuite.labelCentroids(spark, sf).cache()
+    val n = graft.model.Tables.embeddings(spark, sf)
+      .select(col("label")).distinct().count()
+    assert(lc.count() == n * (n - 1) / 2,
+      s"expected C($n,2) pairs, got ${lc.count()}")
+    assert(lc.filter(col("label_a") >= col("label_b")).count() == 0)
+    assert(lc.filter(abs(col("cosine")) > 1.0).count() == 0,
+      "cosine out of range")
+    lc.unpersist()
+  }
 }
