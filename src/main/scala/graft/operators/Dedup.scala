@@ -179,6 +179,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental (delta) near-dup dedup — the operational shape of dedup at
+    * 100 TB: a nightly batch is matched against the EXISTING corpus without
+    * ever re-pairing the corpus with itself. The corpus side contributes
+    * only its (doc_id, shingle-hash) postings — the persisted index a real
+    * deployment keeps bucketed by hash on disk — and the join is strictly
+    * batch-vs-index: work scales with |batch| x avg-postings, not
+    * |corpus|^2. Document-frequency pruning uses the UNION of both sides
+    * (so the pruned shingle sets, and therefore the Jaccard values, are
+    * identical to what a full-corpus `ngramJaccardPairs` run would use),
+    * and each batch doc reports its single best corpus match
+    * (max jaccard, min-id tie-break — deterministic).
+    */
+  def deltaNearDups(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+                    threshold: Double = 0.2, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    maxDocFreqFrac: Double = 0.02): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = corpus.select(lit(0).as("side"), col(idCol).as("doc_id"),
+        col(textCol).as("text"))
+      .unionByName(batch.select(lit(1).as("side"), col(idCol).as("doc_id"),
+        col(textCol).as("text")))
+    val shAll = all.select(col("side"), col("doc_id"),
+      explode(shingleHashes(col("text"), n)).as("h"))
+    val total = all.select(count(lit(1)).as("n_docs"))
+    val dfreq = shAll.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
+    val cutoff = greatest(col("n_docs") * maxDocFreqFrac, lit(8.0))
+    val sh = shAll.join(dfreq, "h").crossJoin(broadcast(total))
+      .filter(col("df_sh") <= cutoff)
+      .select(col("side"), col("doc_id"), col("h"))
+    val sizes = sh.groupBy(col("side"), col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val inter = sh.filter(col("side") === 1).as("b")
+      .join(sh.filter(col("side") === 0).as("a"), col("a.h") === col("b.h"))
+      .groupBy(col("b.doc_id").as("doc_id"), col("a.doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.filter(col("side") === 1)
+        .select(col("doc_id"), col("n_sh").as("n_b")), "doc_id")
+      .join(sizes.filter(col("side") === 0)
+        .select(col("doc_id").as("dup_of"), col("n_sh").as("n_a")), "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("jaccard").desc, col("dup_of"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"))
+  }
+
   /** Connected components over near-dup pairs — the dedup CLUSTERING step:
     * pair generation (MinHash/SimHash/Jaccard) yields edges; training-data
     * dedup keeps one canonical doc per component. Labels are propagated by

@@ -715,6 +715,18 @@ object TextSuite {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Incremental dedup of a simulated nightly batch (every 10th doc)
+    * against the rest of the corpus — see `Dedup.deltaNearDups` for the
+    * index-shaped join. Output: each batch doc's best existing match at
+    * jaccard >= 0.2.
+    */
+  def deltaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.deltaNearDups(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      batch = docs.filter(col("doc_id") % 10 === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats"      -> (textStats _),
@@ -746,7 +758,8 @@ object TextSuite {
     "split_leakage"   -> (splitLeakage _),
     "contam_frac"     -> ((s: SparkSession, d: String) => contamFrac(s, d)),
     "adaptive_quality" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
-    "source_overlap"  -> (sourceOverlap _))
+    "source_overlap"  -> (sourceOverlap _),
+    "delta_dedup"     -> (deltaDedup _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -1286,5 +1299,27 @@ object TextSuite {
         |JOIN src x ON x.doc_id = doc_a
         |JOIN src y ON y.doc_id = doc_b
         |WHERE x.source <> y.source
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // prunedShingles' df is computed over ALL documents = corpus UNION
+    // batch, exactly as deltaNearDups prunes — jaccard values match the
+    // full-corpus pairing by construction
+    "delta_dedup" ->
+      s"""WITH $prunedShingles,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT b.doc_id AS doc_id, a.doc_id AS dup_of, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE b.doc_id % 10 = 0 AND a.doc_id % 10 <> 0
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT i.doc_id, i.dup_of,
+        |         inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.dup_of
+        |  JOIN sizes sb ON sb.doc_id = i.doc_id
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2)
+        |SELECT doc_id, dup_of, jaccard FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY jaccard DESC, dup_of) AS rn FROM j)
+        |WHERE rn = 1""".stripMargin)
 }

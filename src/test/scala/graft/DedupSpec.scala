@@ -147,4 +147,27 @@ class DedupSpec extends SparkSpec {
     assert(dupPair.exists(p => p._1 == 0L && p._2 == 2L),
       s"simhash banding missed the near-dup pair: ${dupPair.mkString(",")}")
   }
+
+  test("delta dedup equals the best straddling pair of the full pairing") {
+    val sf = "/root/testdata/sf0.001"
+    val fixture = graft.model.Tables.documents(spark, sf)
+    val delta = Dedup.deltaNearDups(
+        corpus = fixture.filter(col("doc_id") % 10 =!= 0),
+        batch = fixture.filter(col("doc_id") % 10 === 0))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // reference: full all-pairs run, restricted to pairs straddling the
+    // batch boundary, best corpus match per batch doc (same tie-break)
+    val expected = Dedup.ngramJaccardPairs(fixture, n = 3, threshold = 0.2)
+      .as[(Long, Long, Double)].collect().toSeq
+      .flatMap { case (a, b, j) =>
+        if (a % 10 == 0 && b % 10 != 0) Some((a, b, j))
+        else if (b % 10 == 0 && a % 10 != 0) Some((b, a, j))
+        else None
+      }
+      .groupBy(_._1).values
+      .map(_.minBy { case (_, dup, j) => (-j, dup) }).toSeq.sorted
+    assert(delta.nonEmpty, "fixture has straddling near-dups; none found")
+    assert(delta == expected,
+      s"delta dedup diverged from full pairing:\n$delta\nvs\n$expected")
+  }
 }
