@@ -29,4 +29,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 local executor threads share this one heap (local mode has no
   // separate executors); 8g left the 60-query bench GC-bound mid-suite
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Spark generates one Java class per plan; under a many-query session
+  // HotSpot's default PerMethodRecompilationCutoff (400) permanently bans a
+  // generated method from C2 after repeated deoptimizations, leaving that
+  // plan interpreted FOREVER (measured in Bench: the same 5000-row
+  // projection ran 0.5 s compiled vs 6-11 s once banned, pure CPU, zero GC
+  // — the round-3/4 "in-suite 6-12x interference" postmortem). Raising the
+  // cutoff lets deopt-churned generated code recompile instead.
+  "-XX:PerMethodRecompilationCutoff=10000",
+  // headroom for ~90 queries' generated classes (default 240m; a full code
+  // cache silently disables the JIT, same interpreted-forever symptom)
+  "-XX:ReservedCodeCacheSize=512m",
 )
