@@ -554,6 +554,80 @@ object RelationalSuite {
       .join(pctl(0.99, "p99_qty"), "l_returnflag")
   }
 
+  /** PII scrubbing — the governance projection a training pipeline runs
+    * before any text/metadata leaves the raw zone: stable pseudonymous key
+    * (SHA-256 of the name — joinable across tables, not reversible) and
+    * quasi-identifier generalization (account balance coarsened to 1000-unit
+    * bands, the k-anonymity move); direct identifiers dropped. Pure
+    * codegen'd projection: no shuffle, pushdown-safe, map-only at 100 TB.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      sha2(col("c_name").cast("binary"), 256).as("name_hash"),
+      (floor(col("c_acctbal") / 1000.0) * 1000.0).as("acctbal_band"),
+      col("c_mktsegment"))
+
+  /** Robust outlier counts per group via MAD (median absolute deviation) —
+    * the numeric-QA gate a pipeline runs over metric columns before
+    * training on them; unlike mean/stddev, the median/MAD pair doesn't let
+    * the outliers it hunts shift the fence. Two grouped exact medians
+    * (value, then |value - median|) — the heavy-but-exact path; the
+    * sketch-based siblings (approx_sketches) are the 100 TB default and
+    * this is their calibration query, same pairing as sketch_accuracy.
+    * The per-group median table broadcasts back (3 rows).
+    */
+  def priceOutliers(spark: SparkSession, dir: String, k: Double = 5.0): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = li.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("med"), abs(col("x") - col("med")).as("adev"))
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.select(col("l_returnflag"), col("adev"))
+      .join(broadcast(mad), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("mad")).as("mad"))
+  }
+
+  /** Single-pass column profile — the schema-audit table a pipeline
+    * publishes per ingest batch (row count, null count, exact distinct,
+    * min/max) for drift detection. One scan: all per-column aggregates in
+    * one Expand-based aggregation (the multi-countDistinct plan), then
+    * `stack` unpivots the single row to one row per column. min/max are
+    * normalized to strings engine-side (keys as digits, dates via
+    * date_format) so one schema fits every column type.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    // (column, normalizer) — keys/doubles via plain string cast, timestamps
+    // pinned to a cross-engine date format
+    val cols = Seq[(String, Column => Column)](
+      "l_orderkey" -> (_.cast("string")),
+      "l_partkey" -> (_.cast("string")),
+      "l_quantity" -> (_.cast("string")),
+      "l_returnflag" -> (_.cast("string")),
+      "l_shipdate" -> (c => date_format(c, "yyyy-MM-dd")))
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, f) =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        f(min(col(c))).as(s"mn_$c"),
+        f(max(col(c))).as(s"mx_$c"))
+    }
+    val stackArgs = cols.map { case (c, _) => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c" }
+      .mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nonnull, n_distinct, min_val, max_val)"))
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping"        -> (q3Shipping _),
     "q5_local_volume"    -> (q5LocalVolume _),
@@ -584,9 +658,58 @@ object RelationalSuite {
     "set_ops"            -> (setOps _),
     "distinct_agg"       -> (distinctAgg _),
     "rollup_agg"         -> (rollupAgg _),
-    "scalar_functions"   -> (scalarFunctions _))
+    "scalar_functions"   -> (scalarFunctions _),
+    "pii_scrub"          -> (piiScrub _),
+    "price_outliers"     -> ((s: SparkSession, d: String) => priceOutliers(s, d)),
+    "table_profile"      -> (tableProfile _))
 
   val oracles: Map[String, String] = Map(
+    "pii_scrub" ->
+      """SELECT c_custkey, sha256(c_name) AS name_hash,
+        |       floor(c_acctbal / 1000.0e0) * 1000.0e0 AS acctbal_band,
+        |       c_mktsegment
+        |FROM customer""".stripMargin,
+    "price_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (
+        |  SELECT l.l_returnflag, abs(l.l_extendedprice - m.med) AS adev
+        |  FROM lineitem l JOIN med m USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN d.adev > 5.0e0 * m.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers,
+        |       max(m.mad) AS mad
+        |FROM dev d JOIN mad m USING (l_returnflag)
+        |GROUP BY 1""".stripMargin,
+    "table_profile" ->
+      """WITH base AS (SELECT count(*) AS n_rows FROM lineitem)
+        |SELECT p.column_name, b.n_rows, p.n_nonnull, p.n_distinct,
+        |       p.min_val, p.max_val
+        |FROM base b, (
+        |  SELECT 'l_orderkey' AS column_name, count(l_orderkey) AS n_nonnull,
+        |         count(DISTINCT l_orderkey) AS n_distinct,
+        |         CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |         CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(l_partkey), count(DISTINCT l_partkey),
+        |         CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(l_quantity), count(DISTINCT l_quantity),
+        |         CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(l_returnflag), count(DISTINCT l_returnflag),
+        |         CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(l_shipdate), count(DISTINCT l_shipdate),
+        |         strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
+        |  FROM lineitem) p""".stripMargin,
     "salted_join" ->
       """SELECT o.o_orderpriority,
         |       count(*) AS n_items,

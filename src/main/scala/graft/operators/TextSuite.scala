@@ -727,6 +727,36 @@ object TextSuite {
       batch = docs.filter(col("doc_id") % 10 === 0))
   }
 
+  /** Passage-level duplication signal — the C4/RefinedWeb cleaning step
+    * between whole-document dedup (dedup_exact) and fuzzy dedup
+    * (ngram_jaccard): carve each document into fixed non-overlapping
+    * `w`-token passages and count, per document, how many of its passages
+    * occur more than once in the ENTIRE corpus (boilerplate headers,
+    * license blocks, templated spans). Shape: the passage hash comes from
+    * the native multiset ShingleHash at stride `w` (posexplode + pos % w
+    * filter — no HOFs, hashes not strings through the shuffle), the
+    * occurrence count is one hash-keyed aggregate, and the per-doc re-agg
+    * joins on the 64-bit hash: every shuffle is keyed on the hash, so the
+    * plan survives 100 TB the same way the other dedup queries do.
+    * Documents shorter than `w` tokens carry no full passage and emit no
+    * row. Occurrences count multiplicity everywhere — a passage repeated
+    * twice INSIDE one document is duplication too.
+    */
+  def passageDedup(spark: SparkSession, dir: String, w: Int = 12): DataFrame = {
+    val pass = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(shingleHashesAll(col("text"), w)).as(Seq("pos", "h")))
+      .filter(col("pos") % w === 0)
+      .select(col("doc_id"), col("h"))
+    val occ = pass.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    pass.join(occ, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_frac",
+        col("n_dup_passages").cast("double") / col("n_passages"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats"      -> (textStats _),
@@ -759,7 +789,8 @@ object TextSuite {
     "contam_frac"     -> ((s: SparkSession, d: String) => contamFrac(s, d)),
     "adaptive_quality" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "source_overlap"  -> (sourceOverlap _),
-    "delta_dedup"     -> (deltaDedup _))
+    "delta_dedup"     -> (deltaDedup _),
+    "passage_dedup"   -> ((s: SparkSession, d: String) => passageDedup(s, d)))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -1321,5 +1352,21 @@ object TextSuite {
         |SELECT doc_id, dup_of, jaccard FROM (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |              ORDER BY jaccard DESC, dup_of) AS rn FROM j)
-        |WHERE rn = 1""".stripMargin)
+        |WHERE rn = 1""".stripMargin,
+    // string passages vs the engine's 64-bit passage hashes: counts agree
+    // under the same hash-injectivity argument as ngram_jaccard
+    "passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |p AS (
+        |  SELECT doc_id, list_aggregate(t[s : s+11], 'string_agg', ' ') AS passage
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 10, 12)) AS s)),
+        |occ AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY passage) AS occ FROM p)
+        |SELECT doc_id, count(*) AS n_passages,
+        |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_passages,
+        |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS dup_frac
+        |FROM occ GROUP BY 1""".stripMargin)
 }
