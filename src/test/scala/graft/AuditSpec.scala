@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{RelationalSuite, TextSuite}
+
+/** Structural guarantees of the round-5 QA/governance operators
+  * (passage_dedup, pii_scrub, price_outliers, table_profile). Cross-engine
+  * value parity lives in the DuckDB oracles; these pin the invariants an
+  * oracle hash can't express.
+  */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("passageDedup tiles: n_passages = n_tokens / w, dups bounded") {
+    val w = 12
+    val got = TextSuite.passageDedup(spark, sf, w)
+    val expected = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= w)
+      .select(col("doc_id"), (col("n_tokens") / w).cast("long").as("want"))
+    val joined = got.join(expected, Seq("doc_id"), "full").cache()
+    assert(joined.filter(col("want").isNull || col("n_passages").isNull).count() == 0,
+      "doc set mismatch: every doc with >= w tokens gets exactly one row")
+    assert(joined.filter(col("n_passages") =!= col("want")).count() == 0,
+      "passage count must tile the token count at stride w")
+    assert(joined.filter(col("n_dup_passages") > col("n_passages")).count() == 0)
+    assert(joined.filter(col("dup_frac") < 0 || col("dup_frac") > 1).count() == 0)
+    joined.unpersist()
+    // near-dup fixtures must actually surface shared passages
+    assert(got.filter(col("n_dup_passages") > 0).count() > 0,
+      "fixture corpus contains near-dups; some passage must be shared")
+  }
+
+  test("piiScrub: stable pseudonyms, banded quasi-identifiers, no raw PII") {
+    val c = graft.model.Tables.customer(spark, sf)
+    val out = RelationalSuite.piiScrub(spark, sf).cache()
+    assert(out.count() == c.count())
+    assert(out.columns.toSet ==
+      Set("c_custkey", "name_hash", "acctbal_band", "c_mktsegment"),
+      "raw name/balance must not survive the scrub")
+    assert(out.filter(length(col("name_hash")) =!= 64).count() == 0,
+      "SHA-256 hex pseudonym")
+    assert(out.filter(col("acctbal_band") % 1000.0 =!= 0.0).count() == 0,
+      "balance generalized to 1000-unit bands")
+    // pseudonym is deterministic and injective on distinct names
+    val names = c.select(countDistinct(col("c_name"))).as[Long].head()
+    val hashes = out.select(countDistinct(col("name_hash"))).as[Long].head()
+    assert(names == hashes, "hash must be stable + collision-free on fixture")
+    out.unpersist()
+  }
+
+  test("priceOutliers: MAD fence marks exactly the manually-fenced rows") {
+    val out = RelationalSuite.priceOutliers(spark, sf).cache()
+    assert(out.count() == 3)
+    assert(out.filter(col("mad") <= 0).count() == 0)
+    assert(out.filter(col("n_outliers") >= col("n")).count() == 0)
+    // recompute one group's fence from first principles
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A")
+      .select(col("l_extendedprice").cast("double")).as[Double].collect().sorted
+    def median(xs: Array[Double]): Double = {
+      val idx = 0.5 * (xs.length - 1)
+      val lo = xs(idx.toInt)
+      val hi = xs(math.min(idx.toInt + 1, xs.length - 1))
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val med = median(li)
+    val mad = median(li.map(x => math.abs(x - med)).sorted)
+    val wantOutliers = li.count(x => math.abs(x - med) > 5.0 * mad)
+    val gotRow = out.filter(col("l_returnflag") === "A")
+      .select(col("n_outliers"), col("mad")).as[(Long, Double)].head()
+    assert(gotRow._1 == wantOutliers.toLong, "outlier count vs manual fence")
+    assert(gotRow._2 == mad, "engine MAD vs manual interpolated median")
+    out.unpersist()
+  }
+
+  test("tableProfile: one row per column, counts consistent") {
+    val out = RelationalSuite.tableProfile(spark, sf).cache()
+    assert(out.count() == 5)
+    assert(out.select(countDistinct(col("column_name"))).as[Long].head() == 5)
+    assert(out.filter(col("n_nonnull") > col("n_rows")).count() == 0)
+    assert(out.filter(col("n_distinct") > col("n_nonnull")).count() == 0)
+    assert(out.filter(col("min_val").isNull || col("max_val").isNull).count() == 0)
+    out.unpersist()
+  }
+}
