@@ -41,3 +41,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cache silently disables the JIT, same interpreted-forever symptom)
   "-XX:ReservedCodeCacheSize=512m",
 )
+
+// The round-driver records only the LAST 2000 chars of bench output; sbt's
+// "[success] Total time ..." trailer (~80 chars) printed after Bench's
+// single JSON line was clipping the line's head out of that window
+// (BENCH_r04 was unparseable for exactly this reason). Suppress it so the
+// JSON line is the last thing in the recorder's tail.
+Global / showSuccess := false
