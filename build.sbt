@@ -48,3 +48,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // (BENCH_r04 was unparseable for exactly this reason). Suppress it so the
 // JSON line is the last thing in the recorder's tail.
 Global / showSuccess := false
+// ... and drop sbt's "[info] " log prefix from the forked JVM's stdout —
+// the bench JSON line should reach the recorder byte-identical.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -113,7 +113,35 @@ object EventSuite {
           .as("retention"))
   }
 
+  /** Gap-filled hourly series — the resampling step between an event log
+    * and any downstream time-series consumer (anomaly detection, rate
+    * dashboards, forecasting), which all need an OBSERVATION PER BUCKET,
+    * including empty ones. The dense grid is built in-plan: (distinct
+    * event_type) × sequence(min_hour, max_hour) — |types| × |hours| rows,
+    * bounded by the time span rather than the event count, so the explode
+    * stays tiny however large the log — then the hourly counts left-join
+    * onto it, co-partitioned on (type, hour). Zero driver round-trips.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+    val range = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts").cast("long").as("hour_s"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gap_fill"             -> (gapFill _),
     "retention_daily"      -> (retentionDaily _),
     "page_counts"          -> (pageCounts _),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
@@ -123,6 +151,24 @@ object EventSuite {
     "funnel"               -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, g.hour_ts
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       r, LATERAL (SELECT unnest(generate_series(r.lo, r.hi,
+        |                     INTERVAL 1 HOUR)) AS hour_ts) g)
+        |SELECT grid.event_type,
+        |       CAST(epoch_us(grid.hour_ts) // 1000000 AS BIGINT) AS hour_s,
+        |       coalesce(cnt, 0) AS cnt
+        |FROM grid LEFT JOIN hourly
+        |  ON grid.event_type = hourly.event_type
+        | AND grid.hour_ts = hourly.hour_ts""".stripMargin,
     "retention_daily" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

@@ -636,6 +636,195 @@ object RelationalSuite {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** TPC-H Q18-shaped large-volume customers: which orders exceed a total
+    * quantity threshold, and who placed them. The shape that matters at
+    * scale: the HAVING pre-aggregate runs over lineitem ALONE (partial
+    * map-side sums, one shuffle on the order key) and shrinks the fact to
+    * the handful of qualifying orders BEFORE any join — joining first and
+    * filtering after would shuffle the full fact twice. The survivors then
+    * broadcast-join against orders/customer. Deterministic top-20 via
+    * (sum_qty desc, orderkey asc).
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 220)
+    big
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("long").as("o_orderdate_s"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  /** Explicit GROUPING SETS with grouping flags — the general form of
+    * rollup/cube: exactly the requested combinations are expanded (here
+    * (status, priority), (status), ()), nothing else, so the Expand
+    * multiplies the input by |sets| = 3 rather than cube's 2^k. The
+    * `grouping()` flags disambiguate a rolled-up NULL from a data NULL —
+    * the contract that makes grouping-set output machine-consumable.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_priority"),
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"), col("total"))
+
+  /** Per-group winsorization audit — the robust-clipping QA a pipeline
+    * runs on metric columns before training: exact p01/p99 fences per
+    * group (distributed value-counts + running share, the same
+    * exact-quantile kernel as exactPercentiles — no single-node sort), the
+    * clip counts, and the winsorized mean. The clipped sum stays in the
+    * exact decimal domain (fences are values FROM the data, so clipping
+    * never leaves DECIMAL(18,2)), making the mean bit-identical across
+    * engines.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col("l_extendedprice")
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), x.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("cd", sum(col("c")).over(w) / sum(col("c")).over(wAll))
+    def fence(p: Double, name: String) =
+      cum.filter(col("cd") >= p).groupBy(col("l_returnflag"))
+        .agg(min(col("v")).as(name))
+    val fences = fence(0.01, "lo").join(fence(0.99, "hi"), "l_returnflag")
+    val xd = x.cast(DecimalType(18, 2))
+    val clipped = least(greatest(xd, col("lo").cast(DecimalType(18, 2))),
+      col("hi").cast(DecimalType(18, 2)))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x)
+      .join(broadcast(fences), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("lo_fence"),
+        max(col("hi")).as("hi_fence"),
+        sum(when(x < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(x > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        (sum(clipped).cast("double") / count(lit(1))).as("winsorized_mean"))
+  }
+
+  /** Per-group Pearson correlation from exact pieces. The five sufficient
+    * statistics (n, Σx, Σy, Σx², Σxy, Σy²) are decimal-exact (associative,
+    * order-independent — the same trick as every dsum in this suite); only
+    * the final scalar arithmetic runs in DOUBLE, and with both engines
+    * evaluating the IDENTICAL expression tree over identical operands,
+    * IEEE-754's exactly-rounded *, /, sqrt make the result bit-equal.
+    * (Spark's built-in `corr` streams in float and is merge-order-
+    * dependent — unusable for a hash oracle; this formulation is the
+    * scale-out exact path.)
+    */
+  def corrGroups(spark: SparkSession, dir: String): DataFrame = {
+    val qd = col("l_quantity").cast(DecimalType(18, 2))
+    val pd = col("l_extendedprice").cast(DecimalType(18, 2))
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qd).as("sx"), sum(pd).as("sy"),
+        sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),
+        sum(qd * pd).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    agg.select(col("l_returnflag"), col("n"),
+      ((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_price"))
+  }
+
+  /** Incremental aggregate maintenance — the materialized-view pattern
+    * every 100 TB pipeline ends up on: the standing per-customer aggregate
+    * is NOT recomputed from scratch when a new batch lands; the batch's
+    * partial aggregate (tiny) merges into the base aggregate (keyed) by
+    * re-aggregating count/sum partials. Here the orders table is split on
+    * a date watermark into base|delta, each is aggregated independently,
+    * and the merge is a union + second aggregate keyed on the customer —
+    * work proportional to |delta| + |affected keys|, not |history|. The
+    * oracle recomputes from ALL rows directly: the hash proves
+    * merge(agg(base), agg(delta)) == agg(base ∪ delta), i.e. the partials
+    * are lossless. avg is derived from merged sum/count, never averaged.
+    */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+    def part(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s"))
+    val base = part(o.filter(col("o_orderdate") < cut))
+    val delta = part(o.filter(col("o_orderdate") >= cut))
+    base.unionAll(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("s")).cast("double").as("total_price"))
+      .withColumn("avg_price", col("total_price") / col("n_orders"))
+  }
+
+  /** SCD2 history build — turning an event-stamped fact into a
+    * slowly-changing-dimension table with validity intervals: each
+    * customer's orders ordered by date become rows
+    * (valid_from, valid_to) where valid_to = next order's date (NULL for
+    * the current row). One window keyed on the customer — partition-local
+    * after a single hash shuffle, no self-join. The warehouse-load shape
+    * for dimension snapshots at any scale.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("valid_from", col("o_orderdate").cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w).cast("long"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("o_orderdate")
+  }
+
+  /** Referential-integrity audit — the cross-table QA gate run before any
+    * star-schema join is trusted: orphan counts for every FK edge, each an
+    * anti-join (broadcast for dim edges, shuffled for fact-fact) collapsed
+    * to one count. Output is one row per edge — constant-size however big
+    * the tables — and an all-clear flag per edge.
+    */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key)).filter(col(key).isNotNull)
+        .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+    val s = spark
+    orphans("lineitem.l_orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionAll(orphans("orders.o_custkey->customer", Tables.orders(s, dir),
+        "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .unionAll(orphans("customer.c_nationkey->nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .unionAll(orphans("supplier.s_nationkey->nation", Tables.supplier(s, dir),
+        "s_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .unionAll(orphans("nation.n_regionkey->region", Tables.nation(s, dir),
+        "n_regionkey", Tables.region(s, dir), "r_regionkey"))
+      .unionAll(orphans("lineitem.l_partkey->part", Tables.lineitem(s, dir),
+        "l_partkey", Tables.part(s, dir), "p_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping"        -> (q3Shipping _),
     "q5_local_volume"    -> (q5LocalVolume _),
@@ -669,9 +858,132 @@ object RelationalSuite {
     "scalar_functions"   -> (scalarFunctions _),
     "pii_scrub"          -> (piiScrub _),
     "price_outliers"     -> ((s: SparkSession, d: String) => priceOutliers(s, d)),
-    "table_profile"      -> (tableProfile _))
+    "table_profile"      -> (tableProfile _),
+    "q18_large_orders"   -> (q18LargeOrders _),
+    "grouping_sets_agg"  -> (groupingSetsAgg _),
+    "winsorize"          -> (winsorize _),
+    "corr_groups"        -> (corrGroups _),
+    "incr_agg"           -> (incrAgg _),
+    "scd2_history"       -> (scd2History _),
+    "fk_audit"           -> (fkAudit _))
 
   val oracles: Map[String, String] = Map(
+    "incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       epoch_us(o_orderdate) // 1000000 AS valid_from,
+        |       epoch_us(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey)) // 1000000 AS valid_to,
+        |       lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders""".stripMargin,
+    "fk_audit" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |       count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans,
+        |       count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0 AS ok
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        |       count(*) FILTER (WHERE c.c_custkey IS NULL),
+        |       count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        |       count(*) FILTER (WHERE n.n_nationkey IS NULL),
+        |       count(*) FILTER (WHERE n.n_nationkey IS NULL) = 0
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey->nation',
+        |       count(*) FILTER (WHERE n.n_nationkey IS NULL),
+        |       count(*) FILTER (WHERE n.n_nationkey IS NULL) = 0
+        |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |UNION ALL
+        |SELECT 'nation.n_regionkey->region',
+        |       count(*) FILTER (WHERE r.r_regionkey IS NULL),
+        |       count(*) FILTER (WHERE r.r_regionkey IS NULL) = 0
+        |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        |       count(*) FILTER (WHERE p.p_partkey IS NULL),
+        |       count(*) FILTER (WHERE p.p_partkey IS NULL) = 0
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 220)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       epoch_us(o_orderdate) // 1000000 AS o_orderdate_s,
+        |       o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey ASC
+        |LIMIT 20""".stripMargin,
+    "grouping_sets_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
+    "winsorize" ->
+      """WITH f AS (
+        |  SELECT l_returnflag,
+        |         quantile_disc(l_extendedprice, 0.01) AS lo,
+        |         quantile_disc(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       min(f.lo) AS lo_fence, max(f.hi) AS hi_fence,
+        |       CAST(sum(CASE WHEN l_extendedprice < f.lo THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clipped_low,
+        |       CAST(sum(CASE WHEN l_extendedprice > f.hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_clipped_high,
+        |       -- clip via CASE, not least/greatest: DuckDB's
+        |       -- least/greatest(DECIMAL, DECIMAL) returns DOUBLE, which
+        |       -- would leak float accumulation into the "exact" sum
+        |       CAST(sum(CAST(CASE WHEN l_extendedprice < f.lo THEN f.lo
+        |                         WHEN l_extendedprice > f.hi THEN f.hi
+        |                         ELSE l_extendedprice END
+        |                    AS DECIMAL(18,2))) AS DOUBLE)
+        |         / count(*) AS winsorized_mean
+        |FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+        |GROUP BY 1""".stripMargin,
+    "corr_groups" ->
+      // the decimal sums go through VARCHAR on their way to DOUBLE:
+      // DuckDB's direct DECIMAL(38,4) -> DOUBLE cast is off by one ulp for
+      // some values (hugeint/scale division), while its string->double
+      // parse is correctly rounded — matching Spark's BigDecimal cast
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |         AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+        |         AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+        |         AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+        |         AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+        |         AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |         (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+        |FROM s""".stripMargin,
     "pii_scrub" ->
       """SELECT c_custkey, sha256(c_name) AS name_hash,
         |       floor(c_acctbal / 1000.0e0) * 1000.0e0 AS acctbal_band,

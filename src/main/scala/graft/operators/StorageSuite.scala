@@ -162,10 +162,52 @@ object StorageSuite {
     dppJoinPlan(spark, dir)
   }
 
+  /** The Z-ordered copy of lineitem's (partkey, suppkey) plane, written
+    * once per fixture dir. Range-partitioning ON THE Z-VALUE + sorting
+    * within partitions gives every output file a contiguous z-range, i.e.
+    * a small (partkey, suppkey) box — the property ZOrderSpec measures
+    * directly from the written footers.
+    */
+  private[operators] def writeZOrdered(spark: SparkSession, dir: String): String = {
+    val path = s"${layoutRoot(dir)}/li_zorder"
+    val z = graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_quantity"))
+      .withColumn("zval", z)
+      .repartitionByRange(16, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** 2-D box query over the Z-ordered layout: lineitems with BOTH
+    * l_partkey and l_suppkey in narrow ranges. On a layout sorted by
+    * either single key the other key's predicate prunes nothing; on the
+    * Z-ordered layout both predicates prune at the file level (each file's
+    * min/max covers a small box of the plane) and again at row-group
+    * level via parquet column stats — at 100 TB this is the difference
+    * between scanning the fleet and scanning a handful of files. The
+    * result is layout-independent (the oracle runs the same box on the
+    * raw table): the hash proves the curve reorders, never loses, rows.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val path = writeZOrdered(spark, dir)
+    spark.read.parquet(path)
+      .filter(col("l_partkey").between(400, 600) &&
+        col("l_suppkey").between(40, 60))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"   -> (bucketedJoin _),
     "partition_prune" -> (partitionPrune _),
-    "dpp_join"        -> (dppJoin _))
+    "dpp_join"        -> (dppJoin _),
+    "zorder_layout"   -> (zorderLayout _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
@@ -180,6 +222,13 @@ object StorageSuite {
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users
         |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    "zorder_layout" ->
+      """SELECT l_suppkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 400 AND 600
+        |  AND l_suppkey BETWEEN 40 AND 60
         |GROUP BY 1""".stripMargin,
     "dpp_join" ->
       """WITH dim AS (

@@ -757,7 +757,33 @@ object TextSuite {
         col("n_dup_passages").cast("double") / col("n_passages"))
   }
 
+  /** N-gram novelty — contribution scoring for curriculum/curation: what
+    * fraction of a document's distinct 3-gram shingles appear in NO
+    * earlier document (doc_id order = ingest order)? Boilerplate and
+    * near-copies of already-ingested pages score near 0, genuinely new
+    * material near 1 — the greedy "what does this doc add to the corpus"
+    * measure. First-occurrence attribution is one (hash → min doc_id)
+    * aggregate; the per-doc fraction divides two exactly-counted longs.
+    * The shuffle carries 64-bit gram hashes, never gram strings; work is
+    * linear in corpus shingle volume (no pairwise anything), so the same
+    * plan runs at 100 TB — the oracle rebuilds it from raw string shingles
+    * (injective at fixture scale, same argument as ngram_jaccard).
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("h"))
+    val first = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty"   -> (ngramNovelty _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
@@ -819,6 +845,23 @@ object TextSuite {
       |  WHERE df_sh <= greatest((SELECT count(*) FROM documents) * 0.02, 8.0))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_novel,
+        |       CAST(sum(CASE WHEN sh.doc_id = first.first_doc THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / count(*) AS novelty
+        |FROM sh JOIN first USING (s)
+        |GROUP BY 1""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf

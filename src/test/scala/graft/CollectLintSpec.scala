@@ -33,7 +33,7 @@ class CollectLintSpec extends SparkSpec {
     */
   private val trainingAllowed: Set[String] =
     Set("ivf_kmeans_recall", "pq_kmeans_gain",
-      "bucketed_join", "partition_prune", "dpp_join")
+      "bucketed_join", "partition_prune", "dpp_join", "zorder_layout")
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]
