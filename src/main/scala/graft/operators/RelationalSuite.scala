@@ -546,12 +546,13 @@ object RelationalSuite {
     val wAll = Window.partitionBy(col("l_returnflag"))
     val cum = counts
       .withColumn("cd", sum(col("c")).over(w) / sum(col("c")).over(wAll))
-    def pctl(p: Double, name: String) =
-      cum.filter(col("cd") >= p).groupBy(col("l_returnflag"))
-        .agg(min(col("l_quantity")).as(name))
-    pctl(0.5, "median_qty")
-      .join(pctl(0.9, "p90_qty"), "l_returnflag")
-      .join(pctl(0.99, "p99_qty"), "l_returnflag")
+    // all three quantiles from ONE window pass via conditional mins (the
+    // filter-per-quantile + join form executes the window subtree once per
+    // quantile — same fix as winsorize's fences)
+    cum.groupBy(col("l_returnflag"))
+      .agg(min(when(col("cd") >= 0.5, col("l_quantity"))).as("median_qty"),
+        min(when(col("cd") >= 0.9, col("l_quantity"))).as("p90_qty"),
+        min(when(col("cd") >= 0.99, col("l_quantity"))).as("p99_qty"))
   }
 
   /** PII scrubbing — the governance projection a training pipeline runs
@@ -700,10 +701,12 @@ object RelationalSuite {
     val wAll = Window.partitionBy(col("l_returnflag"))
     val cum = counts
       .withColumn("cd", sum(col("c")).over(w) / sum(col("c")).over(wAll))
-    def fence(p: Double, name: String) =
-      cum.filter(col("cd") >= p).groupBy(col("l_returnflag"))
-        .agg(min(col("v")).as(name))
-    val fences = fence(0.01, "lo").join(fence(0.99, "hi"), "l_returnflag")
+    // both fences from ONE window pass via conditional mins — the naive
+    // filter-per-quantile + join would execute the window subtree once per
+    // fence (measured 4.9 s vs 2.4 s for this single-pass form at sf0.1)
+    val fences = cum.groupBy(col("l_returnflag"))
+      .agg(min(when(col("cd") >= 0.01, col("v"))).as("lo"),
+        min(when(col("cd") >= 0.99, col("v"))).as("hi"))
     val xd = x.cast(DecimalType(18, 2))
     val clipped = least(greatest(xd, col("lo").cast(DecimalType(18, 2))),
       col("hi").cast(DecimalType(18, 2)))
@@ -745,6 +748,63 @@ object RelationalSuite {
     agg.select(col("l_returnflag"), col("n"),
       ((n * sxy - sx * sy) /
         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qty_price"))
+  }
+
+  /** TPC-H Q7-shaped volume shipping: revenue flowing between two specific
+    * nations, by supplier-nation/customer-nation/year. The distinctive
+    * shape is the DISJUNCTIVE cross-dimension predicate
+    * (supp=N3 ∧ cust=N7) ∨ (supp=N7 ∧ cust=N3): each dimension
+    * chain alone cannot pre-filter to one nation — both nations survive
+    * both chains and the OR resolves only after the fact join. Both
+    * filtered dims broadcast; the lineitem⋈orders fact-fact join still
+    * shuffles exactly once on the order key.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    val nations = Seq("NATION_3", "NATION_7")
+    val n1 = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("sk"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("ck"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(disc).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Distribution-drift histogram — the PSI/KL input table a pipeline
+    * publishes to compare a metric's distribution across two populations
+    * (here: orders before/after a date cut, the deploy-boundary shape).
+    * Fixed equi-width bins over a pinned range keep bucket ids
+    * engine-portable; per-bin fractions divide exactly-counted longs, so
+    * the output hashes bit-exact and the PSI itself (a transcendental of
+    * these fractions) is left to the consumer. One scan, one tiny
+    * aggregate — constant output size at any data scale.
+    */
+  def driftHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val bin = least(floor(col("o_totalprice") / 50000.0).cast("long"), lit(9L))
+    val o = Tables.orders(spark, dir)
+      .select(bin.as("bin"), (col("o_orderdate") < cut).as("is_base"))
+    o.groupBy(col("bin"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("n_new"))
+      .crossJoin(broadcast(o.agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("t_base"),
+        sum(when(col("is_base"), 0L).otherwise(1L)).as("t_new"))))
+      .select(col("bin"), col("n_base"), col("n_new"),
+        (col("n_base").cast("double") / col("t_base")).as("frac_base"),
+        (col("n_new").cast("double") / col("t_new")).as("frac_new"))
   }
 
   /** Incremental aggregate maintenance — the materialized-view pattern
@@ -865,9 +925,45 @@ object RelationalSuite {
     "corr_groups"        -> (corrGroups _),
     "incr_agg"           -> (incrAgg _),
     "scd2_history"       -> (scd2History _),
-    "fk_audit"           -> (fkAudit _))
+    "fk_audit"           -> (fkAudit _),
+    "q7_nation_volume"   -> (q7NationVolume _),
+    "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_3','NATION_7') AND n2.n_name IN ('NATION_3','NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "drift_histogram" ->
+      """WITH b AS (
+        |  SELECT least(CAST(floor(o_totalprice / 50000.0e0) AS BIGINT), 9) AS bin,
+        |         o_orderdate < TIMESTAMP '1997-06-01' AS is_base
+        |  FROM orders),
+        |t AS (
+        |  SELECT CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS t_base,
+        |         CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS t_new
+        |  FROM b)
+        |SELECT bin,
+        |       CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |       CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS DOUBLE) / t_base
+        |         AS frac_base,
+        |       CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS DOUBLE) / t_new
+        |         AS frac_new
+        |FROM b, t
+        |GROUP BY bin, t_base, t_new""".stripMargin,
     "incr_agg" ->
       """SELECT o_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
