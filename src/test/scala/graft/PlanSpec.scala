@@ -147,6 +147,42 @@ class PlanSpec extends SparkSpec {
       s"fact scan carries no dynamic pruning filter:\n$plan")
   }
 
+  test("q18 pre-aggregates lineitem below the joins and top-ks without a global sort") {
+    val plan = executedPlan(RelationalSuite.q18LargeOrders(spark, dir))
+    // the HAVING aggregate must sit UNDER the joins (fact shrinks first):
+    // in the printed tree the joins are parents, so they appear before the
+    // quantity partial-agg line
+    val join = plan.indexOf("Join")
+    val agg = plan.indexOf("partial_sum(cast(l_quantity")
+    assert(join >= 0 && agg > join,
+      s"quantity pre-aggregate not below the joins in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q18 top-20 degraded to a global sort in:\n$plan")
+  }
+
+  test("incr_agg merges partials without re-shuffling the union") {
+    val plan = executedPlan(RelationalSuite.incrAgg(spark, dir))
+    val union = plan.indexOf("Union")
+    assert(union >= 0, s"no union of base/delta partials in:\n$plan")
+    // the merge aggregate above the union must reuse the branches'
+    // hash-partitioning on o_custkey — any Exchange printed BEFORE the
+    // Union line is a re-shuffle of the merged stream
+    val above = plan.substring(0, union)
+    assert(!above.contains("Exchange"),
+      s"merge aggregate re-shuffles the union in:\n$plan")
+  }
+
+  test("winsorize computes both fences from one window subtree") {
+    val plan = executedPlan(RelationalSuite.winsorize(spark, dir))
+    // two stacked Window nodes (two frame specs) — the filter-per-fence
+    // form would plan four; and the value-counts pre-aggregate must keep
+    // the window off the raw rows
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows <= 2, s"window subtree duplicated ($windows nodes) in:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"no value-counts combine before the fence window in:\n$plan")
+  }
+
   test("exact near-dup runs as a shuffled block-pair kernel, not a driver collect") {
     val plan = executedPlan(SimilaritySuite.embedNearDup(spark, dir))
     // the pairwise kernel must be a distributed MapGroups fed by a shuffle
