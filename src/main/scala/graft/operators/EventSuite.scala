@@ -140,7 +140,69 @@ object EventSuite {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Mergeable distinct-count rollup — the pre-aggregated cube pattern
+    * that makes distinct counting tractable at 100 TB: the expensive scan
+    * happens ONCE at the daily grain, producing per-(type, day) summaries
+    * that any later query merges in milliseconds (here: per-type all-time
+    * users). Two parallel layers from the same grain:
+    *   - EXACT: roaring-style bitmaps of user ids (bitmap_construct_agg
+    *     per 32k-id bucket, bitmap_or_agg to merge, bitmap_count to
+    *     finish) — unlike a plain countDistinct, the daily partials are
+    *     reusable for ANY date range with no rescan;
+    *   - APPROX: DataSketches HLL (hll_sketch_agg / hll_union_agg), the
+    *     constant-size alternative when ids don't fit bitmaps.
+    * The bitmap side is oracle-EXACT (hash-compared against DuckDB's
+    * count(DISTINCT)); the HLL estimate is deterministic, gated at 5%.
+    */
+  def mergeableRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"),
+      floor(col("ts").cast("long") / 86400).as("day"))
+    val dailyBm = ev.groupBy(col("event_type"), col("day"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+    val exact = dailyBm
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("exact_users"))
+    val dailySk = ev.groupBy(col("event_type"), col("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val approx = dailySk.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"))
+    exact.join(approx, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("hll_ok"))
+  }
+
+  /** Event-transition matrix — first-order Markov view of user behavior
+    * (the input to journey analysis, anomaly detection on flows, and
+    * next-event models): for each consecutive pair of events per user,
+    * count (from → to) transitions and each source state's outgoing
+    * fraction. One lead() window per user (single hash shuffle on
+    * user_id, partition-local sort); the transition matrix itself is
+    * |types|² rows however large the log, so the closing fraction window
+    * runs over a constant-size aggregate. Ties on ts break by event_id —
+    * deterministic on both engines.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wf = Window.partitionBy(col("from_type"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("frac",
+        col("n").cast("double") / sum(col("n")).over(wf))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions"    -> (eventTransitions _),
+    "mergeable_rollup"     -> (mergeableRollup _),
     "gap_fill"             -> (gapFill _),
     "retention_daily"      -> (retentionDaily _),
     "page_counts"          -> (pageCounts _),
@@ -151,6 +213,23 @@ object EventSuite {
     "funnel"               -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    "event_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) /
+        |         sum(n) OVER (PARTITION BY from_type) AS frac
+        |FROM c""".stripMargin,
+    "mergeable_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS hll_ok
+        |FROM events GROUP BY 1""".stripMargin,
     "gap_fill" ->
       """WITH hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
