@@ -807,6 +807,46 @@ object RelationalSuite {
         (col("n_new").cast("double") / col("t_new")).as("frac_new"))
   }
 
+  /** Year-over-year seasonality — the time-series comparison every revenue
+    * dashboard runs: monthly totals with the same-month-last-year value
+    * and its exact delta beside them. The lag(12) window runs over the
+    * MONTHLY AGGREGATE (bounded by the calendar, not the fact table), so
+    * the only fact-scale work is one partial-aggregated groupBy; the
+    * deltas subtract exact decimal sums, so the hash is bit-stable.
+    */
+  def ordersSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("yr"), col("mo"))
+    monthly
+      .withColumn("rev_prev_year", lag(col("rev"), 12).over(w))
+      .select(col("yr"), col("mo"), col("rev").cast("double").as("revenue"),
+        col("n_orders"),
+        col("rev_prev_year").cast("double").as("revenue_prev_year"),
+        (col("rev") - col("rev_prev_year")).cast("double").as("yoy_delta"))
+  }
+
+  /** Ranking/distribution window surface beyond windowFuncs' lag/lead/
+    * ntile: percent_rank, cume_dist, first/nth value over each customer's
+    * order history — the remaining OVER-clause family, one shuffle on the
+    * partition key like every other window here.
+    */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      first(col("o_orderkey")).over(w).as("cheapest_orderkey"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
+  }
+
   /** Incremental aggregate maintenance — the materialized-view pattern
     * every 100 TB pipeline ends up on: the standing per-customer aggregate
     * is NOT recomputed from scratch when a new batch lands; the batch's
@@ -923,6 +963,8 @@ object RelationalSuite {
     "grouping_sets_agg"  -> (groupingSetsAgg _),
     "winsorize"          -> (winsorize _),
     "corr_groups"        -> (corrGroups _),
+    "orders_seasonality" -> (ordersSeasonality _),
+    "window_ranks"       -> (windowRanks _),
     "incr_agg"           -> (incrAgg _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
@@ -930,6 +972,28 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "orders_seasonality" ->
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |         CAST(month(o_orderdate) AS INT) AS mo,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue, n_orders,
+        |       CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
+        |         AS revenue_prev_year,
+        |       CAST(rev - lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
+        |         AS yoy_delta
+        |FROM m""".stripMargin,
+    "window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       first_value(o_orderkey) OVER w AS cheapest_orderkey,
+        |       nth_value(o_orderkey, 2) OVER w AS second_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS INT) AS l_year,
