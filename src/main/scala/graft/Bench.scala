@@ -103,7 +103,9 @@ object Bench {
         f"""${passTotals.last}%.1f],"queries":{\n$detail\n}}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
+      }
     }
     // The stdout JSON line must survive the recorder's 2000-char tail
     // (BENCH_r04 overflowed it and parsed as null). Budget 1700 chars:

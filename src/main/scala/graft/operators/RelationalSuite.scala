@@ -809,21 +809,25 @@ object RelationalSuite {
 
   /** Year-over-year seasonality — the time-series comparison every revenue
     * dashboard runs: monthly totals with the same-month-last-year value
-    * and its exact delta beside them. The lag(12) window runs over the
-    * MONTHLY AGGREGATE (bounded by the calendar, not the fact table), so
-    * the only fact-scale work is one partial-aggregated groupBy; the
-    * deltas subtract exact decimal sums, so the hash is bit-stable.
+    * and its exact delta beside them. The prior-year value comes from a
+    * CALENDAR self-join on (yr-1, mo) over the MONTHLY AGGREGATE (bounded
+    * by the calendar, not the fact table) — unlike a lag(12) row offset,
+    * the semantics hold even when some months have zero orders. The only
+    * fact-scale work is one partial-aggregated groupBy; the join sides are
+    * both the tiny monthly table, so Spark broadcasts it; the deltas
+    * subtract exact decimal sums, so the hash is bit-stable.
     */
   def ordersSeasonality(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val monthly = Tables.orders(spark, dir)
       .groupBy(year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"),
         count(lit(1)).as("n_orders"))
-    val w = Window.orderBy(col("yr"), col("mo"))
+    val prev = monthly.select(col("yr").as("p_yr"), col("mo").as("p_mo"),
+      col("rev").as("rev_prev_year"))
     monthly
-      .withColumn("rev_prev_year", lag(col("rev"), 12).over(w))
+      .join(broadcast(prev),
+        col("yr") - 1 === col("p_yr") && col("mo") === col("p_mo"), "left")
       .select(col("yr"), col("mo"), col("rev").cast("double").as("revenue"),
         col("n_orders"),
         col("rev_prev_year").cast("double").as("revenue_prev_year"),
@@ -979,12 +983,10 @@ object RelationalSuite {
         |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
         |         count(*) AS n_orders
         |  FROM orders GROUP BY 1, 2)
-        |SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue, n_orders,
-        |       CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
-        |         AS revenue_prev_year,
-        |       CAST(rev - lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE)
-        |         AS yoy_delta
-        |FROM m""".stripMargin,
+        |SELECT m.yr, m.mo, CAST(m.rev AS DOUBLE) AS revenue, m.n_orders,
+        |       CAST(p.rev AS DOUBLE) AS revenue_prev_year,
+        |       CAST(m.rev - p.rev AS DOUBLE) AS yoy_delta
+        |FROM m LEFT JOIN m p ON p.yr = m.yr - 1 AND p.mo = m.mo""".stripMargin,
     "window_ranks" ->
       """SELECT o_custkey, o_orderkey,
         |       percent_rank() OVER w AS pr,
@@ -1043,35 +1045,44 @@ object RelationalSuite {
         |         ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
         |FROM orders""".stripMargin,
     "fk_audit" ->
+      // Each branch pins WHERE <child key> IS NOT NULL so both engines agree
+      // that a NULL FK is "no reference", not an orphan (the Spark side
+      // filters isNotNull before its anti-join).
       """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
         |       count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans,
         |       count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0 AS ok
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey IS NOT NULL
         |UNION ALL
         |SELECT 'orders.o_custkey->customer',
         |       count(*) FILTER (WHERE c.c_custkey IS NULL),
         |       count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_custkey IS NOT NULL
         |UNION ALL
         |SELECT 'customer.c_nationkey->nation',
         |       count(*) FILTER (WHERE n.n_nationkey IS NULL),
         |       count(*) FILTER (WHERE n.n_nationkey IS NULL) = 0
         |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_nationkey IS NOT NULL
         |UNION ALL
         |SELECT 'supplier.s_nationkey->nation',
         |       count(*) FILTER (WHERE n.n_nationkey IS NULL),
         |       count(*) FILTER (WHERE n.n_nationkey IS NULL) = 0
         |FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |WHERE s.s_nationkey IS NOT NULL
         |UNION ALL
         |SELECT 'nation.n_regionkey->region',
         |       count(*) FILTER (WHERE r.r_regionkey IS NULL),
         |       count(*) FILTER (WHERE r.r_regionkey IS NULL) = 0
         |FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE n.n_regionkey IS NOT NULL
         |UNION ALL
         |SELECT 'lineitem.l_partkey->part',
         |       count(*) FILTER (WHERE p.p_partkey IS NULL),
         |       count(*) FILTER (WHERE p.p_partkey IS NULL) = 0
-        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_partkey IS NOT NULL""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
