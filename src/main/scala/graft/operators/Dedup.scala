@@ -362,6 +362,66 @@ object Dedup {
     labels.join(next, "doc_id").filter(col("next_id") =!= col("cluster_id"))
   }
 
+  /** Substring-level (exact-span) dedup — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * duplicated-SPAN detector, between passage_dedup's fixed windows and
+    * whole-document dedup: for every document, how many token positions
+    * sit inside an exact `minLen`-token run that occurs MORE THAN ONCE in
+    * the corpus (other documents or elsewhere in the same one)?
+    *
+    * Semantics: a position is duplicated iff some `minLen`-token window
+    * covering it appears >= 2 times corpus-wide — exactly the positions a
+    * suffix-array pass flags for maximal duplicated spans of length >=
+    * minLen, computed n-gram-wise. Output per doc: token count, covered
+    * (duplicated) token total, duplicated-window count, covered fraction.
+    *
+    * Scale shape — and why NOT the pair-verify design: the tempting
+    * "fingerprint postings join, then per-PAIR longest-shared-run
+    * verification" is quadratic in a duplicate cluster's size (a
+    * 1000-copy boilerplate page = 500k pair verifications re-reading both
+    * texts) and needs the raw text shipped to the verifier. This
+    * formulation never builds a pair: one posexplode of the native
+    * multiset ShingleHash (8-byte gram hashes, never strings, linear in
+    * token volume), one hash-keyed occurrence count (map-side combined;
+    * its exchange is reused by the join back), and the interval-union per
+    * doc runs as a lag() window over ONLY the duplicated positions —
+    * coverage = sum of min(gap, minLen) island contributions, no
+    * L-fold position expansion. Every shuffle is keyed (gram hash, then
+    * doc_id); a 100 TB corpus pays corpus-linear shuffle volume.
+    */
+  def substringCoverage(docs: DataFrame, minLen: Int = 8,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(shingleHashesAll(col(textCol), minLen)).as(Seq("pos", "h")))
+    // duplicated gram hashes are the RARE side: filter occ > 1 BEFORE the
+    // join back, so the probe carries only genuinely duplicated windows
+    val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select(col("h"))
+    val dupPos = grams.join(dup, "h").select(col("doc_id"), col("pos"))
+    // interval union without expansion: consecutive duplicated windows
+    // overlap unless the position gap >= minLen, so each window adds
+    // min(gap, minLen) newly covered positions (the first adds minLen)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = dupPos
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("gap").isNull || col("gap") >= minLen, lit(minLen.toLong))
+          .otherwise(col("gap").cast("long")).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("dup_tokens"),
+        count(lit(1)).as("n_dup_grams"))
+    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens")).as("dup_frac"))
+  }
+
   /** 64-bit SimHash of the shingle hash multiset: per bit, majority vote of
     * +1/-1 across shingle hashes. Pure projection (64 in-row folds), then
     * near-dup candidates come from exact-match on any 16-bit chunk

@@ -757,6 +757,15 @@ object TextSuite {
         col("n_dup_passages").cast("double") / col("n_passages"))
   }
 
+  /** Substring-level exact-span dedup — see Dedup.substringCoverage for
+    * the operator and its scale shape. 8-token windows: long enough that
+    * duplicated spans are real shared runs (the fixtures' near-dup docs
+    * share 40+-token prefixes), short enough that partial overlaps still
+    * register at fixture document lengths (~10-100 tokens).
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringCoverage(Tables.documents(spark, dir), minLen = 8)
+
   /** N-gram novelty — contribution scoring for curriculum/curation: what
     * fraction of a document's distinct 3-gram shingles appear in NO
     * earlier document (doc_id order = ingest order)? Boilerplate and
@@ -816,7 +825,8 @@ object TextSuite {
     "adaptive_quality" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "source_overlap"  -> (sourceOverlap _),
     "delta_dedup"     -> (deltaDedup _),
-    "passage_dedup"   -> ((s: SparkSession, d: String) => passageDedup(s, d)))
+    "passage_dedup"   -> ((s: SparkSession, d: String) => passageDedup(s, d)),
+    "substring_dedup" -> (substringDedup _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -1411,5 +1421,39 @@ object TextSuite {
         |         AS n_dup_passages,
         |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |         / count(*) AS dup_frac
-        |FROM occ GROUP BY 1""".stripMargin)
+        |FROM occ GROUP BY 1""".stripMargin,
+    // Recomputes duplicated-span coverage from raw strings: 8-token window
+    // grams (string form — injective where the engine joins 64-bit hashes),
+    // occurrence count > 1, then the SAME min(gap, 8) island union per doc.
+    // Positions are 1-based here vs 0-based in the engine; only gaps matter.
+    "substring_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS pos
+        |  FROM d WHERE len(toks) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos : pos+7], ' ') AS gram
+        |  FROM p),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |                OR pos - lag(pos) OVER w >= 8 THEN 8
+        |              ELSE pos - lag(pos) OVER w END AS contrib
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dup_tokens,
+        |         count(*) AS n_dup_grams
+        |  FROM isl GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(s.toks) AS INT) AS n_tokens,
+        |       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+        |       CASE WHEN len(s.toks) = 0 THEN 0.0e0
+        |            ELSE CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
+        |                 / CAST(len(s.toks) AS INT) END AS dup_frac
+        |FROM d s LEFT JOIN agg a USING (doc_id)""".stripMargin)
 }

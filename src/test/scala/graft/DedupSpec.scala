@@ -170,4 +170,43 @@ class DedupSpec extends SparkSpec {
     assert(delta == expected,
       s"delta dedup diverged from full pairing:\n$delta\nvs\n$expected")
   }
+
+  test("substring coverage: shared run covered exactly, fragments ignored") {
+    // doc 10 and 11 share one 12-token run (positions 4..15 of doc 10,
+    // 0..11 of doc 11); doc 12 shares only 5 consecutive tokens (< minLen);
+    // doc 13 is unrelated. With minLen = 8 the shared run contributes
+    // exactly 12 covered tokens to each sharer, nothing else registers.
+    val run = (1 to 12).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (10L, s"a1 a2 a3 a4 $run a5 a6"),
+      (11L, s"$run b1 b2 b3"),
+      (12L, "c1 c2 " + (1 to 5).map(i => s"s$i").mkString(" ") + " c3 c4"),
+      (13L, (1 to 20).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringCoverage(corpus, minLen = 8)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L)._3 == 12L, s"doc 10 covered ${out(10L)._3}, want 12")
+    assert(out(11L)._3 == 12L, s"doc 11 covered ${out(11L)._3}, want 12")
+    assert(out(12L)._3 == 0L, "sub-minLen fragment must not register")
+    assert(out(13L)._3 == 0L, "unrelated doc must not register")
+    // 12-token run = 5 duplicated 8-token windows on each side
+    assert(out(10L)._4 == 5L && out(11L)._4 == 5L)
+    assert(math.abs(out(10L)._5 - 12.0 / out(10L)._2) < 1e-15)
+  }
+
+  test("substring coverage: within-doc repetition counts as duplication") {
+    // one doc repeating an 8-token run twice, nothing shared across docs
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    val corpus = Seq(
+      (20L, s"$run x1 x2 $run"),
+      (21L, (1 to 18).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringCoverage(corpus, minLen = 8)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(20L)._3 == 16L,
+      s"both occurrences of the repeated run must be covered: ${out(20L)._3}")
+    assert(out(21L)._3 == 0L)
+  }
 }
