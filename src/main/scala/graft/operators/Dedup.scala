@@ -422,6 +422,66 @@ object Dedup {
             col("n_tokens")).as("dup_frac"))
   }
 
+  /** Line/sentence-level boilerplate removal — the C4/CCNet cleaning rule
+    * (keep the FIRST occurrence of every line corpus-wide, drop repeats)
+    * applied per document: how many of a doc's sentences, and what token
+    * mass, would line-dedup remove?
+    *
+    * The fixture corpus carries no newlines or punctuation, so sentence
+    * boundaries are CONTENT-DEFINED: a token whose md5 starts with nibble
+    * '0' closes the current sentence (p = 1/16, ~9-token mean). This is
+    * content-defined chunking from dedup storage systems: boundaries
+    * depend only on local content, so two documents sharing a long run
+    * produce identical sentences inside the run REGARDLESS of token
+    * offset — unlike fixed-width windows, which lose alignment under any
+    * shift. On a real corpus, swap `boundary` for a newline/punctuation
+    * predicate; everything downstream is unchanged. md5 (not the native
+    * FNV shingle hash) keys the boundary so an external engine can
+    * reproduce the exact segmentation — the oracle does.
+    *
+    * Keep-first policy: occurrences rank by (doc_id, position); rank 1
+    * survives, the rest are removed — unlike passage_dedup, which flags
+    * every occurrence symmetrically. Scale shape: tokens explode linearly;
+    * the segment id is one per-doc running sum (shuffle keyed on doc_id);
+    * sentence assembly aggregates on (doc_id, seg_id), satisfied by the
+    * same partitioning (no exchange); ranking shuffles 16-byte sentence
+    * digests, never sentence strings; the final roll-up re-keys on doc_id.
+    */
+  def sentenceDedup(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    // seg_id = boundaries seen BEFORE this token (a boundary token is the
+    // last token of ITS sentence), so it needs the 1-preceding frame
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = when(substring(md5(col("tok")), 1, 1) === "0", 1L)
+      .otherwise(0L)
+    val seg = toks.withColumn("seg_id",
+      coalesce(sum(boundary).over(wSeg), lit(0L)))
+    // sentence digest: tokens re-ordered by position (collect_list carries
+    // no order guarantee), joined on single spaces, md5'd. The transform
+    // HOF runs interpreted, but at SENTENCE granularity (one eval per
+    // sentence), not token granularity — immaterial to the plan cost.
+    val sent = seg.groupBy(col("doc_id"), col("seg_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("sent_key"))
+    val wDup = Window.partitionBy(col("sent_key"))
+      .orderBy(col("doc_id"), col("seg_id"))
+    sent.withColumn("rn", row_number().over(wDup))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("rn") > 1, col("n_toks")).otherwise(0L))
+          .as("tokens_removed"))
+      .withColumn("removed_frac",
+        col("tokens_removed").cast("double") / col("n_tokens"))
+  }
+
   /** 64-bit SimHash of the shingle hash multiset: per bit, majority vote of
     * +1/-1 across shingle hashes. Pure projection (64 in-row folds), then
     * near-dup candidates come from exact-match on any 16-bit chunk

@@ -766,6 +766,12 @@ object TextSuite {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringCoverage(Tables.documents(spark, dir), minLen = 8)
 
+  /** Sentence-level (C4-rule) boilerplate removal — see Dedup.sentenceDedup
+    * for the content-defined segmentation and the keep-first policy.
+    */
+  def sentenceDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sentenceDedup(Tables.documents(spark, dir))
+
   /** N-gram novelty — contribution scoring for curriculum/curation: what
     * fraction of a document's distinct 3-gram shingles appear in NO
     * earlier document (doc_id order = ingest order)? Boilerplate and
@@ -826,7 +832,8 @@ object TextSuite {
     "source_overlap"  -> (sourceOverlap _),
     "delta_dedup"     -> (deltaDedup _),
     "passage_dedup"   -> ((s: SparkSession, d: String) => passageDedup(s, d)),
-    "substring_dedup" -> (substringDedup _))
+    "substring_dedup" -> (substringDedup _),
+    "sentence_dedup"  -> (sentenceDedup _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -1455,5 +1462,41 @@ object TextSuite {
         |       CASE WHEN len(s.toks) = 0 THEN 0.0e0
         |            ELSE CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
         |                 / CAST(len(s.toks) AS INT) END AS dup_frac
-        |FROM d s LEFT JOIN agg a USING (doc_id)""".stripMargin)
+        |FROM d s LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // Reproduces the content-defined segmentation exactly: same md5-nibble
+    // boundary, same (doc_id, position) keep-first ranking; sentences here
+    // are assembled by ordered string_agg (positions 1-based vs the
+    // engine's 0-based — only the ordering matters).
+    "sentence_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(text), '\s+')) AS tok,
+        |         unnest(range(1, len(string_split_regex(trim(text), '\s+'))
+        |                + 1)) AS pos
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, pos, tok,
+        |         coalesce(sum(CASE WHEN md5(tok) LIKE '0%' THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS seg_id
+        |  FROM toks),
+        |sent AS (
+        |  SELECT doc_id, seg_id, count(*) AS n_toks,
+        |         md5(string_agg(tok, ' ' ORDER BY pos)) AS sent_key
+        |  FROM seg GROUP BY doc_id, seg_id),
+        |ranked AS (
+        |  SELECT doc_id, n_toks,
+        |         row_number() OVER (PARTITION BY sent_key
+        |                            ORDER BY doc_id, seg_id) AS rn
+        |  FROM sent)
+        |SELECT doc_id, count(*) AS n_sentences,
+        |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_removed,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS BIGINT)
+        |         AS tokens_removed,
+        |       CAST(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(n_toks) AS BIGINT) AS removed_frac
+        |FROM ranked GROUP BY doc_id""".stripMargin)
 }

@@ -209,4 +209,39 @@ class DedupSpec extends SparkSpec {
       s"both occurrences of the repeated run must be covered: ${out(20L)._3}")
     assert(out(21L)._3 == 0L)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("sentence dedup: keep-first removes the later identical doc wholesale") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(corpus)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == 0L, "first occurrence must keep everything")
+    assert(out(1L)._3 == out(1L)._2, "every sentence of the copy is a repeat")
+    assert(out(1L)._6 == 1.0)
+    assert(out(0L)._2 == out(1L)._2, "identical text, identical segmentation")
+  }
+
+  test("sentence dedup: content-defined boundaries survive a prefix shift") {
+    // a boundary token (md5 starts with '0') placed before the shared run
+    // realigns segmentation, so the run's sentences match despite the two
+    // docs' different prefix lengths — the CDC property fixed windows lack
+    val boundaryTok = (1 to 10000).map(i => s"b$i")
+      .find(t => md5Hex(t).startsWith("0")).get
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"p1 p2 p3 p4 p5 $boundaryTok $shared"),
+      (1L, s"q1 $boundaryTok $shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceDedup(corpus)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == 0L)
+    assert(out(1L)._3 == out(1L)._2 - 1,
+      s"all of doc 1 after its first sentence is shared: ${out(1L)}")
+  }
 }
