@@ -203,15 +203,128 @@ object StorageSuite {
           .cast("double").as("revenue"))
   }
 
+  /** Cross-engine, order-independent whole-table checksum — the
+    * snapshot-integrity primitive behind migration sign-off, replica
+    * comparison, and incremental-view audits: two engines (or two
+    * snapshots) agree on a table iff they agree on one short digest row,
+    * without either side sorting or shipping the data.
+    *
+    * Construction: each row canonicalizes column-by-column to a text form
+    * both engines produce identically (ints/strings verbatim; doubles via
+    * DECIMAL(18,6) — exact fixed-point, no float-to-string divergence;
+    * timestamps as epoch seconds; float arrays element-wise; NULL as a
+    * sentinel concat_ws would otherwise silently drop), then hashes to
+    * sha256 and keeps 60 bits (15 hex chars — parseable into a BIGINT by
+    * both engines; xxhash64 has no DuckDB twin). The table digest is the
+    * exact DECIMAL(38,0) SUM of row digests: commutative, so no ordering
+    * assumption anywhere, and partial-aggregable, so a 100 TB table
+    * checksums in one map-side-combined scan with a single tiny shuffle.
+    * A collision needs adversarial data (sum of 60-bit values), fine for
+    * integrity auditing; the count rides along so an empty table can't
+    * masquerade as checksum 0 of a non-empty one.
+    */
+  private def rowDigest(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val canon = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val s = f.dataType match {
+        // floats go THROUGH double: Spark's float->decimal rounds the
+        // float's shortest decimal string, DuckDB rounds the promoted
+        // double value — for 7th-decimal-boundary floats those differ.
+        // double->decimal agrees between the engines (verified over every
+        // fixture double column), so promote first.
+        case DoubleType | FloatType =>
+          c.cast("double").cast(DecimalType(18, 6)).cast("string")
+        case TimestampType => c.cast("long").cast("string")
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          concat_ws(",", transform(c,
+            x => x.cast("double").cast(DecimalType(18, 6)).cast("string")))
+        case _ => c.cast("string")
+      }
+      coalesce(s, lit("<NULL>"))
+    }
+    conv(substring(sha2(concat_ws("|", canon.toSeq: _*), 256), 1, 15), 16, 10)
+      .cast("long")
+  }
+
+  /** One digest row for an arbitrary DataFrame — the building block
+    * tableChecksum applies across the catalog.
+    */
+  def checksumOf(df: DataFrame, name: String): DataFrame =
+    df.select(rowDigest(df).as("d"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("d").cast(DecimalType(38, 0))).cast("string").as("checksum"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    checksumTables.map { name =>
+      checksumOf(Tables.table(spark, dir, name), name)
+    }.reduce(_.unionAll(_))
+
+  private val checksumTables = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Column kinds for the generated checksum oracle — static because the
+    * oracle SQL must exist without a SparkSession; the Spark side derives
+    * the same canonicalization from the live schema, so a fixture schema
+    * change fails loudly (hash mismatch), not silently.
+    */
+  private val checksumKinds: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "v", "r_name" -> "v"),
+    "nation" -> Seq("n_nationkey" -> "v", "n_name" -> "v", "n_regionkey" -> "v"),
+    "customer" -> Seq("c_custkey" -> "v", "c_name" -> "v",
+      "c_nationkey" -> "v", "c_acctbal" -> "d", "c_mktsegment" -> "v"),
+    "supplier" -> Seq("s_suppkey" -> "v", "s_name" -> "v",
+      "s_nationkey" -> "v", "s_acctbal" -> "d"),
+    "part" -> Seq("p_partkey" -> "v", "p_name" -> "v", "p_brand" -> "v",
+      "p_type" -> "v", "p_size" -> "v", "p_retailprice" -> "d"),
+    "orders" -> Seq("o_orderkey" -> "v", "o_custkey" -> "v",
+      "o_orderstatus" -> "v", "o_totalprice" -> "d", "o_orderdate" -> "t",
+      "o_orderpriority" -> "v"),
+    "lineitem" -> Seq("l_orderkey" -> "v", "l_partkey" -> "v",
+      "l_suppkey" -> "v", "l_linenumber" -> "v", "l_quantity" -> "d",
+      "l_extendedprice" -> "d", "l_discount" -> "d", "l_tax" -> "d",
+      "l_returnflag" -> "v", "l_linestatus" -> "v", "l_shipdate" -> "t"),
+    "events" -> Seq("event_id" -> "v", "ts" -> "t", "user_id" -> "v",
+      "event_type" -> "v", "value" -> "d", "props" -> "v"),
+    "documents" -> Seq("doc_id" -> "v", "text" -> "v", "lang" -> "v",
+      "source" -> "v", "n_chars" -> "v"),
+    "embeddings" -> Seq("vec_id" -> "v", "embedding" -> "fa", "label" -> "v"))
+
+  private def checksumOracle: String =
+    checksumTables.map { t =>
+      val cols = checksumKinds(t).map { case (c, kind) =>
+        val canon = kind match {
+          case "d" => s"CAST(CAST($c AS DECIMAL(18,6)) AS VARCHAR)"
+          case "t" => s"CAST(CAST(epoch_us($c) // 1000000 AS BIGINT) AS VARCHAR)"
+          // promote REAL -> DOUBLE before the decimal round: DuckDB's
+          // direct REAL->DECIMAL rounds the float's 7-digit shortest
+          // repr (ties-to-even), Spark rounds the exact double expansion
+          // — they disagree exactly on ...5-boundary floats
+          case "fa" => s"array_to_string(list_transform($c, " +
+            s"x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',')"
+          case _ => s"CAST($c AS VARCHAR)"
+        }
+        s"coalesce($canon, '<NULL>')"
+      }.mkString(", ")
+      s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+         |  CAST(sum(CAST(CAST('0x' || substring(sha256(concat_ws('|', $cols)), 1, 15)
+         |    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+         |FROM $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"   -> (bucketedJoin _),
     "partition_prune" -> (partitionPrune _),
     "dpp_join"        -> (dppJoin _),
-    "zorder_layout"   -> (zorderLayout _))
+    "zorder_layout"   -> (zorderLayout _),
+    "table_checksum"  -> (tableChecksum _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
     // exactly what the hash compare then proves
+    "table_checksum" -> checksumOracle,
     "bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

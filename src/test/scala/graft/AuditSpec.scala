@@ -87,4 +87,28 @@ class AuditSpec extends SparkSpec {
     assert(out.filter(col("min_val").isNull || col("max_val").isNull).count() == 0)
     out.unpersist()
   }
+
+  test("tableChecksum: order-independent, and any mutation moves the digest") {
+    import graft.operators.StorageSuite
+    val base = StorageSuite.tableChecksum(spark, sf)
+      .as[(String, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(base.size == 10, "one digest row per fixture table")
+    // order independence: a different physical row order, same digest
+    val shuffled = graft.model.Tables.orders(spark, sf)
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val reordered = StorageSuite.checksumOf(shuffled, "orders")
+      .as[(String, Long, String)].head()
+    assert(reordered._3 == base("orders")._3,
+      "row order must not change the checksum")
+    // sensitivity: one mutated cell moves the digest
+    val mutated = graft.model.Tables.orders(spark, sf)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") === 1L, col("o_totalprice") + 0.01)
+          .otherwise(col("o_totalprice")))
+    val changed = StorageSuite.checksumOf(mutated, "orders")
+      .as[(String, Long, String)].head()
+    assert(changed._3 != base("orders")._3,
+      "a single-cell mutation must change the checksum")
+    assert(changed._2 == base("orders")._2)
+  }
 }
