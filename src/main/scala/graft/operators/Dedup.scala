@@ -17,27 +17,45 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
-  /** Per-session handle to the previous connectedComponents edge cache —
-    * see the unpersist note inside connectedComponents. WEAK-keyed on the
-    * session so a stopped/collected SparkSession doesn't stay pinned (with
-    * its last edge DataFrame) for the JVM lifetime; synchronized because
-    * WeakHashMap isn't thread-safe.
+  /** Per-session registry of live connectedComponents edge caches — see
+    * the unpersist note inside connectedComponents. Each invocation
+    * registers ITS OWN cache (query-scoped — concurrent or interleaved
+    * component computations on one session no longer evict each other,
+    * the round-5 single-slot footgun). WEAK-keyed on the session so a
+    * stopped/collected SparkSession doesn't stay pinned (with its edge
+    * DataFrames) for the JVM lifetime; synchronized because WeakHashMap
+    * isn't thread-safe, and the value lists are synchronized for the same
+    * reason.
     */
-  private val lastComponentEdges =
+  private val componentEdgeCaches =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.util.List[DataFrame]]())
+
+  private def registerComponentCache(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame): Unit =
+    componentEdgeCaches.synchronized {
+      val list = componentEdgeCaches.computeIfAbsent(spark,
+        _ => java.util.Collections.synchronizedList(
+          new java.util.ArrayList[DataFrame]()))
+      list.add(edges)
+    }
 
   /** Caller-visible release of this session's connectedComponents edge
-    * cache. The cache must outlive the RETURNED labels' execution (the
+    * caches. A cache must outlive the RETURNED labels' execution (the
     * flooding rounds read it), so connectedComponents cannot unpersist it
-    * itself; without a release it stays resident until the NEXT invocation
-    * or session end — in a long multi-query session (Bench, Verify, a
-    * notebook) that occupies storage memory for every unrelated query that
-    * follows. Call this after executing the labels; a no-op when nothing is
-    * cached, so per-query harness hooks can call it unconditionally.
+    * itself; without a release it stays resident until session end — in a
+    * long multi-query session (Bench, Verify, a notebook) that occupies
+    * storage memory for every unrelated query that follows. Call this
+    * after executing the labels; a no-op when nothing is cached, so
+    * per-query harness hooks can call it unconditionally. Releases EVERY
+    * cache this session registered (all invocations since the last
+    * release).
     */
   def releaseComponentCache(spark: org.apache.spark.sql.SparkSession): Unit =
-    Option(lastComponentEdges.remove(spark)).foreach(_.unpersist(blocking = false))
+    Option(componentEdgeCaches.remove(spark)).foreach { list =>
+      list.forEach(_.unpersist(blocking = false))
+    }
 
   /** Exact dedup: group by normalized-content fingerprint. Output one row
     * per distinct content: canonical (minimum) doc id and the duplicate
@@ -244,20 +262,19 @@ object Dedup {
     * `unconverged(pairs, connectedComponents(pairs, iters))` and assert it
     * is empty (one extra round must be a fixpoint) — DedupSpec does exactly
     * this for the wired dedup_clusters parameters, and the recursive-CTE
-    * oracle independently fails the hash on any unconverged label. A
-    * 100 TB run with adversarial chain-shaped components would checkpoint
-    * between rounds and iterate to fixpoint instead (same per-round plan).
+    * oracle independently fails the hash on any unconverged label. For
+    * adversarial chain-shaped components of unknown diameter, use
+    * `connectedComponentsFixpoint` — same per-round plan, driver-looped
+    * to a guaranteed fixpoint with per-round lineage checkpoints.
     *
     * Output: (doc_id, cluster_id = min doc_id of the component). Isolated
     * docs (no edges) are not emitted — they are their own canonical doc.
     *
-    * NOTE: each invocation unpersists the PREVIOUS invocation's cached edge
-    * set for this session — execute (or persist) the returned labels before
-    * calling connectedComponents again on the same session, or the earlier
-    * labels silently recompute their whole pair-generation pipeline. After
-    * executing the returned labels, call `releaseComponentCache(session)`
-    * to free the cache immediately instead of leaving it resident for the
-    * rest of the session.
+    * NOTE: each invocation registers its edge cache with the session's
+    * registry (query-scoped — interleaved invocations don't evict each
+    * other). After executing the returned labels, call
+    * `releaseComponentCache(session)` to free every registered cache
+    * instead of leaving them resident for the rest of the session.
     */
   def connectedComponents(pairs: DataFrame, iters: Int = 6,
                           aCol: String = "doc_a", bCol: String = "doc_b",
@@ -281,9 +298,15 @@ object Dedup {
       val child = parent.newSession()
       // newSession starts from the context's initial conf: carry over the
       // caller's runtime SQL conf (timezone, codegen, AQE posture), then
-      // override the two knobs scoped to the flooding rounds
+      // override the two knobs scoped to the flooding rounds. Static confs
+      // (spark.sql.warehouse.dir etc.) reject runtime set with an
+      // AnalysisException — expected, and the child inherits them from the
+      // shared context anyway, so ONLY that exception is swallowed; a
+      // failure to copy any genuinely runtime conf surfaces to the caller
+      // instead of silently running the rounds under different semantics.
       parent.conf.getAll.foreach { case (k, v) =>
-        try child.conf.set(k, v) catch { case _: Exception => () }
+        try child.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
       }
       child.conf.set("spark.sql.shuffle.partitions", roundPartitions.toString)
       child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
@@ -312,12 +335,13 @@ object Dedup {
       .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // DataFrame caches are never GC-cleaned (CacheManager holds strong
-    // refs), so repeated invocations would pin one edge set each for the
-    // session lifetime. Evict the PREVIOUS invocation's cache — bounds the
-    // footprint to one live edge set per session; callers interleaving two
-    // concurrent component computations should persist externally instead.
-    Option(Dedup.lastComponentEdges.put(pairs.sparkSession, edges))
-      .foreach(_.unpersist(blocking = false))
+    // refs), so every invocation registers its cache with the session's
+    // registry; releaseComponentCache(session) frees them all after the
+    // labels execute. Query-scoped: interleaved component computations on
+    // one session each keep their own cache alive until release — the
+    // previous design's single slot silently evicted the earlier query's
+    // cache and forced its whole pair-generation pipeline to recompute.
+    registerComponentCache(pairs.sparkSession, edges)
     // Initial labels come FROM THE CACHED EDGES: the self-loop rows are
     // exactly the vertex set, so filtering src = dst reads the cache instead
     // of re-running the whole pair-generation pipeline a second time (the
@@ -339,6 +363,68 @@ object Dedup {
         .groupBy(edges("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
     }
+    labels
+  }
+
+  /** Iterate-to-fixpoint connected components — the variant for
+    * adversarial, chain-shaped components whose diameter is unknown (the
+    * 100 TB run connectedComponents' scaladoc defers to). Same per-round
+    * plan as the fixed-depth form (edge-cache join + min-aggregate), but
+    * the driver LOOPS until the labeling stops changing, so convergence
+    * is guaranteed for any component shape, not just diameter <= iters.
+    *
+    * Two costs the job-free form avoids, both inherent to fixpoint
+    * iteration and both bounded: (1) each round materializes via an eager
+    * localCheckpoint — lineage is cut every round, so round k's plan is
+    * constant-size instead of k-deep (on a multi-node cluster with a
+    * checkpoint dir configured, swap localCheckpoint for checkpoint to
+    * survive executor loss; same shape); (2) convergence detection is ONE
+    * tiny aggregate per round — min-label flooding is pointwise monotone
+    * non-increasing, so the labeling is a fixpoint iff the exact
+    * DECIMAL(38,0) label sum is unchanged; no label-to-label join needed.
+    * Round RDDs are dropped by the ContextCleaner as references retire;
+    * the edge cache frees via releaseComponentCache like the fixed-depth
+    * form. Throws if maxIters rounds don't converge (one round per
+    * diameter hop), rather than returning silently-partial labels.
+    */
+  def connectedComponentsFixpoint(pairs: DataFrame, maxIters: Int = 64,
+                                  aCol: String = "doc_a",
+                                  bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.types.DecimalType
+    val undirected = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val vertices = undirected.select(col("src")).distinct()
+    val edges = undirected
+      .union(vertices.select(col("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    registerComponentCache(pairs.sparkSession, edges)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head() match {
+        case r if r.isNullAt(0) => java.math.BigDecimal.ZERO // empty graph
+        case r => r.getDecimal(0)
+      }
+    var labels = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("doc_id"), col("src").as("cluster_id"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxIters) {
+      val next = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponentsFixpoint: no fixpoint within $maxIters rounds " +
+        "(component diameter exceeds maxIters)")
     labels
   }
 

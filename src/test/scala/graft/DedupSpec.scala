@@ -136,6 +136,46 @@ class DedupSpec extends SparkSpec {
       "unconverged failed to flag a known-undersized iters")
   }
 
+  test("fixpoint components converge on a chain far deeper than any " +
+    "fixed-depth default") {
+    // a 30-hop path (diameter 30 >> the wired iters=4) plus a separate
+    // triangle: the fixpoint variant must label both exactly
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val triangle = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pairs = (chain ++ triangle).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponentsFixpoint(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 30L).forall(labels(_) == 1L),
+      s"chain must flood to min id 1: ${labels.filter(_._1 <= 30)}")
+    assert((100L to 102L).forall(labels(_) == 100L))
+    assert(Dedup.unconverged(pairs,
+      Dedup.connectedComponentsFixpoint(pairs)).isEmpty,
+      "fixpoint output must be a fixpoint")
+    Dedup.releaseComponentCache(spark)
+  }
+
+  test("fixpoint components refuse to return partial labels") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsFixpoint(chain, maxIters = 3)
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+    Dedup.releaseComponentCache(spark)
+  }
+
+  test("edge caches are query-scoped: interleaved invocations both stay live") {
+    // two component computations on one session, labels executed AFTER
+    // both were constructed — the single-slot design evicted the first
+    // cache and silently recomputed; the registry keeps both
+    val a = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val b = Seq((7L, 8L)).toDF("doc_a", "doc_b")
+    val la = Dedup.connectedComponents(a, iters = 2)
+    val lb = Dedup.connectedComponents(b, iters = 2)
+    assert(la.as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+    assert(lb.as[(Long, Long)].collect().toMap == Map(7L -> 7L, 8L -> 7L))
+    Dedup.releaseComponentCache(spark)
+  }
+
   test("simhash: identical texts hash identically, near-dups land close") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
