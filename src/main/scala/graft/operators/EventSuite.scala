@@ -206,6 +206,8 @@ object EventSuite {
     "gap_fill"             -> (gapFill _),
     "retention_daily"      -> (retentionDaily _),
     "page_counts"          -> (pageCounts _),
+    "stream_page_counts"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedPageCounts(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -261,6 +263,13 @@ object EventSuite {
         |  ON a.user_id = b.user_id AND b.day = a.day + 1
         |GROUP BY 1""".stripMargin,
     "page_counts" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
+        |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // the STREAMED execution must converge to the identical batch answer:
+    // same oracle as page_counts, checked against the update-mode fixpoint
+    "stream_page_counts" ->
       """SELECT event_type,
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt

@@ -33,7 +33,12 @@ class CollectLintSpec extends SparkSpec {
     */
   private val trainingAllowed: Set[String] =
     Set("ivf_kmeans_recall", "pq_kmeans_gain",
-      "bucketed_join", "partition_prune", "dpp_join", "zorder_layout")
+      "bucketed_join", "partition_prune", "dpp_join", "zorder_layout",
+      // stream_page_counts is a declared REPLAY harness: construction runs
+      // the streaming pipeline itself (micro-batch jobs) and its source
+      // collects the fixture to the driver to simulate a wire — the
+      // verification bridge, not a production path (StreamReplay scaladoc)
+      "stream_page_counts")
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]
