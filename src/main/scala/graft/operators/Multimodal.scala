@@ -1,19 +1,19 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns for a training-data pipeline: media as opaque
   * `binary` payloads + typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as per-partition batch transforms.
   *
-  * The image/audio codec libraries are not in this container, so
-  * `StubDecoder` replaces the codec call with a DETERMINISTIC FAKE (clearly
-  * marked below). Everything around it — the schema contract, the typed
-  * Dataset plumbing, the `mapPartitions` batch shape (one decoder instance
-  * per partition, streamed iterator, no per-row setup), the partition-level
-  * parallelism — is real and is what carries over unchanged when a real
-  * decoder is dropped in.
+  * The IMAGE path is real end-to-end: fixture payloads are genuine PNGs
+  * (encoded executor-side with the JDK's javax.imageio, deterministic
+  * gradient fill) and `ImageIoDecoder` decodes them back — true header
+  * dimensions, true pixel reads. Audio/video codecs are not in this
+  * container (no ffmpeg/soundfile), so those kinds go through the clearly
+  * marked `StubDecoder`; its trait is the swap point, same as the image
+  * path demonstrates.
   */
 object Multimodal {
 
@@ -23,22 +23,33 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
                             meta_width: Int, meta_height: Int)
 
-  /** Extracted features. */
-  final case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
-                                 payload_md5: String, thumb_w: Int, thumb_h: Int,
-                                 n_frames_sampled: Int)
+  /** Extracted features. `width`/`height` are DECODED dimensions (read
+    * from the PNG header for images — proving the payload round-trip —
+    * and metadata passthrough for the stubbed kinds); `pixel_sum` is the
+    * sum of decoded red-channel values (image only), the pixel-level
+    * digest the oracle recomputes in closed form; `payload_md5` digests
+    * the raw payload for the stubbed kinds (images carry the pixel digest
+    * instead — an external SQL engine cannot re-encode a PNG to hash it).
+    */
+  final case class MediaFeatures(doc_id: Long, kind: String, width: Int,
+                                 height: Int, thumb_w: Int, thumb_h: Int,
+                                 n_frames_sampled: Int,
+                                 payload_md5: Option[String],
+                                 pixel_sum: Option[Long])
 
-  /** What a decoder returns; a real one would add pixel buffers / PCM. */
-  final case class Decoded(width: Int, height: Int, nFrames: Int)
+  /** What a decoder returns; pixelSum is -1 for kinds without pixel data. */
+  final case class Decoded(width: Int, height: Int, nFrames: Int,
+                           pixelSum: Long = -1L)
 
   trait MediaDecoder extends Serializable {
     def decode(kind: String, payload: Array[Byte], metaW: Int, metaH: Int): Decoded
   }
 
-  /** STUB: stands in for the real codec (javax.imageio / ffmpeg / soundfile
-    * are not installed here). Deterministic: dimensions from metadata,
-    * frame count from payload size — so tests and oracles are exact. A real
-    * decoder implements the same trait; nothing else changes.
+  /** STUB: stands in for the audio/video codecs (ffmpeg/soundfile are not
+    * installed here). Deterministic: dimensions from metadata, frame count
+    * from payload size — so tests and oracles are exact. A real decoder
+    * implements the same trait; nothing else changes (ImageIoDecoder is
+    * exactly that swap for images).
     */
   object StubDecoder extends MediaDecoder {
     override def decode(kind: String, payload: Array[Byte], metaW: Int, metaH: Int): Decoded = {
@@ -50,9 +61,63 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from the documents fixture: payload = UTF-8 bytes
-    * of the text (a stand-in blob), kind round-robins image/audio/video,
-    * metadata dims derived deterministically from doc_id.
+  /** REAL image codec on the JDK's javax.imageio: decodes the PNG payload
+    * (header dimensions + full pixel read, summing the red channel as the
+    * content digest), ignoring the metadata dims on purpose — a payload
+    * that doesn't round-trip fails the oracle instead of being papered
+    * over by metadata. Non-image kinds delegate to StubDecoder. One
+    * decoder per partition via extractFeatures' mapPartitions; the
+    * ImageIO disk cache is off (pure in-memory streams).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    override def decode(kind: String, payload: Array[Byte], metaW: Int, metaH: Int): Decoded =
+      if (kind != "image") StubDecoder.decode(kind, payload, metaW, metaH)
+      else {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(img != null, "payload is not a decodable image")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += (img.getRGB(x, y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(img.getWidth, img.getHeight, 0, sum)
+      }
+  }
+
+  /** Deterministic PNG payload: a grayscale gradient where pixel (x, y)
+    * carries value (doc_id + x + y) mod 256 in every channel. PNG is
+    * lossless, so the decoded pixel sum has the closed form the SQL
+    * oracle recomputes — any encode or decode defect breaks the equality.
+    */
+  private[graft] def pngPayload(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((docId + x + y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Build a media table from the documents fixture: kind round-robins
+    * image/audio/video, metadata dims derive deterministically from
+    * doc_id; audio/video payloads are the UTF-8 text bytes (stand-in
+    * blobs for the stubbed codecs).
     */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
@@ -62,6 +127,22 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       (lit(32) + pmod(col("doc_id"), lit(97))).cast("int").as("meta_width"),
       (lit(32) + pmod(col("doc_id") * 7, lit(97))).cast("int").as("meta_height"))
+
+  /** mediaTable with REAL payloads for the image rows: each becomes a
+    * genuine PNG (encoded right here on the executors — a per-partition
+    * map, no shuffle, no driver bytes). Video/audio rows keep their
+    * stand-in blobs.
+    */
+  def mediaTableReal(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    mediaTable(docs).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind == "image")
+          r.copy(payload = pngPayload(r.doc_id, r.meta_width, r.meta_height))
+        else r
+      }
+    }
+  }
 
   /** Aspect-preserving thumbnail bound: longest side <= maxSide, integer
     * arithmetic only (portable to the SQL oracle).
@@ -103,16 +184,22 @@ object Multimodal {
     * doc_id.
     */
   def extractFeatures(media: Dataset[MediaRow],
-                      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+                      decoder: MediaDecoder = ImageIoDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val dec = decoder.decode(r.kind, r.payload, r.meta_width, r.meta_height)
-        md.reset()
-        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
         val (tw, th) = thumbDims(dec.width, dec.height)
-        MediaFeatures(r.doc_id, r.kind, r.payload.length.toLong, hex, tw, th, dec.nFrames)
+        val digest =
+          if (r.kind == "image") None
+          else {
+            md.reset()
+            Some(md.digest(r.payload).map("%02x".format(_)).mkString)
+          }
+        val psum = if (r.kind == "image") Some(dec.pixelSum) else None
+        MediaFeatures(r.doc_id, r.kind, dec.width, dec.height, tw, th,
+          dec.nFrames, digest, psum)
       }
     }
   }

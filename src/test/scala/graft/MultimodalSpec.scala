@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaFeatures, MediaRow}
+import graft.operators.Multimodal.MediaRow
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -12,27 +12,47 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.thumbDims(640, 2) == (64, 1))       // floor >= 1
   }
 
-  test("feature extraction: md5, byte counts, frame sampling per kind") {
+  test("PNG payload round-trips through the real codec: dims + pixel sum") {
+    val (id, w, h) = (5L, 100, 50)
+    val png = Multimodal.pngPayload(id, w, h)
+    // PNG magic — the payload is a genuine image file, not a fake blob
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val dec = Multimodal.ImageIoDecoder.decode("image", png, -1, -1)
+    assert(dec.width == w && dec.height == h,
+      "decoded dims must come from the PNG header, not metadata")
+    val want = (for { x <- 0 until w; y <- 0 until h } yield (id + x + y) % 256).sum
+    assert(dec.pixelSum == want, s"pixel sum ${dec.pixelSum} != closed form $want")
+  }
+
+  test("undecodable image payload fails loudly instead of passing metadata through") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("image", "not a png".getBytes, 10, 10)
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
+
+  test("feature extraction: real decode for images, md5 + frames for stub kinds") {
     val rows = Seq(
-      MediaRow(1L, "image", "abc".getBytes("UTF-8"), 100, 50),
+      MediaRow(0L, "image", Multimodal.pngPayload(0L, 128, 64), 128, 64),
       MediaRow(2L, "video", Array.fill[Byte](3000)(7), 10, 10),
-      MediaRow(3L, "audio", Array.emptyByteArray, 8, 8))
+      MediaRow(1L, "audio", Array.emptyByteArray, 8, 8))
     val got = Multimodal.extractFeatures(rows.toDS())
       .collect().map(f => f.doc_id -> f).toMap
 
-    val img = got(1L)
-    assert(img.n_bytes == 3)
-    assert(img.payload_md5 == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    val img = got(0L)
+    assert((img.width, img.height) == (128, 64))
     assert((img.thumb_w, img.thumb_h) == (64, 32))
     assert(img.n_frames_sampled == 0)
+    assert(img.payload_md5.isEmpty, "images carry the pixel digest, not an md5")
+    val want = (for { x <- 0 until 128; y <- 0 until 64 } yield (0L + x + y) % 256).sum
+    assert(img.pixel_sum.contains(want))
 
     val vid = got(2L)
     assert(vid.n_frames_sampled == 3) // 1 + 3000/1024 = 3
-    assert(vid.n_bytes == 3000L)
+    assert(vid.pixel_sum.isEmpty)
 
-    val aud = got(3L)
-    assert(aud.n_bytes == 0L)
-    assert(aud.payload_md5 == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    val aud = got(1L)
+    assert(aud.payload_md5.contains("d41d8cd98f00b204e9800998ecf8427e")) // md5("")
   }
 
   test("media table derives deterministic kinds and metadata from doc_id") {
@@ -44,5 +64,13 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L).kind == "video")
     assert(rows(1L).meta_width == 33)  // 32 + 1 % 97
     assert(rows(2L).meta_height == 46) // 32 + 14 % 97
+
+    // the real table swaps image payloads for PNGs sized by the metadata
+    val real = Multimodal.mediaTableReal(docs).collect()
+      .map(r => r.doc_id -> r).toMap
+    val dec = Multimodal.ImageIoDecoder.decode("image", real(0L).payload, -1, -1)
+    assert((dec.width, dec.height) == (real(0L).meta_width, real(0L).meta_height))
+    assert(java.util.Arrays.equals(real(1L).payload, "t1".getBytes("UTF-8")),
+      "non-image payloads must pass through unchanged")
   }
 }
