@@ -929,7 +929,71 @@ object RelationalSuite {
         "l_partkey", Tables.part(s, dir), "p_partkey"))
   }
 
+  /** TPC-H Q2-shaped correlated min-per-group ("minimum cost supplier"):
+    * for each small part, which EUROPE suppliers ship it at the region's
+    * minimum observed price? The fixture carries no partsupp table, so
+    * lineitem plays the offer book (min l_extendedprice per part across
+    * region suppliers — no division, stays in the exact decimal domain).
+    * Shape: the region-filtered supplier dim and the size-filtered part
+    * dim BROADCAST; lineitem is scanned ONCE and the correlated "price =
+    * min over my part" resolves as a window min over the partkey
+    * partition — one hash exchange of the already-dim-pruned offer rows
+    * (the groupBy + join-back form re-keyed the join on (partkey, price)
+    * and shuffled the subtree twice — measured 4 exchanges vs 2 here).
+    * Top-k by account balance plans as TakeOrderedAndProject (unique sort
+    * key via the id tie-break, so the 100-row cut is deterministic).
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    val supRegion = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val smallParts = Tables.part(s, dir).filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_type"))
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      .join(broadcast(supRegion), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    offers.withColumn("min_price", min(col("price")).over(w))
+      .filter(col("price") === col("min_price"))
+      .select(col("p_partkey"), col("p_type"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"),
+        col("min_price").cast("double").as("min_price"))
+      .distinct()
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q4-shaped EXISTS semi-join with a date window ("order priority
+    * checking"): orders placed in 1997Q2 that had at least one LATE
+    * shipment (no commit/receipt dates in the fixture, so late := shipped
+    * more than 60 days after the order date — the same correlated
+    * cross-table predicate shape), counted per priority. The date filter
+    * pushes to the orders scan; the EXISTS is one left-semi fact-fact
+    * shuffle on the order key (each order counted once however many late
+    * lines it has); the final per-priority aggregate is constant-size.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-04-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost"        -> (q2MinCost _),
+    "q4_order_priority"  -> (q4OrderPriority _),
     "q3_shipping"        -> (q3Shipping _),
     "q5_local_volume"    -> (q5LocalVolume _),
     "q10_returns"        -> (q10Returns _),
@@ -976,6 +1040,38 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """WITH sup AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT part.p_partkey, part.p_type, sup.s_suppkey, sup.s_name,
+        |         sup.s_acctbal, sup.n_name,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem
+        |  JOIN sup ON l_suppkey = sup.s_suppkey
+        |  JOIN part ON l_partkey = part.p_partkey
+        |  WHERE part.p_size <= 10),
+        |mp AS (SELECT p_partkey, min(price) AS min_price
+        |       FROM offers GROUP BY 1)
+        |SELECT DISTINCT o.p_partkey, o.p_type, o.s_suppkey, o.s_name,
+        |       o.s_acctbal, o.n_name, CAST(m.min_price AS DOUBLE) AS min_price
+        |FROM offers o
+        |JOIN mp m ON o.p_partkey = m.p_partkey AND o.price = m.min_price
+        |ORDER BY o.s_acctbal DESC, o.n_name, o.s_name, o.p_partkey
+        |LIMIT 100""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-04-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
     "orders_seasonality" ->
       """WITH m AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS yr,

@@ -160,6 +160,24 @@ class PlanSpec extends SparkSpec {
       s"q18 top-20 degraded to a global sort in:\n$plan")
   }
 
+  test("q2 scans lineitem once: correlated min resolves as a window, dims broadcast") {
+    val plan = executedPlan(RelationalSuite.q2MinCost(spark, dir))
+    assert("FileScan parquet \\[l_".r.findAllIn(plan).size == 1,
+      s"q2 must scan lineitem exactly once (groupBy+join-back scans twice):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q2 top-100 degraded to a global sort in:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"q2 dims (region suppliers, small parts) must broadcast in:\n$plan")
+  }
+
+  test("q4 pushes the date window to the orders scan and plans a semi join") {
+    val plan = executedPlan(RelationalSuite.q4OrderPriority(spark, dir))
+    assert(plan.contains("LeftSemi"),
+      s"q4 EXISTS must plan as a semi join in:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q4 date filter not pushed to the orders scan in:\n$plan")
+  }
+
   test("incr_agg merges partials without re-shuffling the union") {
     val plan = executedPlan(RelationalSuite.incrAgg(spark, dir))
     val union = plan.indexOf("Union")
