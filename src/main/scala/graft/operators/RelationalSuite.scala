@@ -441,7 +441,10 @@ object RelationalSuite {
     * key, instead of one multi-distinct aggregate — Spark plans N distinct
     * columns in one agg as an Expand that re-emits every input row N
     * times; two scans + a 3-row join beat a doubled shuffle at any scale
-    * (measured 3.8 s -> 1.9 s at sf0.1; the gap grows with input width).
+    * (measured 3.8 s -> 1.9 s at sf0.1; the gap grows with input width.
+    * Re-measured round 6 under the "share one scan" hypothesis: the fused
+    * two-distinct agg alone ran 3.6-4.4 s vs 2.9-3.4 s for this WHOLE
+    * query including the percentile agg — the split form stays).
     */
   def sketchAccuracy(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -991,9 +994,50 @@ object RelationalSuite {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** TPC-H Q13-shaped customer order-count distribution — the classic
+    * LEFT-OUTER + double aggregate: every customer keeps a row (zero
+    * orders included — the filter rides the join's probe side, never a
+    * WHERE that would drop unmatched customers), first aggregate counts
+    * orders per customer, second histograms the counts. One fact shuffle
+    * on the customer key; the histogram aggregate is constant-size.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q14-shaped promotion revenue share: one shipped-month slice of
+    * lineitem joined to the broadcast part dim, conditional revenue sum
+    * beside the total in ONE aggregate (the dual-output form — no second
+    * scan), share computed from the exact decimal sums in IEEE double.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", rev)).cast("double")
+          .as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        col("promo_revenue") * 100.0 / col("total_revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost"        -> (q2MinCost _),
     "q4_order_priority"  -> (q4OrderPriority _),
+    "q13_custdist"       -> (q13CustDist _),
+    "q14_promo_share"    -> (q14PromoShare _),
     "q3_shipping"        -> (q3Shipping _),
     "q5_local_volume"    -> (q5LocalVolume _),
     "q10_returns"        -> (q10Returns _),
@@ -1072,6 +1116,33 @@ object RelationalSuite {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY 1""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS total_revenue,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       END) AS DOUBLE) * 100.0 /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
     "orders_seasonality" ->
       """WITH m AS (
         |  SELECT CAST(year(o_orderdate) AS INT) AS yr,

@@ -261,6 +261,32 @@ object StorageSuite {
       checksumOf(Tables.table(spark, dir, name), name)
     }.reduce(_.unionAll(_))
 
+  /** Checksum MERGEABILITY gate — what makes the digest incremental at
+    * scale: because the table digest is a plain sum of row digests,
+    * digest(base) + digest(delta) must equal digest(base UNION delta)
+    * computed from scratch. This query splits orders at the incr_agg
+    * watermark, checksums the two sides and the whole table, and emits
+    * the additivity booleans beside the digests — the snapshot-diff
+    * primitive an incremental pipeline uses to certify that maintaining
+    * a materialized table matched a full recompute WITHOUT rescanning
+    * history (only the delta's digest is new work; base digests persist).
+    */
+  def checksumMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(rowDigest(df).as("d"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("d").cast(DecimalType(38, 0))).as(s"c_$tag"))
+    side(o, "full")
+      .crossJoin(broadcast(side(o.filter(col("o_orderdate") < cut), "base")))
+      .crossJoin(broadcast(side(o.filter(col("o_orderdate") >= cut), "delta")))
+      .select(col("n_base"), col("n_delta"), col("n_full"),
+        (col("n_base") + col("n_delta") === col("n_full")).as("rows_add_up"),
+        (col("c_base") + col("c_delta") === col("c_full")).as("digest_merges"),
+        col("c_full").cast("string").as("checksum_full"))
+  }
+
   private val checksumTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
@@ -292,39 +318,63 @@ object StorageSuite {
       "source" -> "v", "n_chars" -> "v"),
     "embeddings" -> Seq("vec_id" -> "v", "embedding" -> "fa", "label" -> "v"))
 
+  /** The per-row 60-bit digest of table `t` as DuckDB SQL — the oracle
+    * twin of `rowDigest`.
+    */
+  private def rowDigestSql(t: String): String = {
+    val cols = checksumKinds(t).map { case (c, kind) =>
+      val canon = kind match {
+        case "d" => s"CAST(CAST($c AS DECIMAL(18,6)) AS VARCHAR)"
+        case "t" => s"CAST(CAST(epoch_us($c) // 1000000 AS BIGINT) AS VARCHAR)"
+        // promote REAL -> DOUBLE before the decimal round: DuckDB's
+        // direct REAL->DECIMAL rounds the float's 7-digit shortest
+        // repr (ties-to-even), Spark rounds the exact double expansion
+        // — they disagree exactly on ...5-boundary floats
+        case "fa" => s"array_to_string(list_transform($c, " +
+          s"x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',')"
+        case _ => s"CAST($c AS VARCHAR)"
+      }
+      s"coalesce($canon, '<NULL>')"
+    }.mkString(", ")
+    s"CAST(CAST('0x' || substring(sha256(concat_ws('|', $cols)), 1, 15) " +
+      s"AS BIGINT) AS DECIMAL(38,0))"
+  }
+
   private def checksumOracle: String =
     checksumTables.map { t =>
-      val cols = checksumKinds(t).map { case (c, kind) =>
-        val canon = kind match {
-          case "d" => s"CAST(CAST($c AS DECIMAL(18,6)) AS VARCHAR)"
-          case "t" => s"CAST(CAST(epoch_us($c) // 1000000 AS BIGINT) AS VARCHAR)"
-          // promote REAL -> DOUBLE before the decimal round: DuckDB's
-          // direct REAL->DECIMAL rounds the float's 7-digit shortest
-          // repr (ties-to-even), Spark rounds the exact double expansion
-          // — they disagree exactly on ...5-boundary floats
-          case "fa" => s"array_to_string(list_transform($c, " +
-            s"x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)), ',')"
-          case _ => s"CAST($c AS VARCHAR)"
-        }
-        s"coalesce($canon, '<NULL>')"
-      }.mkString(", ")
       s"""SELECT '$t' AS table_name, count(*) AS n_rows,
-         |  CAST(sum(CAST(CAST('0x' || substring(sha256(concat_ws('|', $cols)), 1, 15)
-         |    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+         |  CAST(sum(${rowDigestSql(t)}) AS VARCHAR) AS checksum
          |FROM $t""".stripMargin
     }.mkString("\nUNION ALL\n")
+
+  private def checksumMergeOracle: String =
+    s"""WITH f AS (SELECT count(*) AS n_full, sum(${rowDigestSql("orders")})
+       |             AS c_full FROM orders),
+       |b AS (SELECT count(*) AS n_base, sum(${rowDigestSql("orders")})
+       |        AS c_base FROM orders
+       |      WHERE o_orderdate < TIMESTAMP '1997-06-01'),
+       |d AS (SELECT count(*) AS n_delta, sum(${rowDigestSql("orders")})
+       |        AS c_delta FROM orders
+       |      WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+       |SELECT b.n_base, d.n_delta, f.n_full,
+       |       b.n_base + d.n_delta = f.n_full AS rows_add_up,
+       |       b.c_base + d.c_delta = f.c_full AS digest_merges,
+       |       CAST(f.c_full AS VARCHAR) AS checksum_full
+       |FROM f, b, d""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join"   -> (bucketedJoin _),
     "partition_prune" -> (partitionPrune _),
     "dpp_join"        -> (dppJoin _),
     "zorder_layout"   -> (zorderLayout _),
-    "table_checksum"  -> (tableChecksum _))
+    "table_checksum"  -> (tableChecksum _),
+    "checksum_merge"  -> (checksumMerge _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
     // exactly what the hash compare then proves
     "table_checksum" -> checksumOracle,
+    "checksum_merge" -> checksumMergeOracle,
     "bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -103,6 +103,20 @@ object TextSuite {
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.2),
       iters = 4, roundPartitions = 8)
 
+  /** The same clustering through the iterate-to-FIXPOINT path
+    * (Dedup.connectedComponentsFixpoint): driver-looped rounds with
+    * per-round lineage checkpoints, convergence guaranteed for any
+    * component shape instead of assumed from a diameter bound. Sharing
+    * dedup_clusters' recursive-CTE oracle makes the fixpoint machinery a
+    * driver-checked surface, not just a spec-tested API. Construction
+    * RUNS the rounds (declared in CollectLintSpec's allow-list — fixpoint
+    * detection is inherently iterative execution).
+    */
+  def dedupClustersFixpoint(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponentsFixpoint(
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3,
+        threshold = 0.2))
+
   /** The quality-filter stage of a training pipeline: partition the corpus
     * by keep/drop at quality >= 0.5 and account for docs + token budget on
     * each side. Pure projection + 2-group aggregate; the comparison reuses
@@ -833,7 +847,8 @@ object TextSuite {
     "delta_dedup"     -> (deltaDedup _),
     "passage_dedup"   -> ((s: SparkSession, d: String) => passageDedup(s, d)),
     "substring_dedup" -> (substringDedup _),
-    "sentence_dedup"  -> (sentenceDedup _))
+    "sentence_dedup"  -> (sentenceDedup _),
+    "dedup_clusters_fixpoint" -> (dedupClustersFixpoint _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
 
@@ -860,6 +875,30 @@ object TextSuite {
       |sh AS (
       |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfq USING (s)
       |  WHERE df_sh <= greatest((SELECT count(*) FROM documents) * 0.02, 8.0))""".stripMargin
+
+  /** Shared by dedup_clusters and dedup_clusters_fixpoint: the recursive-CTE
+    * transitive closure both labelings must reproduce exactly.
+    */
+  private lazy val dedupClustersOracle =
+    s"""WITH RECURSIVE $prunedShingles,
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT src AS v, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v)
+      |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ngram_novelty" ->
@@ -1016,26 +1055,10 @@ object TextSuite {
         |FROM t""".stripMargin,
     // transitive closure via recursive CTE — fully independent of the
     // engine's label-propagation implementation
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $prunedShingles,
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT src AS v, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v)
-        |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin,
+    "dedup_clusters" -> dedupClustersOracle,
+    // the FIXPOINT variant must land on the identical transitive closure —
+    // same recursive-CTE oracle, independent convergence proof
+    "dedup_clusters_fixpoint" -> dedupClustersOracle,
     // keep/drop split must agree only if the quality doubles are
     // bit-identical (text_stats pins that) AND the >= 0.5 cut lands the
     // same docs on the same side

@@ -38,7 +38,12 @@ class CollectLintSpec extends SparkSpec {
       // the streaming pipeline itself (micro-batch jobs) and its source
       // collects the fixture to the driver to simulate a wire — the
       // verification bridge, not a production path (StreamReplay scaladoc)
-      "stream_page_counts")
+      "stream_page_counts",
+      // dedup_clusters_fixpoint ITERATES to convergence by construction:
+      // each round materializes via localCheckpoint and the driver reads
+      // one exact label-sum scalar per round — bounded driver output, and
+      // the whole point is running rounds until the labeling stops moving
+      "dedup_clusters_fixpoint")
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]
