@@ -276,6 +276,34 @@ object Dedup {
     * `releaseComponentCache(session)` to free every registered cache
     * instead of leaving them resident for the rest of the session.
     */
+  /** Config-scoped child session for flooding rounds (shared SparkContext
+    * + cache, own SQLConf) pinned to an edge-sized shuffle partition
+    * count, with AQE partition coalescing off — the edge cache is
+    * persisted already partitioned at exactly this count, and coalescing
+    * would shrink the label side into a mismatched partitioning that
+    * forces an extra exchange per round. `partitions <= 0` returns the
+    * parent unchanged. newSession starts from the context's initial conf:
+    * carry over the caller's runtime SQL conf (timezone, codegen, AQE
+    * posture), then override the two scoped knobs. Static confs
+    * (spark.sql.warehouse.dir etc.) reject runtime set with an
+    * AnalysisException — expected, and the child inherits them from the
+    * shared context anyway, so ONLY that exception is swallowed; a
+    * failure to copy any genuinely runtime conf surfaces to the caller
+    * instead of silently running the rounds under different semantics.
+    */
+  private def roundScopedSession(parent: org.apache.spark.sql.SparkSession,
+                                 partitions: Int): org.apache.spark.sql.SparkSession =
+    if (partitions <= 0) parent else {
+      val child = parent.newSession()
+      parent.conf.getAll.foreach { case (k, v) =>
+        try child.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      child.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+      child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      child
+    }
+
   def connectedComponents(pairs: DataFrame, iters: Int = 6,
                           aCol: String = "doc_a", bCol: String = "doc_b",
                           roundPartitions: Int = 0): DataFrame = {
@@ -293,25 +321,7 @@ object Dedup {
     // vs 2.1-2.7 s at 8 round partitions, sf0.1 local[32] — the rounds are
     // pure orchestration at fixture scale). 0 = inherit the caller's
     // session conf unchanged.
-    val spark = if (roundPartitions <= 0) pairs.sparkSession else {
-      val parent = pairs.sparkSession
-      val child = parent.newSession()
-      // newSession starts from the context's initial conf: carry over the
-      // caller's runtime SQL conf (timezone, codegen, AQE posture), then
-      // override the two knobs scoped to the flooding rounds. Static confs
-      // (spark.sql.warehouse.dir etc.) reject runtime set with an
-      // AnalysisException — expected, and the child inherits them from the
-      // shared context anyway, so ONLY that exception is swallowed; a
-      // failure to copy any genuinely runtime conf surfaces to the caller
-      // instead of silently running the rounds under different semantics.
-      parent.conf.getAll.foreach { case (k, v) =>
-        try child.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
-      }
-      child.conf.set("spark.sql.shuffle.partitions", roundPartitions.toString)
-      child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      child
-    }
+    val spark = roundScopedSession(pairs.sparkSession, roundPartitions)
     val pairsLocal = if (spark eq pairs.sparkSession) pairs
       else org.apache.spark.sql.GraftColumnBridge.ofRows(spark, pairs)
     // Plan-shape discipline for iterative dataflow (both measured at sf0.1):
@@ -389,11 +399,21 @@ object Dedup {
     */
   def connectedComponentsFixpoint(pairs: DataFrame, maxIters: Int = 64,
                                   aCol: String = "doc_a",
-                                  bCol: String = "doc_b"): DataFrame = {
+                                  bCol: String = "doc_b",
+                                  roundPartitions: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.types.DecimalType
-    val undirected = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // same round scoping as the fixed-depth form: the driver-looped rounds
+    // move edge-sized data and EXECUTE eagerly (localCheckpoint), so an
+    // oversized partition count taxes every round with empty-task overhead
+    // (measured: the wired fixture clustering 7.1 s warm at the
+    // 32-partition session default vs 3.5 s at 8 round partitions,
+    // sf0.1 local[32])
+    val spark = roundScopedSession(pairs.sparkSession, roundPartitions)
+    val pairsLocal = if (spark eq pairs.sparkSession) pairs
+      else org.apache.spark.sql.GraftColumnBridge.ofRows(spark, pairs)
+    val undirected = pairsLocal.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairsLocal.select(col(bCol).as("src"), col(aCol).as("dst")))
     val vertices = undirected.select(col("src")).distinct()
     val edges = undirected
       .union(vertices.select(col("src"), col("src").as("dst")))

@@ -115,7 +115,7 @@ object TextSuite {
   def dedupClustersFixpoint(spark: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponentsFixpoint(
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3,
-        threshold = 0.2))
+        threshold = 0.2), roundPartitions = 8)
 
   /** The quality-filter stage of a training pipeline: partition the corpus
     * by keep/drop at quality >= 0.5 and account for docs + token budget on
