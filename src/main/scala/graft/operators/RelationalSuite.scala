@@ -1033,7 +1033,29 @@ object RelationalSuite {
         col("promo_revenue") * 100.0 / col("total_revenue"))
   }
 
+  /** RANGE-frame rolling window — the remaining OVER-clause frame type
+    * (windowFuncs/runningVolume cover ROWS frames): each order beside the
+    * exact revenue and count of THAT CUSTOMER's orders in the trailing 30
+    * days, frame bounds in VALUE space (epoch seconds), so same-timestamp
+    * peers enter the frame together in both engines. One hash shuffle on
+    * the customer key like every other window here; sums stay decimal-
+    * exact through the frame.
+    */
+  def rolling30dRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ord_s"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("long").as("ord_s"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .select(col("o_custkey"), col("o_orderkey"), col("ord_s"),
+        sum(col("p")).over(w).cast("double").as("rev_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_30d_revenue" -> (rolling30dRevenue _),
     "q2_min_cost"        -> (q2MinCost _),
     "q4_order_priority"  -> (q4OrderPriority _),
     "q13_custdist"       -> (q13CustDist _),
@@ -1084,6 +1106,16 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "rolling_30d_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS ord_s,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         AS rev_30d,
+        |       count(*) OVER w AS n_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY epoch_us(o_orderdate) // 1000000
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q2_min_cost" ->
       """WITH sup AS (
         |  SELECT s_suppkey, s_name, s_acctbal, n_name
