@@ -1054,7 +1054,40 @@ object RelationalSuite {
         count(lit(1)).over(w).as("n_30d"))
   }
 
+  /** TPC-H Q22-shaped "global sales opportunity": wealthy-but-INACTIVE
+    * customers — balance above the average positive balance (scalar
+    * subquery), no orders since 1999 (anti join; the fixture's customers
+    * almost all ordered at least once ever, so Q22's lifetime-NOT-EXISTS
+    * would return the empty set — a weak oracle row) — counted per
+    * nation. Three classic idioms composed: the scalar average rides in
+    * as a 1-row broadcast (never a driver collect), the NOT EXISTS is one
+    * left-anti fact join on the customer key with the date filter pushed
+    * to the orders scan, and the final per-nation aggregate is
+    * constant-size.
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    // "balance > average" in the EXACT integer domain: bal > sum/count
+    // <=> bal * count > sum — no division, so neither engine's
+    // decimal-average scale/rounding rules can move a boundary customer
+    val avgPos = c.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("s"),
+        count(lit(1)).as("n"))
+    c.select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      .crossJoin(broadcast(avgPos))
+      .filter(col("bal") * col("n") > col("s"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal")).cast("double").as("total_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_global_sales"   -> (q22GlobalSales _),
     "rolling_30d_revenue" -> (rolling30dRevenue _),
     "q2_min_cost"        -> (q2MinCost _),
     "q4_order_priority"  -> (q4OrderPriority _),
@@ -1106,6 +1139,19 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q22_global_sales" ->
+      """WITH a AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS n_custs,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_bal
+        |FROM customer, a
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * a.n > a.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = customer.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
     "rolling_30d_revenue" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) AS ord_s,
