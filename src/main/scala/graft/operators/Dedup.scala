@@ -495,10 +495,47 @@ object Dedup {
     * L-fold position expansion. Every shuffle is keyed (gram hash, then
     * doc_id); a 100 TB corpus pays corpus-linear shuffle volume.
     */
+  /** Interval-union kernel shared by substringCoverage and the span-level
+    * decontamination: given (doc_id, pos) rows marking length-`l` windows,
+    * count the distinct token positions those windows cover per doc — as a
+    * lag() window over the marked positions only (consecutive windows
+    * overlap unless the gap >= l, so each adds min(gap, l) newly covered
+    * positions; the first adds l), never an l-fold position expansion.
+    */
+  private def coveredTokens(positions: DataFrame, l: Int,
+                            coveredCol: String, nGramsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    positions
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .select(col("doc_id"),
+        when(col("gap").isNull || col("gap") >= l, lit(l.toLong))
+          .otherwise(col("gap").cast("long")).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as(coveredCol),
+        count(lit(1)).as(nGramsCol))
+  }
+
+  /** Per-doc summary join shared by the coverage operators: attach the
+    * kernel's per-doc sums to every document (zero-filled) plus the
+    * covered fraction.
+    */
+  private def coverageSummary(docs: DataFrame, covered: DataFrame,
+                              textCol: String, idCol: String,
+                              coveredCol: String, nGramsCol: String,
+                              fracCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col(coveredCol), lit(0L)).as(coveredCol),
+        coalesce(col(nGramsCol), lit(0L)).as(nGramsCol),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col(coveredCol), lit(0L)).cast("double") /
+            col("n_tokens")).as(fracCol))
+
   def substringCoverage(docs: DataFrame, minLen: Int = 8,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col(idCol).as("doc_id"),
       posexplode(shingleHashesAll(col(textCol), minLen)).as(Seq("pos", "h")))
     // duplicated gram hashes are the RARE side: filter occ > 1 BEFORE the
@@ -506,26 +543,34 @@ object Dedup {
     val dup = grams.groupBy(col("h")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1).select(col("h"))
     val dupPos = grams.join(dup, "h").select(col("doc_id"), col("pos"))
-    // interval union without expansion: consecutive duplicated windows
-    // overlap unless the position gap >= minLen, so each window adds
-    // min(gap, minLen) newly covered positions (the first adds minLen)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val covered = dupPos
-      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
-      .select(col("doc_id"),
-        when(col("gap").isNull || col("gap") >= minLen, lit(minLen.toLong))
-          .otherwise(col("gap").cast("long")).as("contrib"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib")).as("dup_tokens"),
-        count(lit(1)).as("n_dup_grams"))
-    docs.select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-            col("n_tokens")).as("dup_frac"))
+    coverageSummary(docs,
+      coveredTokens(dupPos, minLen, "dup_tokens", "n_dup_grams"),
+      textCol, idCol, "dup_tokens", "n_dup_grams", "dup_frac")
+  }
+
+  /** Span-level decontamination map — the SURGICAL sibling of the binary
+    * decontaminate verdict: for each corpus document, which token mass
+    * sits inside an exact `minLen`-token window that also appears in the
+    * evaluation set? A pipeline uses this to MASK contaminated spans
+    * instead of dropping whole documents (dropping loses the clean 95% of
+    * a long doc over one quoted benchmark question; keeping loses the
+    * benchmark). Shape: corpus gram positions equi-join the DISTINCT eval
+    * gram hashes (the eval set is benchmark-sized — BROADCAST), then the
+    * shared interval-union kernel counts covered positions per doc. One
+    * corpus scan, no self-join, work linear in corpus token volume.
+    */
+  def spanContamination(docs: DataFrame, evalDocs: DataFrame, minLen: Int = 8,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(shingleHashesAll(col(textCol), minLen)).as(Seq("pos", "h")))
+    val evalGrams = evalDocs
+      .select(explode(shingleHashes(col(textCol), minLen)).as("h")).distinct()
+    val hitPos = grams.join(broadcast(evalGrams), "h")
+      .select(col("doc_id"), col("pos"))
+    coverageSummary(docs,
+      coveredTokens(hitPos, minLen, "contam_tokens", "n_contam_grams"),
+      textCol, idCol, "contam_tokens", "n_contam_grams", "contam_token_frac")
   }
 
   /** Line/sentence-level boilerplate removal — the C4/CCNet cleaning rule

@@ -1086,7 +1086,50 @@ object RelationalSuite {
         sum(col("bal")).cast("double").as("total_bal"))
   }
 
+  /** TPC-H Q8-shaped national market share — the deepest join tree in the
+    * suite (lineitem x orders x customer x 2 x nation x region x part x
+    * supplier): within ASIA customers' orders of PROMO-type parts, the
+    * yearly revenue share supplied by NATION_3. Every dimension chain
+    * collapses to a broadcast BEFORE touching the fact (region-filtered
+    * customers, promo parts, nation-labeled suppliers), so the only
+    * shuffle is the lineitem-orders fact join; share and numerator come
+    * from ONE aggregate (conditional beside total) and divide exact
+    * decimal sums in IEEE double.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", rev)).cast("double")
+          .as("nation_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("mkt_share",
+        coalesce(col("nation_revenue"), lit(0.0)) / col("total_revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share"    -> (q8MarketShare _),
     "q22_global_sales"   -> (q22GlobalSales _),
     "rolling_30d_revenue" -> (rolling30dRevenue _),
     "q2_min_cost"        -> (q2MinCost _),
@@ -1139,6 +1182,31 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       END) AS DOUBLE) AS nation_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS total_revenue,
+        |  coalesce(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |       END) AS DOUBLE), 0.0e0) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
     "q22_global_sales" ->
       """WITH a AS (
         |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s, count(*) AS n

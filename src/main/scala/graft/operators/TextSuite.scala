@@ -780,6 +780,19 @@ object TextSuite {
   def substringDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringCoverage(Tables.documents(spark, dir), minLen = 8)
 
+  /** Span-level decontamination against a benchmark set of the first
+    * twelve docs — see Dedup.spanContamination. Wider than decontaminate's
+    * doc_id < 5 so the eval set straddles injected near-dup pairs at
+    * EVERY fixture scale (min paired doc id: 0 at sf0.001, 8 at sf0.01,
+    * 11 at sf0.1 — measured): the partners show PARTIAL span coverage —
+    * the masking signal this operator exists for — while the eval docs
+    * themselves score 1.0 as built-in positive controls.
+    */
+  def spanDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.spanContamination(docs, docs.filter(col("doc_id") < 12), minLen = 8)
+  }
+
   /** Sentence-level (C4-rule) boilerplate removal — see Dedup.sentenceDedup
     * for the content-defined segmentation and the keep-first policy.
     */
@@ -848,6 +861,7 @@ object TextSuite {
     "passage_dedup"   -> ((s: SparkSession, d: String) => passageDedup(s, d)),
     "substring_dedup" -> (substringDedup _),
     "sentence_dedup"  -> (sentenceDedup _),
+    "span_decontam"   -> (spanDecontam _),
     "dedup_clusters_fixpoint" -> (dedupClustersFixpoint _))
 
   private val norm = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
@@ -1485,6 +1499,38 @@ object TextSuite {
         |       CASE WHEN len(s.toks) = 0 THEN 0.0e0
         |            ELSE CAST(coalesce(a.dup_tokens, 0) AS DOUBLE)
         |                 / CAST(len(s.toks) AS INT) END AS dup_frac
+        |FROM d s LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // same island-union recompute as substring_dedup, but marked positions
+    // come from the eval set's distinct grams instead of corpus occ > 1
+    "span_decontam" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS pos
+        |  FROM d WHERE len(toks) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos : pos+7], ' ') AS gram
+        |  FROM p),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id < 12),
+        |dp AS (SELECT doc_id, pos FROM g JOIN e USING (gram)),
+        |isl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN lag(pos) OVER w IS NULL
+        |                OR pos - lag(pos) OVER w >= 8 THEN 8
+        |              ELSE pos - lag(pos) OVER w END AS contrib
+        |  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS contam_tokens,
+        |         count(*) AS n_contam_grams
+        |  FROM isl GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(len(s.toks) AS INT) AS n_tokens,
+        |       CAST(coalesce(a.contam_tokens, 0) AS BIGINT) AS contam_tokens,
+        |       CAST(coalesce(a.n_contam_grams, 0) AS BIGINT) AS n_contam_grams,
+        |       CASE WHEN len(s.toks) = 0 THEN 0.0e0
+        |            ELSE CAST(coalesce(a.contam_tokens, 0) AS DOUBLE)
+        |                 / CAST(len(s.toks) AS INT) END AS contam_token_frac
         |FROM d s LEFT JOIN agg a USING (doc_id)""".stripMargin,
     // Reproduces the content-defined segmentation exactly: same md5-nibble
     // boundary, same (doc_id, position) keep-first ranking; sentences here
