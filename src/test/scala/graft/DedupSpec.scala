@@ -250,6 +250,26 @@ class DedupSpec extends SparkSpec {
     assert(out(21L)._3 == 0L)
   }
 
+  test("span contamination: eval overlap covered exactly, rest untouched") {
+    // corpus doc 30 embeds a 10-token run from the eval doc (positions
+    // 3..12); doc 31 shares nothing. With minLen = 8 exactly those 10
+    // tokens are covered in doc 30; the eval doc itself is NOT in the
+    // corpus frame here, so no control row.
+    val run = (1 to 10).map(i => s"e$i").mkString(" ")
+    val evalDocs = Seq((0L, s"$run tail1 tail2")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (30L, s"x1 x2 x3 $run y1 y2"),
+      (31L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanContamination(corpus, evalDocs, minLen = 8)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(30L)._3 == 10L,
+      s"embedded eval run must be covered exactly: ${out(30L)}")
+    assert(out(30L)._4 == 3L, "a 10-token run holds 3 duplicated 8-windows")
+    assert(out(31L)._3 == 0L)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

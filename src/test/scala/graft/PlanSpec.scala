@@ -178,6 +178,31 @@ class PlanSpec extends SparkSpec {
       s"q4 date filter not pushed to the orders scan in:\n$plan")
   }
 
+  test("q8 broadcasts every dimension chain; lineitem-orders is the only big join") {
+    val plan = executedPlan(RelationalSuite.q8MarketShare(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"q8 dims (promo parts, supplier-nation, asia customers) must broadcast:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1,
+      s"q8 must shuffle only the fact-fact join:\n$plan")
+  }
+
+  test("substring coverage joins on gram hashes, never pairs documents") {
+    val plan = executedPlan(graft.operators.TextSuite.substringDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"substring_dedup must stay equi-keyed:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"occurrence count must map-side combine:\n$plan")
+  }
+
+  test("span decontamination broadcasts the eval gram set over one corpus scan") {
+    val plan = executedPlan(graft.operators.TextSuite.spanDecontam(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"no pair explosion:\n$plan")
+  }
+
   test("incr_agg merges partials without re-shuffling the union") {
     val plan = executedPlan(RelationalSuite.incrAgg(spark, dir))
     val union = plan.indexOf("Union")
