@@ -1128,7 +1128,61 @@ object RelationalSuite {
         coalesce(col("nation_revenue"), lit(0.0)) / col("total_revenue"))
   }
 
+  /** TPC-H Q17-shaped small-quantity-order revenue — the correlated
+    * scalar-average idiom: lineitems of one brand's parts whose quantity
+    * sits below 20% of THAT PART's average quantity. Like q2, the
+    * correlated aggregate resolves as a window over the partkey partition
+    * (one scan, one exchange of the brand-pruned rows); the below-average
+    * test runs in the exact integer domain (qty * 5 * count < sum, so no
+    * engine's decimal-average rounding moves a boundary row) and the
+    * output is the classic yearly-revenue scalar, exact decimals under an
+    * IEEE double division by 7.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      .withColumn("qty_sum", sum(col("qty")).over(w))
+      .withColumn("qty_n", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("qty_n") < col("qty_sum"))
+      .agg(count(lit(1)).as("n_small"),
+        (sum(col("price")).cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive (DNF) predicate join — the OR-of-ANDs
+    * filter that stresses predicate normalization: three brand/size/
+    * quantity clauses, each mixing part-side and lineitem-side columns,
+    * so the disjunction can only resolve AFTER the join. The part side
+    * still broadcasts (the size bound is the union of the clauses and
+    * pushes to its scan); revenue stays decimal-exact.
+    */
+  def q19BrandRanges(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    val clause =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_size").between(1, 15))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey") && clause)
+      .agg(sum(rev).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty"      -> (q17SmallQty _),
+    "q19_brand_ranges"   -> (q19BrandRanges _),
     "q8_market_share"    -> (q8MarketShare _),
     "q22_global_sales"   -> (q22GlobalSales _),
     "rolling_30d_revenue" -> (rolling30dRevenue _),
@@ -1182,6 +1236,32 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |s AS (
+        |  SELECT l_partkey, sum(qty) AS qty_sum, count(*) AS qty_n
+        |  FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |       CAST(CAST(sum(price) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+        |FROM li JOIN s USING (l_partkey)
+        |WHERE qty * 5 * qty_n < qty_sum""".stripMargin,
+    "q19_brand_ranges" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
