@@ -1180,7 +1180,29 @@ object RelationalSuite {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q6-shaped forecasting-revenue-change: the canonical no-join
+    * scan-and-aggregate — one year of shipments in a discount band under
+    * a quantity cap, summing price x discount. Every predicate pushes to
+    * the parquet scan (PushedFilters carries all three), the aggregate is
+    * map-side combined to one row, and the discount band is evaluated on
+    * exact DECIMAL(18,2) values so the float literals can't wobble the
+    * boundary rows.
+    */
+  def q6RevenueChange(spark: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_discount").cast(DecimalType(18, 2))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        disc.between(lit("0.05").cast(DecimalType(18, 2)),
+          lit("0.07").cast(DecimalType(18, 2))) &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * disc)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_revenue_change"  -> (q6RevenueChange _),
     "q17_small_qty"      -> (q17SmallQty _),
     "q19_brand_ranges"   -> (q19BrandRanges _),
     "q8_market_share"    -> (q8MarketShare _),
@@ -1236,6 +1258,18 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q6_revenue_change" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(l_discount AS DECIMAL(18,2))
+        |      BETWEEN CAST('0.05' AS DECIMAL(18,2))
+        |          AND CAST('0.07' AS DECIMAL(18,2))
+        |  AND l_quantity < 24""".stripMargin,
     "q17_small_qty" ->
       """WITH li AS (
         |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
