@@ -208,6 +208,8 @@ object EventSuite {
     "page_counts"          -> (pageCounts _),
     "stream_page_counts"   -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedPageCounts(s, d)),
+    "stream_session_counts" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedSessionCounts(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -274,6 +276,26 @@ object EventSuite {
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt
         |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // streamed session windows must converge to the identical batch
+    // gap-islands answer: same oracle as session_counts, checked against
+    // the update-mode fixpoint (max per pinned session start)
+    "stream_session_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "page_counts_snapshot" ->
       """WITH counts AS (
         |  SELECT event_type,

@@ -1201,7 +1201,44 @@ object RelationalSuite {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q15-shaped top supplier — the revenue-view + scalar-max idiom:
+    * one quarter's revenue per supplier (single fact shuffle on the
+    * supplier key over the shipdate-pruned scan), then keep the
+    * supplier(s) hitting the exact maximum. The max rides in as a 1-row
+    * broadcast against the SAME aggregate subtree, which physical
+    * planning collapses via ReuseExchange — one scan, not two — and the
+    * equality test runs on exact DECIMAL sums, so no double rounding can
+    * drop or add a tied winner. An unpartitioned window-max would be the
+    * compact alternative but serializes |suppliers| rows through one
+    * task; the broadcast form keeps every stage parallel at 100 TB.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    // the explicit key isnotnull matters for the reuse: the supplier join
+    // pushes isnotnull(l_suppkey) into ONLY the filter branch's subtree,
+    // which would break canonical equality of the two revenue exchanges
+    // and force a second quarter scan; stating it in the shared subtree
+    // keeps both branches identical so ReuseExchange fires (pinned in
+    // PlanSpec)
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+        col("l_suppkey").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+        .as("total_rev"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("max_rev"))))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier"   -> (q15TopSupplier _),
     "q6_revenue_change"  -> (q6RevenueChange _),
     "q17_small_qty"      -> (q17SmallQty _),
     "q19_brand_ranges"   -> (q19BrandRanges _),
@@ -1258,6 +1295,19 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (CAST(1 AS DECIMAL(18,2)) -
+        |              CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM r)""".stripMargin,
     "q6_revenue_change" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -15,6 +15,9 @@ import graft.operators.PageViews
   */
 final case class ReplayEvent(name: String, date: Timestamp, duration: Double)
 
+/** Replay row shape for the session-window stream (user activity). */
+final case class ReplaySession(user_id: Long, ts: Timestamp)
+
 /** Bounded replays of fixture tables through the REAL streaming pipeline —
   * the driver-contract bridge that turns streaming correctness into an
   * oracle-checkable batch row (round-5 verdict ask #5: streaming was
@@ -92,5 +95,69 @@ object StreamReplay {
     child.table(sink)
       .groupBy(col("name").as("event_type"), col("window_start"))
       .agg(max(col("cnt")).as("cnt"))
+  }
+
+  /** `session_window` sessionization executed AS A STREAM — the MERGING
+    * stateful window (unlike tumbling, a session's extent grows as events
+    * arrive, so the state store must extend live sessions across
+    * micro-batch boundaries; splitting the fixture into `numBatches`
+    * chunks makes that happen mid-session by construction). Session
+    * windows reject update mode (their keys are mutable — a session's
+    * window grows as it extends), so the run uses COMPLETE mode: the
+    * memory sink is replaced with the full corrected session table each
+    * micro-batch, and after the last batch it IS the converged answer,
+    * which must equal the batch gap-islands result exactly — the
+    * session_counts oracle SQL checks THIS streamed execution too.
+    * Complete mode keeps all session state resident, which is exactly
+    * the verification-harness tradeoff (production sessionization runs
+    * append mode + watermark and emits sessions as they close).
+    *
+    * Same verification-harness posture as [[streamedPageCounts]]: the
+    * driver-side collect originates the simulated wire (CollectLintSpec
+    * allow-list); the pipeline under test is source-to-sink identical to
+    * what a readStream source would feed.
+    */
+  def streamedSessionCounts(spark: SparkSession, dir: String,
+                            numBatches: Int = 4): DataFrame = {
+    val rows = {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"))
+        .orderBy(col("ts"))
+        .as[ReplaySession].collect()
+    }
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    import child.implicits._
+    val input = MemoryStream[ReplaySession](child)
+    val sessions = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("n_events"))
+    val sink = "stream_session_counts_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.outputMode("complete")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .start()
+    try {
+      val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
+      rows.grouped(per).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    child.table(sink)
   }
 }

@@ -236,4 +236,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"near-dup degraded to pair-materializing BNLJ:\n$plan")
   }
+
+  test("q15 reuses the revenue aggregate's exchange for the scalar max") {
+    // the per-supplier revenue subtree appears under both the filter side
+    // and the max side; AQE must materialize its shuffle ONCE and reuse
+    // the stage — a final plan with two lineitem scans does the quarter's
+    // work twice. Reuse happens at RUNTIME (stage cache keyed on the
+    // canonicalized exchange), so execute the df's own query execution
+    // and inspect the finalized adaptive plan.
+    val df = RelationalSuite.q15TopSupplier(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan not finalized:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"q15 revenue subtree not reused (extra lineitem scan) in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q15 supplier dim must broadcast in:\n$plan")
+  }
 }
