@@ -1237,7 +1237,29 @@ object RelationalSuite {
         col("total_rev").cast("double").as("total_revenue"))
   }
 
+  /** Wide-to-long UNPIVOT (melt) — the inverse of pivot_agg: the four
+    * lineitem measures become (metric, value) rows via Dataset.unpivot,
+    * which plans as a single-scan Expand (each input row emits 4 output
+    * rows in the same task) — the 100 TB shape; the naive UNION ALL of
+    * four selects scans the fact 4x. Per-metric profile aggregates stay
+    * in the exact decimal domain and surface as doubles.
+    */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 2))
+    Tables.lineitem(spark, dir)
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("total"),
+        min(v).cast("double").as("vmin"),
+        max(v).cast("double").as("vmax"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unpivot_metrics"    -> (unpivotMetrics _),
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q6_revenue_change"  -> (q6RevenueChange _),
     "q17_small_qty"      -> (q17SmallQty _),
@@ -1295,6 +1317,20 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "unpivot_metrics" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+        |       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmax
+        |FROM u GROUP BY 1""".stripMargin,
     "q15_top_supplier" ->
       """WITH r AS (
         |  SELECT l_suppkey,

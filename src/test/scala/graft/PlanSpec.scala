@@ -237,6 +237,15 @@ class PlanSpec extends SparkSpec {
       s"near-dup degraded to pair-materializing BNLJ:\n$plan")
   }
 
+  test("unpivot melts via a single-scan Expand, not a union of scans") {
+    val plan = executedPlan(RelationalSuite.unpivotMetrics(spark, dir))
+    assert(plan.contains("Expand"), s"unpivot lost its Expand node in:\n$plan")
+    assert("FileScan parquet|Scan parquet".r.findAllIn(plan).size == 1,
+      s"unpivot must scan the fact exactly once in:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"per-metric profile must map-side combine in:\n$plan")
+  }
+
   test("q15 reuses the revenue aggregate's exchange for the scalar max") {
     // the per-supplier revenue subtree appears under both the filter side
     // and the max side; AQE must materialize its shuffle ONCE and reuse
