@@ -210,6 +210,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedPageCounts(s, d)),
     "stream_session_counts" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedSessionCounts(s, d)),
+    "stream_click_attrib"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedClickAttribution(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -296,6 +298,14 @@ object EventSuite {
         |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    // the streamed stream-stream join's emitted pair set must equal the
+    // batch join: per-user attribution counts checked against plain SQL
+    "stream_click_attrib" ->
+      """SELECT v.user_id, count(*) AS n_pairs
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
+        |GROUP BY 1""".stripMargin,
     "page_counts_snapshot" ->
       """WITH counts AS (
         |  SELECT event_type,

@@ -18,6 +18,10 @@ final case class ReplayEvent(name: String, date: Timestamp, duration: Double)
 /** Replay row shape for the session-window stream (user activity). */
 final case class ReplaySession(user_id: Long, ts: Timestamp)
 
+/** Replay row shape for the stream-stream join (typed user events). */
+final case class ReplayTyped(user_id: Long, event_type: String,
+                             ts: Timestamp, event_id: Long)
+
 /** Bounded replays of fixture tables through the REAL streaming pipeline —
   * the driver-contract bridge that turns streaming correctness into an
   * oracle-checkable batch row (round-5 verdict ask #5: streaming was
@@ -159,5 +163,69 @@ object StreamReplay {
       }
     } finally q.stop()
     child.table(sink)
+  }
+
+  /** Stream-STREAM inner join executed as a stream — view -> click
+    * attribution: every (view, click) pair of the same user with the
+    * click inside one day after the view. Both sides derive from the
+    * same replayed source; the range condition bounds both event-time
+    * columns, so the join state is watermark-evictable (a view leaves
+    * state once the click watermark passes view_ts + 1 day — at 100 TB
+    * the state store holds one day of views, not the stream's history).
+    * Append mode emits each matched pair exactly once; in-order replay
+    * means no candidate pair is ever split across the watermark, so the
+    * emitted pair set equals the batch join exactly and the per-user
+    * pair counts hash-match the batch oracle SQL.
+    *
+    * Same verification-harness posture as [[streamedPageCounts]] (the
+    * driver-side collect originates the simulated wire).
+    */
+  def streamedClickAttribution(spark: SparkSession, dir: String,
+                               numBatches: Int = 4): DataFrame = {
+    val rows = {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[ReplayTyped].collect()
+    }
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    import child.implicits._
+    val input = MemoryStream[ReplayTyped](child)
+    val views = input.toDF().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 seconds")
+    val clicks = input.toDF().filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 seconds")
+    val pairs = views.join(clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+    val sink = "stream_click_attrib_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = pairs.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .start()
+    try {
+      val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
+      rows.grouped(per).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    child.table(sink)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
   }
 }

@@ -39,9 +39,11 @@ class CollectLintSpec extends SparkSpec {
       // collects the fixture to the driver to simulate a wire — the
       // verification bridge, not a production path (StreamReplay scaladoc)
       "stream_page_counts",
-      // stream_session_counts: same replay-harness posture (complete-mode
-      // session-window stream fed from a driver-originated simulated wire)
+      // stream_session_counts / stream_click_attrib: same replay-harness
+      // posture (session-window and stream-stream-join pipelines fed from
+      // a driver-originated simulated wire)
       "stream_session_counts",
+      "stream_click_attrib",
       // dedup_clusters_fixpoint ITERATES to convergence by construction:
       // each round materializes via localCheckpoint and the driver reads
       // one exact label-sum scalar per round — bounded driver output, and
