@@ -1258,7 +1258,41 @@ object RelationalSuite {
         max(v).cast("double").as("vmax"))
   }
 
+  /** Join-key skew audit — the profile a planner (or an engineer sizing a
+    * 100 TB shuffle) reads before choosing strategy: for each candidate
+    * join key, the key cardinality, the heaviest key's share, and the
+    * Herfindahl concentration index sum(p_k^2) (= the expected fraction
+    * of the shuffle landing on a random row's partition-mate set; 1/n for
+    * uniform keys, ->1 for one hot key). The two lineitem keys ride ONE
+    * scan via unpivot/Expand; all accumulation is exact (counts, and
+    * squared counts in DECIMAL so a hot key can't overflow BIGINT) with a
+    * single IEEE division at the end — both engines produce bit-identical
+    * doubles.
+    */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_partkey"), col("l_suppkey")), "key_col", "k")
+      .select(col("key_col"), col("k"))
+    val o = Tables.orders(spark, dir)
+      .select(lit("o_custkey").as("key_col"), col("o_custkey").as("k"))
+    val sq = col("cnt").cast(DecimalType(18, 0)) *
+      col("cnt").cast(DecimalType(18, 0))
+    li.unionByName(o)
+      .groupBy(col("key_col"), col("k")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("key_col"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"), sum(sq).as("sum_sq"))
+      .select(col("key_col"), col("n_keys"), col("n_rows"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("top1_frac"),
+        (col("sum_sq").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double")))
+          .as("hhi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_audit"         -> (skewAudit _),
     "unpivot_metrics"    -> (unpivotMetrics _),
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q6_revenue_change"  -> (q6RevenueChange _),
@@ -1317,6 +1351,24 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    // sum_sq -> double routes through VARCHAR: DuckDB's direct
+    // DECIMAL(38,0) -> DOUBLE cast can be one ulp off; the string parse is
+    // correctly rounded like Spark's BigDecimal cast
+    "skew_audit" ->
+      """WITH u AS (
+        |  SELECT 'l_partkey' AS key_col, l_partkey AS k FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'o_custkey', o_custkey FROM orders),
+        |c AS (SELECT key_col, k, count(*) AS cnt FROM u GROUP BY 1, 2)
+        |SELECT key_col, count(*) AS n_keys,
+        |       CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+        |       CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |         AS top1_frac,
+        |       CAST(CAST(sum(CAST(cnt AS DECIMAL(18,0)) *
+        |                     CAST(cnt AS DECIMAL(18,0))) AS VARCHAR)
+        |            AS DOUBLE) /
+        |       (CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)) AS hhi
+        |FROM c GROUP BY 1""".stripMargin,
     "unpivot_metrics" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
