@@ -212,6 +212,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedSessionCounts(s, d)),
     "stream_click_attrib"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedClickAttribution(s, d)),
+    "stream_session_append" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedSessionAppend(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -282,6 +284,26 @@ object EventSuite {
     // gap-islands answer: same oracle as session_counts, checked against
     // the update-mode fixpoint (max per pinned session start)
     "stream_session_counts" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    // append-mode sessionization (watermark-evicted, emit-on-close) must
+    // reproduce the identical gap-islands answer once a sentinel closes
+    // every session: same oracle as session_counts
+    "stream_session_append" ->
       """WITH e AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL

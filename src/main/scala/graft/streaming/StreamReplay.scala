@@ -165,6 +165,74 @@ object StreamReplay {
     child.table(sink)
   }
 
+  /** Session windows in APPEND mode — the production emission path: a
+    * session row is emitted exactly once, when the watermark passes its
+    * close (start of the next gap), and its state is EVICTED — the path
+    * [[streamedSessionCounts]]'s complete mode never exercises (complete
+    * keeps all state resident and re-emits everything). To converge on
+    * the full fixture, a far-future sentinel event (reserved user -1) is
+    * replayed last: it advances the global watermark 2 days past the
+    * data, closing and emitting every real session; the sentinel's own
+    * session stays open and is filtered from the result. Emitted rows
+    * must equal the batch gap-islands answer exactly — checked by the
+    * same session_counts oracle SQL.
+    *
+    * Same verification-harness posture as [[streamedPageCounts]] (the
+    * driver-side collect originates the simulated wire).
+    */
+  def streamedSessionAppend(spark: SparkSession, dir: String,
+                            numBatches: Int = 4): DataFrame = {
+    val rows = {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"))
+        .orderBy(col("ts"))
+        .as[ReplaySession].collect()
+    }
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    import child.implicits._
+    val input = MemoryStream[ReplaySession](child)
+    val sessions = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("n_events"))
+    val sink = "stream_session_append_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .start()
+    try {
+      val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
+      rows.grouped(per).foreach { chunk =>
+        input.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark (updated at
+      // batch END), the second's processing acts on it and emits every
+      // closed real session
+      val flush = new Timestamp(rows.last.ts.getTime + 2L * 86400 * 1000)
+      input.addData(ReplaySession(-1L, flush))
+      q.processAllAvailable()
+      input.addData(ReplaySession(-1L,
+        new Timestamp(flush.getTime + 1000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    child.table(sink).filter(col("user_id") =!= -1L)
+  }
+
   /** Stream-STREAM inner join executed as a stream — view -> click
     * attribution: every (view, click) pair of the same user with the
     * click inside one day after the view. Both sides derive from the
