@@ -214,6 +214,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedClickAttribution(s, d)),
     "stream_session_append" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedSessionAppend(s, d)),
+    "stream_dedup"         -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedDedup(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -300,6 +302,12 @@ object EventSuite {
         |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    // the streamed dedup's survivors must be EXACTLY the original fixture
+    // (the replay injects same-batch and late cross-batch duplicates):
+    // per-type counts against the trivial batch aggregate
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
     // append-mode sessionization (watermark-evicted, emit-on-close) must
     // reproduce the identical gap-islands answer once a sentinel closes
     // every session: same oracle as session_counts

@@ -233,6 +233,68 @@ object StreamReplay {
     child.table(sink).filter(col("user_id") =!= -1L)
   }
 
+  /** Watermarked streaming dedup executed as a stream — the
+    * producer-retry shield: the replay INJECTS duplicates (a copy of 25
+    * rows inside the same micro-batch, plus a full copy of the previous
+    * batch arriving one batch late) and `dropDuplicatesWithinWatermark`
+    * must drop exactly them — same-batch copies via the dedup state,
+    * late cross-batch copies via state or the watermark's late-row
+    * filter; either path removes only true duplicates. The surviving
+    * first-occurrence set must therefore equal the original fixture, and
+    * its per-type counts hash-match the trivial batch oracle — which
+    * fails if even one duplicate leaks through or one real event is
+    * over-dropped. State holds one key per event inside the 10 s
+    * watermark horizon, not the stream's history — the bounded-state
+    * posture of a 100 TB/day ingest.
+    *
+    * Same verification-harness posture as [[streamedPageCounts]] (the
+    * driver-side collect originates the simulated wire).
+    */
+  def streamedDedup(spark: SparkSession, dir: String,
+                    numBatches: Int = 4): DataFrame = {
+    val rows = {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .as[ReplayTyped].collect()
+    }
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    import child.implicits._
+    val input = MemoryStream[ReplayTyped](child)
+    val deduped = input.toDF()
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sink = "stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .start()
+    try {
+      val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
+      val chunks = rows.grouped(per).toSeq
+      chunks.indices.foreach { i =>
+        val dupes = chunks(i).take(25) ++
+          (if (i > 0) chunks(i - 1) else Array.empty[ReplayTyped])
+        input.addData((chunks(i) ++ dupes).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    child.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Stream-STREAM inner join executed as a stream — view -> click
     * attribution: every (view, click) pair of the same user with the
     * click inside one day after the view. Both sides derive from the

@@ -45,6 +45,7 @@ class CollectLintSpec extends SparkSpec {
       "stream_session_counts",
       "stream_click_attrib",
       "stream_session_append",
+      "stream_dedup",
       // dedup_clusters_fixpoint ITERATES to convergence by construction:
       // each round materializes via localCheckpoint and the driver reads
       // one exact label-sum scalar per round — bounded driver output, and
