@@ -100,7 +100,9 @@ object Bench {
     // goes to a FILE in the repo — the stdout line is size-capped by the
     // recorder's 2000-char tail, the file is not, and the driver commits
     // untracked files at round end so the detail reaches the judge.
-    locally {
+    // never from a SPARK_GRAFT_ONLY run: a filtered local iteration must
+    // not clobber the committed full-suite record
+    if (only.isEmpty) locally {
       val detail = pass1.zip(pass2).map { case ((n, (t1, g1)), (_, (t2, g2))) =>
         f"""  "$n":{"sec":${math.min(t1, t2)}%.3f,"p1":$t1%.3f,"p2":$t2%.3f,""" +
           f""""gc":${if (t2 < t1) g2 else g1}%.2f}"""

@@ -314,7 +314,10 @@ object StreamReplay {
                                numBatches: Int = 4): DataFrame = {
     val rows = {
       import spark.implicits._
+      // only view/click rows participate in the join; other types would
+      // ride the wire without affecting output or watermark convergence
       Tables.events(spark, dir)
+        .filter(col("event_type").isin("view", "click"))
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .orderBy(col("ts"), col("event_id"))
         .as[ReplayTyped].collect()
@@ -327,7 +330,10 @@ object StreamReplay {
     child.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state." +
         "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4, not 8: the stream-stream join runs TWO stateful operators per
+    // partition per micro-batch (one store each side) — per-batch store
+    // open/commit overhead, not data volume, dominates this replay
+    child.conf.set("spark.sql.shuffle.partitions", "4")
     import child.implicits._
     val input = MemoryStream[ReplayTyped](child)
     val views = input.toDF().filter(col("event_type") === "view")
