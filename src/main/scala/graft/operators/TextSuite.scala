@@ -54,6 +54,34 @@ object TextSuite {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.05)
 
+  /** Character-level edit-distance verification of the shingle-candidate
+    * pairs — the second-stage verifier fuzzy dedup pipelines run when
+    * token-set Jaccard is not evidence enough (transpositions, partial
+    * rewrites, and boilerplate-with-substitutions all move edit distance
+    * differently than set overlap). Candidates come from the SAME
+    * df-pruned shingle join as ngram_jaccard — never all pairs — so the
+    * O(len_a x len_b) Levenshtein kernel (Spark's codegen'd
+    * `levenshtein`) runs on |candidates| rows only; texts ride two
+    * id-keyed broadcast-able joins. Similarity normalizes by the longer
+    * text; the only floating math is one IEEE division + subtraction —
+    * bit-equal cross-engine.
+    */
+  def editDistanceVerify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dist = levenshtein(col("text_a"), col("text_b"))
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.05)
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        dist.cast("long").as("edit_dist"),
+        (lit(1.0) - dist.cast("double") /
+          greatest(length(col("text_a")), length(col("text_b")))
+            .cast("double")).as("edit_sim"))
+  }
+
   /** MinHash+LSH near-dup candidates (no SQL oracle: wraparound hash mixes).
     * Rows-only check; invariants (est_jaccard in [0,1], doc_a<doc_b,
     * correlation with exact jaccard) are unit-tested.
@@ -832,6 +860,7 @@ object TextSuite {
     "doc_fingerprint" -> (docFingerprint _),
     "dedup_exact"     -> (dedupExact _),
     "ngram_jaccard"   -> (ngramJaccard _),
+    "edit_distance_verify" -> (editDistanceVerify _),
     "minhash_pairs"   -> (minhashPairs _),
     "minhash_recall"  -> (minhashRecall _),
     "dedup_clusters"  -> (dedupClusters _),
@@ -1011,6 +1040,26 @@ object TextSuite {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05""".stripMargin,
+    "edit_distance_verify" ->
+      s"""WITH $prunedShingles,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05)
+        |SELECT doc_a, doc_b,
+        |       levenshtein(da.text, db.text) AS edit_dist,
+        |       1.0e0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+        |         CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+        |         AS edit_sim
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = doc_a
+        |JOIN documents db ON db.doc_id = doc_b""".stripMargin,
     "hash_split" ->
       """WITH t AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
