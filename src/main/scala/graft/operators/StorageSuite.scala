@@ -287,6 +287,25 @@ object StorageSuite {
         col("c_full").cast("string").as("checksum_full"))
   }
 
+  /** Merkle-style drill-down of the table digest: the SAME row digests,
+    * summed per md5-derived bucket (16-way, layout-independent — the
+    * bucket is a pure key function, so both engines and any replica
+    * agree on membership without coordinating physical layout). When two
+    * replicas' table checksums diverge, comparing 16 bucket rows locates
+    * the divergent shard(s) and the next drill-down rescans 1/16th —
+    * repair traffic scales with the damage, not the table. Additivity of
+    * the bucket digests back to table_checksum's total is implied by the
+    * same commutative DECIMAL(38,0) sum checksum_merge gates.
+    */
+  def checksumBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+        .as("bucket"), rowDigest(o).as("d"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("d").cast(DecimalType(38, 0))).cast("string").as("checksum"))
+  }
+
   private val checksumTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
@@ -368,13 +387,19 @@ object StorageSuite {
     "dpp_join"        -> (dppJoin _),
     "zorder_layout"   -> (zorderLayout _),
     "table_checksum"  -> (tableChecksum _),
-    "checksum_merge"  -> (checksumMerge _))
+    "checksum_merge"  -> (checksumMerge _),
+    "checksum_buckets" -> (checksumBuckets _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
     // exactly what the hash compare then proves
     "table_checksum" -> checksumOracle,
     "checksum_merge" -> checksumMergeOracle,
+    "checksum_buckets" ->
+      s"""SELECT substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS bucket,
+         |       count(*) AS n_rows,
+         |       CAST(sum(${rowDigestSql("orders")}) AS VARCHAR) AS checksum
+         |FROM orders GROUP BY 1""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
