@@ -1291,7 +1291,43 @@ object RelationalSuite {
           .as("hhi"))
   }
 
+  /** Snapshot reconciliation via FULL OUTER join — the missing join type
+    * in the family (inner/left/semi/anti/asof/range/cross elsewhere) in
+    * its natural production role: diff a derived table (per-customer
+    * revenue) between the pre-watermark snapshot and the current state,
+    * classify every key as added / dropped / changed / unchanged, and
+    * report counts + exact revenue delta per class. This is what an
+    * incremental pipeline runs when incr_agg's maintained view and a
+    * fresh recompute disagree — it names the keys that moved. One
+    * co-partitioned shuffle on the customer key joins the two
+    * aggregates; equality tests run on exact decimals, so a one-cent
+    * drift lands in 'changed', never lost to float noise.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    def side(df: DataFrame, k: String, tot: String, n: String): DataFrame =
+      df.groupBy(col("o_custkey").as(k))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as(tot),
+          count(lit(1)).as(n))
+    val o = Tables.orders(spark, dir)
+    side(o.filter(col("o_orderdate") < cut), "k_b", "tot_b", "n_b")
+      .join(side(o, "k_f", "tot_f", "n_f"),
+        col("k_b") === col("k_f"), "full_outer")
+      .select(
+        when(col("k_b").isNull, "added")
+          .when(col("k_f").isNull, "dropped")
+          .when(col("tot_b") === col("tot_f") && col("n_b") === col("n_f"),
+            "unchanged")
+          .otherwise("changed").as("class"),
+        (coalesce(col("tot_f"), lit(0).cast(DecimalType(18, 2))) -
+          coalesce(col("tot_b"), lit(0).cast(DecimalType(18, 2)))).as("delta"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("delta")).cast("double").as("delta_revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_diff"      -> (snapshotDiff _),
     "skew_audit"         -> (skewAudit _),
     "unpivot_metrics"    -> (unpivotMetrics _),
     "q15_top_supplier"   -> (q15TopSupplier _),
@@ -1351,6 +1387,28 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "snapshot_diff" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS k,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+        |         count(*) AS n
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT o_custkey AS k,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT CASE WHEN b.k IS NULL THEN 'added'
+        |            WHEN f.k IS NULL THEN 'dropped'
+        |            WHEN b.tot = f.tot AND b.n = f.n THEN 'unchanged'
+        |            ELSE 'changed' END AS class,
+        |       count(*) AS n_customers,
+        |       CAST(sum(coalesce(f.tot, CAST(0 AS DECIMAL(18,2))) -
+        |                coalesce(b.tot, CAST(0 AS DECIMAL(18,2))))
+        |         AS DOUBLE) AS delta_revenue
+        |FROM b FULL OUTER JOIN f ON b.k = f.k
+        |GROUP BY 1""".stripMargin,
     // sum_sq -> double routes through VARCHAR: DuckDB's direct
     // DECIMAL(38,0) -> DOUBLE cast can be one ulp off; the string parse is
     // correctly rounded like Spark's BigDecimal cast
