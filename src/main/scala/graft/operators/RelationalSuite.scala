@@ -1326,7 +1326,34 @@ object RelationalSuite {
         sum(col("delta")).cast("double").as("delta_revenue"))
   }
 
+  /** Nested-array analytics over grouped data — ArrayType + higher-order
+    * functions as a first-class relational surface: per customer, the
+    * DESC-sorted array of order totals (bounded per key — the legitimate
+    * collect_list shape; a corpus-wide collect would be the smell), then
+    * pure array math: top-3 revenue via slice + aggregate (decimal
+    * accumulator, exact), large-order count via filter + size. Every
+    * output is invariant under tie order inside the sorted array, so the
+    * result is deterministic and the oracle can recompute it with
+    * windows instead of lists.
+    */
+  def arrayAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val zero = lit("0.00").cast(DecimalType(28, 2))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice")
+        .cast(DecimalType(18, 2))), asc = false).as("totals"))
+      .select(col("o_custkey"),
+        size(col("totals")).cast("long").as("n_orders"),
+        aggregate(slice(col("totals"), 1, 3), zero,
+          (acc, x) => (acc + x).cast(DecimalType(28, 2)))
+          .cast("double").as("top3_sum"),
+        size(filter(col("totals"),
+          x => x > lit("200000").cast(DecimalType(18, 2))))
+          .cast("long").as("n_large"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_analytics"    -> (arrayAnalytics _),
     "snapshot_diff"      -> (snapshotDiff _),
     "skew_audit"         -> (skewAudit _),
     "unpivot_metrics"    -> (unpivotMetrics _),
@@ -1387,6 +1414,19 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    // windows instead of lists: every output is tie-order-invariant, so
+    // the window recompute is exactly equivalent to the array math
+    "array_analytics" ->
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS t,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |       CAST(sum(CASE WHEN rn <= 3 THEN t END) AS DOUBLE) AS top3_sum,
+        |       CAST(count(CASE WHEN t > CAST('200000' AS DECIMAL(18,2))
+        |                       THEN 1 END) AS BIGINT) AS n_large
+        |FROM r GROUP BY 1""".stripMargin,
     "snapshot_diff" ->
       """WITH b AS (
         |  SELECT o_custkey AS k,

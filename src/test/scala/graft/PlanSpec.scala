@@ -246,6 +246,40 @@ class PlanSpec extends SparkSpec {
       s"per-metric profile must map-side combine in:\n$plan")
   }
 
+  test("runtime bloom filter injects on a shuffled join under a selective dim filter") {
+    // at 100 TB a selective filter on one shuffle-join side should prune
+    // the OTHER side's scan via an injected bloom filter (Spark's
+    // InjectRuntimeFilter). Fixture tables all sit under the broadcast
+    // and application-side thresholds, so rig the confs to the scenario
+    // and pin that the engine's plans engage the rewrite.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = graft.model.Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        .select(org.apache.spark.sql.functions.col("o_orderkey"))
+      val li = graft.model.Tables.lineitem(spark, dir)
+        .select(org.apache.spark.sql.functions.col("l_orderkey"),
+          org.apache.spark.sql.functions.col("l_quantity"))
+      val plan = li.join(o,
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("q15 reuses the revenue aggregate's exchange for the scalar max") {
     // the per-supplier revenue subtree appears under both the filter side
     // and the max side; AQE must materialize its shuffle ONCE and reuse
