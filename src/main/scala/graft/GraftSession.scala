@@ -48,6 +48,11 @@ object GraftSession {
     // engine-native SQL functions (also injectable via GraftExtensions)
     graft.functions.DotProduct.register(spark)
     graft.functions.ShingleHash.register(spark)
+    // engine optimizer rules (idempotent; also injectable via extensions)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinLengthGuard))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.LevenshteinLengthGuard)
     spark
   }
 }

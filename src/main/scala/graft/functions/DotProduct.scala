@@ -122,5 +122,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(ShingleHash.functionName),
       new ExpressionInfo(classOf[ShingleHash].getName, ShingleHash.functionName),
       ShingleHash.sqlBuilder))
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
   }
 }

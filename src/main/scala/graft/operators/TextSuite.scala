@@ -852,7 +852,30 @@ object TextSuite {
         col("n_novel").cast("double") / col("n_shingles"))
   }
 
+  /** Thresholded fuzzy-match filter over the candidate pairs — the query
+    * shape the LevenshteinLengthGuard optimizer rule exists for: the
+    * logical plan filters `levenshtein(a, b) <= 60`, and the engine's
+    * rule (GraftSession.tune / GraftExtensions) prepends the free
+    * `abs(length(a) - length(b)) <= 60` bound so length-mismatched pairs
+    * short-circuit past the O(len^2) kernel. GuardRuleSpec pins both the
+    * rewrite firing and result equality with the rule off.
+    */
+  def editDistanceNear(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.05)
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        "doc_b")
+      .filter(levenshtein(col("text_a"), col("text_b")) <= 60)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long")
+          .as("edit_dist"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "edit_distance_near" -> (editDistanceNear _),
     "ngram_novelty"   -> (ngramNovelty _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_stats"      -> (textStats _),
@@ -1040,6 +1063,24 @@ object TextSuite {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05""".stripMargin,
+    "edit_distance_near" ->
+      s"""WITH $prunedShingles,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.05)
+        |SELECT doc_a, doc_b,
+        |       levenshtein(da.text, db.text) AS edit_dist
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = doc_a
+        |JOIN documents db ON db.doc_id = doc_b
+        |WHERE levenshtein(da.text, db.text) <= 60""".stripMargin,
     "edit_distance_verify" ->
       s"""WITH $prunedShingles,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextSuite
+import graft.plans.LevenshteinLengthGuard
+
+/** The LevenshteinLengthGuard optimizer rule: fires on thresholded
+  * levenshtein filters, inserts exactly one guard (idempotent under the
+  * fixed-point batch), and never changes results.
+  */
+class GuardRuleSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("guard is injected ahead of the levenshtein kernel, exactly once") {
+    val plan = TextSuite.editDistanceNear(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("abs((length("),
+      s"length guard not injected in:\n$plan")
+    // idempotency: the fixed-point optimizer batch must not stack guards
+    val guards = "abs\\(\\(length\\(".r.findAllIn(plan).size
+    assert(guards == 1, s"expected exactly 1 guard, found $guards in:\n$plan")
+  }
+
+  test("guard preserves results: rule on == rule off") {
+    val withRule = TextSuite.editDistanceNear(spark, dir)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == LevenshteinLengthGuard)
+    try {
+      val df = TextSuite.editDistanceNear(spark, dir)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("abs((length("),
+        "rule still active after removal")
+      assert(df.orderBy("doc_a", "doc_b").collect().toSeq == withRule,
+        "guard changed query results")
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("guard itself filters nothing the kernel would keep (bound is implied)") {
+    // direct construction: pairs with wildly different lengths must be
+    // rejected by both the guarded and unguarded predicate
+    import spark.implicits._
+    // (no plan assertion here: constant folding pre-evaluates a
+    // literal-only filter at optimize time — injection is pinned by the
+    // first test on a real scan)
+    val df = Seq(("abc", "abcd"), ("ab", "a" * 200), ("same", "same"))
+      .toDF("a", "b")
+      .filter(levenshtein(col("a"), col("b")) <= 3)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("abc", "abcd"), ("same", "same")))
+  }
+}
