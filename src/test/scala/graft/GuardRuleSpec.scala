@@ -37,6 +37,27 @@ class GuardRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("property: guard never changes the kept set on random (incl. multibyte) pairs") {
+    // char-counting consistency matters: Length and Levenshtein must both
+    // count CHARACTERS for the bound to hold on multibyte text
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val alphabet = "abλλ中文é🙂 "
+    def randStr(): String =
+      Seq.fill(rng.nextInt(30))(alphabet(rng.nextInt(alphabet.length))).mkString
+    val pairs = Seq.fill(300)((randStr(), randStr()))
+    val df = pairs.toDF("a", "b")
+    def kept(active: Boolean): Set[(String, String)] = {
+      val saved = spark.experimental.extraOptimizations
+      if (!active) spark.experimental.extraOptimizations =
+        saved.filterNot(_ == LevenshteinLengthGuard)
+      try df.filter(levenshtein(col("a"), col("b")) <= 7)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      finally spark.experimental.extraOptimizations = saved
+    }
+    assert(kept(active = true) == kept(active = false))
+  }
+
   test("guard itself filters nothing the kernel would keep (bound is implied)") {
     // direct construction: pairs with wildly different lengths must be
     // rejected by both the guarded and unguarded predicate
