@@ -1352,7 +1352,37 @@ object RelationalSuite {
           .cast("long").as("n_large"))
   }
 
+  /** Null-semantics pin — the fixtures carry no NULLs, so every
+    * null-handling rule the engine relies on (aggregates skip NULLs,
+    * count(*) vs count(col), null-safe equality, coalesce fallbacks,
+    * NULL never equal to itself under plain =) is exercised here over
+    * DERIVED nulls (nullif(l_discount, 0.05) — common enough to null a
+    * meaningful slice). Both engines must agree cell-for-cell on every
+    * distinction or the hash fails; one scan, constant-size output.
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val d = nullif(col("l_discount").cast(DecimalType(18, 2)),
+      lit("0.05").cast(DecimalType(18, 2)))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), d.as("d"),
+        col("l_tax").cast(DecimalType(18, 2)).as("t"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("d")).as("n_nonnull"),
+        sum(col("d")).cast("double").as("sum_skips_null"),
+        // avg as exact-sum / non-null-count: Spark's decimal avg and
+        // DuckDB's double avg round differently; one IEEE division of
+        // exact operands is bit-equal in both
+        (sum(col("d")).cast("double") /
+          count(col("d")).cast("double")).as("avg_skips_null"),
+        sum(when(col("d") === col("t"), 1).otherwise(0)).as("eq_plain"),
+        sum(when(col("d") <=> col("t"), 1).otherwise(0)).as("eq_nullsafe"),
+        sum(coalesce(col("d"), lit("0.00").cast(DecimalType(18, 2))))
+          .cast("double").as("sum_coalesced"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "null_semantics"     -> (nullSemantics _),
     "array_analytics"    -> (arrayAnalytics _),
     "snapshot_diff"      -> (snapshotDiff _),
     "skew_audit"         -> (skewAudit _),
@@ -1414,6 +1444,24 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "null_semantics" ->
+      """WITH x AS (
+        |  SELECT l_returnflag,
+        |         nullif(CAST(l_discount AS DECIMAL(18,2)),
+        |                CAST('0.05' AS DECIMAL(18,2))) AS d,
+        |         CAST(l_tax AS DECIMAL(18,2)) AS t
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows, count(d) AS n_nonnull,
+        |       CAST(sum(d) AS DOUBLE) AS sum_skips_null,
+        |       CAST(sum(d) AS DOUBLE) / CAST(count(d) AS DOUBLE)
+        |         AS avg_skips_null,
+        |       CAST(sum(CASE WHEN d = t THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS eq_plain,
+        |       CAST(sum(CASE WHEN d IS NOT DISTINCT FROM t THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS eq_nullsafe,
+        |       CAST(sum(coalesce(d, CAST('0.00' AS DECIMAL(18,2))))
+        |         AS DOUBLE) AS sum_coalesced
+        |FROM x GROUP BY 1""".stripMargin,
     // windows instead of lists: every output is tie-order-invariant, so
     // the window recompute is exactly equivalent to the array math
     "array_analytics" ->
