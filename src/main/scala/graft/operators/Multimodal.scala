@@ -65,30 +65,85 @@ object Multimodal {
     * (header dimensions + full pixel read, summing the red channel as the
     * content digest), ignoring the metadata dims on purpose — a payload
     * that doesn't round-trip fails the oracle instead of being papered
-    * over by metadata. Non-image kinds delegate to StubDecoder. One
-    * decoder per partition via extractFeatures' mapPartitions; the
-    * ImageIO disk cache is off (pure in-memory streams).
+    * over by metadata. AUDIO rows decode for real too (javax.sound WAV —
+    * see [[WavCodec]]): width/height carry the decoded sampleRate and
+    * channel count (the decoded physical properties, in the schema shared
+    * across kinds), nFrames the audio frame count, pixelSum the
+    * abs-sample content digest. Video (no codec in the container)
+    * delegates to StubDecoder. One decoder per partition via
+    * extractFeatures' mapPartitions; the ImageIO disk cache is off.
     */
   object ImageIoDecoder extends MediaDecoder {
     javax.imageio.ImageIO.setUseCache(false)
     override def decode(kind: String, payload: Array[Byte], metaW: Int, metaH: Int): Decoded =
-      if (kind != "image") StubDecoder.decode(kind, payload, metaW, metaH)
-      else {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        require(img != null, "payload is not a decodable image")
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            sum += (img.getRGB(x, y) >> 16) & 0xff
-            x += 1
+      kind match {
+        case "image" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, "payload is not a decodable image")
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += (img.getRGB(x, y) >> 16) & 0xff
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        Decoded(img.getWidth, img.getHeight, 0, sum)
+          Decoded(img.getWidth, img.getHeight, 0, sum)
+        case "audio" => WavCodec.decode(payload)
+        case _ => StubDecoder.decode(kind, payload, metaW, metaH)
       }
+  }
+
+  /** REAL audio codec on the JDK's javax.sound.sampled: 16-bit PCM mono
+    * WAV, encoded AND decoded through AudioSystem (no hand-rolled RIFF
+    * parsing — the true codec round-trip, like the PNG path). The sample
+    * stream is the deterministic integer pattern
+    * `((doc_id*31 + i*17) mod 65536) - 32768`, so the decoded
+    * abs-sample digest has a closed form the SQL oracle recomputes —
+    * a broken encoder or decoder breaks the equality.
+    */
+  private[graft] object WavCodec {
+    def sampleRate(docId: Long): Int = 8000 + ((docId / 3) % 3).toInt * 4000
+    def nSamples(docId: Long): Int = 400 + (docId % 256).toInt
+
+    def encode(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val raw = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = (((docId * 31 + i.toLong * 17) % 65536) - 32768).toInt
+        raw(2 * i) = (s & 0xff).toByte
+        raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate(docId).toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength.toInt
+      val raw = ais.readAllBytes()
+      var sum = 0L
+      var i = 0
+      while (i < frames) {
+        val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toLong
+        sum += math.abs(s)
+        i += 1
+      }
+      Decoded(fmt.getSampleRate.toInt, fmt.getChannels, frames, sum)
+    }
   }
 
   /** Deterministic PNG payload: a grayscale gradient where pixel (x, y)
@@ -128,18 +183,21 @@ object Multimodal {
       (lit(32) + pmod(col("doc_id"), lit(97))).cast("int").as("meta_width"),
       (lit(32) + pmod(col("doc_id") * 7, lit(97))).cast("int").as("meta_height"))
 
-  /** mediaTable with REAL payloads for the image rows: each becomes a
-    * genuine PNG (encoded right here on the executors — a per-partition
-    * map, no shuffle, no driver bytes). Video/audio rows keep their
-    * stand-in blobs.
+  /** mediaTable with REAL payloads for image AND audio rows: images
+    * become genuine PNGs, audio rows genuine 16-bit PCM WAVs (both
+    * encoded right here on the executors — a per-partition map, no
+    * shuffle, no driver bytes). Video rows keep their stand-in blobs.
     */
   def mediaTableReal(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     mediaTable(docs).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
-        if (r.kind == "image")
-          r.copy(payload = pngPayload(r.doc_id, r.meta_width, r.meta_height))
-        else r
+        r.kind match {
+          case "image" =>
+            r.copy(payload = pngPayload(r.doc_id, r.meta_width, r.meta_height))
+          case "audio" => r.copy(payload = WavCodec.encode(r.doc_id))
+          case _ => r
+        }
       }
     }
   }
@@ -191,13 +249,17 @@ object Multimodal {
       rows.map { r =>
         val dec = decoder.decode(r.kind, r.payload, r.meta_width, r.meta_height)
         val (tw, th) = thumbDims(dec.width, dec.height)
+        // kinds the decoder actually OPENS carry the decoded content
+        // digest (pixel/sample sum); only stub-decoded kinds fall back
+        // to the raw-payload md5
+        val real = dec.pixelSum >= 0
         val digest =
-          if (r.kind == "image") None
+          if (real) None
           else {
             md.reset()
             Some(md.digest(r.payload).map("%02x".format(_)).mkString)
           }
-        val psum = if (r.kind == "image") Some(dec.pixelSum) else None
+        val psum = if (real) Some(dec.pixelSum) else None
         MediaFeatures(r.doc_id, r.kind, dec.width, dec.height, tw, th,
           dec.nFrames, digest, psum)
       }
