@@ -306,6 +306,31 @@ object StorageSuite {
         sum(col("d").cast(DecimalType(38, 0))).cast("string").as("checksum"))
   }
 
+  /** Multi-format source/sink round-trip: nation goes out as JSON lines,
+    * supplier as headered CSV (both executor-side writes), both come back
+    * through the text readers with EXPLICIT schemas (schema inference is
+    * a correctness lottery and a second full scan at 100 TB), and the
+    * joined aggregate must equal the parquet-based oracle — which it can
+    * only do if every value survived the text round-trip exactly
+    * (doubles print shortest-round-trip and reparse bit-equal; a lossy
+    * formatter or parser fails the hash).
+    */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    n.write.mode("overwrite").json(s"$root/nation_json")
+    s.write.mode("overwrite").option("header", "true").csv(s"$root/supplier_csv")
+    val nj = spark.read.schema(n.schema).json(s"$root/nation_json")
+    val sc = spark.read.schema(s.schema).option("header", "true")
+      .csv(s"$root/supplier_csv")
+    nj.join(sc, col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double")
+          .as("total_bal"))
+  }
+
   private val checksumTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
@@ -388,7 +413,8 @@ object StorageSuite {
     "zorder_layout"   -> (zorderLayout _),
     "table_checksum"  -> (tableChecksum _),
     "checksum_merge"  -> (checksumMerge _),
-    "checksum_buckets" -> (checksumBuckets _))
+    "checksum_buckets" -> (checksumBuckets _),
+    "format_roundtrip" -> (formatRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
@@ -400,6 +426,14 @@ object StorageSuite {
          |       count(*) AS n_rows,
          |       CAST(sum(${rowDigestSql("orders")}) AS VARCHAR) AS checksum
          |FROM orders GROUP BY 1""".stripMargin,
+    // the oracle reads the ORIGINAL parquet: equality proves the
+    // JSON/CSV round-trip was lossless
+    "format_roundtrip" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_bal
+        |FROM nation JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY 1""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -34,6 +34,7 @@ class CollectLintSpec extends SparkSpec {
   private val trainingAllowed: Set[String] =
     Set("ivf_kmeans_recall", "pq_kmeans_gain",
       "bucketed_join", "partition_prune", "dpp_join", "zorder_layout",
+      "format_roundtrip",
       // stream_page_counts is a declared REPLAY harness: construction runs
       // the streaming pipeline itself (micro-batch jobs) and its source
       // collects the fixture to the driver to simulate a wire — the
