@@ -280,6 +280,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("snapshot_diff joins the two aggregates without re-shuffling them") {
+    val plan = executedPlan(RelationalSuite.snapshotDiff(spark, dir))
+    assert(plan.contains("FullOuter"), s"diff must plan a full-outer join:\n$plan")
+    // both sides aggregate on the customer key (one exchange each); the
+    // full-outer SMJ reuses that partitioning, and only the constant-size
+    // class aggregate shuffles again — 3 exchanges total, never 4+
+    val exchanges = "\\bExchange\\b".r.findAllIn(plan).size
+    assert(exchanges <= 3,
+      s"join re-shuffles an already-partitioned aggregate ($exchanges exchanges):\n$plan")
+  }
+
+  test("checksum_buckets drill-down stays one map-side-combined scan") {
+    val plan = executedPlan(graft.operators.StorageSuite.checksumBuckets(spark, dir))
+    assert("FileScan parquet|Scan parquet".r.findAllIn(plan).size == 1,
+      s"bucket digests must come from ONE orders scan:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"bucket digest must map-side combine:\n$plan")
+  }
+
   test("q15 reuses the revenue aggregate's exchange for the scalar max") {
     // the per-supplier revenue subtree appears under both the filter side
     // and the max side; AQE must materialize its shuffle ONCE and reuse
