@@ -529,7 +529,15 @@ object TextSuite {
     * oracle-verified end to end.
     */
   def trainCorpus(spark: SparkSession, dir: String,
-                  cap: Int = 10, minHits: Int = 8): DataFrame = {
+                  cap: Int = 10, minHits: Int = 8): DataFrame =
+    trainStages(spark, dir, cap, minHits).last._2
+
+  /** The staged lineage behind trainCorpus — raw, quality-kept,
+    * canonical-deduped, decontaminated, capped — shared by the composed
+    * query and its accounting audit.
+    */
+  private def trainStages(spark: SparkSession, dir: String,
+                          cap: Int = 10, minHits: Int = 8): Seq[(String, DataFrame)] = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val q = docs.filter(qualityScore(col("text")) >= 0.5)
@@ -548,12 +556,30 @@ object TextSuite {
     val clean = d.join(contaminated, Seq("doc_id"), "left_anti")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("rk"), col("doc_id"))
-    clean.select(col("source"), col("doc_id"),
+    val capped = clean.select(col("source"), col("doc_id"),
         md5(col("doc_id").cast("string")).as("rk"))
       .withColumn("rank_in_source", row_number().over(w))
       .filter(col("rank_in_source") <= cap)
       .select(col("doc_id"), col("source"))
+    Seq("0_raw" -> docs, "1_quality" -> q, "2_dedup" -> d,
+      "3_decontam" -> clean, "4_cap" -> capped)
   }
+
+  /** Per-stage drop accounting for the composed pipeline — the audit
+    * trail a production corpus build must emit beside its output: how
+    * many documents survived each stage (raw -> quality -> dedup ->
+    * decontam -> cap). Five constant-size aggregates over the SAME
+    * staged lineage as train_corpus (shared subtrees; each stage's
+    * count is a one-row map-side-combined aggregate), so the accounting
+    * can never drift from the pipeline it describes.
+    */
+  def pipelineAccounting(spark: SparkSession, dir: String): DataFrame =
+    trainStages(spark, dir)
+      .map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      }
+      .reduce(_.unionAll(_))
 
   /** Training-mix allocation — the data-mixing step that turns per-source
     * token inventories into sampling weights: no source may contribute more
@@ -902,6 +928,7 @@ object TextSuite {
     "bloom_decontam"  -> ((s: SparkSession, d: String) => bloomDecontamGate(s, d)),
     "token_budget_mix" -> ((s: SparkSession, d: String) => tokenBudgetMix(s, d)),
     "train_corpus"    -> ((s: SparkSession, d: String) => trainCorpus(s, d)),
+    "pipeline_accounting" -> (pipelineAccounting _),
     "cms_heavy_hitters" -> ((s: SparkSession, d: String) => cmsHeavyHitters(s, d)),
     "winnow_signal"   -> (winnowSignal _),
     "mix_realize"     -> ((s: SparkSession, d: String) => mixRealize(s, d)),
@@ -1376,6 +1403,53 @@ object TextSuite {
     // end-to-end composition: quality >= 0.5 -> canonical-per-fingerprint
     // among survivors -> drop >= 8 eval-shingle overlaps -> cap 10 per
     // source by md5 order; each stage reuses its standalone oracle's form
+    // same staged CTEs as train_corpus, final select = per-stage counts
+    "pipeline_accounting" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, text FROM t
+        |  WHERE greatest(0.0, least(1.0,
+        |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+        |    least((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
+        |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) >= 0.5),
+        |fp AS (SELECT doc_id, source, text, md5($norm) AS fp FROM q),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |d AS (SELECT fp.doc_id, fp.source, fp.text FROM fp JOIN keep USING (doc_id)),
+        |dtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t2 FROM d),
+        |dsh AS (
+        |  SELECT DISTINCT doc_id, t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
+        |  FROM dtoks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t2)),
+        |btoks AS (SELECT string_split_regex(trim(text), '\\s+') AS t2
+        |          FROM documents WHERE doc_id < 5),
+        |bsh AS (
+        |  SELECT DISTINCT t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
+        |  FROM btoks,
+        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
+        |                               FROM documents) + 1)) AS i)
+        |  WHERE i + 2 <= len(t2)),
+        |cont AS (SELECT doc_id FROM dsh JOIN bsh USING (s)
+        |         GROUP BY doc_id HAVING count(*) >= 8),
+        |f AS (SELECT doc_id, source FROM d
+        |      WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |cap AS (SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM f) WHERE r <= 10)
+        |SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+        |UNION ALL SELECT '1_quality', count(*) FROM q
+        |UNION ALL SELECT '2_dedup', count(*) FROM d
+        |UNION ALL SELECT '3_decontam', count(*) FROM f
+        |UNION ALL SELECT '4_cap', count(*) FROM cap""".stripMargin,
     "train_corpus" ->
       s"""WITH t AS (
         |  SELECT doc_id, source, text,
