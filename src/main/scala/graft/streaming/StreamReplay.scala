@@ -29,6 +29,17 @@ final case class ReplayTyped(user_id: Long, event_type: String,
   */
 object StreamReplay {
 
+  /** Each replay's checkpoint dir is deleted as soon as its query stops —
+    * a bench run starts ten replays; leaking RocksDB/changelog state per
+    * run turns /tmp into a landfill.
+    */
+  private def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
+
   /** The reference topology (filter -> rekey -> 5 s tumbling window ->
     * count), executed AS A STREAM: the events fixture is replayed
     * in event-time order through `numBatches` micro-batches of a
@@ -84,10 +95,10 @@ object StreamReplay {
       "name")
     val sink = "stream_page_counts_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay")
     val q = counts.writeStream.outputMode("update")
       .format("memory").queryName(sink)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
@@ -95,7 +106,7 @@ object StreamReplay {
         input.addData(chunk.toSeq)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
       .groupBy(col("name").as("event_type"), col("window_start"))
       .agg(max(col("cnt")).as("cnt"))
@@ -150,10 +161,10 @@ object StreamReplay {
         col("n_events"))
     val sink = "stream_session_counts_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay")
     val q = sessions.writeStream.outputMode("complete")
       .format("memory").queryName(sink)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
@@ -161,7 +172,7 @@ object StreamReplay {
         input.addData(chunk.toSeq)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
   }
 
@@ -209,10 +220,10 @@ object StreamReplay {
         col("n_events"))
     val sink = "stream_session_append_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay")
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName(sink)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
@@ -229,7 +240,7 @@ object StreamReplay {
       input.addData(ReplaySession(-1L,
         new Timestamp(flush.getTime + 1000)))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink).filter(col("user_id") =!= -1L)
   }
 
@@ -275,10 +286,10 @@ object StreamReplay {
       .dropDuplicatesWithinWatermark("event_id")
     val sink = "stream_dedup_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay")
     val q = deduped.writeStream.outputMode("append")
       .format("memory").queryName(sink)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
@@ -289,7 +300,7 @@ object StreamReplay {
         input.addData((chunks(i) ++ dupes).toSeq)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -348,10 +359,10 @@ object StreamReplay {
         col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
     val sink = "stream_click_attrib_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_replay")
     val q = pairs.writeStream.outputMode("append")
       .format("memory").queryName(sink)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_replay").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
     try {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
@@ -359,7 +370,7 @@ object StreamReplay {
         input.addData(chunk.toSeq)
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
