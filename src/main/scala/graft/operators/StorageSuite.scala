@@ -316,7 +316,9 @@ object StorageSuite {
     * formatter or parser fails the hash).
     */
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    // stable per-sf root + overwrite, like every other layout here: reruns
+    // replace the copies instead of leaking a fresh temp dir per call
+    val root = s"${layoutRoot(dir)}/fmt"
     val n = Tables.nation(spark, dir)
     val s = Tables.supplier(spark, dir)
     n.write.mode("overwrite").json(s"$root/nation_json")
