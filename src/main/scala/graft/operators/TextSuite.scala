@@ -900,7 +900,34 @@ object TextSuite {
           .as("edit_dist"))
   }
 
+  /** Leakage-PREVENTING splits — the constructive complement of
+    * split_leakage's detector: fold assignment is keyed on the near-dup
+    * CLUSTER id (connected-component canonical), not the document, so a
+    * near-dup pair structurally cannot straddle folds — the eval-
+    * contamination path document-keyed splits leave open. Singletons are
+    * their own cluster; the md5-derived fold is layout-independent and
+    * engine-portable like hash_split's buckets. Output: per-fold doc and
+    * cluster counts, exactly recomputed by the oracle's recursive-CTE
+    * closure + the same hex fold arithmetic.
+    */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val labels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2),
+      iters = 4, roundPartitions = 8)
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cl"))
+      .select(col("cl"),
+        (conv(substring(md5(col("cl").cast("string")), 1, 2), 16, 10)
+          .cast("int") % 5).as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cl")).as("n_clusters"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_split"   -> (clusterSplit _),
     "edit_distance_near" -> (editDistanceNear _),
     "ngram_novelty"   -> (ngramNovelty _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -994,6 +1021,37 @@ object TextSuite {
       |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same closure as dedup_clusters, then cluster-keyed fold arithmetic
+    "cluster_split" ->
+      s"""WITH RECURSIVE $prunedShingles,
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.2),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM prs
+        |  UNION SELECT doc_b, doc_a FROM prs),
+        |reach AS (
+        |  SELECT src AS v, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v),
+        |labels AS (SELECT v AS doc_id, min(lbl) AS cluster_id
+        |           FROM reach GROUP BY v),
+        |alld AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cl
+        |         FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |folds AS (
+        |  SELECT cl,
+        |         CAST(CAST('0x' || substring(md5(CAST(cl AS VARCHAR)), 1, 2)
+        |                   AS INT) % 5 AS INT) AS fold
+        |  FROM alld)
+        |SELECT fold, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters
+        |FROM folds GROUP BY 1""".stripMargin,
     "ngram_novelty" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
