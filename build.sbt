@@ -37,9 +37,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // — the round-3/4 "in-suite 6-12x interference" postmortem). Raising the
   // cutoff lets deopt-churned generated code recompile instead.
   "-XX:PerMethodRecompilationCutoff=10000",
-  // headroom for ~90 queries' generated classes (default 240m; a full code
+  // headroom for ~140 queries' generated classes (default 240m; a full code
   // cache silently disables the JIT, same interpreted-forever symptom)
   "-XX:ReservedCodeCacheSize=512m",
+  // Janino compiled-class cache (STATIC SQL conf, so it must be on the JVM
+  // command line / builder, not spark.conf.set). Default 100 entries is
+  // smaller than one pass of the 141-query suite, so a second pass of the
+  // same queries got ZERO cache hits: every plan re-compiled and re-loaded
+  // a fresh generated class, and each class load invalidates CHA-based
+  // speculative inlining in already-JIT-compiled code — a suite-wide
+  // deopt/recompile storm. That was the round-6 bench pass-2 collapse
+  // (269 s -> 624 s, 25 queries >3x slower warm, ~0 GC). Sized to hold
+  // every generated class of the full suite so a warm pass loads nothing.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
 )
 
 // The round-driver records only the LAST 2000 chars of bench output; sbt's

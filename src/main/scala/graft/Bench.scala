@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf (ignored after the first session exists): see build.sbt
+      // — one pass of the suite generates >100 codegen units, so the
+      // default-100 cache made every warm pass recompile+reload everything
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
@@ -56,6 +60,18 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Engine-health counters per pass: a healthy WARM pass compiles ~nothing
+    // and loads ~no classes (codegen cache hits); the round-6 collapse showed
+    // as pass-2 jit_sec >> pass-1 with every plan re-loaded. Publishing the
+    // deltas makes that failure mode visible in the record instead of only
+    // inferable from per-query times.
+    def jitMillis(): Long = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(0L)
+    def classesLoaded(): Long = java.lang.management.ManagementFactory
+      .getClassLoadingMXBean.getTotalLoadedClassCount
+    def codeCacheMb(): Double = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala.filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getUsed).sum / 1048576.0
     def runPass(pass: Int): Seq[(String, (Double, Double))] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val gc0 = gcMillis()
@@ -82,8 +98,27 @@ object Bench {
     // CPU, zero GC delta). Pass 1 loads every plan's classes; by pass 2 the
     // class set is stable and each query measures its steady-state plan.
     // Both pass walls are published alongside the per-query mins.
-    val pass1 = runPass(1)
-    val pass2 = runPass(2)
+    //
+    // ROUND-6 POSTMORTEM — "pass-2 collapse" (269 s -> 624 s warm): the
+    // paragraph above assumed the class set stabilizes by pass 2, but the
+    // janino codegen cache's default 100 entries is smaller than one pass of
+    // the 141-query suite, so pass 2 got zero cache hits — every plan
+    // re-compiled and RE-LOADED a brand-new generated class, re-running the
+    // very deopt storm the second pass exists to avoid, on top of a code
+    // cache now holding two passes' worth of nmethods. Fixed by sizing
+    // spark.sql.codegen.cache.maxEntries to the suite (build.sbt; static
+    // conf). The per-pass jit/classes/code-cache deltas recorded below make
+    // a recurrence visible directly: healthy warm pass == near-zero pass-2
+    // class loads and jit seconds.
+    var passJit = Vector.empty[(Double, Long, Double)] // (jit s, classes, codecache MB)
+    def instrumented(pass: Int): Seq[(String, (Double, Double))] = {
+      val (j0, c0) = (jitMillis(), classesLoaded())
+      val out = runPass(pass)
+      passJit :+= (((jitMillis() - j0) / 1e3, classesLoaded() - c0, codeCacheMb()))
+      out
+    }
+    val pass1 = instrumented(1)
+    val pass2 = instrumented(2)
     val results = pass1.zip(pass2).map { case ((n, (t1, g1)), (_, (t2, g2))) =>
       n -> (if (t2 < t1) (t2, g2) else (t1, g1))
     }
@@ -107,9 +142,12 @@ object Bench {
         f"""  "$n":{"sec":${math.min(t1, t2)}%.3f,"p1":$t1%.3f,"p2":$t2%.3f,""" +
           f""""gc":${if (t2 < t1) g2 else g1}%.2f}"""
       }.mkString(",\n")
+      val jit = passJit.zipWithIndex.map { case ((js, cl, cc), i) =>
+        f""""pass${i + 1}":{"jit_sec":$js%.1f,"classes_loaded":$cl,"code_cache_mb":$cc%.1f}"""
+      }.mkString("{", ",", "}")
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
         f""""gc_sec":$gcTotal%.2f,"pass_sec":[${passTotals.head}%.1f,""" +
-        f"""${passTotals.last}%.1f],"queries":{\n$detail\n}}\n"""
+        f"""${passTotals.last}%.1f],"jit":$jit,"queries":{\n$detail\n}}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
       catch { case e: Throwable =>
@@ -132,9 +170,10 @@ object Bench {
       }.mkString("{", ",", "}")
       val omitted = if (dropped.isEmpty) ""
       else f""","queries_omitted":${dropped.size},"omitted_sec":${dropped.map(_._2._1).sum}%.1f"""
+      val jitSec = passJit.map(j => f"${j._1}%.1f").mkString("[", ",", "]")
       s"""{"metric":"total","unit":"sec","sf":"$sfName","queries":$qs$omitted,""" +
         s""""gc_sec":${f"$gcTotal%.2f"},"pass_sec":[${f"${passTotals.head}%.1f"},""" +
-        s"""${f"${passTotals.last}%.1f"}],"value":${f"$total%.3f"}}"""
+        s"""${f"${passTotals.last}%.1f"}],"jit_sec":$jitSec,"value":${f"$total%.3f"}}"""
     }
     val all = results.size
     val candidates = Seq((3, all), (2, all), (1, all)) ++

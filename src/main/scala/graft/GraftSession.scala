@@ -19,6 +19,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf (must be set before the first session; spark.conf.set
+      // would throw): size the janino compiled-class cache to a many-query
+      // session — the default 100 entries thrashes past ~50 queries and a
+      // cache miss means recompile + a class load that deopt-storms every
+      // already-hot method (round-6 bench postmortem, Bench.scala).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     tune(spark)

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf; the 141-query dump overflows the default-100 codegen
+      // cache within a single pass (see build.sbt / Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
@@ -48,7 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A SPARK_GRAFT_ONLY run dumps only the filtered subset: write it under
+    // a distinct name so it can never clobber a full oracle_sql.json that a
+    // previous unfiltered run left in outDir (a checker pointed at that dir
+    // would otherwise silently verify only the subset).
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }
