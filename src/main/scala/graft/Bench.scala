@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One query's measurements within one pass: wall seconds, GC seconds,
+    * JIT-compilation seconds, and classes loaded during the query.
+    */
+  final case class QStat(sec: Double, gc: Double, jit: Double, cls: Long)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,16 +70,29 @@ object Bench {
     // as pass-2 jit_sec >> pass-1 with every plan re-loaded. Publishing the
     // deltas makes that failure mode visible in the record instead of only
     // inferable from per-query times.
+    // getTotalCompilationTime throws UnsupportedOperationException when the
+    // JVM doesn't support compilation-time monitoring — guard both the null
+    // bean and the unsupported case (ADVICE r7).
     def jitMillis(): Long = Option(java.lang.management.ManagementFactory
-      .getCompilationMXBean).map(_.getTotalCompilationTime).getOrElse(0L)
+      .getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .flatMap(b => scala.util.Try(b.getTotalCompilationTime).toOption)
+      .getOrElse(0L)
     def classesLoaded(): Long = java.lang.management.ManagementFactory
       .getClassLoadingMXBean.getTotalLoadedClassCount
     def codeCacheMb(): Double = java.lang.management.ManagementFactory
       .getMemoryPoolMXBeans.asScala.filter(_.getName.startsWith("CodeHeap"))
       .map(_.getUsage.getUsed).sum / 1048576.0
-    def runPass(pass: Int): Seq[(String, (Double, Double))] =
+    // Per-query engine-health attribution: wall + gc + JIT-time delta +
+    // classes-loaded delta. The class delta is the smoking gun for warm-pass
+    // interference — a query that loads classes on pass 2 missed the codegen
+    // cache (its generated source differs run-to-run), and each such load
+    // CHA-invalidates hot compiled code, taxing its NEIGHBORS' wall time.
+    def runPass(pass: Int): Seq[(String, QStat)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val gc0 = gcMillis()
+        val j0 = jitMillis()
+        val c0 = classesLoaded()
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (a bare .count() would let Catalyst prune the whole projection).
@@ -84,11 +102,14 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         val gc = (gcMillis() - gc0) / 1e3
+        val jit = (jitMillis() - j0) / 1e3
+        val cls = classesLoaded() - c0
         // release any per-query operator caches (connectedComponents' edge
         // set) so one query's storage footprint can't tax the next 50
         graft.operators.Dedup.releaseComponentCache(spark)
-        System.err.println(f"[bench:$pass] $name%-22s $dt%8.2f s  (gc $gc%5.2f s)")
-        name -> (dt, gc)
+        System.err.println(
+          f"[bench:$pass] $name%-22s $dt%8.2f s  (gc $gc%5.2f s, jit $jit%6.2f s, cls $cls%5d)")
+        name -> QStat(dt, gc, jit, cls)
       }
     // TWO full passes, report the per-query MIN. Loading a query's freshly
     // generated classes invalidates CHA-based speculative inlining in
@@ -111,7 +132,7 @@ object Bench {
     // a recurrence visible directly: healthy warm pass == near-zero pass-2
     // class loads and jit seconds.
     var passJit = Vector.empty[(Double, Long, Double)] // (jit s, classes, codecache MB)
-    def instrumented(pass: Int): Seq[(String, (Double, Double))] = {
+    def instrumented(pass: Int): Seq[(String, QStat)] = {
       val (j0, c0) = (jitMillis(), classesLoaded())
       val out = runPass(pass)
       passJit :+= (((jitMillis() - j0) / 1e3, classesLoaded() - c0, codeCacheMb()))
@@ -119,10 +140,10 @@ object Bench {
     }
     val pass1 = instrumented(1)
     val pass2 = instrumented(2)
-    val results = pass1.zip(pass2).map { case ((n, (t1, g1)), (_, (t2, g2))) =>
-      n -> (if (t2 < t1) (t2, g2) else (t1, g1))
+    val results = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
+      n -> (if (s2.sec < s1.sec) (s2.sec, s2.gc) else (s1.sec, s1.gc))
     }
-    val passTotals = Seq(pass1, pass2).map(_.map(_._2._1).sum)
+    val passTotals = Seq(pass1, pass2).map(_.map(_._2.sec).sum)
     // The driver records only the LAST 2000 chars of bench output
     // (BENCH_r04's tail cut the line mid-queries and lost the total): keep
     // per-query times at 3 decimals so the whole line fits, and emit
@@ -138,9 +159,12 @@ object Bench {
     // never from a SPARK_GRAFT_ONLY run: a filtered local iteration must
     // not clobber the committed full-suite record
     if (only.isEmpty) locally {
-      val detail = pass1.zip(pass2).map { case ((n, (t1, g1)), (_, (t2, g2))) =>
-        f"""  "$n":{"sec":${math.min(t1, t2)}%.3f,"p1":$t1%.3f,"p2":$t2%.3f,""" +
-          f""""gc":${if (t2 < t1) g2 else g1}%.2f}"""
+      val detail = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
+        f"""  "$n":{"sec":${math.min(s1.sec, s2.sec)}%.3f,""" +
+          f""""p1":${s1.sec}%.3f,"p2":${s2.sec}%.3f,""" +
+          f""""gc":${if (s2.sec < s1.sec) s2.gc else s1.gc}%.2f,""" +
+          f""""jit1":${s1.jit}%.2f,"jit2":${s2.jit}%.2f,""" +
+          f""""cls1":${s1.cls},"cls2":${s2.cls}}"""
       }.mkString(",\n")
       val jit = passJit.zipWithIndex.map { case ((js, cl, cc), i) =>
         f""""pass${i + 1}":{"jit_sec":$js%.1f,"classes_loaded":$cl,"code_cache_mb":$cc%.1f}"""
