@@ -912,9 +912,23 @@ object TextSuite {
     */
   def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val labels = Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2),
-      iters = 4, roundPartitions = 8)
+    clusterSplitFolds(docs,
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.2))
+  }
+
+  /** Fold assignment from an explicit near-dup pair set — the labeled core
+    * of clusterSplit, parameterized so tests can drive adversarial
+    * component shapes (long chains) through the exact production path.
+    * Labels come from the CONVERGENCE-PROVED fixpoint CC
+    * (Dedup.connectedComponentsFixpoint): fold integrity is a correctness
+    * property — a fixed-depth labeling silently splits any component whose
+    * diameter exceeds the depth, re-opening the cross-fold leakage this
+    * query exists to prevent, exactly on the chain-shaped near-dup
+    * clusters (boilerplate families, version ladders) a 100 TB corpus is
+    * full of.
+    */
+  def clusterSplitFolds(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = Dedup.connectedComponentsFixpoint(pairs, roundPartitions = 8)
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(coalesce(col("cluster_id"), col("doc_id")).as("cl"))

@@ -154,6 +154,26 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseComponentCache(spark)
   }
 
+  test("cluster_split holds a diameter-11 chain in one fold (fixpoint path)") {
+    // the leakage scenario the fixed-depth labeling misses: a near-dup
+    // CHAIN deeper than any fixed iters (version ladders, boilerplate
+    // families). 12 chained docs + 2 singletons through the production
+    // cluster-split path: the chain must resolve to ONE cluster, so its
+    // docs structurally land in one fold — a depth-4 labeling would split
+    // it into multiple clusters and let fold assignment straddle the chain.
+    val docs = (1L to 14L).toDF("doc_id")
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val folds = graft.operators.TextSuite.clusterSplitFolds(docs, chain)
+      .collect()
+    assert(folds.map(_.getAs[Long]("n_docs")).sum == 14L)
+    assert(folds.map(_.getAs[Long]("n_clusters")).sum == 3L,
+      s"chain must be exactly one cluster (plus 2 singletons): " +
+        folds.mkString(", "))
+    assert(folds.count(_.getAs[Long]("n_docs") >= 12L) == 1,
+      s"all 12 chained docs must share one fold: ${folds.mkString(", ")}")
+    Dedup.releaseComponentCache(spark)
+  }
+
   test("fixpoint components refuse to return partial labels") {
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalArgumentException] {
