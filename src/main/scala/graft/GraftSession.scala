@@ -54,11 +54,21 @@ object GraftSession {
     // engine-native SQL functions (also injectable via GraftExtensions)
     graft.functions.DotProduct.register(spark)
     graft.functions.ShingleHash.register(spark)
-    // engine optimizer rules (idempotent; also injectable via extensions)
+    // engine optimizer rules (idempotent). ORDER MATTERS: the length guard
+    // must be in place before SingleEval hoists the kernel out of the
+    // filter/join condition — once hoisted, the filter references an
+    // attribute and the guard rule can no longer see the levenshtein.
+    // SingleEval lives ONLY here (extraOptimizations = the optimizer's
+    // final batch); injecting it into the operator batch via
+    // GraftExtensions would loop against PushDownPredicates.
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.LevenshteinLengthGuard))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.LevenshteinLengthGuard)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinSingleEval))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.LevenshteinSingleEval)
     spark
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextSuite
-import graft.plans.LevenshteinLengthGuard
+import graft.plans.{LevenshteinLengthGuard, LevenshteinSingleEval}
 
 /** The LevenshteinLengthGuard optimizer rule: fires on thresholded
   * levenshtein filters, inserts exactly one guard (idempotent under the
@@ -20,6 +20,40 @@ class GuardRuleSpec extends SparkSpec {
     // idempotency: the fixed-point optimizer batch must not stack guards
     val guards = "abs\\(\\(length\\(".r.findAllIn(plan).size
     assert(guards == 1, s"expected exactly 1 guard, found $guards in:\n$plan")
+  }
+
+  test("single-eval: the kernel appears exactly once, above the guard") {
+    // Catalyst pushdown re-inlines a projected-then-filtered levenshtein
+    // into the join condition, so without LevenshteinSingleEval the
+    // optimized plan pays the O(len^2) kernel once per candidate pair AND
+    // once per survivor. The rewritten shape must hold: one kernel in a
+    // shared projection, the threshold filter on its attribute, and the
+    // free length guard still BELOW the projection so mismatched pairs
+    // short-circuit before the kernel.
+    val plan = TextSuite.editDistanceNear(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val kernels = "levenshtein\\(".r.findAllIn(plan).size
+    assert(kernels == 1, s"expected exactly 1 kernel eval, found $kernels in:\n$plan")
+    assert(plan.contains("_lev_once"), s"shared projection missing in:\n$plan")
+    val guardAt = plan.indexOf("abs((length(")
+    val kernelAt = plan.indexOf("levenshtein(")
+    assert(guardAt > kernelAt, // plan prints top-down: below = later offset
+      s"guard must sit below the shared kernel projection in:\n$plan")
+  }
+
+  test("single-eval preserves results: rule on == rule off") {
+    val withRule = TextSuite.editDistanceNear(spark, dir)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == LevenshteinSingleEval)
+    try {
+      val df = TextSuite.editDistanceNear(spark, dir)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("_lev_once"),
+        "rule still active after removal")
+      assert(df.orderBy("doc_a", "doc_b").collect().toSeq == withRule,
+        "single-eval rewrite changed query results")
+    } finally spark.experimental.extraOptimizations = saved
   }
 
   test("guard preserves results: rule on == rule off") {
