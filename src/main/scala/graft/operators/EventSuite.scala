@@ -216,6 +216,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedSessionAppend(s, d)),
     "stream_dedup"         -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedDedup(s, d)),
+    "stream_topic_counts"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicCounts(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -278,6 +280,14 @@ object EventSuite {
     // the STREAMED execution must converge to the identical batch answer:
     // same oracle as page_counts, checked against the update-mode fixpoint
     "stream_page_counts" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
+        |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // the production-source execution (FileTopic readStream -> pipeline ->
+    // Topic.sinkBatch, with a mid-stream consumer restart) must converge
+    // to the identical batch answer: same oracle as page_counts
+    "stream_topic_counts" ->
       """SELECT event_type,
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -374,5 +374,103 @@ object StreamReplay {
     child.table(sink)
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The reference topology end-to-end over the PRODUCTION source and sink:
+    * T2 (`FileTopic.stream` — the engine's Kafka-consumer stand-in,
+    * reference application.properties:26) -> filter -> rekey -> 5 s
+    * tumbling window -> count -> T4 (`Topic.sinkBatch`, idempotent per
+    * batchId). Unlike the MemoryStream replays above, every row enters
+    * through `readStream` offset tracking: the fixture is PUBLISHED to the
+    * topic in event-time-ordered chunks, and the consumer is deliberately
+    * STOPPED and RESTARTED from its checkpoint between publishes — the
+    * restart proves the file-source offset log and the sink's batchId
+    * dedup survive recovery (the at-least-once redelivery path
+    * `Topic.sinkBatch`'s contract exists for). Converged counts (update
+    * mode, monotone, max per key) equal the batch answer, so the
+    * page_counts oracle checks this query too.
+    *
+    * Driver involvement is bounded: chunk BOUNDS are two scalars
+    * (min/max event time) and the final converged counts are snapshotted
+    * to a local relation (keys x windows rows) so the temp topic dirs can
+    * be deleted before returning.
+    */
+  def streamedTopicCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.PageEventCodec
+    import graft.sources.{FileTopic, Topics}
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("name", StringType), StructField("user", StringType),
+      StructField("date", LongType), StructField("duration", DoubleType)))
+    val outSchema = StructType(Seq(
+      StructField("name", StringType), StructField("window_start", LongType),
+      StructField("cnt", LongType)))
+    // fixture -> reference wire shape ({"name","user","date":millis,"duration"})
+    val events = PageEventCodec.toWire(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("name"),
+          concat(lit("U"), col("user_id")).as("user"),
+          col("ts").as("date"), col("value").as("duration")))
+    val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
+    // same conf-scoped child session as the replays above: tiny stateful
+    // agg wants the heap store + a small shuffle fan-out
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = java.nio.file.Files.createTempDirectory("graft_topic")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_ckpt")
+    val t2 = new FileTopic(Topics.T2, wireSchema, root.toString)
+    val t4 = new FileTopic(Topics.T4, outSchema, root.toString)
+    // event-time-ordered publishes: one file per time-quarter of the
+    // fixture, so the 10 s watermark never drops a row
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      t2.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    // one consumer incarnation: resume from the checkpointed offsets,
+    // drain everything published so far into T4, stop
+    def drain(): Unit = {
+      val counts = PageViews.unwrapWindow(
+        PageViews.windowedCounts(
+          PageViews.rekey(
+            PageViews.filterValid(PageEventCodec.fromWire(t2.stream(child)),
+              "duration"), "name", "date")
+            .withWatermark("date", "10 seconds"),
+          "date", "name"),
+        "name")
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          t4.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: first half, offsets committed
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      drain() // incarnation 2: restart from checkpoint, second half only
+      // converged fixpoint from the T4 changelog, snapshotted locally so
+      // the temp dirs can be deleted before the caller executes the plan
+      val rows = t4.batch(child)
+        .groupBy(col("name").as("event_type"), col("window_start"))
+        .agg(max(col("cnt")).as("cnt"))
+        .collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("window_start", LongType),
+          StructField("cnt", LongType))))
+    } finally { deleteTree(ckpt); deleteTree(root) }
   }
 }

@@ -47,6 +47,11 @@ class CollectLintSpec extends SparkSpec {
       "stream_click_attrib",
       "stream_session_append",
       "stream_dedup",
+      // stream_topic_counts: production-source replay — construction
+      // publishes the fixture to a temp FileTopic, runs the consumer
+      // (micro-batch jobs incl. a checkpoint restart), and snapshots the
+      // converged counts locally so the temp dirs can be deleted
+      "stream_topic_counts",
       // dedup_clusters_fixpoint ITERATES to convergence by construction:
       // each round materializes via localCheckpoint and the driver reads
       // one exact label-sum scalar per round — bounded driver output, and
