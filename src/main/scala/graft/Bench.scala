@@ -2,9 +2,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** One query's measurements within one pass: wall seconds, GC seconds,
-    * JIT-compilation seconds, and classes loaded during the query.
+    * JIT-compilation seconds, classes loaded during the query, epoch-ms
+    * start timestamp, and the 1-min system load average at start. The
+    * timestamp + load make external interference PROVABLE from the
+    * artifact: a contiguous wall-clock band of slow queries with flat
+    * gc/jit/cls and elevated load is machine contention, not a plan
+    * regression (round-9 postmortem: a ~172 s pass-2 band was only
+    * attributable by inference because neither field existed).
     */
-  final case class QStat(sec: Double, gc: Double, jit: Double, cls: Long)
+  final case class QStat(sec: Double, gc: Double, jit: Double, cls: Long,
+                         startMs: Long, load: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,11 +95,15 @@ object Bench {
     // interference — a query that loads classes on pass 2 missed the codegen
     // cache (its generated source differs run-to-run), and each such load
     // CHA-invalidates hot compiled code, taxing its NEIGHBORS' wall time.
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     def runPass(pass: Int): Seq[(String, QStat)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val gc0 = gcMillis()
         val j0 = jitMillis()
         val c0 = classesLoaded()
+        val startMs = System.currentTimeMillis()
+        val load0 = loadAvg()
         val t0 = System.nanoTime()
         // noop sink forces full materialization of every output column
         // (a bare .count() would let Catalyst prune the whole projection).
@@ -108,8 +119,8 @@ object Bench {
         // set) so one query's storage footprint can't tax the next 50
         graft.operators.Dedup.releaseComponentCache(spark)
         System.err.println(
-          f"[bench:$pass] $name%-22s $dt%8.2f s  (gc $gc%5.2f s, jit $jit%6.2f s, cls $cls%5d)")
-        name -> QStat(dt, gc, jit, cls)
+          f"[bench:$pass] $name%-22s $dt%8.2f s  (gc $gc%5.2f s, jit $jit%6.2f s, cls $cls%5d, load $load0%4.1f)")
+        name -> QStat(dt, gc, jit, cls, startMs, load0)
       }
     // TWO full passes, report the per-query MIN. Loading a query's freshly
     // generated classes invalidates CHA-based speculative inlining in
@@ -140,17 +151,39 @@ object Bench {
     }
     val pass1 = instrumented(1)
     val pass2 = instrumented(2)
-    val results = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
-      n -> (if (s2.sec < s1.sec) (s2.sec, s2.gc) else (s1.sec, s1.gc))
-    }
     val passTotals = Seq(pass1, pass2).map(_.map(_._2.sec).sum)
-    // The driver records only the LAST 2000 chars of bench output
-    // (BENCH_r04's tail cut the line mid-queries and lost the total): keep
-    // per-query times at 3 decimals so the whole line fits, and emit
-    // "value" LAST so the headline total survives even if the head of the
-    // line is ever truncated again.
-    val total = results.map(_._2._1).sum
-    val gcTotal = results.map(_._2._2).sum
+    // HEADLINE = the PASS-2 WALL TOTAL: a number some real pass actually
+    // produced. The old headline (sum of per-query min over both passes)
+    // is a composite no single run ever saw — round 9's 147.4 s headline
+    // sat against real pass walls of [432.7, 321.2] s and silently
+    // absorbed a ~172 s pass-2 anomaly. Min-of-passes stays available as
+    // the secondary "min_sec" (per-query steady-state floor).
+    val total = passTotals.last
+    val minTotal = pass1.zip(pass2)
+      .map { case ((_, s1), (_, s2)) => math.min(s1.sec, s2.sec) }.sum
+    val gcTotal = pass2.map(_._2.gc).sum
+    // Warm-pass health gate (round-7/9 ask): a warm pass that regresses
+    // vs pass 1 without JIT/class-load attribution is either an engine
+    // defect or external contention. Flag per-query anomalies
+    // (p2 > 3x p1, >1 s absolute excess, jit2+cls2 ~ 0 so codegen-cache
+    // misses are ruled out), then check CONTIGUITY in execution order:
+    // external CPU contention hits whichever queries run during its
+    // wall-clock window, so >=3 anomalies packed into one run-order band
+    // (with the band's timestamps in BENCH_DETAIL proving the overlay)
+    // classify as external; scattered anomalies or a >1.2x pass-2 wall
+    // with no band mark the record UNHEALTHY — a regression to chase,
+    // not a number to publish quietly.
+    val anomalies = pass1.zip(pass2).zipWithIndex.collect {
+      case (((n, s1), (_, s2)), i)
+          if s2.sec > 3 * s1.sec && s2.sec - s1.sec > 1.0 &&
+            s2.jit < 0.5 && s2.cls < 500 => (n, i)
+    }
+    val band = anomalies.size >= 3 && {
+      val idx = anomalies.map(_._2)
+      (idx.max - idx.min + 1) <= math.ceil(1.5 * anomalies.size).toInt
+    }
+    val healthOk = (passTotals.last <= 1.2 * passTotals.head &&
+      anomalies.isEmpty) || band
     val sfName = new java.io.File(sfDir).getName
     // Full-fidelity per-query record (min + both passes + gc, 3 decimals)
     // goes to a FILE in the repo — the stdout line is size-capped by the
@@ -164,14 +197,23 @@ object Bench {
           f""""p1":${s1.sec}%.3f,"p2":${s2.sec}%.3f,""" +
           f""""gc":${if (s2.sec < s1.sec) s2.gc else s1.gc}%.2f,""" +
           f""""jit1":${s1.jit}%.2f,"jit2":${s2.jit}%.2f,""" +
-          f""""cls1":${s1.cls},"cls2":${s2.cls}}"""
+          f""""cls1":${s1.cls},"cls2":${s2.cls},""" +
+          f""""t1":${s1.startMs},"t2":${s2.startMs},""" +
+          f""""load1":${s1.load}%.1f,"load2":${s2.load}%.1f}"""
       }.mkString(",\n")
       val jit = passJit.zipWithIndex.map { case ((js, cl, cc), i) =>
         f""""pass${i + 1}":{"jit_sec":$js%.1f,"classes_loaded":$cl,"code_cache_mb":$cc%.1f}"""
       }.mkString("{", ",", "}")
+      val anomalyJson = anomalies.map("\"" + _._1 + "\"")
+        .mkString("[", ",", "]")
+      val health = s"""{"ok":$healthOk,""" +
+        f""""pass_ratio":${passTotals.last / passTotals.head}%.2f,""" +
+        s""""anomalies":$anomalyJson,"contiguous_band":$band}"""
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
+        f""""min_sec":$minTotal%.3f,""" +
         f""""gc_sec":$gcTotal%.2f,"pass_sec":[${passTotals.head}%.1f,""" +
-        f"""${passTotals.last}%.1f],"jit":$jit,"queries":{\n$detail\n}}\n"""
+        f"""${passTotals.last}%.1f],"jit":$jit,"health":$health,""" +
+        f""""queries":{\n$detail\n}}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
       catch { case e: Throwable =>
@@ -186,18 +228,27 @@ object Bench {
     // signal, the total stays exact, and the full map is in
     // BENCH_DETAIL.json. "value" stays the LAST key so the headline total
     // survives any future head-truncation.
+    // per-query stdout numbers come from the SAME pass as the headline
+    // (pass 2), so the line is internally consistent; per-query min and
+    // both raw passes live in BENCH_DETAIL.json
+    val results = pass1.zip(pass2).map { case ((n, _), (_, s2)) => n -> s2.sec }
     def line(dp: Int, keep: Int): String = {
-      val byTime = results.sortBy(-_._2._1)
+      val byTime = results.sortBy(-_._2)
       val (kept, dropped) = byTime.splitAt(math.min(keep, byTime.size))
-      val qs = kept.sortBy(_._1).map { case (k, (v, _)) =>
+      val qs = kept.sortBy(_._1).map { case (k, v) =>
         s"\"" + k + "\":" + String.format(s"%.${dp}f", Double.box(v))
       }.mkString("{", ",", "}")
       val omitted = if (dropped.isEmpty) ""
-      else f""","queries_omitted":${dropped.size},"omitted_sec":${dropped.map(_._2._1).sum}%.1f"""
+      else f""","queries_omitted":${dropped.size},"omitted_sec":${dropped.map(_._2).sum}%.1f"""
       val jitSec = passJit.map(j => f"${j._1}%.1f").mkString("[", ",", "]")
+      val health = s"""{"ok":$healthOk,""" +
+        f""""pass_ratio":${passTotals.last / passTotals.head}%.2f,""" +
+        s""""anomalies":${anomalies.size},"contiguous_band":$band}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfName","queries":$qs$omitted,""" +
         s""""gc_sec":${f"$gcTotal%.2f"},"pass_sec":[${f"${passTotals.head}%.1f"},""" +
-        s"""${f"${passTotals.last}%.1f"}],"jit_sec":$jitSec,"value":${f"$total%.3f"}}"""
+        s"""${f"${passTotals.last}%.1f"}],"jit_sec":$jitSec,""" +
+        s""""min_sec":${f"$minTotal%.3f"},"health":$health,""" +
+        s""""value":${f"$total%.3f"}}"""
     }
     val all = results.size
     val candidates = Seq((3, all), (2, all), (1, all)) ++
