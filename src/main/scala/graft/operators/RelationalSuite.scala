@@ -1212,6 +1212,87 @@ object RelationalSuite {
     * compact alternative but serializes |suppliers| rows through one
     * task; the broadcast form keeps every stage parallel at 100 TB.
     */
+  /** TPC-H Q20-shaped nested semi-join chain with a correlated scalar
+    * aggregate, re-cut to the fixture schema (no partsupp table:
+    * the distinct (part, supplier) pairs seen in lineitem stand in for
+    * the supplies relation, and a supplier's largest single shipment
+    * `ps_cap` stands in for ps_availqty). "Suppliers in the NATION_1x
+    * bloc whose single-shipment capacity on some 'b'-prefixed part
+    * dominates that part's 1996 volume": supplier <- IN supplies <- IN
+    * part, with the correlated `0.99 * part-year volume` bound.
+    *
+    * Spark-first decorrelation: the correlated scalar subquery becomes a
+    * grouped aggregate joined on its correlation key — both aggregates
+    * map-side combine, the part prefix-filter broadcasts as a semi-join,
+    * the qualifying supplier ids collapse to a distinct set that
+    * semi-joins the dimension side. Nothing in the plan re-executes per
+    * outer row (the nested-loop a naive correlated evaluation implies);
+    * the inner join on the part key reproduces the NULL-rejecting
+    * semantics of `cap > 0.99 * (empty sum)` exactly.
+    */
+  def q20ExcessSupply(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val supplies = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(max(col("l_quantity")).as("ps_cap"))
+    val partYear = li
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("yr_qty"))
+    val qualifying = supplies
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_name").like("b%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(partYear, Seq("l_partkey"))
+      .filter(col("ps_cap") > lit(0.99) * col("yr_qty"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name").like("NATION_1%")).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+  }
+
+  /** TPC-H Q21-shaped multi-EXISTS with inequality correlation, re-cut to
+    * the fixture schema (no commitdate/receiptdate: "kept the order
+    * waiting" = was the STRICTLY LATEST shipper on a multi-supplier 'F'
+    * order). Per waiting lineitem l1: EXISTS another supplier's lineitem
+    * on the same order, NOT EXISTS another supplier's lineitem shipping
+    * at-or-after l1 — both subqueries correlate on an inequality
+    * (supplier <>, shipdate >=), the shape Catalyst must plan as
+    * semi/anti joins with non-equi residuals rather than aggregates.
+    *
+    * Scale shape: the nation/supplier dimension filter lands BEFORE the
+    * self-joins (shrinking l1, broadcast dim), and all three big joins —
+    * orders, the EXISTS semi, the NOT-EXISTS anti — key on l_orderkey,
+    * so the fact shuffles once and the probe side's exchange is shared
+    * by ReuseExchange; the inequality correlations ride as residual
+    * conditions on those equi-joins, never a nested loop.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name").like("NATION_1%")).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val others = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"), col("l_shipdate").as("l2_shipdate"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey")).drop("o_orderkey")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(others, col("l_orderkey") === col("l2_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(others, col("l_orderkey") === col("l2_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey") &&
+        col("l2_shipdate") >= col("l_shipdate"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     // the explicit key isnotnull matters for the reuse: the supplier join
     // pushes isnotnull(l_suppkey) into ONLY the filter branch's subtree,
@@ -1391,6 +1472,8 @@ object RelationalSuite {
     "q6_revenue_change"  -> (q6RevenueChange _),
     "q17_small_qty"      -> (q17SmallQty _),
     "q19_brand_ranges"   -> (q19BrandRanges _),
+    "q20_excess_supply"  -> (q20ExcessSupply _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q8_market_share"    -> (q8MarketShare _),
     "q22_global_sales"   -> (q22GlobalSales _),
     "rolling_30d_revenue" -> (rolling30dRevenue _),
@@ -1580,6 +1663,39 @@ object RelationalSuite {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_excess_supply" ->
+      """WITH supplies AS (
+        |  SELECT l_suppkey AS ps_suppkey, l_partkey AS ps_partkey,
+        |         max(l_quantity) AS ps_cap
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name LIKE 'NATION_1%'
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM supplies
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'b%')
+        |      AND ps_cap > 0.99e0 * (
+        |        SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |        FROM lineitem
+        |        WHERE l_partkey = ps_partkey
+        |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name LIKE 'NATION_1%'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate >= l1.l_shipdate)
+        |GROUP BY s_name""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'

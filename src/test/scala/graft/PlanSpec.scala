@@ -186,6 +186,26 @@ class PlanSpec extends SparkSpec {
       s"q8 must shuffle only the fact-fact join:\n$plan")
   }
 
+  test("q20 decorrelates to map-side-combined aggregates and semi joins") {
+    val plan = executedPlan(RelationalSuite.q20ExcessSupply(spark, dir))
+    assert(plan.contains("LeftSemi"),
+      s"q20 IN-chain must plan as semi joins in:\n$plan")
+    assert(plan.contains("partial_max") && plan.contains("partial_sum"),
+      s"q20 supplies/part-year aggregates must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"q20 correlated scalar agg must not plan a nested loop:\n$plan")
+  }
+
+  test("q21 plans EXISTS/NOT-EXISTS as semi/anti joins on one fact key") {
+    val plan = executedPlan(RelationalSuite.q21WaitingSupplier(spark, dir))
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"q21 EXISTS/NOT EXISTS must plan as semi + anti joins in:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"q21 inequality correlations must ride equi-joins as residuals:\n$plan")
+  }
+
   test("substring coverage joins on gram hashes, never pairs documents") {
     val plan = executedPlan(graft.operators.TextSuite.substringDedup(spark, dir))
     assert(!plan.contains("CartesianProduct") &&
