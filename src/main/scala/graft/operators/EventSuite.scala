@@ -218,6 +218,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedDedup(s, d)),
     "stream_topic_counts"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicCounts(s, d)),
+    "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -292,6 +294,27 @@ object EventSuite {
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt
         |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // production-source session windows (FileTopic readStream, append
+    // mode, mid-stream restart with OPEN sessions in the recovered state
+    // store): emitted exactly-once rows must equal the batch gap-islands
+    // answer — same oracle as session_counts
+    "stream_topic_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     // streamed session windows must converge to the identical batch
     // gap-islands answer: same oracle as session_counts, checked against
     // the update-mode fixpoint (max per pinned session start)

@@ -473,4 +473,85 @@ object StreamReplay {
           StructField("cnt", LongType))))
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
+
+  /** Session windows over the PRODUCTION source and sink, in APPEND mode —
+    * the merging-state complement of [[streamedTopicCounts]]: tumbling
+    * windows have immutable keys, session windows EXTEND while events
+    * arrive, so the restart must recover sessions that are still OPEN in
+    * the state store, not just committed offsets. The fixture streams in
+    * through `FileTopic.readStream` in event-time-ordered chunks with the
+    * consumer stopped and restarted from its checkpoint mid-stream
+    * (mid-session by construction at fixture event rates); each closed
+    * session is emitted exactly once when the watermark passes its close
+    * and lands in the output topic via the idempotent per-batchId
+    * `sinkBatch`. A far-future sentinel (reserved user -1, +2 days)
+    * published last advances the watermark past the data so every real
+    * session closes and emits ([[streamedSessionAppend]]'s convergence
+    * trick); the sentinel's own session stays open and is filtered
+    * defensively. The emitted set must equal the batch gap-islands
+    * answer under the same session_counts oracle.
+    */
+  def streamedTopicSessions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("date", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("session_start", LongType),
+      StructField("n_events", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("date"))
+    val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = java.nio.file.Files.createTempDirectory("graft_topic_sess")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_sess_ckpt")
+    val in = new FileTopic("sessions_in", wireSchema, root.toString)
+    val out = new FileTopic("sessions_out", outSchema, root.toString)
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      in.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drain(): Unit = {
+      val sessions = in.stream(child)
+        .withColumn("ts", timestamp_millis(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("n_events"))
+      val q = sessions.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: open sessions checkpointed in the store
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      // sentinel last: closes and emits every real session
+      in.append(spark.createDataFrame(
+        java.util.Arrays.asList(Row(-1L, hi + 2L * 86400L * 1000L)),
+        wireSchema))
+      drain() // incarnation 2: recovered sessions extend, then close
+      val rows = out.batch(child)
+        .filter(col("user_id") =!= -1L)
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
 }

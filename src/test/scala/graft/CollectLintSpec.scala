@@ -47,16 +47,22 @@ class CollectLintSpec extends SparkSpec {
       "stream_click_attrib",
       "stream_session_append",
       "stream_dedup",
-      // stream_topic_counts: production-source replay — construction
-      // publishes the fixture to a temp FileTopic, runs the consumer
-      // (micro-batch jobs incl. a checkpoint restart), and snapshots the
-      // converged counts locally so the temp dirs can be deleted
+      // stream_topic_counts / stream_topic_sessions: production-source
+      // replays — construction publishes the fixture to a temp FileTopic,
+      // runs the consumer (micro-batch jobs incl. a checkpoint restart),
+      // and snapshots the converged counts locally so the temp dirs can
+      // be deleted
       "stream_topic_counts",
+      "stream_topic_sessions",
       // dedup_clusters_fixpoint ITERATES to convergence by construction:
       // each round materializes via localCheckpoint and the driver reads
       // one exact label-sum scalar per round — bounded driver output, and
       // the whole point is running rounds until the labeling stops moving
-      "dedup_clusters_fixpoint")
+      "dedup_clusters_fixpoint",
+      // cluster_split rides the same fixpoint CC since round 10 (fold
+      // integrity is a correctness property — fixed-depth labeling splits
+      // deep chains across folds): same bounded per-round scalar reads
+      "cluster_split")
 
   test("query construction runs no Spark jobs (no hidden driver collects)") {
     @volatile var started = List.empty[(String, String)]
