@@ -220,6 +220,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicCounts(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
+    "stream_topic_sliding" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicSliding(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -294,6 +296,16 @@ object EventSuite {
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt
         |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // production-source sliding windows: overlapping window keys through
+    // the same offset-tracked restart — same oracle as sliding_counts
+    "stream_topic_sliding" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 100),
+        |slid AS (
+        |  SELECT event_type, (us // 5000000) * 5 AS window_start FROM ev
+        |  UNION ALL
+        |  SELECT event_type, (us // 5000000) * 5 - 5 AS window_start FROM ev)
+        |SELECT event_type, CAST(window_start AS BIGINT) AS window_start, count(*) AS cnt
+        |FROM slid GROUP BY 1, 2""".stripMargin,
     // production-source session windows (FileTopic readStream, append
     // mode, mid-stream restart with OPEN sessions in the recovered state
     // store): emitted exactly-once rows must equal the batch gap-islands

@@ -395,7 +395,20 @@ object StreamReplay {
     * to a local relation (keys x windows rows) so the temp topic dirs can
     * be deleted before returning.
     */
-  def streamedTopicCounts(spark: SparkSession, dir: String): DataFrame = {
+  def streamedTopicCounts(spark: SparkSession, dir: String): DataFrame =
+    streamedTopicWindows(spark, dir, slide = None)
+
+  /** Sliding windows over the production source — the overlapping-window
+    * variant of [[streamedTopicCounts]] (each event lands in
+    * windowLen/slide windows, so the stateful agg carries overlapping
+    * keys through the same offset-tracked restart). Oracle: the batch
+    * sliding_counts decomposition.
+    */
+  def streamedTopicSliding(spark: SparkSession, dir: String): DataFrame =
+    streamedTopicWindows(spark, dir, slide = Some(("10 seconds", "5 seconds")))
+
+  private def streamedTopicWindows(spark: SparkSession, dir: String,
+                                   slide: Option[(String, String)]): DataFrame = {
     import graft.model.PageEventCodec
     import graft.sources.{FileTopic, Topics}
     import org.apache.spark.sql.types._
@@ -436,13 +449,17 @@ object StreamReplay {
     // one consumer incarnation: resume from the checkpointed offsets,
     // drain everything published so far into T4, stop
     def drain(): Unit = {
+      val keyed = PageViews.rekey(
+        PageViews.filterValid(PageEventCodec.fromWire(t2.stream(child)),
+          "duration"), "name", "date")
+        .withWatermark("date", "10 seconds")
       val counts = PageViews.unwrapWindow(
-        PageViews.windowedCounts(
-          PageViews.rekey(
-            PageViews.filterValid(PageEventCodec.fromWire(t2.stream(child)),
-              "duration"), "name", "date")
-            .withWatermark("date", "10 seconds"),
-          "date", "name"),
+        slide match {
+          case Some((len, step)) =>
+            keyed.groupBy(window(col("date"), len, step), col("name"))
+              .agg(count(lit(1)).as("cnt"))
+          case None => PageViews.windowedCounts(keyed, "date", "name")
+        },
         "name")
       val q = counts.writeStream.outputMode("update")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>

@@ -54,6 +54,7 @@ class CollectLintSpec extends SparkSpec {
       // be deleted
       "stream_topic_counts",
       "stream_topic_sessions",
+      "stream_topic_sliding",
       // dedup_clusters_fixpoint ITERATES to convergence by construction:
       // each round materializes via localCheckpoint and the driver reads
       // one exact label-sum scalar per round — bounded driver output, and
