@@ -222,6 +222,10 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_topic_sliding" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSliding(s, d)),
+    "stream_topic_dedup"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicDedup(s, d)),
+    "stream_topic_attrib"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicAttrib(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -296,6 +300,22 @@ object EventSuite {
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt
         |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // production-source watermarked dedup under a whole-quarter producer
+    // redelivery across the consumer restart: survivors must be exactly
+    // the original fixture — same oracle as stream_dedup
+    "stream_topic_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    // production-source stream-stream join (views and clicks on separate
+    // topics, both offset logs + join state recovered at restart):
+    // emitted pair set equals the batch join — same oracle as
+    // stream_click_attrib
+    "stream_topic_attrib" ->
+      """SELECT v.user_id, count(*) AS n_pairs
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
+        |GROUP BY 1""".stripMargin,
     // production-source sliding windows: overlapping window keys through
     // the same offset-tracked restart — same oracle as sliding_counts
     "stream_topic_sliding" ->

@@ -571,4 +571,173 @@ object StreamReplay {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
+
+  /** Watermarked dedup over the PRODUCTION source, with duplicates
+    * injected ACROSS the consumer restart — the at-least-once redelivery
+    * scenario the operator exists for: after incarnation 1 commits its
+    * offsets, the entire second time-quarter is RE-PUBLISHED (a producer
+    * retry after an unacked write) as NEW files offset tracking cannot
+    * skip: the replayed rows must be rejected by RECOVERED OPERATOR STATE
+    * — the checkpointed watermark drops the stale bulk as late data, and
+    * the dedup key store rejects the within-watermark tail; neither
+    * mechanism survives a restart unless recovery works. Same-batch
+    * duplicates ride along inside each incarnation. Survivors sink to the output topic
+    * exactly once; per-type counts must equal the trivial batch
+    * aggregate of the ORIGINAL fixture (same oracle as stream_dedup).
+    */
+  def streamedTopicDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("date", LongType), StructField("event_id", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("date"), col("event_id"))
+    val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = java.nio.file.Files.createTempDirectory("graft_topic_dedup")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_dedup_ckpt")
+    val in = new FileTopic("dedup_in", wireSchema, root.toString)
+    val out = new FileTopic("dedup_out", wireSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = events
+      .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+    def drain(): Unit = {
+      val deduped = in.stream(child)
+        .withColumn("ts", timestamp_millis(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("user_id"), col("event_type"), col("date"), col("event_id"))
+      val q = deduped.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, lo + quarter, last = false).coalesce(1))
+      // same-incarnation duplicate: a slice of the first quarter again
+      in.append(range(lo, lo + quarter, last = false)
+        .orderBy(col("date"), col("event_id")).limit(25).coalesce(1))
+      in.append(range(q2lo, q2hi, last = false).coalesce(1))
+      drain() // incarnation 1: offsets + dedup state committed
+      // REDELIVERY ACROSS THE RESTART: the whole second quarter again —
+      // new files, so offset tracking cannot skip them; only the
+      // recovered dedup state can
+      in.append(range(q2lo, q2hi, last = false).coalesce(1))
+      in.append(range(q2hi, lo + 3 * quarter, last = false).coalesce(1))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true).coalesce(1))
+      drain() // incarnation 2
+      val rows = out.batch(child)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("n_events", LongType))))
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** Stream-STREAM join over TWO production sources: views and clicks
+    * arrive on separate topics (separate readStream offset logs), join on
+    * user with the one-day range bound, and the consumer restarts from
+    * checkpoint mid-stream — so BOTH sources' offsets and the
+    * watermark-evictable join state (unmatched views awaiting clicks)
+    * must recover together. Matched pairs sink exactly once via the
+    * idempotent batch sink; per-user pair counts equal the batch join
+    * (same oracle as stream_click_attrib).
+    */
+  def streamedTopicAttrib(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("date", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("v_date", LongType),
+      StructField("c_date", LongType)))
+    def side(tpe: String) = Tables.events(spark, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), unix_millis(col("ts")).as("date"))
+    val views = side("view")
+    val clicks = side("click")
+    val Row(lo: Long, hi: Long) = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(unix_millis(col("ts")).as("date"))
+      .agg(min("date"), max("date")).head()
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    // two stateful operators (one store each side): per-batch store
+    // overhead dominates at fixture scale, same as streamedClickAttribution
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+    val root = java.nio.file.Files.createTempDirectory("graft_topic_attrib")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_attrib_ckpt")
+    val vIn = new FileTopic("views_in", wireSchema, root.toString)
+    val cIn = new FileTopic("clicks_in", wireSchema, root.toString)
+    val out = new FileTopic("pairs_out", outSchema, root.toString)
+    def publish(df: org.apache.spark.sql.DataFrame, topic: FileTopic,
+                from: Long, until: Long, last: Boolean): Unit =
+      topic.append(df
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drain(): Unit = {
+      val v = vIn.stream(child)
+        .select(col("user_id").as("v_user"),
+          timestamp_millis(col("date")).as("v_ts"))
+        .withWatermark("v_ts", "10 seconds")
+      val c = cIn.stream(child)
+        .select(col("user_id").as("c_user"),
+          timestamp_millis(col("date")).as("c_ts"))
+        .withWatermark("c_ts", "10 seconds")
+      val pairs = v.join(c,
+          col("v_user") === col("c_user") &&
+            col("c_ts") >= col("v_ts") &&
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
+        .select(col("v_user").as("user_id"),
+          unix_millis(col("v_ts")).as("v_date"),
+          unix_millis(col("c_ts")).as("c_date"))
+      val q = pairs.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(views, vIn, lo, lo + quarter, last = false)
+      publish(clicks, cIn, lo, lo + quarter, last = false)
+      publish(views, vIn, lo + quarter, lo + 2 * quarter, last = false)
+      publish(clicks, cIn, lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: both offset logs + join state committed
+      publish(views, vIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(clicks, cIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(views, vIn, lo + 3 * quarter, Long.MaxValue, last = true)
+      publish(clicks, cIn, lo + 3 * quarter, Long.MaxValue, last = true)
+      drain() // incarnation 2: recovered views match post-restart clicks
+      val rows = out.batch(child)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("n_pairs", LongType))))
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
 }

@@ -55,6 +55,8 @@ class CollectLintSpec extends SparkSpec {
       "stream_topic_counts",
       "stream_topic_sessions",
       "stream_topic_sliding",
+      "stream_topic_dedup",
+      "stream_topic_attrib",
       // dedup_clusters_fixpoint ITERATES to convergence by construction:
       // each round materializes via localCheckpoint and the driver reads
       // one exact label-sum scalar per round — bounded driver output, and
