@@ -1,7 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
-  Expression, Levenshtein, NamedExpression, PredicateHelper}
+  Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein,
+  Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan,
   Project}
@@ -30,7 +32,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * computes are hoisted; everything else (equi-join keys, the
   * LevenshteinLengthGuard bound) stays below the shared projection, so the
   * cheap length guard still short-circuits the kernel for length-mismatched
-  * pairs. Join conditions are only rewritten for Inner/Cross joins (where
+  * pairs. When the kernel's only hoisted use is a threshold comparison,
+  * the shared evaluation upgrades to the 3-arg `levenshtein(a, b, k)` —
+  * the banded O(len x k) DP that early-outs past the bound — and the
+  * hoisted filter becomes `_lev_once >= 0`; at a fuzzy-join's 100 TB
+  * candidate volume that bound, not the exact O(len^2) kernel, is the
+  * dominant cost. Join conditions are only rewritten for Inner/Cross joins (where
   * a post-join Filter is equivalent) and only when cheap conjuncts remain
   * to key the join. Because the extraOptimizations batch contains no
   * pushdown rule, the hoisted Filter-on-attribute is stable; the rule is
@@ -79,10 +86,44 @@ object LevenshteinSingleEval extends Rule[LogicalPlan] with PredicateHelper {
       .partition(c => kernels.exists(k => c.exists(_.semanticEquals(k))))
     if (hoisted.isEmpty) return None
     rebuildChild(kept).map { newChild =>
-      val mapping = kernels.map(k => k -> Alias(k, "_lev_once")())
-      val attrs = mapping.map { case (k, a) => k -> a.toAttribute }
+      // BANDED upgrade: when a kernel's ONLY hoisted use is a threshold
+      // comparison `lev <= k` / `lev < k`, evaluate the 3-arg
+      // `levenshtein(a, b, k)` instead — Spark's threshold kernel runs
+      // the banded O(len x k) DP and returns -1 past the bound, so the
+      // hoisted filter becomes `_lev_once >= 0` and survivors' exact
+      // distances (<= k by construction) are bit-identical for the
+      // projection. Any other shape keeps the exact 2-arg kernel.
+      def bandOf(k: Levenshtein): Option[Int] = {
+        val uses = hoisted.filter(_.exists(_.semanticEquals(k)))
+        uses match {
+          case Seq(LessThanOrEqual(l, lim: Literal))
+              if l.semanticEquals(k) && lim.dataType == IntegerType &&
+                lim.value.asInstanceOf[Int] >= 0 =>
+            Some(lim.value.asInstanceOf[Int])
+          case Seq(LessThan(l, lim: Literal))
+              if l.semanticEquals(k) && lim.dataType == IntegerType &&
+                lim.value.asInstanceOf[Int] > 0 =>
+            Some(lim.value.asInstanceOf[Int] - 1)
+          case _ => None
+        }
+      }
+      val mapping = kernels.map { k =>
+        val banded = bandOf(k)
+        val expr = banded
+          .map(b => Levenshtein(k.left, k.right, Some(Literal(b))))
+          .getOrElse(k)
+        (k, Alias(expr, "_lev_once")(), banded)
+      }
+      val attrs = mapping.map { case (k, a, _) => k -> a.toAttribute }
       val lower = Project(child.output ++ mapping.map(_._2), newChild)
-      val upperCond = hoisted.map(substitute(_, attrs)).reduce(And)
+      val upperCond = hoisted.map { c =>
+        // a banded kernel's threshold conjunct is REPLACED (the bound now
+        // lives inside the kernel), not alias-substituted
+        mapping.collectFirst {
+          case (k, a, Some(_)) if c.exists(_.semanticEquals(k)) =>
+            GreaterThanOrEqual(a.toAttribute, Literal(0))
+        }.getOrElse(substitute(c, attrs))
+      }.reduce(And)
       val upperFields = fields
         .map(substitute(_, attrs).asInstanceOf[NamedExpression])
       Project(upperFields, Filter(upperCond, lower))

@@ -56,6 +56,42 @@ class GuardRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("single-eval upgrades a thresholded kernel to the banded 3-arg form") {
+    val plan = TextSuite.editDistanceNear(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Some(60)) AS _lev_once"),
+      s"threshold must move inside the banded kernel in:\n$plan")
+    assert("Filter \\(_lev_once#\\d+ >= 0\\)".r.findFirstIn(plan).isDefined,
+      s"hoisted filter must test the -1 sentinel in:\n$plan")
+  }
+
+  test("property: banded single-eval never changes results on random pairs") {
+    // project-then-filter over a real scan: the shape the rule rewrites to
+    // levenshtein(a, b, k) + `>= 0`; kept set AND projected distances must
+    // be identical with the rule off (exact 2-arg kernel twice)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val alphabet = "abλ中é🙂 "
+    def randStr(): String =
+      Seq.fill(rng.nextInt(24))(alphabet(rng.nextInt(alphabet.length))).mkString
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lev").toString
+    Seq.fill(400)((randStr(), randStr())).toDF("a", "b")
+      .write.mode("overwrite").parquet(tmp)
+    def run(active: Boolean): Seq[(String, String, Long)] = {
+      val saved = spark.experimental.extraOptimizations
+      if (!active) spark.experimental.extraOptimizations =
+        saved.filterNot(_ == LevenshteinSingleEval)
+      try spark.read.parquet(tmp)
+        .select(col("a"), col("b"),
+          levenshtein(col("a"), col("b")).cast("long").as("d"))
+        .filter(col("d") <= 7)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      finally spark.experimental.extraOptimizations = saved
+    }
+    assert(run(active = true).sortBy(t => (t._1, t._2)) ==
+      run(active = false).sortBy(t => (t._1, t._2)))
+  }
+
   test("guard preserves results: rule on == rule off") {
     val withRule = TextSuite.editDistanceNear(spark, dir)
       .orderBy("doc_a", "doc_b").collect().toSeq
