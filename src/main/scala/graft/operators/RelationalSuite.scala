@@ -1263,12 +1263,16 @@ object RelationalSuite {
     * (supplier <>, shipdate >=), the shape Catalyst must plan as
     * semi/anti joins with non-equi residuals rather than aggregates.
     *
-    * Scale shape: the nation/supplier dimension filter lands BEFORE the
-    * self-joins (shrinking l1, broadcast dim), and all three big joins —
-    * orders, the EXISTS semi, the NOT-EXISTS anti — key on l_orderkey,
-    * so the fact shuffles once and the probe side's exchange is shared
-    * by ReuseExchange; the inequality correlations ride as residual
-    * conditions on those equi-joins, never a nested loop.
+    * Scale shape (verified with broadcasts disabled): the nation/supplier
+    * dimension filter lands BEFORE the self-joins (shrinking l1,
+    * broadcast dim), and all three big joins — orders, the EXISTS semi,
+    * the NOT-EXISTS anti — key on l_orderkey, so the fact spine shuffles
+    * ONCE and flows semi -> anti -> inner with no re-exchange between
+    * them. The two probe sides shuffle separately on purpose: column
+    * pruning gives the EXISTS probe a 2-column row and the NOT-EXISTS
+    * probe a 3-column row, and two narrow exchanges beat one shared wide
+    * one. The inequality correlations ride as residual conditions on
+    * those equi-joins, never a nested loop.
     */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
