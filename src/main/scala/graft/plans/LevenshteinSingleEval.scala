@@ -37,7 +37,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the banded O(len x k) DP that early-outs past the bound — and the
   * hoisted filter becomes `_lev_once >= 0`; at a fuzzy-join's 100 TB
   * candidate volume that bound, not the exact O(len^2) kernel, is the
-  * dominant cost. Join conditions are only rewritten for Inner/Cross joins (where
+  * dominant cost. Measured (ProbeLevenshtein, interleaved in-JVM A/B,
+  * 100k same-length 400-char pairs at threshold 20 — the population the
+  * length guard cannot prune): 13.8 s rule-off vs 0.35 s rule-on, ~40x. Join conditions are only rewritten for Inner/Cross joins (where
   * a post-join Filter is equivalent) and only when cheap conjuncts remain
   * to key the join. Because the extraOptimizations batch contains no
   * pushdown rule, the hoisted Filter-on-attribute is stable; the rule is
