@@ -396,6 +396,14 @@ object Dedup {
     * the edge cache frees via releaseComponentCache like the fixed-depth
     * form. Throws if maxIters rounds don't converge (one round per
     * diameter hop), rather than returning silently-partial labels.
+    *
+    * Rejected variant (measured, round 10): unrolling the first 4
+    * flooding rounds job-free into the initial plan — one
+    * materialization covering diameter <= 4 before the eager loop — is
+    * SLOWER on the wired cluster_split pairs (interleaved in-JVM A/B,
+    * ProbeFixpointPrefix: median 3.72 s prefixed vs 2.91 s plain at
+    * sf0.1 local[32]): the chained 4-shuffle prefix job costs more than
+    * the small per-round jobs it replaces. Per-round checkpoints stay.
     */
   def connectedComponentsFixpoint(pairs: DataFrame, maxIters: Int = 64,
                                   aCol: String = "doc_a",
