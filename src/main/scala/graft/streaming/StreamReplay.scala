@@ -40,6 +40,30 @@ object StreamReplay {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: java.io.IOException => () }
 
+  /** Conf-scoped child session every replay harness runs under (same
+    * pattern as Dedup's round-scoped flooding sessions): parent conf
+    * copied, HEAP state store — replay state is ~|keys x live windows|
+    * tiny rows, where HDFSBacked beats RocksDB's native round-trips
+    * (measured 21 s vs 32 s cold at sf0.1) — and a small shuffle fan-out
+    * instead of the corpus-sized session default. Stream-stream joins
+    * pass 4 (two state stores per partition per micro-batch, so
+    * per-batch store open/commit overhead dominates); everything else 8.
+    * The caller's session keeps its RocksDB posture for production jobs.
+    */
+  private def replaySession(spark: SparkSession,
+                            shufflePartitions: Int): SparkSession = {
+    val child = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    child.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    child
+  }
+
   /** The reference topology (filter -> rekey -> 5 s tumbling window ->
     * count), executed AS A STREAM: the events fixture is replayed
     * in event-time order through `numBatches` micro-batches of a
@@ -75,15 +99,7 @@ object StreamReplay {
     // (measured 21 s vs 32 s cold at sf0.1), and the per-batch stateful agg
     // wants a small shuffle fan-out, not the corpus-sized session default.
     // The caller's session keeps its RocksDB posture for production jobs.
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val child = replaySession(spark, shufflePartitions = 8)
     import child.implicits._
     val input = MemoryStream[ReplayEvent](child)
     val counts = PageViews.unwrapWindow(
@@ -141,15 +157,7 @@ object StreamReplay {
         .orderBy(col("ts"))
         .as[ReplaySession].collect()
     }
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val child = replaySession(spark, shufflePartitions = 8)
     import child.implicits._
     val input = MemoryStream[ReplaySession](child)
     val sessions = input.toDF()
@@ -200,15 +208,7 @@ object StreamReplay {
         .orderBy(col("ts"))
         .as[ReplaySession].collect()
     }
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val child = replaySession(spark, shufflePartitions = 8)
     import child.implicits._
     val input = MemoryStream[ReplaySession](child)
     val sessions = input.toDF()
@@ -270,15 +270,7 @@ object StreamReplay {
         .orderBy(col("ts"), col("event_id"))
         .as[ReplayTyped].collect()
     }
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val child = replaySession(spark, shufflePartitions = 8)
     import child.implicits._
     val input = MemoryStream[ReplayTyped](child)
     val deduped = input.toDF()
@@ -333,18 +325,7 @@ object StreamReplay {
         .orderBy(col("ts"), col("event_id"))
         .as[ReplayTyped].collect()
     }
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    // 4, not 8: the stream-stream join runs TWO stateful operators per
-    // partition per micro-batch (one store each side) — per-batch store
-    // open/commit overhead, not data volume, dominates this replay
-    child.conf.set("spark.sql.shuffle.partitions", "4")
+    val child = replaySession(spark, shufflePartitions = 4)
     import child.implicits._
     val input = MemoryStream[ReplayTyped](child)
     val views = input.toDF().filter(col("event_type") === "view")
@@ -427,15 +408,7 @@ object StreamReplay {
     val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
     // same conf-scoped child session as the replays above: tiny stateful
     // agg wants the heap store + a small shuffle fan-out
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val child = replaySession(spark, shufflePartitions = 8)
     val root = java.nio.file.Files.createTempDirectory("graft_topic")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_ckpt")
     val t2 = new FileTopic(Topics.T2, wireSchema, root.toString)
@@ -518,17 +491,9 @@ object StreamReplay {
       StructField("session_start", LongType),
       StructField("n_events", LongType)))
     val events = Tables.events(spark, dir)
-      .select(col("user_id"), unix_millis(col("ts")).as("date"))
+      .select(col("user_id"), unix_micros(col("ts")).as("date"))
     val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val child = replaySession(spark, shufflePartitions = 8)
     val root = java.nio.file.Files.createTempDirectory("graft_topic_sess")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_sess_ckpt")
     val in = new FileTopic("sessions_in", wireSchema, root.toString)
@@ -539,7 +504,7 @@ object StreamReplay {
         .coalesce(1))
     def drain(): Unit = {
       val sessions = in.stream(child)
-        .withColumn("ts", timestamp_millis(col("date")))
+        .withColumn("ts", timestamp_micros(col("date")))
         .withWatermark("ts", "10 seconds")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
@@ -560,11 +525,22 @@ object StreamReplay {
       drain() // incarnation 1: open sessions checkpointed in the store
       publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
       publish(lo + 3 * quarter, Long.MaxValue, last = true)
-      // sentinel last: closes and emits every real session
-      in.append(spark.createDataFrame(
-        java.util.Arrays.asList(Row(-1L, hi + 2L * 86400L * 1000L)),
-        wireSchema))
+      // TWO sentinel batches, not one (same workaround the MemoryStream
+      // twin streamedSessionAppend documents): the watermark only
+      // advances at the END of the batch that carries sentinel-1, and
+      // emission-on-close cannot be left to a no-data batch racing
+      // q.stop(). Sentinel-2 arrives in a LATER incarnation, so its DATA
+      // batch acts on the already-advanced watermark and deterministically
+      // flushes every real session. Both ride reserved user -1.
+      def sentinel(offsetDays: Long): Unit =
+        in.append(spark.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, hi + offsetDays * 86400L * 1000000L)),
+          wireSchema))
+      sentinel(2)
       drain() // incarnation 2: recovered sessions extend, then close
+      sentinel(4)
+      drain() // incarnation 3: watermark already past every real session
       val rows = out.batch(child)
         .filter(col("user_id") =!= -1L)
         .collect()
@@ -593,17 +569,9 @@ object StreamReplay {
       StructField("date", LongType), StructField("event_id", LongType)))
     val events = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
-        unix_millis(col("ts")).as("date"), col("event_id"))
+        unix_micros(col("ts")).as("date"), col("event_id"))
     val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", "8")
+    val child = replaySession(spark, shufflePartitions = 8)
     val root = java.nio.file.Files.createTempDirectory("graft_topic_dedup")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_dedup_ckpt")
     val in = new FileTopic("dedup_in", wireSchema, root.toString)
@@ -612,7 +580,7 @@ object StreamReplay {
       .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
     def drain(): Unit = {
       val deduped = in.stream(child)
-        .withColumn("ts", timestamp_millis(col("date")))
+        .withColumn("ts", timestamp_micros(col("date")))
         .withWatermark("ts", "10 seconds")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("user_id"), col("event_type"), col("date"), col("event_id"))
@@ -668,24 +636,14 @@ object StreamReplay {
       StructField("c_date", LongType)))
     def side(tpe: String) = Tables.events(spark, dir)
       .filter(col("event_type") === tpe)
-      .select(col("user_id"), unix_millis(col("ts")).as("date"))
+      .select(col("user_id"), unix_micros(col("ts")).as("date"))
     val views = side("view")
     val clicks = side("click")
     val Row(lo: Long, hi: Long) = Tables.events(spark, dir)
       .filter(col("event_type").isin("view", "click"))
-      .select(unix_millis(col("ts")).as("date"))
+      .select(unix_micros(col("ts")).as("date"))
       .agg(min("date"), max("date")).head()
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
-    // two stateful operators (one store each side): per-batch store
-    // overhead dominates at fixture scale, same as streamedClickAttribution
-    child.conf.set("spark.sql.shuffle.partitions", "4")
+    val child = replaySession(spark, shufflePartitions = 4)
     val root = java.nio.file.Files.createTempDirectory("graft_topic_attrib")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_attrib_ckpt")
     val vIn = new FileTopic("views_in", wireSchema, root.toString)
@@ -699,19 +657,19 @@ object StreamReplay {
     def drain(): Unit = {
       val v = vIn.stream(child)
         .select(col("user_id").as("v_user"),
-          timestamp_millis(col("date")).as("v_ts"))
+          timestamp_micros(col("date")).as("v_ts"))
         .withWatermark("v_ts", "10 seconds")
       val c = cIn.stream(child)
         .select(col("user_id").as("c_user"),
-          timestamp_millis(col("date")).as("c_ts"))
+          timestamp_micros(col("date")).as("c_ts"))
         .withWatermark("c_ts", "10 seconds")
       val pairs = v.join(c,
           col("v_user") === col("c_user") &&
             col("c_ts") >= col("v_ts") &&
             col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
         .select(col("v_user").as("user_id"),
-          unix_millis(col("v_ts")).as("v_date"),
-          unix_millis(col("c_ts")).as("c_date"))
+          unix_micros(col("v_ts")).as("v_date"),
+          unix_micros(col("c_ts")).as("c_date"))
       val q = pairs.writeStream.outputMode("append")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
           out.sinkBatch(df, id))
