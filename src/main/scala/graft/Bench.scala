@@ -195,9 +195,10 @@ object Bench {
       val detail = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
         f"""  "$n":{"sec":${math.min(s1.sec, s2.sec)}%.3f,""" +
           f""""p1":${s1.sec}%.3f,"p2":${s2.sec}%.3f,""" +
-          // gc pairs with the headline pass (pass 2) so a pass-2 anomaly
-          // band reads the RIGHT attribution; pass-1 gc rides beside it
-          f""""gc":${s2.gc}%.2f,"gc1":${s1.gc}%.2f,""" +
+          // 1/2-suffixed like every other pass pair (the old bare "gc"
+          // carried min-pass gc — renamed so the semantics change is
+          // visible to cross-round readers)
+          f""""gc1":${s1.gc}%.2f,"gc2":${s2.gc}%.2f,""" +
           f""""jit1":${s1.jit}%.2f,"jit2":${s2.jit}%.2f,""" +
           f""""cls1":${s1.cls},"cls2":${s2.cls},""" +
           f""""t1":${s1.startMs},"t2":${s2.startMs},""" +

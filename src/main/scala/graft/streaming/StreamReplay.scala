@@ -93,12 +93,6 @@ object StreamReplay {
         .orderBy(col("date"))
         .as[ReplayEvent].collect()
     }
-    // conf-scoped child session (same pattern as Dedup.connectedComponents'
-    // flooding rounds): the replay's state is ~|keys x live windows| tiny
-    // rows, where the heap state store beats RocksDB's native round-trips
-    // (measured 21 s vs 32 s cold at sf0.1), and the per-batch stateful agg
-    // wants a small shuffle fan-out, not the corpus-sized session default.
-    // The caller's session keeps its RocksDB posture for production jobs.
     val child = replaySession(spark, shufflePartitions = 8)
     import child.implicits._
     val input = MemoryStream[ReplayEvent](child)
