@@ -13,6 +13,83 @@ object Bench {
   final case class QStat(sec: Double, gc: Double, jit: Double, cls: Long,
                          startMs: Long, load: Double)
 
+  /** One anomaly's attribution after the isolated p3 re-run (round-10
+    * verdict ask #1): `transient` when the re-run lands back at pass-1
+    * level under the same thresholds that flagged it.
+    */
+  final case class Verdict(name: String, idx: Int, p1: Double, p2: Double,
+                           p3: Option[Double], transient: Boolean)
+
+  /** Tri-state record health (ADVICE r10): "ok" (clean, or every anomaly
+    * attributed transient by its p3 re-run), "external" (contiguous
+    * contention band — the machine, not the engine), "unhealthy"
+    * (reproducible warm regression or an unexplained pass-2 blowup).
+    * `headlinePass` is the pass the published headline binds to — pass 2
+    * only when pass 2 is clean, else the cold-but-uncontaminated pass 1 —
+    * so ok:true never accompanies a knowingly contaminated headline.
+    */
+  final case class Health(verdicts: Seq[Verdict], band: Boolean,
+                          status: String, headlinePass: Int, pass2Adj: Double) {
+    def ok: Boolean = status != "unhealthy"
+    def reproducible: Seq[Verdict] = if (band) Nil else verdicts.filterNot(_.transient)
+  }
+
+  /** A pass-2 anomaly: >3x its own pass-1 time, >1 s absolute excess, and
+    * near-zero pass-2 JIT/class-load so codegen-cache misses are ruled out.
+    */
+  def anomalous(s1: QStat, s2: QStat): Boolean =
+    s2.sec > 3 * s1.sec && s2.sec - s1.sec > 1.0 && s2.jit < 0.5 && s2.cls < 500
+
+  /** Pure health classification over both passes + the isolated p3 re-runs
+    * (seconds, keyed by query name). Kept free of measurement side effects
+    * so BenchHealthSpec can drive every branch with synthetic stats.
+    */
+  def classify(stats: Seq[(String, QStat, QStat)],
+               p3: Map[String, Double]): Health = {
+    val anomalies = stats.zipWithIndex.collect {
+      case (((n, s1, s2)), i) if anomalous(s1, s2) => (n, i)
+    }
+    // external CPU contention hits whichever queries run during its
+    // wall-clock window, so >=3 anomalies packed into one run-order band
+    // classify as external; scattered anomalies are the engine's problem
+    val band = anomalies.size >= 3 && {
+      val idx = anomalies.map(_._2)
+      (idx.max - idx.min + 1) <= math.ceil(1.5 * anomalies.size).toInt
+    }
+    val verdicts = anomalies.map { case (n, i) =>
+      val s1 = stats(i)._2.sec
+      val s2 = stats(i)._3.sec
+      val t3 = p3.get(n)
+      // same thresholds as detection: the re-run is "back at pass-1 level"
+      // iff it would NOT have been flagged against p1
+      val transient = t3.exists(t => t <= 3 * s1 || t - s1 <= 1.0)
+      Verdict(n, i, s1, s2, t3, transient)
+    }
+    val reproducible = if (band) Nil else verdicts.filterNot(_.transient)
+    // Pass-ratio check on the EXONERATED pass-2 total: transient anomalies'
+    // p2 contributions are replaced by their isolated p3 re-measurements,
+    // so a single 18 s one-off can't fail the ratio gate on its own — but
+    // a broad un-attributed slowdown still does.
+    val pass1Total = stats.map(_._2.sec).sum
+    val pass2Total = stats.map(_._3.sec).sum
+    val exoneratedExcess = verdicts.collect {
+      case v if v.transient => v.p2 - v.p3.getOrElse(v.p2)
+    }.sum
+    val pass2Adj = pass2Total - exoneratedExcess
+    val status =
+      if (reproducible.nonEmpty) "unhealthy"
+      else if (band) "external"
+      else if (pass2Adj > 1.2 * pass1Total) "unhealthy"
+      else "ok"
+    // HEADLINE FALLBACK (ADVICE r10): a banded or anomalous pass 2 is a
+    // real wall some run produced, but not a number that describes the
+    // ENGINE — the headline falls back to the pass-1 wall and the record
+    // says so via "queries_metric"/"headline_pass", closing the round-9/10
+    // trap of cross-round tooling silently mis-joining different metrics.
+    val headlinePass = if (anomalies.isEmpty && !band) 2 else 1
+    Health(verdicts, band, status, headlinePass, pass2Adj)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -97,30 +174,34 @@ object Bench {
     // CHA-invalidates hot compiled code, taxing its NEIGHBORS' wall time.
     def loadAvg(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    def measure(pass: String, name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): QStat = {
+      val gc0 = gcMillis()
+      val j0 = jitMillis()
+      val c0 = classesLoaded()
+      val startMs = System.currentTimeMillis()
+      val load0 = loadAvg()
+      val t0 = System.nanoTime()
+      // noop sink forces full materialization of every output column
+      // (a bare .count() would let Catalyst prune the whole projection).
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gc = (gcMillis() - gc0) / 1e3
+      val jit = (jitMillis() - j0) / 1e3
+      val cls = classesLoaded() - c0
+      // release any per-query operator caches (connectedComponents' edge
+      // set) so one query's storage footprint can't tax the next 50
+      graft.operators.Dedup.releaseComponentCache(spark)
+      System.err.println(
+        f"[bench:$pass] $name%-22s $dt%8.2f s  (gc $gc%5.2f s, jit $jit%6.2f s, cls $cls%5d, load $load0%4.1f)")
+      QStat(dt, gc, jit, cls, startMs, load0)
+    }
     def runPass(pass: Int): Seq[(String, QStat)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val gc0 = gcMillis()
-        val j0 = jitMillis()
-        val c0 = classesLoaded()
-        val startMs = System.currentTimeMillis()
-        val load0 = loadAvg()
-        val t0 = System.nanoTime()
-        // noop sink forces full materialization of every output column
-        // (a bare .count() would let Catalyst prune the whole projection).
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        val gc = (gcMillis() - gc0) / 1e3
-        val jit = (jitMillis() - j0) / 1e3
-        val cls = classesLoaded() - c0
-        // release any per-query operator caches (connectedComponents' edge
-        // set) so one query's storage footprint can't tax the next 50
-        graft.operators.Dedup.releaseComponentCache(spark)
-        System.err.println(
-          f"[bench:$pass] $name%-22s $dt%8.2f s  (gc $gc%5.2f s, jit $jit%6.2f s, cls $cls%5d, load $load0%4.1f)")
-        name -> QStat(dt, gc, jit, cls, startMs, load0)
+        name -> measure(pass.toString, name, fn)
       }
     // TWO full passes, report the per-query MIN. Loading a query's freshly
     // generated classes invalidates CHA-based speculative inlining in
@@ -152,16 +233,15 @@ object Bench {
     val pass1 = instrumented(1)
     val pass2 = instrumented(2)
     val passTotals = Seq(pass1, pass2).map(_.map(_._2.sec).sum)
-    // HEADLINE = the PASS-2 WALL TOTAL: a number some real pass actually
-    // produced. The old headline (sum of per-query min over both passes)
-    // is a composite no single run ever saw — round 9's 147.4 s headline
-    // sat against real pass walls of [432.7, 321.2] s and silently
-    // absorbed a ~172 s pass-2 anomaly. Min-of-passes stays available as
-    // the secondary "min_sec" (per-query steady-state floor).
-    val total = passTotals.last
+    // HEADLINE = the wall total of the latest CLEAN pass (see headlinePass
+    // below): a number some real pass actually produced. The old headline
+    // (sum of per-query min over both passes) is a composite no single run
+    // ever saw — round 9's 147.4 s headline sat against real pass walls of
+    // [432.7, 321.2] s and silently absorbed a ~172 s pass-2 anomaly.
+    // Min-of-passes stays available as the secondary "min_sec" (per-query
+    // steady-state floor).
     val minTotal = pass1.zip(pass2)
       .map { case ((_, s1), (_, s2)) => math.min(s1.sec, s2.sec) }.sum
-    val gcTotal = pass2.map(_._2.gc).sum
     // Warm-pass health gate (round-7/9 ask): a warm pass that regresses
     // vs pass 1 without JIT/class-load attribution is either an engine
     // defect or external contention. Flag per-query anomalies
@@ -173,17 +253,31 @@ object Bench {
     // classify as external; scattered anomalies or a >1.2x pass-2 wall
     // with no band mark the record UNHEALTHY — a regression to chase,
     // not a number to publish quietly.
-    val anomalies = pass1.zip(pass2).zipWithIndex.collect {
-      case (((n, s1), (_, s2)), i)
-          if s2.sec > 3 * s1.sec && s2.sec - s1.sec > 1.0 &&
-            s2.jit < 0.5 && s2.cls < 500 => (n, i)
-    }
-    val band = anomalies.size >= 3 && {
-      val idx = anomalies.map(_._2)
-      (idx.max - idx.min + 1) <= math.ceil(1.5 * anomalies.size).toInt
-    }
-    val healthOk = (passTotals.last <= 1.2 * passTotals.head &&
-      anomalies.isEmpty) || band
+    val stats = pass1.zip(pass2).map { case ((n, s1), (_, s2)) => (n, s1, s2) }
+    // ANOMALY ATTRIBUTION (round-10 verdict ask #1): a flagged anomaly gets
+    // an automatic third, ISOLATED re-run of just that query in the same
+    // warmed JVM; classify() then attributes it transient (one-off:
+    // scheduler, page cache, CPU-frequency dip) or reproducible (a REAL
+    // warm-state defect -> unhealthy). Capped at 8 re-runs to bound bench
+    // wall time; a >8-anomaly storm is either a contiguous band (classified
+    // external) or an engine collapse (unhealthy either way).
+    val p3 = stats.zipWithIndex
+      .collect { case ((n, s1, s2), _) if anomalous(s1, s2) => n }
+      .take(8)
+      .map(n => n -> measure("3", n, selected(n)))
+      .toMap
+    val hc = classify(stats, p3.map { case (n, s) => n -> s.sec })
+    val verdicts = hc.verdicts
+    val band = hc.band
+    val status = hc.status
+    val healthOk = hc.ok
+    val headlinePass = hc.headlinePass
+    val pass2Adj = hc.pass2Adj
+    val reproducible = hc.reproducible
+    val total = passTotals(headlinePass - 1)
+    val headline = if (headlinePass == 2) pass2 else pass1
+    // gc_sec binds to the same pass as the headline it accompanies
+    val gcTotal = headline.map(_._2.gc).sum
     val sfName = new java.io.File(sfDir).getName
     // Full-fidelity per-query record (min + both passes + gc, 3 decimals)
     // goes to a FILE in the repo — the stdout line is size-capped by the
@@ -192,7 +286,20 @@ object Bench {
     // never from a SPARK_GRAFT_ONLY run: a filtered local iteration must
     // not clobber the committed full-suite record
     if (only.isEmpty) locally {
+      def verdictOf(v: Verdict): String =
+        if (band) "external_band"
+        else if (v.transient) "transient"
+        else "reproducible"
+      val byName = verdicts.map(v => v.name -> v).toMap
       val detail = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
+        val extra = (byName.get(n), p3.get(n)) match {
+          case (Some(v), Some(s3)) =>
+            f""","p3":${s3.sec}%.3f,"gc3":${s3.gc}%.2f,""" +
+              f""""jit3":${s3.jit}%.2f,"cls3":${s3.cls},"t3":${s3.startMs},""" +
+              f""""load3":${s3.load}%.1f,"verdict":"${verdictOf(v)}""""
+          case (Some(v), None) => s""","verdict":"${verdictOf(v)}""""
+          case _ => ""
+        }
         f"""  "$n":{"sec":${math.min(s1.sec, s2.sec)}%.3f,""" +
           f""""p1":${s1.sec}%.3f,"p2":${s2.sec}%.3f,""" +
           // 1/2-suffixed like every other pass pair (the old bare "gc"
@@ -202,17 +309,23 @@ object Bench {
           f""""jit1":${s1.jit}%.2f,"jit2":${s2.jit}%.2f,""" +
           f""""cls1":${s1.cls},"cls2":${s2.cls},""" +
           f""""t1":${s1.startMs},"t2":${s2.startMs},""" +
-          f""""load1":${s1.load}%.1f,"load2":${s2.load}%.1f}"""
+          f""""load1":${s1.load}%.1f,"load2":${s2.load}%.1f$extra}"""
       }.mkString(",\n")
       val jit = passJit.zipWithIndex.map { case ((js, cl, cc), i) =>
         f""""pass${i + 1}":{"jit_sec":$js%.1f,"classes_loaded":$cl,"code_cache_mb":$cc%.1f}"""
       }.mkString("{", ",", "}")
-      val anomalyJson = anomalies.map("\"" + _._1 + "\"")
-        .mkString("[", ",", "]")
-      val health = s"""{"ok":$healthOk,""" +
+      val anomalyJson = verdicts.map { v =>
+        f"""{"name":"${v.name}","p1":${v.p1}%.3f,"p2":${v.p2}%.3f""" +
+          v.p3.map(t => f""","p3":$t%.3f""").getOrElse("") +
+          s""","verdict":"${verdictOf(v)}"}"""
+      }.mkString("[", ",", "]")
+      val health = s"""{"status":"$status","ok":$healthOk,""" +
         f""""pass_ratio":${passTotals.last / passTotals.head}%.2f,""" +
-        s""""anomalies":$anomalyJson,"contiguous_band":$band}"""
+        f""""pass2_adjusted_sec":$pass2Adj%.1f,""" +
+        s""""anomalies":$anomalyJson,"contiguous_band":$band,""" +
+        s""""headline_pass":$headlinePass}"""
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
+        f""""queries_metric":"pass$headlinePass",""" +
         f""""min_sec":$minTotal%.3f,""" +
         f""""gc_sec":$gcTotal%.2f,"pass_sec":[${passTotals.head}%.1f,""" +
         f"""${passTotals.last}%.1f],"jit":$jit,"health":$health,""" +
@@ -232,9 +345,10 @@ object Bench {
     // BENCH_DETAIL.json. "value" stays the LAST key so the headline total
     // survives any future head-truncation.
     // per-query stdout numbers come from the SAME pass as the headline
-    // (pass 2), so the line is internally consistent; per-query min and
-    // both raw passes live in BENCH_DETAIL.json
-    val results = pass1.zip(pass2).map { case ((n, _), (_, s2)) => n -> s2.sec }
+    // (whichever clean pass "queries_metric" names), so the line is
+    // internally consistent; per-query min and both raw passes live in
+    // BENCH_DETAIL.json
+    val results = headline.map { case (n, s) => n -> s.sec }
     def line(dp: Int, keep: Int): String = {
       val byTime = results.sortBy(-_._2)
       val (kept, dropped) = byTime.splitAt(math.min(keep, byTime.size))
@@ -244,10 +358,13 @@ object Bench {
       val omitted = if (dropped.isEmpty) ""
       else f""","queries_omitted":${dropped.size},"omitted_sec":${dropped.map(_._2).sum}%.1f"""
       val jitSec = passJit.map(j => f"${j._1}%.1f").mkString("[", ",", "]")
-      val health = s"""{"ok":$healthOk,""" +
+      val health = s"""{"status":"$status","ok":$healthOk,""" +
         f""""pass_ratio":${passTotals.last / passTotals.head}%.2f,""" +
-        s""""anomalies":${anomalies.size},"contiguous_band":$band}"""
-      s"""{"metric":"total","unit":"sec","sf":"$sfName","queries":$qs$omitted,""" +
+        s""""anomalies":${verdicts.size},""" +
+        s""""transient":${verdicts.count(_.transient)},""" +
+        s""""reproducible":${reproducible.size},"contiguous_band":$band}"""
+      s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
+        s""""queries_metric":"pass$headlinePass","queries":$qs$omitted,""" +
         s""""gc_sec":${f"$gcTotal%.2f"},"pass_sec":[${f"${passTotals.head}%.1f"},""" +
         s"""${f"${passTotals.last}%.1f"}],"jit_sec":$jitSec,""" +
         s""""min_sec":${f"$minTotal%.3f"},"health":$health,""" +

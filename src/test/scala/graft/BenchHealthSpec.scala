@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench.classify — the warm-pass health gate's pure core (round-10
+  * verdict ask #1 / ADVICE r10). Every branch driven with synthetic
+  * QStats: clean record, transient anomaly (p3 exonerates, headline
+  * stays accountable), reproducible anomaly (unhealthy), contiguous
+  * contention band (external), missing p3 (stays unattributed =
+  * reproducible), and the exonerated pass-ratio check.
+  */
+class BenchHealthSpec extends AnyFunSuite {
+  import Bench.{QStat, classify}
+
+  private def q(sec: Double, jit: Double = 0.0, cls: Long = 0): QStat =
+    QStat(sec, gc = 0.0, jit = jit, cls = cls, startMs = 0L, load = 1.0)
+
+  /** n queries, pass-1 = pass-2 = 1 s each, overridden per index. */
+  private def stats(n: Int, p2Over: Map[Int, Double] = Map.empty)
+      : Seq[(String, QStat, QStat)] =
+    (0 until n).map(i => (f"q$i%02d", q(1.0), q(p2Over.getOrElse(i, 1.0))))
+
+  test("clean two-pass record: ok, headline binds to pass 2") {
+    val h = classify(stats(10), Map.empty)
+    assert(h.status == "ok" && h.ok && h.headlinePass == 2)
+    assert(h.verdicts.isEmpty && !h.band)
+  }
+
+  test("single anomaly exonerated by p3: ok, but headline falls back to pass 1") {
+    // the unpivot_metrics shape: 1 s -> 18.7 s with jit/cls ~ 0
+    val h = classify(stats(10, Map(4 -> 18.7)), Map("q04" -> 1.1))
+    assert(h.verdicts.size == 1 && h.verdicts.head.transient)
+    assert(h.status == "ok" && h.ok)
+    // pass 2 contained a (cleared) anomaly: its wall is still contaminated,
+    // so the published headline must NOT bind to it
+    assert(h.headlinePass == 1)
+    // exonerated ratio: 9x1 + 1.1 vs 10 -> no blowup
+    assert(math.abs(h.pass2Adj - 10.1) < 1e-9)
+  }
+
+  test("anomaly reproduced by p3: unhealthy") {
+    val h = classify(stats(10, Map(4 -> 18.7)), Map("q04" -> 17.9))
+    assert(h.verdicts.size == 1 && !h.verdicts.head.transient)
+    assert(h.status == "unhealthy" && !h.ok && h.headlinePass == 1)
+  }
+
+  test("anomaly with NO p3 measurement stays unattributed = unhealthy") {
+    val h = classify(stats(10, Map(4 -> 18.7)), Map.empty)
+    assert(h.status == "unhealthy" && !h.ok)
+  }
+
+  test("contiguous band of anomalies: external, headline falls back") {
+    val h = classify(stats(12, Map(3 -> 9.0, 4 -> 8.0, 5 -> 7.5)), Map.empty)
+    assert(h.band && h.status == "external" && h.ok && h.headlinePass == 1)
+    assert(h.reproducible.isEmpty)
+  }
+
+  test("scattered anomalies (no band): unhealthy even when >=3") {
+    val h = classify(stats(20, Map(0 -> 9.0, 9 -> 8.0, 19 -> 7.5)), Map.empty)
+    assert(!h.band && h.status == "unhealthy")
+  }
+
+  test("broad un-attributed pass-2 blowup fails the ratio gate") {
+    // every query 1.5x slower warm: no single anomaly, but pass ratio 1.5
+    val h = classify((0 until 10).map(i => (s"q$i", q(1.0), q(1.5))), Map.empty)
+    assert(h.verdicts.isEmpty && h.status == "unhealthy" && h.headlinePass == 2)
+  }
+
+  test("sub-3x or sub-1s-excess pass-2 slowdowns are not anomalies") {
+    // 2.9x but also: 0.2 -> 0.9 s is >3x yet under the 1 s absolute floor
+    val h = classify(
+      Seq(("a", q(1.0), q(2.9)), ("b", q(0.2), q(0.9))) ++
+        stats(8).map { case (n, s1, s2) => (n + "x", s1, s2) },
+      Map.empty)
+    assert(h.verdicts.isEmpty)
+  }
+
+  test("pass-2 jit/class loads disqualify the anomaly flag (codegen miss, not mystery)") {
+    // not flagged as an anomaly (jit/cls attribute it), so no p3 re-run is
+    // owed — but the excess still counts un-exonerated toward the ratio
+    // gate, which correctly marks the codegen-cache collapse unhealthy
+    val h = classify(
+      Seq(("a", q(1.0), q(9.0, jit = 2.0, cls = 1000))) ++ stats(9),
+      Map.empty)
+    assert(h.verdicts.isEmpty && h.status == "unhealthy")
+  }
+}
