@@ -291,7 +291,11 @@ object Dedup {
     * failure to copy any genuinely runtime conf surfaces to the caller
     * instead of silently running the rounds under different semantics.
     */
-  private def roundScopedSession(parent: org.apache.spark.sql.SparkSession,
+  // private[graft] so graft.tools probes can run A/B variants under the
+  // SAME round scoping as the shipped path (ADVICE r10: the round-10
+  // prefix-unroll rejection measurement was confounded by comparing a
+  // session-default-partition variant against the 8-partition baseline)
+  private[graft] def roundScopedSession(parent: org.apache.spark.sql.SparkSession,
                                  partitions: Int): org.apache.spark.sql.SparkSession =
     if (partitions <= 0) parent else {
       val child = parent.newSession()
@@ -397,11 +401,13 @@ object Dedup {
     * form. Throws if maxIters rounds don't converge (one round per
     * diameter hop), rather than returning silently-partial labels.
     *
-    * Rejected variant (measured, round 10): unrolling the first 4
-    * flooding rounds job-free into the initial plan — one
+    * Rejected variant (measured round 10, re-measured round 11 with both
+    * arms under the same round-scoped 8-partition session after ADVICE
+    * flagged the original comparison as partition-confounded): unrolling
+    * the first 4 flooding rounds job-free into the initial plan — one
     * materialization covering diameter <= 4 before the eager loop — is
     * SLOWER on the wired cluster_split pairs (interleaved in-JVM A/B,
-    * ProbeFixpointPrefix: median 3.72 s prefixed vs 2.91 s plain at
+    * ProbeFixpointPrefix: median 4.06 s prefixed vs 3.38 s plain at
     * sf0.1 local[32]): the chained 4-shuffle prefix job costs more than
     * the small per-round jobs it replaces. Per-round checkpoints stay.
     */

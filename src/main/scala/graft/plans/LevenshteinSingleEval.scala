@@ -132,19 +132,45 @@ object LevenshteinSingleEval extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(fields, Filter(cond, child))
-        if fields.forall(_.deterministic) && cond.deterministic =>
-      rewrite(fields, cond, child, kept =>
-        Some(if (kept.isEmpty) child else Filter(kept.reduce(And), child)))
-        .getOrElse(p)
-    case p @ Project(fields, j @ Join(_, _, jt, Some(cond), _))
-        if (jt == Inner || jt == Cross) &&
-          fields.forall(_.deterministic) && cond.deterministic =>
-      rewrite(fields, cond, j, kept =>
-        // keep at least one conjunct on the join: hoisting ALL of them
-        // would silently turn a keyed join into a cartesian product
-        if (kept.isEmpty) None else Some(j.copy(condition = Some(kept.reduce(And)))))
-        .getOrElse(p)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rewritten = plan.transformUp {
+      case p @ Project(fields, Filter(cond, child))
+          if fields.forall(_.deterministic) && cond.deterministic =>
+        rewrite(fields, cond, child, kept =>
+          Some(if (kept.isEmpty) child else Filter(kept.reduce(And), child)))
+          .getOrElse(p)
+      case p @ Project(fields, j @ Join(_, _, jt, Some(cond), _))
+          if (jt == Inner || jt == Cross) &&
+            fields.forall(_.deterministic) && cond.deterministic =>
+        rewrite(fields, cond, j, kept =>
+          // keep at least one conjunct on the join: hoisting ALL of them
+          // would silently turn a keyed join into a cartesian product
+          if (kept.isEmpty) None else Some(j.copy(condition = Some(kept.reduce(And)))))
+          .getOrElse(p)
+    }
+    // Visibility escape hatch (ADVICE r10): the match above is deliberately
+    // conservative — Project DIRECTLY over Filter/Inner-Join only. If a
+    // kernel still appears in both a condition and a projection after the
+    // pass (an intervening node, an outer join), Catalyst's double
+    // evaluation survives SILENTLY and the banded ~40x never applies; a
+    // trace line makes that shape regression observable instead of mute.
+    // (The rewrite's own output never trips this: the upper Project
+    // references the _lev_once attribute, not a raw kernel, and the lower
+    // kernel-bearing Project sits above the remaining conjuncts.)
+    if (log.isTraceEnabled) {
+      val inConds = rewritten.collect {
+        case Filter(c, _) => c
+        case Join(_, _, _, Some(c), _) => c
+      }.flatMap(_.collect { case l @ Levenshtein(_, _, None) => l })
+      val unhoisted = inConds.filter(k => rewritten.exists {
+        case Project(fs, _) => fs.exists(_.exists(_.semanticEquals(k)))
+        case _ => false
+      })
+      if (unhoisted.nonEmpty) logTrace(
+        s"LevenshteinSingleEval: ${unhoisted.size} kernel(s) remain in both " +
+          "a condition and a projection (shape not matched — double " +
+          s"evaluation persists): ${unhoisted.map(_.sql).mkString(", ")}")
+    }
+    rewritten
   }
 }

@@ -382,6 +382,19 @@ object StreamReplay {
   def streamedTopicSliding(spark: SparkSession, dir: String): DataFrame =
     streamedTopicWindows(spark, dir, slide = Some(("10 seconds", "5 seconds")))
 
+  /** Replay-fixture event-time bounds over the `date` column. A clear
+    * error instead of the opaque `val Row(lo: Long, hi: Long)` MatchError
+    * the topic replays previously threw on an empty / filtered-empty
+    * fixture (ADVICE r10).
+    */
+  private def timeBounds(events: DataFrame, fixture: String): (Long, Long) = {
+    val r = events.agg(min("date"), max("date")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"topic replay fixture '$fixture' has no events to replay " +
+        "(empty or filtered-empty input)")
+    (r.getLong(0), r.getLong(1))
+  }
+
   private def streamedTopicWindows(spark: SparkSession, dir: String,
                                    slide: Option[(String, String)]): DataFrame = {
     import graft.model.PageEventCodec
@@ -399,7 +412,7 @@ object StreamReplay {
         .select(col("event_type").as("name"),
           concat(lit("U"), col("user_id")).as("user"),
           col("ts").as("date"), col("value").as("duration")))
-    val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
+    val (lo, hi) = timeBounds(events, s"$dir events (wire)")
     // same conf-scoped child session as the replays above: tiny stateful
     // agg wants the heap store + a small shuffle fan-out
     val child = replaySession(spark, shufflePartitions = 8)
@@ -486,7 +499,7 @@ object StreamReplay {
       StructField("n_events", LongType)))
     val events = Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("date"))
-    val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
+    val (lo, hi) = timeBounds(events, s"$dir events (sessions)")
     val child = replaySession(spark, shufflePartitions = 8)
     val root = java.nio.file.Files.createTempDirectory("graft_topic_sess")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_sess_ckpt")
@@ -526,8 +539,10 @@ object StreamReplay {
       // q.stop(). Sentinel-2 arrives in a LATER incarnation, so its DATA
       // batch acts on the already-advanced watermark and deterministically
       // flushes every real session. Both ride reserved user -1.
+      // sentinel frames built on the conf-scoped `child` like every other
+      // frame in this replay (ADVICE r10 — session-isolation consistency)
       def sentinel(offsetDays: Long): Unit =
-        in.append(spark.createDataFrame(
+        in.append(child.createDataFrame(
           java.util.Arrays.asList(
             Row(-1L, hi + offsetDays * 86400L * 1000000L)),
           wireSchema))
@@ -564,7 +579,7 @@ object StreamReplay {
     val events = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("date"), col("event_id"))
-    val Row(lo: Long, hi: Long) = events.agg(min("date"), max("date")).head()
+    val (lo, hi) = timeBounds(events, s"$dir events (dedup)")
     val child = replaySession(spark, shufflePartitions = 8)
     val root = java.nio.file.Files.createTempDirectory("graft_topic_dedup")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_dedup_ckpt")
@@ -633,10 +648,11 @@ object StreamReplay {
       .select(col("user_id"), unix_micros(col("ts")).as("date"))
     val views = side("view")
     val clicks = side("click")
-    val Row(lo: Long, hi: Long) = Tables.events(spark, dir)
-      .filter(col("event_type").isin("view", "click"))
-      .select(unix_micros(col("ts")).as("date"))
-      .agg(min("date"), max("date")).head()
+    val (lo, hi) = timeBounds(
+      Tables.events(spark, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(unix_micros(col("ts")).as("date")),
+      s"$dir events (view/click)")
     val child = replaySession(spark, shufflePartitions = 4)
     val root = java.nio.file.Files.createTempDirectory("graft_topic_attrib")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_attrib_ckpt")

@@ -11,9 +11,11 @@ import graft.operators.Dedup
   * prefix-unrolling variant (see its scaladoc): unrolling the first 4
   * flooding rounds job-free into the initial plan vs the shipped
   * per-round-checkpoint form, on the wired cluster_split pair set.
-  * Round-10 measurement: median 3.72 s prefixed vs 2.91 s plain at
-  * sf0.1 local[32] — the chained 4-shuffle prefix job costs more than
-  * the small eager rounds it replaces, so the plain form ships.
+  * Round-11 measurement (both arms under the same round-scoped
+  * 8-partition session — the round-10 run was partition-confounded):
+  * median 4.06 s prefixed vs 3.38 s plain at sf0.1 local[32] — the
+  * chained 4-shuffle prefix job costs more than the small eager rounds
+  * it replaces, so the plain form ships.
   * Run via: sbt "Test/runMain graft.tools.ProbeFixpointPrefix [sfDir]"
   */
 object ProbeFixpointPrefix {
@@ -24,10 +26,18 @@ object ProbeFixpointPrefix {
 
     // the rejected variant, reproduced here so the measurement stays
     // repeatable: identical to connectedComponentsFixpoint except the
-    // first `prefix` rounds fold into the seed plan before the loop
-    def prefixedFixpoint(pairs: DataFrame, prefix: Int): DataFrame = {
+    // first `prefix` rounds fold into the seed plan before the loop.
+    // Runs under the SAME round-scoped 8-partition child session as the
+    // shipped baseline (ADVICE r10: the round-10 measurement ran this
+    // variant at the 32-partition session default, confounding the prefix
+    // effect with partition overhead — measured 7.1 vs 3.5 s on its own).
+    def prefixedFixpoint(pairs0: DataFrame, prefix: Int,
+                         roundPartitions: Int = 8): DataFrame = {
       import org.apache.spark.sql.types.DecimalType
       import org.apache.spark.storage.StorageLevel
+      val child = Dedup.roundScopedSession(pairs0.sparkSession, roundPartitions)
+      val pairs = if (child eq pairs0.sparkSession) pairs0
+        else org.apache.spark.sql.GraftColumnBridge.ofRows(child, pairs0)
       val undirected = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       val vertices = undirected.select(col("src")).distinct()
