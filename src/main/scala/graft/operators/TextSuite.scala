@@ -82,14 +82,20 @@ object TextSuite {
             .cast("double")).as("edit_sim"))
   }
 
-  /** MinHash+LSH near-dup candidates (no SQL oracle: wraparound hash mixes).
-    * Rows-only check; invariants (est_jaccard in [0,1], doc_a<doc_b,
-    * correlation with exact jaccard) are unit-tested.
+  /** MinHash+LSH near-dup candidates. EXACT oracle (round 11): the seeded
+    * pipeline — FNV shingles, xxhash64 signature permutations, band
+    * buckets, candidate join, agreement estimate — is recomputed entirely
+    * inside DuckDB via wraparound UHUGEINT arithmetic (HashOracles), so
+    * the hash compare pins signatures, banding, AND the estimate bit-for-
+    * bit. Invariant unit tests (est_jaccard in [0,1], doc_a<doc_b,
+    * correlation with exact jaccard) remain in DedupSpec.
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(spark, dir), threshold = 0.05)
 
-  /** SimHash sketches per document (no SQL oracle). */
+  /** SimHash sketches per document. EXACT oracle (round 11): per-bit vote
+    * recompute over the same FNV shingle hashes in DuckDB (HashOracles).
+    */
   def simhashSketch(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir))
 
@@ -1035,6 +1041,10 @@ object TextSuite {
       |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full in-DuckDB recompute of the seeded MinHash/SimHash pipelines
+    // (FNV shingles + XXH64 in wraparound SQL arithmetic) — see HashOracles
+    "minhash_pairs" -> HashOracles.minhashPairsOracle(),
+    "simhash_sketch" -> HashOracles.simhashSketchOracle,
     // same closure as dedup_clusters, then cluster-keyed fold arithmetic
     "cluster_split" ->
       s"""WITH RECURSIVE $prunedShingles,
