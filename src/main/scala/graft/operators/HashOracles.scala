@@ -217,6 +217,137 @@ private[operators] object HashOracles {
        |WHERE est_jaccard >= ${threshold}e0""".stripMargin
   }
 
+  /** 17-significant-digit scientific notation: DuckDB types E-notation as
+    * DOUBLE and parses to the exact nearest double (a plain decimal
+    * literal would type DECIMAL — same rationale as SimilaritySuite.fmtD).
+    */
+  private def fmtD(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.17e", Double.box(d))
+
+  /** CTE chain recomputing Sketches.hllDistinct(lineitem, l_returnflag,
+    * `valueCol`, p) exactly: xxhash64, register maxes, the scaled-integer
+    * harmonic denominator (HUGEINT — exact like Spark's DECIMAL(38,0)),
+    * the VARCHAR-routed double conversion (DuckDB's direct HUGEINT->DOUBLE
+    * cast can land one ulp off; the string parse is correctly rounded,
+    * matching Spark's decimal cast), and the linear-counting branch.
+    * Returns (ctes, finalName) with columns (g, <out>).
+    */
+  private def hllCtes(valueCol: String, p: Int, out: String,
+                      pfx: String): (Seq[String], String) = {
+    val m = 1 << p
+    val a = fmtD(Sketches.hllNumerator(p))
+    val base = s"SELECT l_returnflag AS g, ($valueCol)::UBIGINT AS v " +
+      s"FROM lineitem WHERE $valueCol IS NOT NULL"
+    val (hashCtes, hashed) =
+      chained(base, s"${pfx}b", hashLongSteps("v", "42::UBIGINT", "h", s"${pfx}x"),
+        s"${pfx}h")
+    val denom = s"s + ($m - nreg)::HUGEINT * (1::HUGEINT << 55)"
+    val rawE = s"$a / CAST(CAST($denom AS VARCHAR) AS DOUBLE)"
+    val tail = Seq(
+      s"""${pfx}rho AS (
+         |  SELECT g, h & ${m - 1}::UBIGINT AS bucket,
+         |         CASE WHEN (h >> $p) = 0::UBIGINT THEN ${64 - p + 1}
+         |              ELSE ${64 - p + 1} - length(bin(CAST(h >> $p AS BIGINT)))
+         |         END AS rho
+         |  FROM $hashed)""".stripMargin,
+      s"${pfx}regs AS (SELECT g, bucket, max(rho) AS r FROM ${pfx}rho GROUP BY 1, 2)",
+      s"${pfx}agg AS (SELECT g, sum(1::HUGEINT << (55 - r)) AS s, " +
+        s"count(*) AS nreg FROM ${pfx}regs GROUP BY 1)",
+      s"""${pfx}est AS (
+         |  SELECT g,
+         |         CAST(CASE WHEN ($m - nreg) > 0 AND $rawE <= ${fmtD(2.5 * m)}
+         |                   THEN round(${fmtD(m.toDouble)} *
+         |                              ln(${fmtD(m.toDouble)} / ($m - nreg)))
+         |                   ELSE round($rawE) END AS BIGINT) AS $out
+         |  FROM ${pfx}agg)""".stripMargin)
+    (hashCtes ++ tail, s"${pfx}est")
+  }
+
+  /** Full approx_sketches recompute (round 11): two HLL estimates + the
+    * equi-width histogram percentiles, every arithmetic step mirroring
+    * Sketches.scala operation-for-operation so the doubles match
+    * bit-for-bit.
+    */
+  def approxSketchesOracle: String = {
+    val (partCtes, partEst) = hllCtes("l_partkey", 10, "approx_parts", "pa")
+    val (suppCtes, suppEst) = hllCtes("l_suppkey", 12, "approx_supp", "sb")
+    val k = fmtD(256.0)
+    def pct(q: Double, out: String): String = {
+      val r = s"${fmtD(q)} * (n - 1)"
+      s"""$out AS (
+         |  SELECT g, lo + ((hi - lo) / $k) *
+         |            (bucket + (($r) - (cum - cnt)) / cnt) AS $out
+         |  FROM hw WHERE (cum - cnt) <= $r AND $r < cum)""".stripMargin
+    }
+    val hist =
+      s"""hb AS (
+         |  SELECT l_returnflag AS g, min(l_extendedprice) AS lo,
+         |         max(l_extendedprice) AS hi, count(*) AS n
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         |hx AS (
+         |  SELECT b.g, b.lo, b.hi, b.n,
+         |         CASE WHEN b.hi = b.lo THEN 0
+         |              ELSE CAST(least(floor((l.l_extendedprice - b.lo) /
+         |                                    ((b.hi - b.lo) / $k)), 255) AS INT)
+         |         END AS bucket
+         |  FROM lineitem l JOIN hb b ON l.l_returnflag = b.g
+         |  WHERE l.l_extendedprice IS NOT NULL),
+         |hc AS (SELECT g, lo, hi, n, bucket, count(*) AS cnt
+         |       FROM hx GROUP BY 1, 2, 3, 4, 5),
+         |hw AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY g ORDER BY bucket)
+         |                      AS BIGINT) AS cum FROM hc),
+         |${pct(0.5, "p50_price")},
+         |${pct(0.99, "p99_price")}""".stripMargin
+    s"""WITH ${partCtes.mkString(",\n")},
+       |${suppCtes.mkString(",\n")},
+       |$hist
+       |SELECT pa.g AS l_returnflag, pa.approx_parts, sb.approx_supp,
+       |       p50.p50_price, p99.p99_price
+       |FROM $partEst pa
+       |JOIN $suppEst sb ON sb.g = pa.g
+       |JOIN p50_price p50 ON p50.g = pa.g
+       |JOIN p99_price p99 ON p99.g = pa.g""".stripMargin
+  }
+
+  /** custom_agg_moments recompute (round 11): the engine pins a
+    * DETERMINISTIC aggregation layout (each group hash-routed to one
+    * partition, rows sorted by the unique (l_orderkey, l_linenumber) key,
+    * a single partial merged into the empty buffer — see
+    * RelationalSuite.customAggMoments), so the Welford doubles are a fixed
+    * IEEE op sequence the oracle replays exactly: list_reduce over the
+    * identically-ordered values with WelfordAggregator.reduce's literal
+    * update formula (delta/n, then delta*(x - newMean) with newMean
+    * recomputed textually — same ops, same bits).
+    */
+  def customAggMomentsOracle: String = {
+    val meanNew = "(acc.mean + (e.mean - acc.mean) / (acc.n + 1))"
+    // FIELD ORDER IS LOAD-BEARING: DuckDB 1.0 evaluates a list_reduce
+    // struct accumulator's fields SEQUENTIALLY, each later field seeing
+    // the already-updated struct (measured: a {'n', 'mean'} Welford step
+    // read the NEW n inside 'mean'). Ordering m2 -> mean -> n makes every
+    // field depend only on not-yet-assigned fields, which yields the SAME
+    // result under both the in-place semantics and the standard
+    // all-from-old-acc semantics — so the oracle is robust to either.
+    s"""WITH ord AS (
+       |  SELECT l_returnflag AS g,
+       |         list(l_extendedprice
+       |              ORDER BY l_orderkey, l_linenumber, l_extendedprice) AS xs
+       |  FROM lineitem GROUP BY 1),
+       |red AS (
+       |  SELECT g, list_reduce(
+       |    list_prepend({'m2': 0.0::DOUBLE, 'mean': 0.0::DOUBLE, 'n': 0::BIGINT},
+       |      list_transform(xs, x ->
+       |        {'m2': 0.0::DOUBLE, 'mean': x, 'n': 0::BIGINT})),
+       |    (acc, e) -> {'m2': acc.m2 + (e.mean - acc.mean) * (e.mean - $meanNew),
+       |                 'mean': $meanNew,
+       |                 'n': acc.n + 1}) AS mo
+       |  FROM ord)
+       |SELECT g AS l_returnflag, mo.n AS n, mo.mean AS mean_price,
+       |       CASE WHEN mo.n > 1 THEN mo.m2 / (mo.n - 1) ELSE 0.0::DOUBLE END
+       |         AS var_price
+       |FROM red""".stripMargin
+  }
+
   /** Full simhash_sketch recompute: Dedup.simhash(documents) — per-bit
     * +1/-1 votes over the distinct shingle hashes, bit j set iff its vote
     * sum is strictly positive, published as Spark's signed long.

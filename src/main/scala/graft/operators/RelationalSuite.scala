@@ -349,13 +349,33 @@ object RelationalSuite {
         coalesce(nullif(col("o_orderstatus"), lit("F")), lit("FINAL")).as("status_or_final"))
 
   /** Custom typed Aggregator (UDAF surface): Welford mean/variance of
-    * extended price per return flag. No SQL oracle — float merge order
-    * varies with partitioning — so correctness is pinned by unit tests and
-    * this query gets the rows-only check.
+    * extended price per return flag, under a DETERMINISTIC aggregation
+    * layout (round 11). Float aggregation is merge-order-dependent in its
+    * last bits, so the query pins the order: repartition on the group key
+    * routes each group wholly into one partition, the in-partition sort on
+    * the unique (l_orderkey, l_linenumber) key fixes the update sequence,
+    * and the final merge folds a SINGLE partial into the empty buffer
+    * (WelfordAggregator.merge special-cases n=0 to return its argument
+    * exactly). The result is a bit-reproducible function of the input set
+    * — any partition count yields identical doubles
+    * (SketchDeterminismSpec) — which upgrades this row from rows-only to
+    * an EXACT oracle: DuckDB replays the identical IEEE op sequence over
+    * the identically-ordered values (HashOracles.customAggMomentsOracle).
+    * The layout trades one extra shuffle for reproducibility; at 100 TB
+    * the same pattern (deterministic routing + sorted update) is how a
+    * production pipeline makes float aggregates auditable.
     */
   def customAggMoments(spark: SparkSession, dir: String): DataFrame = {
     val welford = org.apache.spark.sql.functions.udaf(new graft.functions.WelfordAggregator)
     Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
+      // value itself is the final tie-break: rows that still tie carry
+      // equal values and are interchangeable in the update arithmetic
+      .repartition(col("l_returnflag"))
+      .sortWithinPartitions(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
       .groupBy(col("l_returnflag"))
       .agg(welford(col("l_extendedprice")).as("moments"))
       .select(col("l_returnflag"), col("moments.n").as("n"),
@@ -363,19 +383,31 @@ object RelationalSuite {
   }
 
   /** Sketch aggregations — the constant-memory approximations that replace
-    * exact distinct/percentile at 100 TB: HLL++ count-distinct and
-    * approximate percentiles. No SQL oracle (engine-specific sketches);
-    * deterministic for a given input, so rows-only + unit-tested error
-    * bounds.
+    * exact distinct/percentile at 100 TB, via the graft-native
+    * DETERMINISTIC sketches (Sketches.scala): HLL count-distinct with an
+    * integer-exact order-free harmonic denominator, and equi-width
+    * histogram percentiles. EXACT oracle (round 11): the full estimator —
+    * xxhash64, registers, scaled denominator, linear-counting branch,
+    * histogram interpolation — is recomputed in DuckDB
+    * (HashOracles.approxSketchesOracle), replacing the old rows-only
+    * check on Spark's built-ins. The built-ins (HLL++ / GK percentiles)
+    * stay exercised and accuracy-gated by the sketch_accuracy row; their
+    * estimates cannot be oracle-replicated (bias-interpolation tables,
+    * partition-order-dependent summaries).
     */
-  def approxSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("approx_supp"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val flag = col("l_returnflag")
+    val parts = Sketches.hllDistinct(li, flag, col("l_partkey"), p = 10,
+      out = "approx_parts")
+    val supp = Sketches.hllDistinct(li, flag, col("l_suppkey"), p = 12,
+      out = "approx_supp")
+    val pct = Sketches.histPercentiles(li, flag, col("l_extendedprice"),
+      qs = Seq(0.5 -> "p50_price", 0.99 -> "p99_price"))
+    parts.join(supp, "g").join(pct, "g")
+      .select(col("g").as("l_returnflag"), col("approx_parts"),
+        col("approx_supp"), col("p50_price"), col("p99_price"))
+  }
 
   /** Correlated-subquery shape: orders above their own customer's average
     * order value. Expressed as aggregate + self-join (what Catalyst's
@@ -2038,6 +2070,9 @@ object RelationalSuite {
         |       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
+    // full in-DuckDB recomputes of the deterministic estimators (round 11)
+    "approx_sketches" -> HashOracles.approxSketchesOracle,
+    "custom_agg_moments" -> HashOracles.customAggMomentsOracle,
     "moments_accuracy" ->
       """SELECT l_returnflag, count(*) AS n,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
