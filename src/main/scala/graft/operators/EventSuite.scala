@@ -226,6 +226,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicDedup(s, d)),
     "stream_topic_attrib"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicAttrib(s, d)),
+    "stream_suppress"      -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedSuppressedMax(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -299,6 +301,19 @@ object EventSuite {
       """SELECT event_type,
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // changelog compaction (emitOnChange / transformWithState): the
+    // suppressed changelog's converged snapshot must equal the batch
+    // windowed max; construction separately REQUIRES strictly fewer
+    // emitted rows than the raw changelog (StreamReplay.
+    // streamedSuppressedMax). Window start from millis-truncated wire
+    // timestamps like stream_topic_counts; max over the truncated-long
+    // duration (Spark cast double->long truncates; DuckDB CAST rounds,
+    // hence trunc())
+    "stream_suppress" ->
+      """SELECT event_type,
+        |       CAST(((epoch_us(ts) // 1000) // 5000) * 5 AS BIGINT) AS window_start,
+        |       max(CAST(trunc(value) AS BIGINT)) AS max_dur
         |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
     // production-source watermarked dedup under a whole-quarter producer
     // redelivery across the consumer restart: survivors must be exactly

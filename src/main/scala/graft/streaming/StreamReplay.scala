@@ -51,15 +51,20 @@ object StreamReplay {
     * The caller's session keeps its RocksDB posture for production jobs.
     */
   private def replaySession(spark: SparkSession,
-                            shufflePartitions: Int): SparkSession = {
+                            shufflePartitions: Int,
+                            keepRocksDb: Boolean = false): SparkSession = {
     val child = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       try child.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
-    child.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state." +
-        "HDFSBackedStateStoreProvider")
+    // keepRocksDb: transformWithState REQUIRES the RocksDB provider (the
+    // suppress replay); every other replay's tiny stateful agg prefers the
+    // heap store's lower per-batch open/commit cost
+    if (!keepRocksDb)
+      child.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "HDFSBackedStateStoreProvider")
     child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     child
   }
@@ -707,5 +712,134 @@ object StreamReplay {
         StructType(Seq(StructField("user_id", LongType),
           StructField("n_pairs", LongType))))
     } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** Changelog compaction through the production scaffold — the
+    * [[StreamOps.emitOnChange]] (transformWithState) surface as a
+    * driver-checked row (round-10 verdict ask #3). Two chained jobs, the
+    * shape a real deployment uses (a stateful-over-stateful chain in one
+    * update-mode query is unsupported, and compaction between jobs is
+    * where suppression pays — fewer rows over the wire to every
+    * downstream consumer):
+    *
+    *  1. PRODUCER: the reference topology with a MAX aggregate (filter
+    *     duration > 100 -> 5 s tumbling window -> max(duration)) writes
+    *     its update-mode changelog to a topic under a redelivery-tolerant
+    *     10-day watermark. A producer REDELIVERY of a whole already-
+    *     published quarter forces re-aggregation that cannot change any
+    *     max — so the changelog provably carries unchanged re-emissions
+    *     (the KTable-refresh noise suppress exists for).
+    *  2. CONSUMER: streams that changelog through emitOnChange into the
+    *     output topic, RESTARTED mid-stream from its checkpoint — the
+    *     redelivered tail is produced in the producer's second incarnation,
+    *     so suppressing it requires the consumer's RECOVERED RocksDB value
+    *     state, not same-run memory.
+    *
+    * Checked both ways: construction REQUIRES the suppressed output to
+    * carry strictly fewer rows than the raw changelog (else this row
+    * aborts), and the returned converged snapshot (max per key — the max
+    * changelog is monotone, so last-emitted = max survives any consumer
+    * batching) must equal the batch answer under the DuckDB oracle.
+    */
+  def streamedSuppressedMax(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.PageEventCodec
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("name", StringType), StructField("user", StringType),
+      StructField("date", LongType), StructField("duration", DoubleType)))
+    val kvSchema = StructType(Seq(
+      StructField("key", StringType), StructField("value", LongType)))
+    val events = PageEventCodec.toWire(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("name"),
+          concat(lit("U"), col("user_id")).as("user"),
+          col("ts").as("date"), col("value").as("duration")))
+    val (lo, hi) = timeBounds(events, s"$dir events (suppress)")
+    // transformWithState requires RocksDB — keep the tuned session's
+    // provider instead of the heap override the other replays use
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_suppress")
+    val ckptP = java.nio.file.Files.createTempDirectory("graft_suppress_p")
+    val ckptC = java.nio.file.Files.createTempDirectory("graft_suppress_c")
+    val in = new FileTopic("suppress_in", wireSchema, root.toString)
+    val changelog = new FileTopic("suppress_changelog", kvSchema, root.toString)
+    val out = new FileTopic("suppress_out", kvSchema, root.toString)
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      in.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drainProducer(): Unit = {
+      // rekey's narrow (key, ts) projection would drop the duration the
+      // MAX aggregates — keep it explicitly
+      // 10-DAY watermark: the redelivery-tolerant posture a changelog
+      // producer actually runs with. The fixture spans ~30 days at ~1
+      // event per 7 minutes, so a seconds-scale watermark would silently
+      // late-drop ANY redelivered data (measured: the 8 s tail redelivery
+      // contained zero events) and the suppression path would never see
+      // an unchanged re-emission. One quarter is ~7.5 days; 10 days keeps
+      // a whole redelivered quarter inside the frontier while still
+      // bounding state eviction for a long-running stream.
+      val keyed = PageViews.filterValid(
+        PageEventCodec.fromWire(in.stream(child)), "duration")
+        .select(col("name"), col("date"), col("duration"))
+        .withWatermark("date", "10 days")
+      val maxed = keyed
+        .groupBy(window(col("date"), "5 seconds"), col("name"))
+        .agg(max(col("duration").cast("long")).as("value"))
+        .select(concat_ws("|", col("name"),
+          unix_seconds(col("window.start")).cast("string")).as("key"),
+          col("value"))
+      val q = maxed.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          changelog.sinkBatch(df, id))
+        .option("checkpointLocation", ckptP.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    def drainConsumer(): Unit = {
+      implicit val enc = org.apache.spark.sql.Encoders
+        .product[graft.streaming.StreamOps.KeyedValue]
+      val suppressed = graft.streaming.StreamOps.emitOnChange(
+        changelog.stream(child).as[graft.streaming.StreamOps.KeyedValue])
+      val q = suppressed.toDF().writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckptC.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drainProducer()
+      drainConsumer() // consumer incarnation 1: values remembered in state
+      // REDELIVERY of the WHOLE second quarter (inside the checkpointed
+      // 10-day watermark, so every row re-aggregates instead of dropping
+      // as late): no max can change, so q2's windows become the unchanged
+      // changelog rows the consumer must suppress ACROSS its restart
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      drainProducer()
+      drainConsumer() // consumer incarnation 2: recovered suppression state
+      val rawRows = changelog.batch(child).count()
+      val keptRows = out.batch(child).count()
+      require(keptRows < rawRows,
+        s"suppression must emit strictly fewer rows than the raw changelog " +
+          s"(kept $keptRows of $rawRows) — unchanged re-emissions leaked")
+      val rows = out.batch(child)
+        .select(split(col("key"), "\\|").getItem(0).as("event_type"),
+          split(col("key"), "\\|").getItem(1).cast("long").as("window_start"),
+          col("value"))
+        .groupBy(col("event_type"), col("window_start"))
+        .agg(max(col("value")).as("max_dur"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("event_type", StringType),
+          StructField("window_start", LongType),
+          StructField("max_dur", LongType))))
+    } finally { deleteTree(ckptP); deleteTree(ckptC); deleteTree(root) }
   }
 }

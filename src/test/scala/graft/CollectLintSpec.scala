@@ -57,6 +57,11 @@ class CollectLintSpec extends SparkSpec {
       "stream_topic_sliding",
       "stream_topic_dedup",
       "stream_topic_attrib",
+      // stream_suppress: same production-source replay posture — runs the
+      // changelog producer AND the suppressing consumer (emitOnChange)
+      // through temp FileTopics with a mid-stream consumer restart, then
+      // snapshots the suppressed fixpoint
+      "stream_suppress",
       // dedup_clusters_fixpoint ITERATES to convergence by construction:
       // each round materializes via localCheckpoint and the driver reads
       // one exact label-sum scalar per round — bounded driver output, and
