@@ -38,15 +38,10 @@ class CollectLintSpec extends SparkSpec {
       // stream_page_counts is a declared REPLAY harness: construction runs
       // the streaming pipeline itself (micro-batch jobs) and its source
       // collects the fixture to the driver to simulate a wire — the
-      // verification bridge, not a production path (StreamReplay scaladoc)
+      // verification bridge, not a production path (StreamReplay scaladoc).
+      // (Its four MemoryStream siblings were retired from the query map in
+      // round 11 — spec-anchored in MemoryReplayParitySpec now.)
       "stream_page_counts",
-      // stream_session_counts / stream_click_attrib: same replay-harness
-      // posture (session-window and stream-stream-join pipelines fed from
-      // a driver-originated simulated wire)
-      "stream_session_counts",
-      "stream_click_attrib",
-      "stream_session_append",
-      "stream_dedup",
       // stream_topic_counts / stream_topic_sessions: production-source
       // replays — construction publishes the fixture to a temp FileTopic,
       // runs the consumer (micro-batch jobs incl. a checkpoint restart),
