@@ -1329,6 +1329,125 @@ object RelationalSuite {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** TPC-H Q9-shaped product profit — the classic JOIN-ORDER stress: five
+    * relations, one fact. Re-cut to the fixture schema (no partsupp):
+    * supply cost stands in as 0.6 x p_retailprice (a deterministic part
+    * attribute), the part filter keeps 'blue' names, and profit groups by
+    * supplier nation x order year.
+    *
+    * Scale shape: part/supplier/nation broadcast (dimension-sized), the
+    * lineitem-orders join is the only shuffle — both sides keyed on
+    * l_orderkey/o_orderkey — and the group-by aggregates map-side.
+    * Cross-engine exactness: the two product terms stay in exact DECIMAL
+    * through their sums; the 0.6 cost factor applies AFTER the cast to
+    * double, as literal double arithmetic both engines replay identically
+    * (a 0.6 decimal factor would push the product past precision 38,
+    * where Spark and DuckDB round differently).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(18, 2)
+    val revenue = col("l_extendedprice").cast(d) *
+      (lit(1).cast(d) - col("l_discount").cast(d))
+    val costBase = col("p_retailprice").cast(d) * col("l_quantity").cast(d)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_name").like("%blue%"))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("int").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg((sum(revenue).cast("double") -
+        lit(0.6) * sum(costBase).cast("double")).as("sum_profit"))
+  }
+
+  /** TPC-H Q11-shaped important-parts: grouped value per part with a
+    * GLOBAL-total threshold in the HAVING — the scalar-subquery-over-
+    * aggregate shape. Re-cut (no partsupp): a part's "stock value" is the
+    * shipped l_extendedprice x l_quantity from suppliers in the NATION_1x
+    * bloc. Spark-first: the global total is a 1-row broadcast crossJoin
+    * (q15's pattern), never a per-row subquery; the threshold compare
+    * runs in double on both engines after exact decimal sums.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val d = DecimalType(18, 2)
+    val value = col("l_extendedprice").cast(d) * col("l_quantity").cast(d)
+    val blocSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name").like("NATION_1%")).select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(spark, dir)
+      .join(broadcast(blocSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(value).as("v"))
+    // scale-invariant threshold (TPC-H divides its fraction by SF for the
+    // same reason): keep parts above 1.5x the average part share, so the
+    // row count stays meaningful at every fixture scale
+    perPart
+      .crossJoin(broadcast(perPart
+        .agg(sum(col("v")).as("t"), count(lit(1)).as("np"))))
+      .filter(col("v").cast("double") >
+        lit(1.5) / col("np") * col("t").cast("double"))
+      .select(col("l_partkey"), col("v").cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q12-shaped shipmode priority: the fact-fact join feeding a
+    * two-way conditional count. Re-cut (no l_shipmode/commitdate/
+    * receiptdate): groups by l_linestatus, and "critical" lines are those
+    * on 1-URGENT / 2-HIGH orders, within a one-year shipdate window.
+    * Scale shape: single shuffle on the order key, CASE-sums map-side
+    * combine, longs end-to-end (no float concerns).
+    */
+  def q12ShipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q16-shaped parts/supplier relationship: multi-predicate
+    * dimension filters + a NOT-IN supplier exclusion + COUNT DISTINCT per
+    * attribute triple. Re-cut (no partsupp / s_comment): the supplies
+    * relation is the distinct (part, supplier) pairs seen in lineitem
+    * (q20's stand-in), and the excluded-supplier set is s_acctbal < 2000
+    * (standing in for the '%Complaints%' comment scan).
+    * Scale shape: the supplies distinct is one shuffle on the pair; part
+    * filters broadcast; the exclusion is a broadcast anti-join; the
+    * count-distinct rides Spark's two-phase distinct aggregate.
+    */
+  def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val supplies = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 2000).select(col("s_suppkey"))
+    supplies
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_brand") =!= "Brand#13" &&
+          !col("p_type").like("PROMO%") &&
+          col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     // the explicit key isnotnull matters for the reuse: the supplier join
     // pushes isnotnull(l_suppkey) into ONLY the filter branch's subtree,
@@ -1510,6 +1629,10 @@ object RelationalSuite {
     "q19_brand_ranges"   -> (q19BrandRanges _),
     "q20_excess_supply"  -> (q20ExcessSupply _),
     "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q9_product_profit"  -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_shipmode_priority" -> (q12ShipmodePriority _),
+    "q16_parts_supplier" -> (q16PartsSupplier _),
     "q8_market_share"    -> (q8MarketShare _),
     "q22_global_sales"   -> (q22GlobalSales _),
     "rolling_30d_revenue" -> (rolling30dRevenue _),
@@ -1732,6 +1855,60 @@ object RelationalSuite {
         |                    AND l3.l_suppkey <> l1.l_suppkey
         |                    AND l3.l_shipdate >= l1.l_shipdate)
         |GROUP BY s_name""".stripMargin,
+    // Q9: exact-decimal sums cast to double (scale-4 sums route through
+    // VARCHAR — DuckDB's direct DECIMAL(38,4)->DOUBLE cast can be one ulp
+    // off), then the 0.6 cost factor as identical double arithmetic
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |       AS VARCHAR) AS DOUBLE)
+        |  - 0.6e0 * CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2)) *
+        |       CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%blue%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS v
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name LIKE 'NATION_1%')
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS part_value
+        |FROM pp
+        |WHERE CAST(CAST(v AS VARCHAR) AS DOUBLE) >
+        |      1.5e0 / (SELECT count(*) FROM pp) *
+        |      (SELECT CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) FROM pp)""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q16_parts_supplier" ->
+      """WITH supplies AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM supplies JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 5, 9, 14, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 2000)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3'

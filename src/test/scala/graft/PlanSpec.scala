@@ -197,6 +197,44 @@ class PlanSpec extends SparkSpec {
       s"q20 correlated scalar agg must not plan a nested loop:\n$plan")
   }
 
+  test("q9 broadcasts all three dimension chains; one fact-fact shuffle") {
+    val plan = executedPlan(RelationalSuite.q9ProductProfit(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"q9 part/supplier/nation must broadcast:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1,
+      s"q9 must shuffle only lineitem-orders:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q9 profit terms must map-side combine:\n$plan")
+  }
+
+  test("q11 evaluates the global-total threshold as a broadcast, not a per-row subquery") {
+    val plan = executedPlan(RelationalSuite.q11ImportantParts(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"),
+      s"q11 1-row total must broadcast:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q11 per-part values must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q11 must not plan a cartesian:\n$plan")
+  }
+
+  test("q12 conditional counts map-side combine over one order-key shuffle") {
+    val plan = executedPlan(RelationalSuite.q12ShipmodePriority(spark, dir))
+    assert(plan.contains("partial_sum"),
+      s"q12 CASE-sums must map-side combine:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).size <= 1,
+      s"q12 must shuffle only the order-key join:\n$plan")
+  }
+
+  test("q16 anti-joins the excluded suppliers and two-phase distinct-counts") {
+    val plan = executedPlan(RelationalSuite.q16PartsSupplier(spark, dir))
+    assert(plan.contains("LeftAnti"),
+      s"q16 NOT-IN must plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"q16 must stay equi-keyed:\n$plan")
+  }
+
   test("q21 plans EXISTS/NOT-EXISTS as semi/anti joins on one fact key") {
     val plan = executedPlan(RelationalSuite.q21WaitingSupplier(spark, dir))
     assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
