@@ -1,0 +1,30 @@
+package graft
+
+import graft.tools.Scaling
+
+/** Regression gate on the scaling-slope artifact (round-10 verdict ask
+  * #4): every flagship dedup/ANN query must scale SUB-QUADRATICALLY in
+  * its driving table's row count — log-log slope < 2 over the sf0.01 ->
+  * sf0.1 decade (the only step where the documents/embeddings tables
+  * actually grow). A pair-explosion regression (a lost LSH band key, a
+  * dropped df-prune, an accidental cross join) lands at slope ~2 on a
+  * 10x row step and fails here; machine noise cannot, because constant
+  * overhead and warm caches only deflate the measured slope, and even a
+  * transient 2x wall-clock hit adds only ~0.3 to it. The committed
+  * SCALING.json (written by `sbt "Test/runMain graft.tools.Scaling"`)
+  * carries the full three-scale artifact with row counts.
+  */
+class ScalingSpec extends SparkSpec {
+  test("flagship dedup/ANN queries scale sub-quadratically (slope < 2)") {
+    val results = Scaling.run(spark,
+      Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    results.foreach { r =>
+      info(f"${r.name}%-20s slope ${r.slope}%5.2f  " +
+        r.points.map(p => f"${p.sf}:${p.sec}%.2fs").mkString("  "))
+      assert(r.slope < 2.0,
+        s"${r.name}: log-log slope ${r.slope} over a 10x row step — " +
+          "pair generation has gone quadratic (check its bucketing/" +
+          "banding/df-prune path)")
+    }
+  }
+}
