@@ -130,6 +130,68 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("mid-stream snapshot kill + T4 rebuild leaves the SSE answer unchanged") {
+    // the interactive-query analogue of the stream_topic_* restart tests
+    // (round-10 verdict ask #7): a CONTROL pipeline runs uninterrupted
+    // while the VICTIM's driver-local snapshot is wiped and rebuilt from
+    // the T4 changelog between micro-batches, mid-stream; both then
+    // consume a second phase. The rebuilt store must serve the IDENTICAL
+    // SSE answer — proving the snapshot really is a pure fold of the
+    // changelog topic, not state only reachable by being attached from
+    // batch zero.
+    val control = new PageEventPipeline(spark, tmpDir("topicsC"))
+    val victim = new PageEventPipeline(spark, tmpDir("topicsV"))
+    val (ckC, ckV) = (tmpDir("ckptC"), tmpDir("ckptV"))
+    def phase1(p: PageEventPipeline) = p.t2.append(Seq(
+      ("P1", "U1", 10001L, 101L), ("P1", "U2", 12000L, 300L),
+      ("P2", "U1", 14000L, 5000L)).toDF("name", "user", "date", "duration"))
+    def phase2(p: PageEventPipeline) = p.t2.append(Seq(
+      ("P1", "U1", 15500L, 999L), ("P2", "U2", 16100L, 200L),
+      ("P1", "U1", 20500L, 150L)).toDF("name", "user", "date", "duration"))
+
+    val jobC = control.startJob(ckC)
+    val jobV = victim.startJob(ckV)
+    try {
+      phase1(control); phase1(victim)
+      jobC.processAllAvailable(); jobV.processAllAvailable()
+
+      // kill the victim's serving store MID-STREAM and rebuild from T4
+      victim.analytics.clear()
+      assert(victim.analytics.snapshot(15L).isEmpty, "store must be gone")
+      victim.restoreAnalytics()
+
+      phase2(control); phase2(victim)
+      jobC.processAllAvailable(); jobV.processAllAvailable()
+    } finally { jobC.stop(); jobV.stop() }
+
+    // store-level equality at several serving instants
+    Seq(14L, 15L, 20L, 23L).foreach { now =>
+      assert(victim.analytics.snapshot(now) == control.analytics.snapshot(now),
+        s"snapshots diverge at now=$now")
+    }
+
+    // and the actual SSE wire answer is byte-identical
+    def sseFrame(p: PageEventPipeline): String = {
+      val server = new graft.streaming.AnalyticsServer(
+        p.analytics, (n, _) => p.publish(n), nowSec = () => 16L,
+        intervalMs = 50L)
+      server.start()
+      try {
+        val conn = new java.net.URI(
+          s"http://127.0.0.1:${server.boundPort}/analytics")
+          .toURL.openConnection()
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(conn.getInputStream, "UTF-8"))
+        try Iterator.continually(in.readLine())
+          .takeWhile(_ != null).filter(_.startsWith("data: ")).next()
+        finally in.close()
+      } finally server.stop()
+    }
+    val (fV, fC) = (sseFrame(victim), sseFrame(control))
+    assert(fV == fC, s"SSE answers diverge after rebuild: $fV vs $fC")
+    assert(fV.startsWith("data: {"), s"unexpected SSE frame: $fV")
+  }
+
   test("sinkBatch is idempotent when foreachBatch replays a micro-batch") {
     val p = new PageEventPipeline(spark, tmpDir("topics"))
     val df = Seq(("P1", "U1", 1000L, 200L)).toDF("name", "user", "date", "duration")
