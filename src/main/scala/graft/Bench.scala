@@ -10,8 +10,14 @@ object Bench {
     * regression (round-9 postmortem: a ~172 s pass-2 band was only
     * attributable by inference because neither field existed).
     */
+  /** `ok = false` when the measured run THREW — the elapsed seconds are
+    * still real wall time (pass totals stay honest) but a failed run must
+    * never count as evidence of health (a crashing p3 re-run would
+    * otherwise return a near-zero wall and "exonerate" the anomaly it was
+    * meant to attribute).
+    */
   final case class QStat(sec: Double, gc: Double, jit: Double, cls: Long,
-                         startMs: Long, load: Double)
+                         startMs: Long, load: Double, ok: Boolean = true)
 
   /** One anomaly's attribution after the isolated p3 re-run (round-10
     * verdict ask #1): `transient` when the re-run lands back at pass-1
@@ -184,8 +190,10 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the whole projection).
+      var ran = true
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
+        ran = false
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -197,7 +205,7 @@ object Bench {
       graft.operators.Dedup.releaseComponentCache(spark)
       System.err.println(
         f"[bench:$pass] $name%-22s $dt%8.2f s  (gc $gc%5.2f s, jit $jit%6.2f s, cls $cls%5d, load $load0%4.1f)")
-      QStat(dt, gc, jit, cls, startMs, load0)
+      QStat(dt, gc, jit, cls, startMs, load0, ok = ran)
     }
     def runPass(pass: Int): Seq[(String, QStat)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -260,13 +268,21 @@ object Bench {
     // scheduler, page cache, CPU-frequency dip) or reproducible (a REAL
     // warm-state defect -> unhealthy). Capped at 8 re-runs to bound bench
     // wall time; a >8-anomaly storm is either a contiguous band (classified
-    // external) or an engine collapse (unhealthy either way).
-    val p3 = stats.zipWithIndex
+    // external) or an engine collapse (unhealthy either way). A banded
+    // record skips the re-runs entirely — classify() would discard their
+    // verdicts as external anyway, and re-running during the very
+    // contention window that caused the band would only repeat the
+    // contaminated walls (review finding, round 11). Only re-runs that
+    // actually COMPLETED feed classification: a crashed re-run's wall is
+    // not evidence the query recovered.
+    val preBand = classify(stats, Map.empty).band
+    val p3 = if (preBand) Map.empty[String, QStat] else stats.zipWithIndex
       .collect { case ((n, s1, s2), _) if anomalous(s1, s2) => n }
       .take(8)
       .map(n => n -> measure("3", n, selected(n)))
       .toMap
-    val hc = classify(stats, p3.map { case (n, s) => n -> s.sec })
+    val hc = classify(stats,
+      p3.collect { case (n, s) if s.ok => n -> s.sec })
     val verdicts = hc.verdicts
     val band = hc.band
     val status = hc.status

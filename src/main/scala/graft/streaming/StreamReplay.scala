@@ -811,6 +811,16 @@ object StreamReplay {
     }
     try {
       val quarter = math.max(1L, (hi - lo) / 4)
+      // the redelivered quarter must fit inside the producer's 10-day
+      // watermark or incarnation 2 late-drops it and the changelog carries
+      // no unchanged re-emissions — which would then misread as a
+      // suppression leak at the keptRows check below. Fail with the real
+      // cause instead if the fixture is ever regenerated with a span
+      // beyond ~40 days (review finding, round 11).
+      require(quarter <= 10L * 86400 * 1000,
+        s"fixture span ${hi - lo} ms: quarter ($quarter ms) exceeds the " +
+          "10-day redelivery watermark — widen the watermark or shrink " +
+          "the redelivered slice to keep the suppression path exercised")
       publish(lo, lo + quarter, last = false)
       publish(lo + quarter, lo + 2 * quarter, last = false)
       drainProducer()

@@ -31,18 +31,14 @@ class SketchDeterminismSpec extends SparkSpec {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
   /** Run `q` under a config-scoped child session pinned to `parts`
-    * shuffle partitions and return rows sorted for comparison.
+    * shuffle partitions (Dedup's shared round-scoping helper — the same
+    * conf-copied child-session mechanism the replays use) and return rows
+    * sorted for comparison.
     */
   private def underPartitions(parts: Int)(q: org.apache.spark.sql.SparkSession
-      => DataFrame): Seq[Row] = {
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    child.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    q(child).collect().toSeq.sortBy(_.toString)
-  }
+      => DataFrame): Seq[Row] =
+    q(graft.operators.Dedup.roundScopedSession(spark, parts))
+      .collect().toSeq.sortBy(_.toString)
 
   private def assertBitEqual(name: String, a: Seq[Row], b: Seq[Row]): Unit = {
     assert(a.size == b.size, s"$name: row counts differ")
