@@ -224,6 +224,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicDedup(s, d)),
     "stream_topic_attrib"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicAttrib(s, d)),
+    "stream_topic_attrib_outer" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicAttribOuter(s, d)),
     "stream_suppress"      -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedSuppressedMax(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
@@ -329,6 +331,23 @@ object EventSuite {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
         |GROUP BY 1""".stripMargin,
+    // LEFT OUTER stream-stream join: per-user matched-pair count plus the
+    // count of views whose null-extended row only exists because the
+    // watermark EVICTED them (StreamReplay.streamedTopicAttribOuter —
+    // construction separately requires the null rows to appear after the
+    // mid-stream restart, i.e. from recovered join state)
+    "stream_topic_attrib_outer" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT v.user_id, v.ts AS v_ts, c.ts AS c_ts
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY)
+        |SELECT user_id,
+        |       CAST(count(c_ts) AS BIGINT) AS n_matched,
+        |       CAST(count(CASE WHEN c_ts IS NULL THEN 1 END) AS BIGINT)
+        |         AS n_unmatched
+        |FROM j GROUP BY 1""".stripMargin,
     // production-source sliding windows: overlapping window keys through
     // the same offset-tracked restart — same oracle as sliding_counts
     "stream_topic_sliding" ->

@@ -52,6 +52,9 @@ class CollectLintSpec extends SparkSpec {
       "stream_topic_sliding",
       "stream_topic_dedup",
       "stream_topic_attrib",
+      // stream_topic_attrib_outer: same replay posture, LEFT OUTER variant
+      // (watermark-evicted null emission across the restart)
+      "stream_topic_attrib_outer",
       // stream_suppress: same production-source replay posture — runs the
       // changelog producer AND the suppressing consumer (emitOnChange)
       // through temp FileTopics with a mid-stream consumer restart, then
