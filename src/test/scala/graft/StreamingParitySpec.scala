@@ -56,4 +56,33 @@ class StreamingParitySpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("left-outer topic replay equals the batch LEFT JOIN (sf0.001)") {
+    // in-JVM parity companion to the stream_topic_attrib_outer oracle row:
+    // the streamed matched/unmatched per-user counts must equal the batch
+    // left join computed with the DataFrame API (the replay's own
+    // construction separately requires the null rows to be emitted AFTER
+    // the mid-stream restart — recovered eviction state)
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.StreamReplay
+      .streamedTopicAttribOuter(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+
+    val e = graft.model.Tables.events(spark, dir)
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val batch = v.join(c,
+        $"v_user" === $"c_user" && $"c_ts" >= $"v_ts" &&
+          $"c_ts" <= $"v_ts" + expr("INTERVAL 1 DAY"),
+        "left_outer")
+      .groupBy($"v_user".as("user_id"))
+      .agg(count($"c_ts").as("n_matched"),
+        count(when($"c_ts".isNull, lit(1))).as("n_unmatched"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch)
+    assert(batch.exists(_._3 > 0), "fixture must contain unmatched views")
+  }
 }
