@@ -228,6 +228,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicAttribOuter(s, d)),
     "stream_suppress"      -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedSuppressedMax(s, d)),
+    "stream_backfill_union" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedBackfillUnion(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
@@ -348,6 +350,20 @@ object EventSuite {
         |       CAST(count(CASE WHEN c_ts IS NULL THEN 1 END) AS BIGINT)
         |         AS n_unmatched
         |FROM j GROUP BY 1""".stripMargin,
+    // kappa-style backfill: a BATCH job over history (ts <= fence) and a
+    // STREAMING job over the live tail (ts > fence, via the topic) merge
+    // additively per (name, window) — the fence deterministically splits
+    // a real window, and construction requires that straddling window to
+    // receive contributions from BOTH modes. 1-hour windows (the fixtures
+    // are too sparse for any 5 s bucket to hold two events); merged
+    // counts equal the plain batch hourly answer over the whole fixture
+    // (StreamReplay.streamedBackfillUnion)
+    "stream_backfill_union" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT)
+        |         AS window_start,
+        |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
     // production-source sliding windows: overlapping window keys through
     // the same offset-tracked restart — same oracle as sliding_counts
     "stream_topic_sliding" ->

@@ -476,6 +476,118 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Batch backfill + streaming tail across one fence — the kappa/lambda
+    * unification every production migration needs: history is recomputed
+    * as a BATCH job over the table, the live tail is consumed as a STREAM
+    * from the topic, and the two result sets merge WITHOUT double-counting
+    * because windowed counts are additive partial aggregates — a window
+    * straddling the fence takes contributions from both modes and their
+    * SUM is the true count. Both modes run the literal same operator
+    * functions (PageViews.filterValid -> rekey -> windowedCounts ->
+    * unwrapWindow), which is the point: one declarative pipeline, two
+    * execution modes, one answer.
+    *
+    * The fence is chosen DETERMINISTICALLY to split a real window: the
+    * eligible (name, window) bucket (>= 2 valid events, distinct
+    * timestamps) closest to the fixture's time midpoint, fence = its
+    * earliest event — so that window provably receives rows from the
+    * batch side (ts <= fence) AND the stream side (ts > fence).
+    * Construction REQUIRES at least one merged key with contributions
+    * from both modes (the straddle) — without it the merge is vacuous
+    * concatenation. The merged counts hash-match the plain batch
+    * page_counts oracle over the whole fixture.
+    */
+  def streamedBackfillUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.PageEventCodec
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("name", StringType), StructField("user", StringType),
+      StructField("date", LongType), StructField("duration", DoubleType)))
+    val outSchema = StructType(Seq(
+      StructField("name", StringType), StructField("window_start", LongType),
+      StructField("cnt", LongType)))
+    val wire = PageEventCodec.toWire(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("name"),
+          concat(lit("U"), col("user_id")).as("user"),
+          col("ts").as("date"), col("value").as("duration")))
+    val (lo, hi) = timeBounds(wire, s"$dir events (wire)")
+    // deterministic fence: the straddle-eligible bucket nearest the time
+    // midpoint (bounded driver read: one row)
+    val typed = PageEventCodec.fromWire(wire)
+    val mid = (lo + hi) / 2
+    val pick = PageViews.rekey(
+        PageViews.filterValid(typed, "duration"), "name", "date")
+      .groupBy(window(col("date"), "1 hour"), col("name"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_millis(col("date"))).as("ts_min"),
+        max(unix_millis(col("date"))).as("ts_max"))
+      .filter(col("n") >= 2 && col("ts_min") < col("ts_max"))
+      .orderBy(abs(col("ts_min") - mid), col("name"), col("ts_min"))
+      .select(col("ts_min")).limit(1).collect()
+    require(pick.nonEmpty,
+      s"backfill fence: no window in '$dir' has >= 2 valid events with " +
+        "distinct timestamps — fixture too sparse to prove the merge")
+    val fence = pick(0).getLong(0)
+    // BATCH BACKFILL: history (ts <= fence) through the shared operators
+    val backfill = PageViews.unwrapWindow(
+      PageViews.windowedCounts(
+        PageViews.rekey(
+          PageViews.filterValid(
+            PageEventCodec.fromWire(wire.filter(col("date") <= fence)),
+            "duration"), "name", "date"),
+        "date", "name", windowLen = "1 hour"),
+      "name")
+      .select(col("name"), col("window_start"), col("cnt").as("b_cnt"))
+    // STREAMING TAIL: only ts > fence ever reaches the topic
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_backfill")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_backfill_ckpt")
+    val in = new FileTopic("live_in", wireSchema, root.toString)
+    val out = new FileTopic("live_out", outSchema, root.toString)
+    try {
+      in.append(wire.filter(col("date") > fence).coalesce(1))
+      val counts = PageViews.unwrapWindow(
+        PageViews.windowedCounts(
+          PageViews.rekey(
+            PageViews.filterValid(PageEventCodec.fromWire(in.stream(child)),
+              "duration"), "name", "date")
+            .withWatermark("date", "10 seconds"),
+          "date", "name", windowLen = "1 hour"),
+        "name")
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      // converged update-mode fixpoint, snapshotted (bounded: names x
+      // windows, the same envelope every topic replay collects) so the
+      // temp topic dirs can be deleted and the merge plans on the
+      // caller's session
+      val tailRows = out.batch(child)
+        .groupBy(col("name"), col("window_start"))
+        .agg(max(col("cnt")).as("s_cnt"))
+        .collect()
+      val tail = spark.createDataFrame(
+        java.util.Arrays.asList(tailRows: _*),
+        StructType(Seq(StructField("name", StringType),
+          StructField("window_start", LongType),
+          StructField("s_cnt", LongType))))
+      // additive merge; the straddling window sums both contributions
+      val straddles = backfill.join(tail, Seq("name", "window_start")).count()
+      require(straddles > 0,
+        "backfill merge is vacuous: no window received rows from both " +
+          "modes — the fence failed to split a bucket")
+      backfill
+        .join(tail, Seq("name", "window_start"), "full_outer")
+        .select(col("name").as("event_type"), col("window_start"),
+          (coalesce(col("b_cnt"), lit(0L)) +
+            coalesce(col("s_cnt"), lit(0L))).as("cnt"))
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Session windows over the PRODUCTION source and sink, in APPEND mode —
     * the merging-state complement of [[streamedTopicCounts]]: tumbling
     * windows have immutable keys, session windows EXTEND while events

@@ -55,6 +55,11 @@ class CollectLintSpec extends SparkSpec {
       // stream_topic_attrib_outer: same replay posture, LEFT OUTER variant
       // (watermark-evicted null emission across the restart)
       "stream_topic_attrib_outer",
+      // stream_backfill_union: replay posture again — construction runs
+      // the batch backfill AND the streaming tail (fence pick + straddle
+      // check are bounded driver reads; the tail snapshot is names x
+      // windows like every topic replay)
+      "stream_backfill_union",
       // stream_suppress: same production-source replay posture — runs the
       // changelog producer AND the suppressing consumer (emitOnChange)
       // through temp FileTopics with a mid-stream consumer restart, then
