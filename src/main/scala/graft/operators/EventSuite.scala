@@ -333,22 +333,27 @@ object EventSuite {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY
         |GROUP BY 1""".stripMargin,
-    // LEFT OUTER stream-stream join: per-user matched-pair count plus the
-    // count of views whose null-extended row only exists because the
-    // watermark EVICTED them (StreamReplay.streamedTopicAttribOuter —
-    // construction separately requires the null rows to appear after the
+    // FULL OUTER stream-stream join: per-user matched-pair count plus the
+    // counts of views and clicks whose null-extended rows only exist
+    // because the watermark EVICTED them — both state sides at once
+    // (StreamReplay.streamedTopicAttribOuter — construction separately
+    // requires null rows on BOTH sides and more of them after the
     // mid-stream restart, i.e. from recovered join state)
     "stream_topic_attrib_outer" ->
       """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
         |j AS (
-        |  SELECT v.user_id, v.ts AS v_ts, c.ts AS c_ts
-        |  FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |  SELECT coalesce(v.user_id, c.user_id) AS user_id,
+        |         v.ts AS v_ts, c.ts AS c_ts
+        |  FROM v FULL JOIN c ON v.user_id = c.user_id
         |   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 DAY)
         |SELECT user_id,
-        |       CAST(count(c_ts) AS BIGINT) AS n_matched,
+        |       CAST(count(CASE WHEN v_ts IS NOT NULL AND c_ts IS NOT NULL
+        |                       THEN 1 END) AS BIGINT) AS n_matched,
         |       CAST(count(CASE WHEN c_ts IS NULL THEN 1 END) AS BIGINT)
-        |         AS n_unmatched
+        |         AS n_view_only,
+        |       CAST(count(CASE WHEN v_ts IS NULL THEN 1 END) AS BIGINT)
+        |         AS n_click_only
         |FROM j GROUP BY 1""".stripMargin,
     // kappa-style backfill: a BATCH job over history (ts <= fence) and a
     // STREAMING job over the live tail (ts > fence, via the topic) merge

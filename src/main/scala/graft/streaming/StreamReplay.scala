@@ -826,26 +826,28 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
-  /** LEFT OUTER production-source stream-stream join — the watermark-
-    * EVICTION semantics no inner join exercises. A view with no click
-    * within one day emits exactly one null-extended row, and only when the
-    * global watermark (min across BOTH topics' offsets logs) passes its
-    * join bound: state eviction, not row arrival, produces the output.
-    * The consumer restarts from checkpoint mid-stream, so two pieces of
-    * join state must recover together: the pending unmatched views (a
-    * lost view never emits its null row) and each matched view's MATCHED
-    * flag (a lost flag emits a FALSE null row for a view that already
-    * matched, corrupting the unmatched count). Far-future sentinel rows
+  /** FULL OUTER production-source stream-stream join — the watermark-
+    * EVICTION semantics no inner join exercises, on BOTH sides at once. A
+    * view with no click within one day emits exactly one null-extended
+    * row; a click preceded by no view emits its own; and each only when
+    * the global watermark (min across BOTH topics' offset logs) passes
+    * its side's join bound: state eviction, not row arrival, produces the
+    * output. The consumer restarts from checkpoint mid-stream, so BOTH
+    * sides' pending-unmatched state and per-row MATCHED flags must
+    * recover together: a lost pending row never emits its null row, a
+    * lost flag emits a FALSE null row for a row that already matched,
+    * corrupting the unmatched counts. Far-future sentinel rows
     * (user_id -1) published to both topics after the restart advance the
-    * watermark past every real view's bound so the replay converges —
+    * watermark past every real row's bound so the replay converges —
     * Spark's no-data micro-batches then flush the evictions.
     *
-    * Construction REQUIRES (a) matched pairs to exist, (b) null rows to
-    * exist, and (c) strictly more null rows after the second incarnation
-    * than before the restart — i.e. unmatched views emitted FROM RECOVERED
-    * STATE (the fixture guarantees eligible views in the final quarter at
-    * every scale). The per-user matched/unmatched counts equal the batch
-    * LEFT JOIN oracle.
+    * Construction REQUIRES (a) matched pairs to exist, (b) null-extended
+    * rows to exist on BOTH sides, and (c) strictly more null rows after
+    * the second incarnation than before the restart — i.e. unmatched rows
+    * emitted FROM RECOVERED STATE (the fixture guarantees eligible views
+    * and clicks in the final quarter at every scale). The per-user
+    * matched / view-only / click-only counts equal the batch FULL JOIN
+    * oracle.
     */
   def streamedTopicAttribOuter(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.FileTopic
@@ -894,8 +896,8 @@ object StreamReplay {
           col("v_user") === col("c_user") &&
             col("c_ts") >= col("v_ts") &&
             col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"),
-          "left_outer")
-        .select(col("v_user").as("user_id"),
+          "full_outer")
+        .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
           unix_micros(col("v_ts")).as("v_date"),
           unix_micros(col("c_ts")).as("c_date"))
       val q = pairs.writeStream.outputMode("append")
@@ -913,7 +915,8 @@ object StreamReplay {
       publish(clicks, cIn, lo + quarter, lo + 2 * quarter, last = false)
       drain() // incarnation 1: offsets + join state + matched flags committed
       val nullsBeforeRestart = out.batch(child)
-        .filter(col("user_id") >= 0 && col("c_date").isNull).count()
+        .filter(col("user_id") >= 0 &&
+          (col("c_date").isNull || col("v_date").isNull)).count()
       publish(views, vIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
       publish(clicks, cIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
       publish(views, vIn, lo + 3 * quarter, Long.MaxValue, last = true)
@@ -922,23 +925,29 @@ object StreamReplay {
       sentinel(cIn)
       drain() // incarnation 2: recovered state evicts + emits null rows
       val emitted = out.batch(child).filter(col("user_id") >= 0)
-      val nullsTotal =
-        emitted.filter(col("c_date").isNull).count()
+      val nullsTotal = emitted
+        .filter(col("c_date").isNull || col("v_date").isNull).count()
       require(nullsTotal > nullsBeforeRestart,
         s"outer-join replay emitted no null rows after the restart " +
           s"($nullsBeforeRestart before, $nullsTotal total) — recovered " +
           "eviction state produced nothing, the scenario this row exists for")
       val rows = emitted
         .groupBy(col("user_id"))
-        .agg(count(col("c_date")).as("n_matched"),
-          count(when(col("c_date").isNull, lit(1))).as("n_unmatched"))
+        .agg(count(when(col("v_date").isNotNull && col("c_date").isNotNull,
+            lit(1))).as("n_matched"),
+          count(when(col("c_date").isNull, lit(1))).as("n_view_only"),
+          count(when(col("v_date").isNull, lit(1))).as("n_click_only"))
         .collect()
       require(rows.exists(_.getLong(1) > 0),
         "outer-join replay matched no pairs — inner path degenerate")
+      require(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(3) > 0),
+        "outer-join replay missing an eviction side: need BOTH view-only " +
+          "and click-only null rows for full-outer coverage")
       spark.createDataFrame(java.util.Arrays.asList(rows: _*),
         StructType(Seq(StructField("user_id", LongType),
           StructField("n_matched", LongType),
-          StructField("n_unmatched", LongType))))
+          StructField("n_view_only", LongType),
+          StructField("n_click_only", LongType))))
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 

@@ -57,16 +57,17 @@ class StreamingParitySpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
-  test("left-outer topic replay equals the batch LEFT JOIN (sf0.001)") {
+  test("full-outer topic replay equals the batch FULL JOIN (sf0.001)") {
     // in-JVM parity companion to the stream_topic_attrib_outer oracle row:
-    // the streamed matched/unmatched per-user counts must equal the batch
-    // left join computed with the DataFrame API (the replay's own
-    // construction separately requires the null rows to be emitted AFTER
-    // the mid-stream restart — recovered eviction state)
+    // the streamed matched / view-only / click-only per-user counts must
+    // equal the batch full join computed with the DataFrame API (the
+    // replay's own construction separately requires null rows on both
+    // sides and more of them AFTER the mid-stream restart — recovered
+    // eviction state)
     val dir = "/root/testdata/sf0.001"
     val streamed = graft.streaming.StreamReplay
       .streamedTopicAttribOuter(spark, dir)
-      .as[(Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect().toSet
 
     val e = graft.model.Tables.events(spark, dir)
     val v = e.filter($"event_type" === "view")
@@ -76,13 +77,16 @@ class StreamingParitySpec extends SparkSpec {
     val batch = v.join(c,
         $"v_user" === $"c_user" && $"c_ts" >= $"v_ts" &&
           $"c_ts" <= $"v_ts" + expr("INTERVAL 1 DAY"),
-        "left_outer")
-      .groupBy($"v_user".as("user_id"))
-      .agg(count($"c_ts").as("n_matched"),
-        count(when($"c_ts".isNull, lit(1))).as("n_unmatched"))
-      .as[(Long, Long, Long)].collect().toSet
+        "full_outer")
+      .groupBy(coalesce($"v_user", $"c_user").as("user_id"))
+      .agg(count(when($"v_ts".isNotNull && $"c_ts".isNotNull, lit(1)))
+          .as("n_matched"),
+        count(when($"c_ts".isNull, lit(1))).as("n_view_only"),
+        count(when($"v_ts".isNull, lit(1))).as("n_click_only"))
+      .as[(Long, Long, Long, Long)].collect().toSet
 
     assert(streamed == batch)
     assert(batch.exists(_._3 > 0), "fixture must contain unmatched views")
+    assert(batch.exists(_._4 > 0), "fixture must contain unmatched clicks")
   }
 }
