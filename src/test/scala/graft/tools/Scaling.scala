@@ -22,13 +22,26 @@ import graft.SparkEntry
   */
 object Scaling {
 
-  /** Flagship families + their driving table (for the row-count axis). */
+  /** Flagship families + their driving table (for the row-count axis).
+    * Round 11 widened the set from the original six to every pair-risk
+    * family: each of these has a plausible quadratic implementation (all
+    * pairs, per-sentence cross joins, full cosine matrices) that the
+    * shipped banding / df-pruning / cell-keying / block-bounding designs
+    * exist to avoid — so each gets a measured slope, not just a plan
+    * argument.
+    */
   val flagship: Seq[(String, String)] = Seq(
     "dedup_exact" -> "documents",
     "minhash_pairs" -> "documents",
     "substring_dedup" -> "documents",
+    "sentence_dedup" -> "documents",
+    "passage_dedup" -> "documents",
+    "ngram_jaccard" -> "documents",
+    "delta_dedup" -> "documents",
     "embed_neardup_lsh" -> "embeddings",
     "embed_ivf" -> "embeddings",
+    "semdedup" -> "embeddings",
+    "embed_topk" -> "embeddings",
     "train_corpus" -> "documents")
 
   final case class Point(sf: String, rows: Long, sec: Double)
