@@ -89,4 +89,27 @@ class StreamingParitySpec extends SparkSpec {
     assert(batch.exists(_._3 > 0), "fixture must contain unmatched views")
     assert(batch.exists(_._4 > 0), "fixture must contain unmatched clicks")
   }
+
+  test("backfill-union replay equals the plain batch hourly counts (sf0.001)") {
+    // in-JVM parity companion to the stream_backfill_union oracle row: the
+    // batch-over-history + stream-over-tail merge must equal one batch
+    // query over the whole fixture (the replay's own construction
+    // separately requires the fence-straddling window to receive rows
+    // from BOTH execution modes)
+    val dir = "/root/testdata/sf0.001"
+    val merged = graft.streaming.StreamReplay
+      .streamedBackfillUnion(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+
+    val batch = graft.operators.PageViews.pageCounts(
+        graft.model.Tables.events(spark, dir)
+          .select($"event_type".as("name"), $"ts".as("date"),
+            $"value".as("duration")),
+        "name", "date", "duration", windowLen = "1 hour")
+      .select($"name", $"window_start", $"cnt")
+      .as[(String, Long, Long)].collect().toSet
+
+    assert(merged == batch)
+    assert(batch.nonEmpty)
+  }
 }
