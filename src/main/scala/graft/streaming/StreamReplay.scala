@@ -525,11 +525,15 @@ object StreamReplay {
         max(unix_millis(col("date"))).as("ts_max"))
       .filter(col("n") >= 2 && col("ts_min") < col("ts_max"))
       .orderBy(abs(col("ts_min") - mid), col("name"), col("ts_min"))
-      .select(col("ts_min")).limit(1).collect()
+      .select(col("name"), col("window.start").cast("long").as("window_start"),
+        col("ts_min"))
+      .limit(1).collect()
     require(pick.nonEmpty,
       s"backfill fence: no window in '$dir' has >= 2 valid events with " +
         "distinct timestamps — fixture too sparse to prove the merge")
-    val fence = pick(0).getLong(0)
+    val fenceName = pick(0).getString(0)
+    val fenceWindow = pick(0).getLong(1)
+    val fence = pick(0).getLong(2)
     // BATCH BACKFILL: history (ts <= fence) through the shared operators
     val backfill = PageViews.unwrapWindow(
       PageViews.windowedCounts(
@@ -575,11 +579,16 @@ object StreamReplay {
         StructType(Seq(StructField("name", StringType),
           StructField("window_start", LongType),
           StructField("s_cnt", LongType))))
-      // additive merge; the straddling window sums both contributions
-      val straddles = backfill.join(tail, Seq("name", "window_start")).count()
-      require(straddles > 0,
-        "backfill merge is vacuous: no window received rows from both " +
-          "modes — the fence failed to split a bucket")
+      // additive merge; the straddling window sums both contributions.
+      // The picked bucket is on the BATCH side by construction (its
+      // ts_min event is <= fence and valid), so the straddle check only
+      // needs the STREAM side — a driver scan of the already-collected
+      // tail snapshot, no extra Spark job (review finding, round 11)
+      require(tailRows.exists(r =>
+          r.getString(0) == fenceName && r.getLong(1) == fenceWindow),
+        "backfill merge is vacuous: the fence-straddling bucket " +
+          s"($fenceName, $fenceWindow) received no rows from the " +
+          "streaming side — the fence failed to split a bucket")
       backfill
         .join(tail, Seq("name", "window_start"), "full_outer")
         .select(col("name").as("event_type"), col("window_start"),
@@ -752,7 +761,44 @@ object StreamReplay {
     * idempotent batch sink; per-user pair counts equal the batch join
     * (same oracle as stream_click_attrib).
     */
-  def streamedTopicAttrib(spark: SparkSession, dir: String): DataFrame = {
+  def streamedTopicAttrib(spark: SparkSession, dir: String): DataFrame =
+    attribReplay(spark, dir, fullOuter = false)
+
+  /** FULL OUTER production-source stream-stream join — the watermark-
+    * EVICTION semantics no inner join exercises, on BOTH sides at once. A
+    * view with no click within one day emits exactly one null-extended
+    * row; a click preceded by no view emits its own; and each only when
+    * the global watermark (min across BOTH topics' offset logs) passes
+    * its side's join bound: state eviction, not row arrival, produces the
+    * output. The consumer restarts from checkpoint mid-stream, so BOTH
+    * sides' pending-unmatched state and per-row MATCHED flags must
+    * recover together: a lost pending row never emits its null row, a
+    * lost flag emits a FALSE null row for a row that already matched,
+    * corrupting the unmatched counts. Eviction flush uses the TWO-sentinel
+    * pattern [[streamedTopicSessions]] proved out: sentinel-1 (reserved
+    * user -1, +2 days) advances the watermark at the END of its own data
+    * batch, and sentinel-2 (+4 days) arrives in a LATER incarnation whose
+    * data batch acts on the already-advanced watermark — emission is
+    * never left to a no-data batch racing `q.stop()`.
+    *
+    * Construction REQUIRES (a) matched pairs to exist, (b) null-extended
+    * rows to exist on BOTH sides, and (c) strictly more null rows after
+    * the restart than before it — i.e. unmatched rows emitted FROM
+    * RECOVERED STATE (the fixture guarantees eligible views and clicks in
+    * the final quarter at every scale). The per-user matched / view-only /
+    * click-only counts equal the batch FULL JOIN oracle.
+    */
+  def streamedTopicAttribOuter(spark: SparkSession, dir: String): DataFrame =
+    attribReplay(spark, dir, fullOuter = true)
+
+  /** Shared scaffold for the two attribution replays: same wire shape,
+    * topics, quartering, and restart choreography; the variants differ
+    * only in join type, null handling, sentinels, and the final
+    * aggregation (the streamedTopicWindows pattern, applied here after
+    * the two bodies briefly diverged — review finding, round 11).
+    */
+  private def attribReplay(spark: SparkSession, dir: String,
+                           fullOuter: Boolean): DataFrame = {
     import graft.sources.FileTopic
     import org.apache.spark.sql.types._
     val wireSchema = StructType(Seq(
@@ -781,6 +827,12 @@ object StreamReplay {
       topic.append(df
         .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
         .coalesce(1))
+    // sentinel rows ride reserved user -1, beyond hi + join bound (1 day)
+    // + watermark delay; built on the conf-scoped child (ADVICE r10)
+    def sentinel(offsetDays: Long): Unit = Seq(vIn, cIn).foreach(
+      _.append(child.createDataFrame(
+        java.util.Arrays.asList(Row(-1L, hi + offsetDays * 86400000000L)),
+        wireSchema)))
     def drain(): Unit = {
       val v = vIn.stream(child)
         .select(col("user_id").as("v_user"),
@@ -793,8 +845,11 @@ object StreamReplay {
       val pairs = v.join(c,
           col("v_user") === col("c_user") &&
             col("c_ts") >= col("v_ts") &&
-            col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"))
-        .select(col("v_user").as("user_id"),
+            col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"),
+          if (fullOuter) "full_outer" else "inner")
+        .select(
+          (if (fullOuter) coalesce(col("v_user"), col("c_user"))
+           else col("v_user")).as("user_id"),
           unix_micros(col("v_ts")).as("v_date"),
           unix_micros(col("c_ts")).as("c_date"))
       val q = pairs.writeStream.outputMode("append")
@@ -811,143 +866,53 @@ object StreamReplay {
       publish(views, vIn, lo + quarter, lo + 2 * quarter, last = false)
       publish(clicks, cIn, lo + quarter, lo + 2 * quarter, last = false)
       drain() // incarnation 1: both offset logs + join state committed
-      publish(views, vIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(clicks, cIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(views, vIn, lo + 3 * quarter, Long.MaxValue, last = true)
-      publish(clicks, cIn, lo + 3 * quarter, Long.MaxValue, last = true)
-      drain() // incarnation 2: recovered views match post-restart clicks
-      val rows = out.batch(child)
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-        StructType(Seq(StructField("user_id", LongType),
-          StructField("n_pairs", LongType))))
-    } finally { deleteTree(ckpt); deleteTree(root) }
-  }
-
-  /** FULL OUTER production-source stream-stream join — the watermark-
-    * EVICTION semantics no inner join exercises, on BOTH sides at once. A
-    * view with no click within one day emits exactly one null-extended
-    * row; a click preceded by no view emits its own; and each only when
-    * the global watermark (min across BOTH topics' offset logs) passes
-    * its side's join bound: state eviction, not row arrival, produces the
-    * output. The consumer restarts from checkpoint mid-stream, so BOTH
-    * sides' pending-unmatched state and per-row MATCHED flags must
-    * recover together: a lost pending row never emits its null row, a
-    * lost flag emits a FALSE null row for a row that already matched,
-    * corrupting the unmatched counts. Far-future sentinel rows
-    * (user_id -1) published to both topics after the restart advance the
-    * watermark past every real row's bound so the replay converges —
-    * Spark's no-data micro-batches then flush the evictions.
-    *
-    * Construction REQUIRES (a) matched pairs to exist, (b) null-extended
-    * rows to exist on BOTH sides, and (c) strictly more null rows after
-    * the second incarnation than before the restart — i.e. unmatched rows
-    * emitted FROM RECOVERED STATE (the fixture guarantees eligible views
-    * and clicks in the final quarter at every scale). The per-user
-    * matched / view-only / click-only counts equal the batch FULL JOIN
-    * oracle.
-    */
-  def streamedTopicAttribOuter(spark: SparkSession, dir: String): DataFrame = {
-    import graft.sources.FileTopic
-    import org.apache.spark.sql.types._
-    val wireSchema = StructType(Seq(
-      StructField("user_id", LongType), StructField("date", LongType)))
-    val outSchema = StructType(Seq(
-      StructField("user_id", LongType), StructField("v_date", LongType),
-      StructField("c_date", LongType)))
-    def side(tpe: String) = Tables.events(spark, dir)
-      .filter(col("event_type") === tpe)
-      .select(col("user_id"), unix_micros(col("ts")).as("date"))
-    val views = side("view")
-    val clicks = side("click")
-    val (lo, hi) = timeBounds(
-      Tables.events(spark, dir)
-        .filter(col("event_type").isin("view", "click"))
-        .select(unix_micros(col("ts")).as("date")),
-      s"$dir events (view/click)")
-    val child = replaySession(spark, shufflePartitions = 4)
-    val root = java.nio.file.Files.createTempDirectory("graft_topic_outer")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_outer_ckpt")
-    val vIn = new FileTopic("views_in", wireSchema, root.toString)
-    val cIn = new FileTopic("clicks_in", wireSchema, root.toString)
-    val out = new FileTopic("outer_out", outSchema, root.toString)
-    def publish(df: org.apache.spark.sql.DataFrame, topic: FileTopic,
-                from: Long, until: Long, last: Boolean): Unit =
-      topic.append(df
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
-    // one sentinel row per topic: beyond hi + join bound (1 day) + the
-    // 10 s watermark delay, with a whole spare day of margin
-    def sentinel(topic: FileTopic): Unit =
-      topic.append(child.createDataFrame(
-        java.util.Arrays.asList(Row(-1L, hi + 2L * 86400000000L)), wireSchema))
-    def drain(): Unit = {
-      val v = vIn.stream(child)
-        .select(col("user_id").as("v_user"),
-          timestamp_micros(col("date")).as("v_ts"))
-        .withWatermark("v_ts", "10 seconds")
-      val c = cIn.stream(child)
-        .select(col("user_id").as("c_user"),
-          timestamp_micros(col("date")).as("c_ts"))
-        .withWatermark("c_ts", "10 seconds")
-      val pairs = v.join(c,
-          col("v_user") === col("c_user") &&
-            col("c_ts") >= col("v_ts") &&
-            col("c_ts") <= col("v_ts") + expr("INTERVAL 1 DAY"),
-          "full_outer")
-        .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
-          unix_micros(col("v_ts")).as("v_date"),
-          unix_micros(col("c_ts")).as("c_date"))
-      val q = pairs.writeStream.outputMode("append")
-        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
-          out.sinkBatch(df, id))
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      try { q.processAllAvailable() } finally q.stop()
-    }
-    try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(views, vIn, lo, lo + quarter, last = false)
-      publish(clicks, cIn, lo, lo + quarter, last = false)
-      publish(views, vIn, lo + quarter, lo + 2 * quarter, last = false)
-      publish(clicks, cIn, lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: offsets + join state + matched flags committed
-      val nullsBeforeRestart = out.batch(child)
-        .filter(col("user_id") >= 0 &&
+      val nullsBeforeRestart =
+        if (!fullOuter) 0L
+        else out.batch(child).filter(col("user_id") >= 0 &&
           (col("c_date").isNull || col("v_date").isNull)).count()
       publish(views, vIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
       publish(clicks, cIn, lo + 2 * quarter, lo + 3 * quarter, last = false)
       publish(views, vIn, lo + 3 * quarter, Long.MaxValue, last = true)
       publish(clicks, cIn, lo + 3 * quarter, Long.MaxValue, last = true)
-      sentinel(vIn)
-      sentinel(cIn)
-      drain() // incarnation 2: recovered state evicts + emits null rows
-      val emitted = out.batch(child).filter(col("user_id") >= 0)
-      val nullsTotal = emitted
-        .filter(col("c_date").isNull || col("v_date").isNull).count()
-      require(nullsTotal > nullsBeforeRestart,
-        s"outer-join replay emitted no null rows after the restart " +
-          s"($nullsBeforeRestart before, $nullsTotal total) — recovered " +
-          "eviction state produced nothing, the scenario this row exists for")
-      val rows = emitted
-        .groupBy(col("user_id"))
-        .agg(count(when(col("v_date").isNotNull && col("c_date").isNotNull,
-            lit(1))).as("n_matched"),
-          count(when(col("c_date").isNull, lit(1))).as("n_view_only"),
-          count(when(col("v_date").isNull, lit(1))).as("n_click_only"))
-        .collect()
-      require(rows.exists(_.getLong(1) > 0),
-        "outer-join replay matched no pairs — inner path degenerate")
-      require(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(3) > 0),
-        "outer-join replay missing an eviction side: need BOTH view-only " +
-          "and click-only null rows for full-outer coverage")
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-        StructType(Seq(StructField("user_id", LongType),
-          StructField("n_matched", LongType),
-          StructField("n_view_only", LongType),
-          StructField("n_click_only", LongType))))
+      if (fullOuter) sentinel(2)
+      drain() // incarnation 2: recovered state matches post-restart rows
+      if (!fullOuter) {
+        val rows = out.batch(child)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("n_pairs", LongType))))
+      } else {
+        sentinel(4)
+        drain() // incarnation 3: data batch under the advanced watermark
+                // deterministically evicts + emits every real null row
+        val emitted = out.batch(child).filter(col("user_id") >= 0)
+        val nullsTotal = emitted
+          .filter(col("c_date").isNull || col("v_date").isNull).count()
+        require(nullsTotal > nullsBeforeRestart,
+          s"outer-join replay emitted no null rows after the restart " +
+            s"($nullsBeforeRestart before, $nullsTotal total) — recovered " +
+            "eviction state produced nothing, the scenario this row exists for")
+        val rows = emitted
+          .groupBy(col("user_id"))
+          .agg(count(when(col("v_date").isNotNull && col("c_date").isNotNull,
+              lit(1))).as("n_matched"),
+            count(when(col("c_date").isNull, lit(1))).as("n_view_only"),
+            count(when(col("v_date").isNull, lit(1))).as("n_click_only"))
+          .collect()
+        require(rows.exists(_.getLong(1) > 0),
+          "outer-join replay matched no pairs — inner path degenerate")
+        require(rows.exists(_.getLong(2) > 0) && rows.exists(_.getLong(3) > 0),
+          "outer-join replay missing an eviction side: need BOTH view-only " +
+            "and click-only null rows for full-outer coverage")
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("n_matched", LongType),
+            StructField("n_view_only", LongType),
+            StructField("n_click_only", LongType))))
+      }
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 

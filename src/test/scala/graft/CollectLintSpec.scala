@@ -52,13 +52,14 @@ class CollectLintSpec extends SparkSpec {
       "stream_topic_sliding",
       "stream_topic_dedup",
       "stream_topic_attrib",
-      // stream_topic_attrib_outer: same replay posture, LEFT OUTER variant
-      // (watermark-evicted null emission across the restart)
+      // stream_topic_attrib_outer: same replay posture, FULL OUTER variant
+      // (watermark-evicted null emission on both join sides across the
+      // restart, flushed by the two-sentinel pattern)
       "stream_topic_attrib_outer",
       // stream_backfill_union: replay posture again — construction runs
-      // the batch backfill AND the streaming tail (fence pick + straddle
-      // check are bounded driver reads; the tail snapshot is names x
-      // windows like every topic replay)
+      // the fence pick (one bounded driver row) and the streaming tail;
+      // the tail snapshot is names x windows like every topic replay and
+      // the straddle check scans that snapshot on the driver (no job)
       "stream_backfill_union",
       // stream_suppress: same production-source replay posture — runs the
       // changelog producer AND the suppressing consumer (emitOnChange)
