@@ -218,6 +218,10 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicCounts(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
+    "stream_timer_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTimerSessions(s, d)),
+    "stream_topic_enrich"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicEnrich(s, d)),
     "stream_topic_sliding" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSliding(s, d)),
     "stream_topic_dedup"   -> ((s: SparkSession, d: String) =>
@@ -400,6 +404,37 @@ object EventSuite {
         |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    // hand-built gap-sessionization on transformWithState with EVENT-TIME
+    // TIMERS (StreamOps.GapSessions, timers checkpointed + recovered across
+    // a mid-stream restart): must agree row-for-row with session_window —
+    // the identical gap-islands oracle checks both surfaces
+    "stream_timer_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+    // stream-STATIC enrichment join (stateless broadcast dim under a
+    // streaming plan, dim re-resolved every trigger, restart mid-stream):
+    // converged per-segment hourly counts equal the batch join + aggregate
+    "stream_topic_enrich" ->
+      """SELECT c_mktsegment AS segment,
+        |       CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT)
+        |         AS window_start,
+        |       count(*) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE value > 100 GROUP BY 1, 2""".stripMargin,
     // (round 11: the stream_session_counts / stream_dedup /
     // stream_session_append / stream_click_attrib MemoryStream oracles
     // retired with their rows — their batch-parity checks live in

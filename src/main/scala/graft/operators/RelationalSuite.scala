@@ -914,6 +914,50 @@ object RelationalSuite {
       .withColumn("avg_price", col("total_price") / col("n_orders"))
   }
 
+  /** CDC apply / changelog compaction — the warehouse MERGE primitive the
+    * other maintenance queries don't cover: incr_agg merges APPEND-ONLY
+    * partial aggregates and scd2_history builds validity intervals, but a
+    * real change-data feed carries INSERT / UPDATE / DELETE ops per key
+    * and the consumer must materialize the last-writer-wins live snapshot
+    * (deletes are tombstones — the key vanishes even though its insert is
+    * still in the log). The changelog here is synthesized deterministically
+    * from the orders fixture in ONE scan (an explode of a filtered array —
+    * at most 3 versions per key, never a second pass): seq 1 inserts every
+    * order, seq 2 revises price +10% for keys ≡ 0 (mod 7), seq 3 deletes
+    * keys ≡ 0 (mod 5); keys hit by both an update and a delete prove the
+    * tombstone wins over the revision. Compaction is one row_number window
+    * over the key — a single hash shuffle, work linear in the changelog,
+    * the shape that survives a 100 TB feed. Price arithmetic stays in
+    * exact DECIMAL end-to-end (×1.10 of a 2-decimal price is exactly
+    * 3-decimal, so the DECIMAL(18,3) cast never rounds); one terminal
+    * cast to DOUBLE is bit-equal cross-engine.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+    val log = base.select(col("k"), col("status"),
+      explode(expr(
+        """filter(array(
+          |  named_struct('seq', 1, 'op', 'I', 'p', CAST(p AS DECIMAL(18,3))),
+          |  IF(k % 7 = 0, named_struct('seq', 2, 'op', 'U',
+          |    'p', CAST(p * CAST('1.10' AS DECIMAL(3,2)) AS DECIMAL(18,3))),
+          |    NULL),
+          |  IF(k % 5 = 0, named_struct('seq', 3, 'op', 'D',
+          |    'p', CAST(NULL AS DECIMAL(18,3))), NULL)),
+          |x -> x IS NOT NULL)""".stripMargin)).as("e"))
+      .select(col("k"), col("status"), col("e.seq").as("seq"),
+        col("e.op").as("op"), col("e.p").as("p"))
+    val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
+    val live = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+    live.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_live"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+        sum(col("p")).cast("double").as("total_price"))
+  }
+
   /** SCD2 history build — turning an event-stamped fact into a
     * slowly-changing-dimension table with validity intervals: each
     * customer's orders ordered by date become rows
@@ -1680,6 +1724,7 @@ object RelationalSuite {
     "orders_seasonality" -> (ordersSeasonality _),
     "window_ranks"       -> (windowRanks _),
     "incr_agg"           -> (incrAgg _),
+    "cdc_apply"          -> (cdcApply _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
     "q7_nation_volume"   -> (q7NationVolume _),
@@ -2076,6 +2121,35 @@ object RelationalSuite {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    AS avg_price
         |FROM orders GROUP BY 1""".stripMargin,
+    // CDC apply: same deterministic synthetic changelog (I seq 1 / U seq 2
+    // on keys %7 / D seq 3 on keys %5), compacted last-writer-wins with
+    // delete tombstones winning; exact DECIMAL price arithmetic end-to-end
+    "cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |log AS (
+        |  SELECT k, status, 1 AS seq, 'I' AS op,
+        |         CAST(p AS DECIMAL(18,3)) AS p FROM base
+        |  UNION ALL
+        |  SELECT k, status, 2, 'U',
+        |         CAST(p * CAST('1.10' AS DECIMAL(3,2)) AS DECIMAL(18,3))
+        |  FROM base WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, status, 3, 'D', CAST(NULL AS DECIMAL(18,3))
+        |  FROM base WHERE k % 5 = 0),
+        |live AS (
+        |  SELECT * FROM (
+        |    SELECT k, status, seq, op, p,
+        |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM log) t
+        |  WHERE rn = 1 AND op <> 'D')
+        |SELECT status, count(*) AS n_live,
+        |       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_updated,
+        |       CAST(sum(p) AS DOUBLE) AS total_price
+        |FROM live GROUP BY 1""".stripMargin,
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       epoch_us(o_orderdate) // 1000000 AS valid_from,

@@ -4,8 +4,9 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 import graft.model.PageEvent
 
@@ -96,6 +97,108 @@ object StreamOps {
       else TTLConfig.NONE
     rows.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new EmitOnChange(ttl), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Input row for [[gapSessions]]: one keyed event-time stamp. */
+  final case class Stamp(user: Long, ts: Timestamp)
+  /** One closed gap-session: [startUs, lastUs] in epoch MICROS (exact —
+    * sub-millisecond gaps must compare identically to the session_window /
+    * gap-islands oracle, and Timestamp.getTime would truncate to ms).
+    */
+  final case class GapClosed(user: Long, startUs: Long, nEvents: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class GapState(startUs: Long, lastUs: Long, n: Long, timerMs: Long)
+
+  private def micros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  /** Gap-based sessionization on the transformWithState processor API with
+    * EVENT-TIME TIMERS — the one lifecycle piece [[EmitOnChange]] (pure
+    * ValueState) and [[sessionStats]] (GroupState timeouts) don't cover:
+    * `registerTimer`/`deleteTimer`/`handleExpiredTimer` against the
+    * event-time watermark, checkpointed and RECOVERED with the rest of the
+    * state. Semantically identical to `session_window(ts, gap)` in append
+    * mode — that's the point: the built-in and the hand-built processor
+    * must agree, so the same gap-islands oracle checks both.
+    *
+    * Lifecycle per key: rows extend the open session and (re-)arm one
+    * timer at lastEvent + gap; a row at or past lastEvent + gap closes the
+    * session INLINE (emitting it) and disarms the stale timer; a session
+    * with no successor row is closed BY THE TIMER when the watermark
+    * passes lastEvent + gap — exactly-once either way, because the inline
+    * path deletes the timer it supersedes and the timer path only fires
+    * for the armed timestamp it matches. State is one GapState per key
+    * (plus one registered timer), evicted on close — the bounded-state
+    * posture; within-batch rows for a key are sorted in memory, bounded by
+    * one key's rows in one micro-batch.
+    *
+    * Gap arithmetic runs in MICROS (matching session_window exactly);
+    * timers are millisecond-granular, so each is armed at the CEILING ms
+    * of the true close instant — never early, and a sub-ms-late timer is
+    * harmless because an event inside the gap would have arrived before
+    * the watermark passed it.
+    */
+  final class GapSessions(gapUs: Long)
+    extends StatefulProcessor[Long, Stamp, GapClosed] {
+    @transient private var sess: ValueState[GapState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[GapState]("sess",
+        Encoders.product[GapState], TTLConfig.NONE)
+
+    private def arm(s: GapState): GapState = {
+      val closeMs = (s.lastUs + gapUs + 999) / 1000 // ceiling ms, never early
+      if (s.timerMs != closeMs) {
+        if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
+        getHandle.registerTimer(closeMs)
+      }
+      s.copy(timerMs = closeMs)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Stamp],
+                                 timers: TimerValues): Iterator[GapClosed] = {
+      val sorted = rows.map(r => micros(r.ts)).toArray.sorted
+      var closed = List.empty[GapClosed]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { us =>
+        cur match {
+          case Some(s) if us >= s.lastUs + gapUs =>
+            closed ::= GapClosed(key, s.startUs, s.n)
+            if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
+            cur = Some(GapState(us, us, 1, 0))
+          case Some(s) =>
+            cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1))
+          case None =>
+            cur = Some(GapState(us, us, 1, 0))
+        }
+      }
+      cur.foreach(s => sess.update(arm(s)))
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[GapClosed] = {
+      if (sess.exists()) {
+        val s = sess.get()
+        // fire only for the armed timer; a stale expiry racing an inline
+        // close-and-reopen in the same batch must not close the NEW session
+        if (info.getExpiryTimeInMs() == s.timerMs) {
+          sess.clear()
+          return Iterator.single(GapClosed(key, s.startUs, s.n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Sessionize by inactivity gap via event-time timers: see
+    * [[GapSessions]]. Caller must `.withWatermark` the input first
+    * (TimeMode.EventTime requires it).
+    */
+  def gapSessions(rows: Dataset[Stamp], gapUs: Long): Dataset[GapClosed] = {
+    implicit val enc = Encoders.product[GapClosed]
+    rows.groupByKey(_.user)(Encoders.scalaLong)
+      .transformWithState(new GapSessions(gapUs), TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   final case class SessionUpdate(user: String, nEvents: Long, totalDuration: Long,

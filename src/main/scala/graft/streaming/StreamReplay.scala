@@ -1054,4 +1054,171 @@ object StreamReplay {
           StructField("max_dur", LongType))))
     } finally { deleteTree(ckptP); deleteTree(ckptC); deleteTree(root) }
   }
+
+  /** Gap-sessionization over the PRODUCTION source on the transformWithState
+    * processor API with EVENT-TIME TIMERS ([[StreamOps.GapSessions]]) — the
+    * timer lifecycle (`registerTimer` / `deleteTimer` /
+    * `handleExpiredTimer`) exercised end-to-end where it matters: timers
+    * are CHECKPOINTED with the state, and the consumer restarts from its
+    * checkpoint mid-stream with sessions OPEN and timers ARMED — a lost
+    * timer means a session that never closes (its row simply never
+    * appears), a lost GapState means a session closing with the wrong
+    * extent, and either corrupts the output set. Same topology as
+    * [[streamedTopicSessions]] but through the hand-built processor
+    * instead of the built-in `session_window`, and checked against the
+    * SAME gap-islands oracle — the built-in and the processor must agree
+    * row-for-row.
+    *
+    * Emission is exactly-once per closed session (append mode + the
+    * idempotent per-batchId sink); the two-sentinel pattern advances the
+    * watermark past every real session so the final timers fire (a
+    * timer's expiry is evaluated against the PREVIOUS batch's watermark,
+    * so sentinel-2's data batch is what flushes the sessions sentinel-1
+    * unlocked — the same one-batch lag the session_window replay
+    * documents). Sentinel user -1's own never-closed session is filtered
+    * defensively.
+    */
+  def streamedTimerSessions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("date", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("session_start", LongType),
+      StructField("n_events", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("date"))
+    val (lo, hi) = timeBounds(events, s"$dir events (timer sessions)")
+    // transformWithState requires RocksDB (same posture as the suppress
+    // replay) — keep the tuned provider instead of the heap override
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_timer_sess")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_timer_sess_ckpt")
+    val in = new FileTopic("timer_sessions_in", wireSchema, root.toString)
+    val out = new FileTopic("timer_sessions_out", outSchema, root.toString)
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      in.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drain(): Unit = {
+      implicit val enc = org.apache.spark.sql.Encoders.product[StreamOps.Stamp]
+      val stamps = in.stream(child)
+        .withColumn("ts", timestamp_micros(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .select(col("user_id").as("user"), col("ts"))
+        .as[StreamOps.Stamp]
+      // 30-minute gap in MICROS — identical to session_window's arithmetic
+      val sessions = StreamOps.gapSessions(stamps, gapUs = 30L * 60 * 1000000)
+        .toDF()
+        .select(col("user").as("user_id"),
+          // floor division is exact here: epoch micros are non-negative
+          (col("startUs") / 1000000L).cast("long").as("session_start"),
+          col("nEvents").as("n_events"))
+      val q = sessions.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: open sessions + ARMED TIMERS checkpointed
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      def sentinel(offsetDays: Long): Unit =
+        in.append(child.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, hi + offsetDays * 86400L * 1000000L)),
+          wireSchema))
+      sentinel(2)
+      drain() // incarnation 2: recovered timers re-fire or extend
+      sentinel(4)
+      drain() // incarnation 3: watermark already past every real timer
+      val rows = out.batch(child)
+        .filter(col("user_id") =!= -1L)
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** Stream-STATIC enrichment join over the production source — the one
+    * join mode the stream-stream replays don't cover: each micro-batch of
+    * the event stream joins a STATIC dimension table (customer, broadcast
+    * — the planner sees a bounded batch side under a streaming plan), so
+    * the join carries NO state at all; the dimension is re-resolved from
+    * storage every trigger, which is precisely the production semantics
+    * (a dim refresh lands on the next micro-batch without restarting the
+    * query). Downstream the enriched rows feed a windowed count per
+    * market segment — keys that EXIST ONLY AFTER THE JOIN, so a broken
+    * or empty dim side shows up as missing segments in the oracle hash.
+    * Consumer restarts from checkpoint mid-stream like every topic
+    * replay; converged update-mode counts (monotone, so max = final)
+    * must equal the batch join + aggregate under the DuckDB oracle.
+    */
+  def streamedTopicEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("date", LongType),
+      StructField("value", DoubleType)))
+    val outSchema = StructType(Seq(
+      StructField("segment", StringType),
+      StructField("window_start", LongType),
+      StructField("cnt", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("date"), col("value"))
+    val (lo, hi) = timeBounds(events, s"$dir events (enrich)")
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_enrich")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_enrich_ckpt")
+    val in = new FileTopic("enrich_in", wireSchema, root.toString)
+    val out = new FileTopic("enrich_out", outSchema, root.toString)
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      in.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drain(): Unit = {
+      // the static side: read on the SAME session as the stream, broadcast
+      // into every micro-batch's join (dim is ~|customers| rows — the
+      // 100 TB enrichment shape is always broadcast-dim against the fact
+      // stream, never a shuffle)
+      val dim = broadcast(Tables.customer(child, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val enriched = in.stream(child)
+        .filter(col("value") > 100)
+        .withColumn("ts", timestamp_micros(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .join(dim, col("user_id") === col("c_custkey"))
+      val counts = enriched
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("c_mktsegment").as("segment"),
+          col("window.start").cast("long").as("window_start"), col("cnt"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: offsets + window state committed
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      drain() // incarnation 2: restart from checkpoint, dim re-resolved
+      val rows = out.batch(child)
+        .groupBy(col("segment"), col("window_start"))
+        .agg(max(col("cnt")).as("cnt"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
 }

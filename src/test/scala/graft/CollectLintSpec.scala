@@ -49,6 +49,12 @@ class CollectLintSpec extends SparkSpec {
       // be deleted
       "stream_topic_counts",
       "stream_topic_sessions",
+      // stream_timer_sessions: same replay posture through the
+      // transformWithState event-time-timer processor (GapSessions)
+      "stream_timer_sessions",
+      // stream_topic_enrich: same replay posture; the stream-static join's
+      // broadcast dim is bounded (|customers| rows) and executor-resolved
+      "stream_topic_enrich",
       "stream_topic_sliding",
       "stream_topic_dedup",
       "stream_topic_attrib",

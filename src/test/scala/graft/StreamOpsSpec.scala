@@ -136,6 +136,39 @@ class StreamOpsSpec extends SparkSpec {
       s"P2 should emit 5 then 6 and suppress the settled repeat: $got")
   }
 
+  test("gapSessions (event-time timers) closes inline and by expired timer") {
+    val input = MemoryStream[StreamOps.Stamp](spark)
+    // 30 s gap; 0 s watermark delay so sentinel batches advance it exactly
+    val q = StreamOps.gapSessions(
+        input.toDS().withWatermark("ts", "0 seconds"), gapUs = 30000000L)
+      .toDF().writeStream.format("memory").queryName("gap_sess")
+      .option("checkpointLocation", tmpDir("gapsess"))
+      .outputMode("append").start()
+    def st(u: Long, sec: Long) = StreamOps.Stamp(u, new Timestamp(sec * 1000))
+
+    input.addData(st(1, 100), st(1, 110))
+    q.processAllAvailable()
+    // INLINE close: 200 >= 110 + 30 ends session [100,110] and opens a new
+    // one whose armed timer (110+30) must have been deleted, not fired
+    input.addData(st(1, 200))
+    q.processAllAvailable()
+    // TIMER close: no successor for the 200-session — a sentinel key
+    // advances the watermark, the next batch fires the armed timer
+    input.addData(st(9, 1000))
+    q.processAllAvailable()
+    input.addData(st(9, 1100))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("gap_sess").filter($"user" === 1L)
+      .select($"startUs", $"nEvents").as[(Long, Long)].collect().toSet
+    assert(got == Set((100000000L, 2L), (200000000L, 1L)),
+      s"expected inline-closed [100,110]x2 and timer-closed [200]x1: $got")
+    // exactly-once: no session may emit twice
+    val all = spark.table("gap_sess").select($"user", $"startUs").collect()
+    assert(all.length == all.distinct.length, s"duplicate session emission: ${all.toSeq}")
+  }
+
   test("streaming dedup drops duplicate events across micro-batches") {
     val input = MemoryStream[PageEvent](spark)
     // dedup key (name, user, date): watermark bounds the dedup state so it
