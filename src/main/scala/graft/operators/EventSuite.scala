@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -200,7 +200,58 @@ object EventSuite {
         col("n").cast("double") / sum(col("n")).over(wf))
   }
 
+  /** Pipeline-embedded observability — the `Dataset.observe` /
+    * CollectMetrics surface (the Spark-native analogue of Kafka Streams'
+    * metrics registry): data-quality metrics are accumulated ON THE
+    * EXECUTORS as the real pipeline runs, not by a second audit scan. The
+    * reference topology (filter -> window -> count) runs here to a noop
+    * sink with an observation riding its input: total rows, rows passing
+    * the duration filter (the filter's selectivity — the number an
+    * operator dashboard alarms on), the exact-decimal value mass, and the
+    * event-time bounds. The returned row is the observation itself —
+    * driver-visible output is ONE metrics row however large the input,
+    * which is the whole point of the API at 100 TB: the audit is free
+    * because the query was running anyway.
+    */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.types.DecimalType
+    val obs = Observation("ev_audit")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("value"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_valid"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_value"),
+        min(col("ts").cast("long")).as("ts_min"),
+        max(col("ts").cast("long")).as("ts_max"))
+    // the observed pipeline is the reference query itself; noop sink =
+    // executor-side action, nothing returns to the driver but the metrics
+    PageViews.pageCounts(ev, "event_type", "ts", "value")
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(
+        m("n_rows").asInstanceOf[Long],
+        m("n_valid").asInstanceOf[Long],
+        m("sum_value").asInstanceOf[java.math.BigDecimal].doubleValue(),
+        m("ts_min").asInstanceOf[Long],
+        m("ts_max").asInstanceOf[Long])),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_valid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ts_min",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_max",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "observed_metrics"     -> (observedMetrics _),
     "event_transitions"    -> (eventTransitions _),
     "mergeable_rollup"     -> (mergeableRollup _),
     "gap_fill"             -> (gapFill _),
@@ -220,6 +271,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_timer_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTimerSessions(s, d)),
+    "stream_topic_topk"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicTopK(s, d)),
     "stream_topic_enrich"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicEnrich(s, d)),
     "stream_topic_sliding" -> ((s: SparkSession, d: String) =>
@@ -241,6 +294,19 @@ object EventSuite {
     "funnel"               -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    // Dataset.observe / CollectMetrics: the metrics accumulated on the
+    // executors while the reference pipeline ran must equal a direct
+    // audit of the input. Decimal sum routed through VARCHAR on the
+    // DuckDB side (its direct DECIMAL->DOUBLE cast can be an ulp off)
+    "observed_metrics" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_valid,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+        |         AS DOUBLE) AS sum_value,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS ts_min,
+        |       CAST(epoch_us(max(ts)) // 1000000 AS BIGINT) AS ts_max
+        |FROM events""".stripMargin,
     "event_transitions" ->
       """WITH t AS (
         |  SELECT event_type AS from_type,
@@ -425,6 +491,18 @@ object EventSuite {
         |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    // streaming per-key top-k on transformWithState LIST state (k-capped
+    // list per key recovered across the restart): converged max-per-rank
+    // must equal the batch row_number top-k. Values trunc'd to long on
+    // both sides (Spark cast truncates, DuckDB CAST rounds)
+    "stream_topic_topk" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(trunc(value) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(trunc(value) AS BIGINT) DESC) AS rank
+        |  FROM events)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, v AS value
+        |FROM r WHERE rank <= 3""".stripMargin,
     // stream-STATIC enrichment join (stateless broadcast dim under a
     // streaming plan, dim re-resolved every trigger, restart mid-stream):
     // converged per-segment hourly counts equal the batch join + aggregate

@@ -5,8 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 import graft.model.PageEvent
 
@@ -97,6 +97,45 @@ object StreamOps {
       else TTLConfig.NONE
     rows.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new EmitOnChange(ttl), TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class RankedValue(key: String, rank: Int, value: Long)
+
+  /** Bounded streaming top-k per key on the transformWithState ListState
+    * primitive — the state shape [[EmitOnChange]] (ValueState) and
+    * [[GapSessions]] (ValueState + timers) don't touch: the per-key state
+    * is a LIST, capped at k entries however many rows stream through, so
+    * a 100 TB/day stream holds |keys| × k longs of state, never the data.
+    * Each batch merges the arriving values into the retained top-k
+    * (multiset semantics — duplicates count) and re-emits the current
+    * ranking; every rank's value is monotone non-decreasing over time
+    * (inserting a value only raises order statistics), so the converged
+    * answer per (key, rank) is the max across emissions — the same
+    * fixpoint rule the windowed-count replays use.
+    */
+  final class TopKPerKey(k: Int)
+    extends StatefulProcessor[String, KeyedValue, RankedValue] {
+    @transient private var top: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Long]("top", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+                                 timers: TimerValues): Iterator[RankedValue] = {
+      val merged = (top.get().toSeq ++ rows.map(_.value).toSeq)
+        .sorted(Ordering[Long].reverse).take(k).toArray
+      top.put(merged)
+      merged.iterator.zipWithIndex.map { case (v, i) =>
+        RankedValue(key, i + 1, v)
+      }
+    }
+  }
+
+  /** Streaming per-key top-k: see [[TopKPerKey]]. */
+  def topKPerKey(rows: Dataset[KeyedValue], k: Int): Dataset[RankedValue] = {
+    implicit val enc = Encoders.product[RankedValue]
+    rows.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new TopKPerKey(k), TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Input row for [[gapSessions]]: one keyed event-time stamp. */

@@ -1146,6 +1146,76 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Streaming per-key top-k over the production source on the
+    * transformWithState LIST-state primitive ([[StreamOps.TopKPerKey]]) —
+    * state is a k-capped list per key (|keys| × k longs at any corpus
+    * size), merged and re-emitted per batch, RECOVERED across the
+    * mid-stream restart: a lost list entry surfaces as a final ranking
+    * missing a value the first half of the stream delivered. Every rank's
+    * value is monotone non-decreasing (inserting a value only raises
+    * order statistics), so max per (key, rank) over the update-mode
+    * changelog is the converged ranking, checked against the batch
+    * row_number top-k under the DuckDB oracle.
+    */
+  def streamedTopicTopK(spark: SparkSession, dir: String,
+                        k: Int = 3): DataFrame = {
+    import graft.sources.FileTopic
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("name", StringType), StructField("date", LongType),
+      StructField("value", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("rank", LongType),
+      StructField("value", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), unix_micros(col("ts")).as("date"),
+        // trunc-to-long like stream_suppress (DuckDB CAST rounds; trunc()
+        // in the oracle matches Spark's cast)
+        col("value").cast("long").as("value"))
+    val (lo, hi) = timeBounds(events, s"$dir events (topk)")
+    // transformWithState requires RocksDB
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_topk")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topk_ckpt")
+    val in = new FileTopic("topk_in", wireSchema, root.toString)
+    val out = new FileTopic("topk_out", outSchema, root.toString)
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      in.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drain(): Unit = {
+      implicit val enc = org.apache.spark.sql.Encoders
+        .product[StreamOps.KeyedValue]
+      val ranked = StreamOps.topKPerKey(
+        in.stream(child).select(col("name").as("key"), col("value"))
+          .as[StreamOps.KeyedValue], k)
+        .toDF()
+        .select(col("key").as("event_type"), col("rank").cast("long"),
+          col("value"))
+      val q = ranked.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: the k-capped lists checkpointed
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      drain() // incarnation 2: recovered lists merge the second half
+      val rows = out.batch(child)
+        .groupBy(col("event_type"), col("rank"))
+        .agg(max(col("value")).as("value"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Stream-STATIC enrichment join over the production source — the one
     * join mode the stream-stream replays don't cover: each micro-batch of
     * the event stream joins a STATIC dimension table (customer, broadcast

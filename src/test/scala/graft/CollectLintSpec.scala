@@ -52,6 +52,14 @@ class CollectLintSpec extends SparkSpec {
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",
+      // stream_topic_topk: same replay posture through the
+      // transformWithState ListState top-k processor (TopKPerKey)
+      "stream_topic_topk",
+      // observed_metrics: the Dataset.observe surface — construction RUNS
+      // the observed pipeline to a noop sink (executor-side action);
+      // driver-visible output is the ONE accumulated metrics row, which
+      // is the API's whole point
+      "observed_metrics",
       // stream_topic_enrich: same replay posture; the stream-static join's
       // broadcast dim is bounded (|customers| rows) and executor-resolved
       "stream_topic_enrich",

@@ -304,6 +304,19 @@ class PlanSpec extends SparkSpec {
       s"per-metric profile must map-side combine in:\n$plan")
   }
 
+  test("cdc_apply scans once and prunes the LWW window below the exchange") {
+    val plan = executedPlan(RelationalSuite.cdcApply(spark, dir))
+    assert("FileScan parquet|Scan parquet".r.findAllIn(plan).size == 1,
+      s"changelog synthesis must be ONE scan (filtered-array explode), " +
+        s"not a union of scans:\n$plan")
+    // Spark 4 pushes the rn=1 top-1-per-key down as a partial
+    // WindowGroupLimit before the key exchange — each map task ships at
+    // most one candidate version per key instead of the whole changelog
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2,
+      s"LWW compaction lost its partial WindowGroupLimit (map-side " +
+        s"version pruning) in:\n$plan")
+  }
+
   test("runtime bloom filter injects on a shuffled join under a selective dim filter") {
     // at 100 TB a selective filter on one shuffle-join side should prune
     // the OTHER side's scan via an injected bloom filter (Spark's

@@ -136,6 +136,30 @@ class StreamOpsSpec extends SparkSpec {
       s"P2 should emit 5 then 6 and suppress the settled repeat: $got")
   }
 
+  test("topKPerKey (ListState) keeps a k-capped multiset ranking across batches") {
+    val input = MemoryStream[StreamOps.KeyedValue](spark)
+    val q = StreamOps.topKPerKey(input.toDS(), k = 3)
+      .toDF().writeStream.format("memory").queryName("topk_stream")
+      .option("checkpointLocation", tmpDir("topk"))
+      .outputMode("update").start()
+
+    import StreamOps.KeyedValue
+    input.addData(KeyedValue("A", 10), KeyedValue("A", 30), KeyedValue("B", 5))
+    q.processAllAvailable()
+    // 30 duplicates (multiset: both kept), 50 enters, 10 falls out of A's top-3
+    input.addData(KeyedValue("A", 30), KeyedValue("A", 50), KeyedValue("A", 1))
+    q.processAllAvailable()
+    q.stop()
+
+    // converged ranking per key = max per (key, rank): rank values are
+    // monotone non-decreasing, the replay's fixpoint rule
+    val got = spark.table("topk_stream")
+      .groupBy($"key", $"rank").agg(max($"value").as("v"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("A", 1, 50L), ("A", 2, 30L), ("A", 3, 30L), ("B", 1, 5L)),
+      s"unexpected converged ranking: $got")
+  }
+
   test("gapSessions (event-time timers) closes inline and by expired timer") {
     val input = MemoryStream[StreamOps.Stamp](spark)
     // 30 s gap; 0 s watermark delay so sentinel batches advance it exactly
