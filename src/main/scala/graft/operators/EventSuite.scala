@@ -273,6 +273,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTimerSessions(s, d)),
     "stream_topic_topk"    -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicTopK(s, d)),
+    "stream_transitions"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTransitions(s, d)),
     "stream_topic_enrich"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicEnrich(s, d)),
     "stream_topic_sliding" -> ((s: SparkSession, d: String) =>
@@ -491,6 +493,23 @@ object EventSuite {
         |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    // streaming MapState transition counting (per-user point-updated
+    // (from|to) counters + last-event ValueState carried across the
+    // restart): converged matrix + fractions equal the batch lead()
+    // window — same oracle as event_transitions
+    "stream_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(n AS DOUBLE) /
+        |         sum(n) OVER (PARTITION BY from_type) AS frac
+        |FROM c""".stripMargin,
     // streaming per-key top-k on transformWithState LIST state (k-capped
     // list per key recovered across the restart): converged max-per-rank
     // must equal the batch row_number top-k. Values trunc'd to long on

@@ -5,8 +5,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.model.PageEvent
 
@@ -135,6 +135,63 @@ object StreamOps {
     implicit val enc = Encoders.product[RankedValue]
     rows.groupByKey(_.key)(Encoders.STRING)
       .transformWithState(new TopKPerKey(k), TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  final case class TypedEvent(user: Long, ts: Timestamp, eventId: Long,
+                              typ: String)
+  final case class TransitionCount(user: Long, pair: String, n: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class LastEvent(tsUs: Long, eventId: Long, typ: String)
+
+  /** Per-user event-transition counting on the transformWithState MAP-state
+    * primitive — the last state shape the other processors don't touch:
+    * per key, a MapState[(from|to) pair -> count] plus a ValueState of the
+    * last event seen, so each arriving event increments exactly one map
+    * entry (keyed point update — what MapState exists for; a ValueState of
+    * the whole matrix would rewrite |types|² entries per row). State per
+    * user is bounded by |types|² + 1 however long the stream runs. Emits
+    * the updated count per touched pair each batch (update semantics —
+    * counts are monotone, so max per (user, pair) converges); rows are
+    * sorted (ts, eventId) within the batch, matching the batch window's
+    * ORDER BY, and the last-event ValueState carries the transition ACROSS
+    * batches — and across a restart, where losing it would silently drop
+    * one transition per user at the checkpoint boundary.
+    */
+  final class TransitionCounts
+    extends StatefulProcessor[Long, TypedEvent, TransitionCount] {
+    @transient private var last: ValueState[LastEvent] = _
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      last = getHandle.getValueState[LastEvent]("last",
+        Encoders.product[LastEvent], TTLConfig.NONE)
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+                                 timers: TimerValues): Iterator[TransitionCount] = {
+      val sorted = rows.toArray.sortBy(r => (micros(r.ts), r.eventId))
+      var prev = if (last.exists()) Some(last.get()) else None
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      sorted.foreach { r =>
+        prev.foreach { p =>
+          val pair = p.typ + "|" + r.typ
+          val cur = if (counts.containsKey(pair)) counts.getValue(pair) else 0L
+          counts.updateValue(pair, cur + 1)
+          touched += pair
+        }
+        prev = Some(LastEvent(micros(r.ts), r.eventId, r.typ))
+      }
+      prev.foreach(last.update)
+      touched.iterator.map(p => TransitionCount(key, p, counts.getValue(p)))
+    }
+  }
+
+  /** Per-user transition counts via MapState: see [[TransitionCounts]]. */
+  def transitionCounts(rows: Dataset[TypedEvent]): Dataset[TransitionCount] = {
+    implicit val enc = Encoders.product[TransitionCount]
+    rows.groupByKey(_.user)(Encoders.scalaLong)
+      .transformWithState(new TransitionCounts, TimeMode.None(),
         OutputMode.Update())
   }
 

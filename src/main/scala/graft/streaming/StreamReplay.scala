@@ -1216,6 +1216,89 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Per-user event transitions over the production source on the
+    * transformWithState MAP-state primitive ([[StreamOps.TransitionCounts]])
+    * — MapState point-updates one (from|to) counter per arriving event
+    * while a ValueState carries the last event ACROSS batches and across
+    * the mid-stream restart (losing it drops exactly the transitions that
+    * straddle the checkpoint boundary — the restart IS the test). The
+    * converged per-user pair counts (monotone, max per (user, pair))
+    * aggregate to the global transition matrix with per-source outgoing
+    * fractions, which must hash-match the batch event_transitions oracle —
+    * the streaming MapState processor and the batch lead() window are two
+    * routes to the same answer.
+    */
+  def streamedTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("date", LongType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    val pairSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("pair", StringType),
+      StructField("n", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("date"),
+        col("event_id"), col("event_type"))
+    val (lo, hi) = timeBounds(events, s"$dir events (transitions)")
+    // transformWithState requires RocksDB
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_trans")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trans_ckpt")
+    val in = new FileTopic("trans_in", wireSchema, root.toString)
+    val out = new FileTopic("trans_out", pairSchema, root.toString)
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      in.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drain(): Unit = {
+      implicit val enc = org.apache.spark.sql.Encoders
+        .product[StreamOps.TypedEvent]
+      val pairs = StreamOps.transitionCounts(
+        in.stream(child)
+          .select(col("user_id").as("user"),
+            timestamp_micros(col("date")).as("ts"),
+            col("event_id").as("eventId"), col("event_type").as("typ"))
+          .as[StreamOps.TypedEvent])
+        .toDF()
+        .select(col("user").as("user_id"), col("pair"), col("n"))
+      val q = pairs.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: last-event + count-map state checkpointed
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      drain() // incarnation 2: boundary transitions need recovered state
+      // converged per-user counts -> global matrix + outgoing fractions
+      // (|types|^2 rows; the fraction window runs over that constant size)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      val rows = out.batch(child)
+        .groupBy(col("user_id"), col("pair"))
+        .agg(max(col("n")).as("n"))
+        .select(split(col("pair"), "\\|").getItem(0).as("from_type"),
+          split(col("pair"), "\\|").getItem(1).as("to_type"), col("n"))
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(sum(col("n")).as("n"))
+        .withColumn("frac",
+          col("n").cast("double") / sum(col("n")).over(wf))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("from_type", StringType),
+          StructField("to_type", StringType), StructField("n", LongType),
+          StructField("frac", DoubleType))))
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Stream-STATIC enrichment join over the production source — the one
     * join mode the stream-stream replays don't cover: each micro-batch of
     * the event stream joins a STATIC dimension table (customer, broadcast

@@ -55,6 +55,9 @@ class CollectLintSpec extends SparkSpec {
       // stream_topic_topk: same replay posture through the
       // transformWithState ListState top-k processor (TopKPerKey)
       "stream_topic_topk",
+      // stream_transitions: same replay posture through the
+      // transformWithState MapState transition processor
+      "stream_transitions",
       // observed_metrics: the Dataset.observe surface — construction RUNS
       // the observed pipeline to a noop sink (executor-side action);
       // driver-visible output is the ONE accumulated metrics row, which

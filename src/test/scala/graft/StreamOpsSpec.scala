@@ -160,6 +160,32 @@ class StreamOpsSpec extends SparkSpec {
       s"unexpected converged ranking: $got")
   }
 
+  test("transitionCounts (MapState) counts consecutive pairs across batches") {
+    val input = MemoryStream[StreamOps.TypedEvent](spark)
+    val q = StreamOps.transitionCounts(input.toDS())
+      .toDF().writeStream.format("memory").queryName("trans_stream")
+      .option("checkpointLocation", tmpDir("trans"))
+      .outputMode("update").start()
+
+    def te(u: Long, sec: Long, id: Long, t: String) =
+      StreamOps.TypedEvent(u, new Timestamp(sec * 1000), id, t)
+    // batch 1 out of ts order within the batch: must sort (ts, eventId)
+    input.addData(te(1, 110, 2, "click"), te(1, 100, 1, "view"))
+    q.processAllAvailable()
+    // batch 2: the view->purchase transition straddles the batch boundary
+    // (last-event ValueState carries it); then purchase->view
+    input.addData(te(1, 120, 3, "purchase"), te(1, 130, 4, "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("trans_stream")
+      .groupBy($"user", $"pair").agg(max($"n").as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "view|click", 1L), (1L, "click|purchase", 1L),
+      (1L, "purchase|view", 1L)),
+      s"unexpected converged transitions: $got")
+  }
+
   test("gapSessions (event-time timers) closes inline and by expired timer") {
     val input = MemoryStream[StreamOps.Stamp](spark)
     // 30 s gap; 0 s watermark delay so sentinel batches advance it exactly
