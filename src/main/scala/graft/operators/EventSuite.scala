@@ -275,6 +275,10 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicTopK(s, d)),
     "stream_transitions"   -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTransitions(s, d)),
+    "stream_chained_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedChainedSessions(s, d)),
+    "stream_bootstrap_topk" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedBootstrapTopK(s, d)),
     "stream_topic_enrich"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicEnrich(s, d)),
     "stream_topic_sliding" -> ((s: SparkSession, d: String) =>
@@ -493,6 +497,42 @@ object EventSuite {
         |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sess""".stripMargin,
+    // CHAINED stateful operators (transformWithState eventTimeColumnName):
+    // gap-session closes feed a second stateful 1-day tumbling count in
+    // the SAME append-mode query; counts of sessions per epoch-aligned
+    // day of close (last event + 30 min)
+    "stream_chained_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e),
+        |closed AS (
+        |  SELECT user_id, sess, max(epoch_us(ts)) AS last_us
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT CAST(((last_us + 1800000000) // 86400000000) * 86400
+        |         AS BIGINT) AS day_start,
+        |       count(*) AS n_sessions
+        |FROM closed GROUP BY 1""".stripMargin,
+    // batch-to-stream STATE BOOTSTRAP (StatefulProcessorWithInitialState):
+    // history's per-key top-k seeds the ListState, only the tail streams;
+    // converged rankings equal the whole-fixture batch top-k — same
+    // oracle as stream_topic_topk, but reachable only through the seed
+    "stream_bootstrap_topk" ->
+      """WITH r AS (
+        |  SELECT event_type, CAST(trunc(value) AS BIGINT) AS v,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(trunc(value) AS BIGINT) DESC) AS rank
+        |  FROM events)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, v AS value
+        |FROM r WHERE rank <= 3""".stripMargin,
     // streaming MapState transition counting (per-user point-updated
     // (from|to) counters + last-event ValueState carried across the
     // restart): converged matrix + fractions equal the batch lead()

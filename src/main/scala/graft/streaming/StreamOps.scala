@@ -200,8 +200,25 @@ object StreamOps {
   /** One closed gap-session: [startUs, lastUs] in epoch MICROS (exact —
     * sub-millisecond gaps must compare identically to the session_window /
     * gap-islands oracle, and Timestamp.getTime would truncate to ms).
+    * `end` is the session CLOSE instant (lastEvent + gap) as a
+    * TimestampType column, fit to serve as the EVENT-TIME column of a
+    * downstream stateful operator (the chained-stateful-operators surface,
+    * [[gapSessionsChained]]). The close instant — not the start — is the
+    * only emission-time-safe choice: a session emits in the FIRST batch
+    * whose watermark passes its close (by timer, or inline where the
+    * timer would otherwise still be pending), so `end` is always >= the
+    * previous batch's watermark — exactly the one-batch-lag late-event
+    * bound chained operators filter against — while `start` can be
+    * arbitrarily far behind it.
     */
-  final case class GapClosed(user: Long, startUs: Long, nEvents: Long)
+  final case class GapClosed(user: Long, startUs: Long, nEvents: Long,
+                             end: Timestamp)
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000)
+    t.setNanos(((us % 1000000L) * 1000).toInt)
+    t
+  }
   // public: the state encoder's generated code instantiates it reflectively
   final case class GapState(startUs: Long, lastUs: Long, n: Long, timerMs: Long)
 
@@ -258,7 +275,7 @@ object StreamOps {
       sorted.foreach { us =>
         cur match {
           case Some(s) if us >= s.lastUs + gapUs =>
-            closed ::= GapClosed(key, s.startUs, s.n)
+            closed ::= GapClosed(key, s.startUs, s.n, tsFromMicros(s.lastUs + gapUs))
             if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
             cur = Some(GapState(us, us, 1, 0))
           case Some(s) =>
@@ -279,7 +296,7 @@ object StreamOps {
         // close-and-reopen in the same batch must not close the NEW session
         if (info.getExpiryTimeInMs() == s.timerMs) {
           sess.clear()
-          return Iterator.single(GapClosed(key, s.startUs, s.n))
+          return Iterator.single(GapClosed(key, s.startUs, s.n, tsFromMicros(s.lastUs + gapUs)))
         }
       }
       Iterator.empty
@@ -295,6 +312,67 @@ object StreamOps {
     rows.groupByKey(_.user)(Encoders.scalaLong)
       .transformWithState(new GapSessions(gapUs), TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** [[gapSessions]] via the CHAINED-stateful-operators overload: the
+    * processor's `end` output column is declared the new EVENT-TIME
+    * column (`transformWithState(proc, eventTimeColumnName, mode)`), so a
+    * SECOND stateful operator — a windowed aggregate, another processor —
+    * can legally follow in the same append-mode query, with the watermark
+    * re-derived from the emitted column. This is the Spark 4 surface that
+    * lifts the one-stateful-operator-per-query restriction; without it,
+    * session-then-aggregate needs two queries bridged by a topic (the
+    * stream_suppress topology).
+    */
+  def gapSessionsChained(rows: Dataset[Stamp], gapUs: Long): Dataset[GapClosed] = {
+    implicit val enc = Encoders.product[GapClosed]
+    rows.groupByKey(_.user)(Encoders.scalaLong)
+      .transformWithState(new GapSessions(gapUs), "end", OutputMode.Append())
+  }
+
+  final case class TopKSeed(key: String, values: Seq[Long])
+
+  /** [[TopKPerKey]] with INITIAL STATE — the state-bootstrap surface
+    * (`StatefulProcessorWithInitialState`): a batch job over history
+    * computes each key's top-k once, the streaming job starts FROM that
+    * state and consumes only the live tail. This is the state-level
+    * analogue of the backfill-union replay's additive merge: there the
+    * RESULTS merge downstream; here the STATE itself is seeded, which is
+    * the only option when the operator's output isn't mergeable (a top-k
+    * list is not additive across halves unless the state carries over).
+    * `handleInitialState` runs once per seeded key before any input row;
+    * input batches then merge into the seeded list exactly as the
+    * unseeded processor does.
+    */
+  final class TopKBootstrap(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      String, KeyedValue, RankedValue, TopKSeed] {
+    @transient private var top: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Long]("top", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInitialState(key: String, initial: TopKSeed,
+                                    timers: TimerValues): Unit =
+      top.put(initial.values.sorted(Ordering[Long].reverse).take(k).toArray)
+    override def handleInputRows(key: String, rows: Iterator[KeyedValue],
+                                 timers: TimerValues): Iterator[RankedValue] = {
+      val merged = (top.get().toSeq ++ rows.map(_.value).toSeq)
+        .sorted(Ordering[Long].reverse).take(k).toArray
+      top.put(merged)
+      merged.iterator.zipWithIndex.map { case (v, i) =>
+        RankedValue(key, i + 1, v)
+      }
+    }
+  }
+
+  /** Streaming top-k seeded from a batch snapshot: see [[TopKBootstrap]]. */
+  def topKBootstrapped(rows: Dataset[KeyedValue],
+                       seed: Dataset[TopKSeed], k: Int): Dataset[RankedValue] = {
+    implicit val out = Encoders.product[RankedValue]
+    implicit val st = Encoders.product[TopKSeed]
+    rows.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new TopKBootstrap(k), TimeMode.None(),
+        OutputMode.Update(), seed.groupByKey(_.key)(Encoders.STRING))
   }
 
   final case class SessionUpdate(user: String, nEvents: Long, totalDuration: Long,

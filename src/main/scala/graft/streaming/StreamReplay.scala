@@ -1216,6 +1216,198 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** CHAINED stateful operators in one append-mode query over the
+    * production source — the Spark 4 surface that lifts the historical
+    * one-stateful-operator-per-query restriction: the
+    * [[StreamOps.GapSessions]] processor declares its `end` output column
+    * as the query's new EVENT-TIME column
+    * (`transformWithState(proc, eventTimeColumnName, Append)`), so a
+    * SECOND stateful operator — here a 1-day tumbling count of closed
+    * sessions — legally follows downstream in the SAME query, its
+    * watermark re-derived from the emitted closes. Emission-time safety
+    * is the close instant's property: a session emits in the first batch
+    * whose watermark passes its close, so `end` is always at or above
+    * the one-batch-lag late-event bound the chained operator filters
+    * against (the reason `start` cannot be the chained event time).
+    * Without this surface the same topology needs two queries bridged by
+    * a topic (the stream_suppress shape). Restart mid-stream as always —
+    * BOTH operators' state (open sessions + armed timers upstream,
+    * partial day counts downstream) recover from one checkpoint. A third
+    * sentinel covers the extra one-batch emission lag the second
+    * stateful operator adds. Oracle: sessions from the batch gap-islands
+    * query, closed at last-event + gap, counted per epoch-aligned day of
+    * close.
+    */
+  def streamedChainedSessions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("date", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("day_start", LongType),
+      StructField("n_sessions", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("date"))
+    val (lo, hi) = timeBounds(events, s"$dir events (chained sessions)")
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_chained")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chained_ckpt")
+    val in = new FileTopic("chained_in", wireSchema, root.toString)
+    val out = new FileTopic("chained_out", outSchema, root.toString)
+    def publish(from: Long, until: Long, last: Boolean): Unit =
+      in.append(events
+        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
+        .coalesce(1))
+    def drain(): Unit = {
+      implicit val enc = org.apache.spark.sql.Encoders.product[StreamOps.Stamp]
+      val stamps = in.stream(child)
+        .withColumn("ts", timestamp_micros(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .select(col("user_id").as("user"), col("ts"))
+        .as[StreamOps.Stamp]
+      val closed = StreamOps.gapSessionsChained(stamps,
+          gapUs = 30L * 60 * 1000000)
+        .toDF()
+        // stateless filter BETWEEN the two stateful operators: the
+        // sentinel user's own closed sessions must not pollute the counts
+        .filter(col("user") =!= -1L)
+      val daily = closed
+        .groupBy(window(col("end"), "1 day"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .select(col("window.start").cast("long").as("day_start"),
+          col("n_sessions"))
+      val q = daily.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      publish(lo, lo + quarter, last = false)
+      publish(lo + quarter, lo + 2 * quarter, last = false)
+      drain() // incarnation 1: both operators' state checkpointed
+      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
+      publish(lo + 3 * quarter, Long.MaxValue, last = true)
+      def sentinel(offsetDays: Long): Unit =
+        in.append(child.createDataFrame(
+          java.util.Arrays.asList(
+            Row(-1L, hi + offsetDays * 86400L * 1000000L)),
+          wireSchema))
+      // THREE sentinels: session closes lag the watermark by one batch,
+      // and the downstream day windows lag the emitted closes by one more
+      sentinel(2)
+      drain() // incarnation 2: recovered sessions close
+      sentinel(4)
+      drain() // incarnation 3: remaining timers fire, day windows fill
+      sentinel(6)
+      drain() // incarnation 4: last day windows evict and emit
+      val rows = out.batch(child).collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** Batch-to-stream STATE BOOTSTRAP over the production source — the
+    * [[StreamOps.TopKBootstrap]] / `StatefulProcessorWithInitialState`
+    * surface: a BATCH job over history (date <= fence, the fixture's time
+    * midpoint) computes each key's top-k once; the streaming job starts
+    * FROM that state (`handleInitialState` seeds each key's ListState
+    * before any input row) and consumes ONLY the live tail from the
+    * topic, restarting mid-tail from its checkpoint. This is the
+    * state-level analogue of stream_backfill_union's additive merge — and
+    * the only option when the operator's result is NOT mergeable: a
+    * top-k list is not additive across halves, the state itself must
+    * carry over. Construction REQUIRES the bootstrap to matter: at least
+    * one key's converged ranking must differ from what the tail alone
+    * produces (else the row proves nothing) — and the converged rankings
+    * must equal the batch top-k over the WHOLE fixture, which is
+    * reachable only if the seeded state survived into the stream.
+    */
+  def streamedBootstrapTopK(spark: SparkSession, dir: String,
+                            k: Int = 3): DataFrame = {
+    import graft.sources.FileTopic
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("name", StringType), StructField("date", LongType),
+      StructField("value", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("rank", LongType),
+      StructField("value", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("event_type").as("name"), unix_micros(col("ts")).as("date"),
+        col("value").cast("long").as("value"))
+    val (lo, hi) = timeBounds(events, s"$dir events (bootstrap topk)")
+    val fence = (lo + hi) / 2
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_boot")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_boot_ckpt")
+    val in = new FileTopic("boot_in", wireSchema, root.toString)
+    val out = new FileTopic("boot_out", outSchema, root.toString)
+    // per-key top-k of a static frame as (key, values) seed rows
+    def topkOf(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("name")).orderBy(col("value").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col("name").as("key"))
+        .agg(sort_array(collect_list(col("value")), asc = false).as("values"))
+    }
+    def drain(): Unit = {
+      implicit val kv = org.apache.spark.sql.Encoders
+        .product[StreamOps.KeyedValue]
+      implicit val sd = org.apache.spark.sql.Encoders
+        .product[StreamOps.TopKSeed]
+      // the BATCH-history state seed, re-declared per incarnation (only
+      // the FIRST query start materializes it into the state store;
+      // restarts recover the evolved state from the checkpoint instead)
+      val seed = topkOf(events.filter(col("date") <= fence))
+        .as[StreamOps.TopKSeed]
+      val ranked = StreamOps.topKBootstrapped(
+        in.stream(child).select(col("name").as("key"), col("value"))
+          .as[StreamOps.KeyedValue], seed, k)
+        .toDF()
+        .select(col("key").as("event_type"), col("rank").cast("long"),
+          col("value"))
+      val q = ranked.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      // ONLY the tail ever reaches the topic: history exists solely as
+      // the seeded state
+      val tailQuarter = math.max(1L, (hi - fence) / 2)
+      in.append(events.filter(col("date") > fence &&
+        col("date") < fence + tailQuarter).coalesce(1))
+      drain() // incarnation 1: seeded state + first tail half
+      in.append(events.filter(col("date") >= fence + tailQuarter).coalesce(1))
+      drain() // incarnation 2: restart — state recovered, NOT re-seeded
+      val converged = out.batch(child)
+        .groupBy(col("event_type"), col("rank"))
+        .agg(max(col("value")).as("value"))
+      // the bootstrap must be load-bearing: tail-only top-k must differ
+      // somewhere, else this row degenerates to stream_topic_topk
+      val tailOnly = topkOf(events.filter(col("date") > fence)
+        .select(col("name"), col("value")))
+        .select(col("key").as("event_type"),
+          posexplode(col("values")).as(Seq("pos", "value")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("value"))
+      require(converged.join(tailOnly, Seq("event_type", "rank"))
+          .filter(converged("value") =!= tailOnly("value")).limit(1)
+          .count() > 0,
+        s"bootstrap top-$k is vacuous on '$dir': the tail alone already " +
+          "produces every converged ranking — move the fence later so " +
+          "history contributes a retained value")
+      val rows = converged.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Per-user event transitions over the production source on the
     * transformWithState MAP-state primitive ([[StreamOps.TransitionCounts]])
     * — MapState point-updates one (from|to) counter per arriving event

@@ -58,6 +58,13 @@ class CollectLintSpec extends SparkSpec {
       // stream_transitions: same replay posture through the
       // transformWithState MapState transition processor
       "stream_transitions",
+      // stream_chained_sessions: same replay posture; two stateful
+      // operators chained in one query via eventTimeColumnName
+      "stream_chained_sessions",
+      // stream_bootstrap_topk: same replay posture; construction also
+      // runs the bounded batch seed job (|keys| x k rows) and the
+      // vacuousness check (one-row limit count)
+      "stream_bootstrap_topk",
       // observed_metrics: the Dataset.observe surface — construction RUNS
       // the observed pipeline to a noop sink (executor-side action);
       // driver-visible output is the ONE accumulated metrics row, which

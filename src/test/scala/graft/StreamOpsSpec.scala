@@ -160,6 +160,28 @@ class StreamOpsSpec extends SparkSpec {
       s"unexpected converged ranking: $got")
   }
 
+  test("topKBootstrapped seeds ListState from a batch snapshot before any row") {
+    import StreamOps.{KeyedValue, TopKSeed}
+    val input = MemoryStream[KeyedValue](spark)
+    // history says A's top-3 is [100, 90, 80]; the stream only ever
+    // delivers 95 — the converged ranking must interleave seed and tail
+    val seed = Seq(TopKSeed("A", Seq(100L, 90L, 80L))).toDS()
+    val q = StreamOps.topKBootstrapped(input.toDS(), seed, k = 3)
+      .toDF().writeStream.format("memory").queryName("boot_topk")
+      .option("checkpointLocation", tmpDir("boot"))
+      .outputMode("update").start()
+
+    input.addData(KeyedValue("A", 95), KeyedValue("B", 7))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("boot_topk")
+      .groupBy($"key", $"rank").agg(max($"value").as("v"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("A", 1, 100L), ("A", 2, 95L), ("A", 3, 90L), ("B", 1, 7L)),
+      s"seeded ranking wrong (seed lost or misordered): $got")
+  }
+
   test("transitionCounts (MapState) counts consecutive pairs across batches") {
     val input = MemoryStream[StreamOps.TypedEvent](spark)
     val q = StreamOps.transitionCounts(input.toDS())
