@@ -463,7 +463,7 @@ object EventSuite {
       """WITH e AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -484,7 +484,7 @@ object EventSuite {
       """WITH e AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -505,7 +505,7 @@ object EventSuite {
       """WITH e AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -592,7 +592,7 @@ object EventSuite {
       """WITH e AS (
         |  SELECT user_id, ts,
         |         CASE WHEN lag(ts) OVER w IS NULL
-        |                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

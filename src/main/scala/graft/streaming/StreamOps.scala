@@ -235,8 +235,11 @@ object StreamOps {
     * must agree, so the same gap-islands oracle checks both.
     *
     * Lifecycle per key: rows extend the open session and (re-)arm one
-    * timer at lastEvent + gap; a row at or past lastEvent + gap closes the
-    * session INLINE (emitting it) and disarms the stale timer; a session
+    * timer at lastEvent + gap; a row STRICTLY past lastEvent + gap closes
+    * the session INLINE (emitting it) and disarms the stale timer — a row
+    * AT the exact boundary EXTENDS, matching the built-in session_window,
+    * whose sessions merge when the next start equals the previous end
+    * (empirically pinned by GapSessionPropertySpec's boundary generator); a session
     * with no successor row is closed BY THE TIMER when the watermark
     * passes lastEvent + gap — exactly-once either way, because the inline
     * path deletes the timer it supersedes and the timer path only fires
@@ -259,7 +262,11 @@ object StreamOps {
         Encoders.product[GapState], TTLConfig.NONE)
 
     private def arm(s: GapState): GapState = {
-      val closeMs = (s.lastUs + gapUs + 999) / 1000 // ceiling ms, never early
+      // STRICTLY past the boundary (not just the ceiling): an on-time row
+      // at exactly lastEvent + gap extends the session, so the timer must
+      // not fire while such a row can still arrive (ts == watermark
+      // passes the late filter)
+      val closeMs = (s.lastUs + gapUs) / 1000 + 1
       if (s.timerMs != closeMs) {
         if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
         getHandle.registerTimer(closeMs)
@@ -274,7 +281,7 @@ object StreamOps {
       var cur = if (sess.exists()) Some(sess.get()) else None
       sorted.foreach { us =>
         cur match {
-          case Some(s) if us >= s.lastUs + gapUs =>
+          case Some(s) if us > s.lastUs + gapUs =>
             closed ::= GapClosed(key, s.startUs, s.n, tsFromMicros(s.lastUs + gapUs))
             if (s.timerMs > 0) getHandle.deleteTimer(s.timerMs)
             cur = Some(GapState(us, us, 1, 0))

@@ -1250,7 +1250,10 @@ object StreamReplay {
     val events = Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("date"))
     val (lo, hi) = timeBounds(events, s"$dir events (chained sessions)")
-    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    // TWO stateful operators = two RocksDB store sets per partition per
+    // micro-batch, so per-batch store open/commit overhead dominates —
+    // same fan-out reasoning as the stream-stream joins (4, not 8)
+    val child = replaySession(spark, shufflePartitions = 4, keepRocksDb = true)
     val root = java.nio.file.Files.createTempDirectory("graft_chained")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_chained_ckpt")
     val in = new FileTopic("chained_in", wireSchema, root.toString)
@@ -1296,14 +1299,16 @@ object StreamReplay {
           java.util.Arrays.asList(
             Row(-1L, hi + offsetDays * 86400L * 1000000L)),
           wireSchema))
-      // THREE sentinels: session closes lag the watermark by one batch,
-      // and the downstream day windows lag the emitted closes by one more
+      // TWO sentinels suffice even with two stateful operators: in
+      // sentinel-2's data batch the upstream timers fire against the
+      // already-advanced watermark AND the emitted closes flow into the
+      // downstream aggregate BEFORE its eviction runs with the same
+      // watermark — rows added and evicted in one batch (verified: a
+      // third sentinel emits nothing more at any fixture scale)
       sentinel(2)
       drain() // incarnation 2: recovered sessions close
       sentinel(4)
-      drain() // incarnation 3: remaining timers fire, day windows fill
-      sentinel(6)
-      drain() // incarnation 4: last day windows evict and emit
+      drain() // incarnation 3: timers fire, day windows fill AND evict
       val rows = out.batch(child).collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
