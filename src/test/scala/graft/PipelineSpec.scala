@@ -204,6 +204,28 @@ class PipelineSpec extends SparkSpec {
     assert(p.t2.batch(spark).count() == n1 * 2)
   }
 
+  test("sinkBatch repairs a crashed partial batch (no _SUCCESS marker)") {
+    // the OTHER half of the idempotency contract: a batch dir left behind
+    // by a mid-write crash has no _SUCCESS marker and MUST be overwritten
+    // on redelivery — skipping it would permanently serve the torn write
+    val root = tmpDir("topics_crash")
+    val p = new PageEventPipeline(spark, root)
+    val good = Seq(("P1", "U1", 1000L, 200L), ("P2", "U2", 2000L, 300L))
+      .toDF("name", "user", "date", "duration")
+    p.t2.sinkBatch(good, 3L)
+    val dir = new java.io.File(s"$root/${p.t2.name}/batch-3")
+    // simulate the crash: marker gone, content torn (one data file removed)
+    assert(new java.io.File(dir, "_SUCCESS").delete(), "fixture setup")
+    val dataFiles = dir.listFiles().filter(_.getName.endsWith(".json"))
+    assert(dataFiles.nonEmpty && dataFiles.head.delete(), "fixture setup")
+    val torn = p.t2.batch(spark).count()
+    p.t2.sinkBatch(good, 3L) // redelivery after the crash
+    assert(p.t2.batch(spark).count() == 2 && torn < 2,
+      s"partial batch must be repaired to 2 rows (was $torn after tear)")
+    assert(new java.io.File(dir, "_SUCCESS").exists(),
+      "repaired batch must re-commit its marker")
+  }
+
   test("supplier generates schema-valid events at the configured rate") {
     val p = new PageEventPipeline(spark, tmpDir("topics"))
     val ckpt = tmpDir("ckpt")
