@@ -250,7 +250,55 @@ object EventSuite {
           org.apache.spark.sql.types.LongType))))
   }
 
+  /** Malformed-input quarantine — the PERMISSIVE-parse surface every
+    * production wire consumer needs: JSON payloads are parsed with an
+    * explicit schema plus a corrupt-record column
+    * (`columnNameOfCorruptRecord`), so a torn/truncated message lands in
+    * quarantine with its raw bytes preserved instead of killing the job
+    * (FAILFAST) or vanishing (a bare null). The wire is synthesized
+    * deterministically in-plan — every event JSON-encoded via `to_json`,
+    * every 7th (event_id ≡ 0 mod 7) truncated mid-object — so the oracle
+    * can replicate the audit WITHOUT a JSON parser: quarantined rows are
+    * exactly the corrupted ids, and the parsed remainder must round-trip
+    * values bit-for-bit (decimal-exact value mass, second-floor time
+    * bounds — to_json's millisecond timestamps truncate monotonically, so
+    * second floors survive the trip). One scan, one aggregate.
+    */
+  def jsonQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val wire = Tables.events(spark, dir)
+      .select(col("event_id"),
+        to_json(struct(col("event_type").as("name"), col("ts"),
+          col("value"))).as("js"))
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0,
+          expr("substring(js, 1, length(js) - 3)"))
+          .otherwise(col("js")).as("payload"))
+    val parsed = wire.select(
+      from_json(col("payload"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_bad",
+            org.apache.spark.sql.types.StringType))),
+        java.util.Map.of("columnNameOfCorruptRecord", "_bad")).as("p"))
+    parsed.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("p._bad").isNull, 1)).as("n_parsed"),
+      count(col("p._bad")).as("n_quarantined"),
+      sum(when(col("p._bad").isNull,
+        col("p.value").cast(DecimalType(18, 6)))).cast("double")
+        .as("sum_parsed_value"),
+      min(when(col("p._bad").isNull, col("p.ts"))).cast("long").as("ts_min"),
+      max(when(col("p._bad").isNull, col("p.ts"))).cast("long").as("ts_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_quarantine"      -> (jsonQuarantine _),
     "observed_metrics"     -> (observedMetrics _),
     "event_transitions"    -> (eventTransitions _),
     "mergeable_rollup"     -> (mergeableRollup _),
@@ -300,6 +348,24 @@ object EventSuite {
     "funnel"               -> (funnel _))
 
   val oracles: Map[String, String] = Map(
+    // PERMISSIVE-parse quarantine: corruption is deterministic (id % 7),
+    // so DuckDB audits the wire without a JSON parser — the hash proves
+    // Spark quarantined exactly the torn payloads and round-tripped the
+    // rest bit-for-bit. Decimal sum routed through VARCHAR (ulp gotcha)
+    "json_quarantine" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END)
+        |         AS BIGINT) AS n_parsed,
+        |       CAST(count(CASE WHEN event_id % 7 = 0 THEN 1 END)
+        |         AS BIGINT) AS n_quarantined,
+        |       CAST(CAST(sum(CASE WHEN event_id % 7 <> 0
+        |           THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
+        |         AS DOUBLE) AS sum_parsed_value,
+        |       CAST(epoch_us(min(CASE WHEN event_id % 7 <> 0 THEN ts END))
+        |         // 1000000 AS BIGINT) AS ts_min,
+        |       CAST(epoch_us(max(CASE WHEN event_id % 7 <> 0 THEN ts END))
+        |         // 1000000 AS BIGINT) AS ts_max
+        |FROM events""".stripMargin,
     // Dataset.observe / CollectMetrics: the metrics accumulated on the
     // executors while the reference pipeline ran must equal a direct
     // audit of the input. Decimal sum routed through VARCHAR on the
