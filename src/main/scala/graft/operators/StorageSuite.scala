@@ -321,16 +321,30 @@ object StorageSuite {
     val root = s"${layoutRoot(dir)}/fmt"
     val n = Tables.nation(spark, dir)
     val s = Tables.supplier(spark, dir)
+    val c = Tables.customer(spark, dir)
     n.write.mode("overwrite").json(s"$root/nation_json")
     s.write.mode("overwrite").option("header", "true").csv(s"$root/supplier_csv")
+    // third format, columnar this time: native ORC (orc-core ships in
+    // /opt/spark/jars), doubles included — a broken ORC round trip fails
+    // the customer columns of the hash
+    c.write.mode("overwrite").orc(s"$root/customer_orc")
     val nj = spark.read.schema(n.schema).json(s"$root/nation_json")
     val sc = spark.read.schema(s.schema).option("header", "true")
       .csv(s"$root/supplier_csv")
-    nj.join(sc, col("n_nationkey") === col("s_nationkey"))
-      .groupBy(col("n_name"))
+    val co = spark.read.schema(c.schema).orc(s"$root/customer_orc")
+    val sAgg = sc.groupBy(col("s_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n_suppliers"),
         sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double")
           .as("total_bal"))
+    val cAgg = co.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
+          .as("cust_bal"))
+    nj.join(sAgg, col("n_nationkey") === col("nationkey"))
+      .drop("nationkey")
+      .join(cAgg, col("n_nationkey") === col("nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("total_bal"),
+        col("n_customers"), col("cust_bal"))
   }
 
   private val checksumTables = Seq("region", "nation", "customer",
@@ -431,11 +445,20 @@ object StorageSuite {
     // the oracle reads the ORIGINAL parquet: equality proves the
     // JSON/CSV round-trip was lossless
     "format_roundtrip" ->
-      """SELECT n_name, count(*) AS n_suppliers,
-        |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-        |         AS total_bal
-        |FROM nation JOIN supplier ON n_nationkey = s_nationkey
-        |GROUP BY 1""".stripMargin,
+      """WITH s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+        |         CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS total_bal
+        |  FROM supplier GROUP BY 1),
+        |c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+        |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS cust_bal
+        |  FROM customer GROUP BY 1)
+        |SELECT n_name, n_suppliers, total_bal, n_customers, cust_bal
+        |FROM nation
+        |JOIN s ON n_nationkey = s.nationkey
+        |JOIN c ON n_nationkey = c.nationkey""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
