@@ -95,8 +95,14 @@ object StreamOps {
     implicit val enc = Encoders.product[KeyedValue]
     val ttl = if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
       else TTLConfig.NONE
+    // TTL state legally exists only under ProcessingTime (the engine
+    // stamps each write with the clock the TTL counts against) — with
+    // TimeMode.None the query crashes at start. Latent until the TTL
+    // path got its first test (round 11); TimeMode.None stays the default
+    // because it skips the per-write clock stamping entirely.
+    val mode = if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
     rows.groupByKey(_.key)(Encoders.STRING)
-      .transformWithState(new EmitOnChange(ttl), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new EmitOnChange(ttl), mode, OutputMode.Update())
   }
 
   final case class RankedValue(key: String, rank: Int, value: Long)

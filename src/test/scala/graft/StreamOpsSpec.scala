@@ -241,6 +241,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(all.length == all.distinct.length, s"duplicate session emission: ${all.toSeq}")
   }
 
+  test("emitOnChange TTL evicts idle keys so their next value re-emits") {
+    // the documented suppression trade-off (StreamOps scaladoc): a key
+    // silent past the TTL loses its state, so its next value passes even
+    // if unchanged — bounded state bought with one duplicate emission.
+    // TimeMode.ProcessingTime (which TTL requires) keeps the micro-batch
+    // engine triggering continuously, so processAllAvailable never
+    // settles (same hazard the FMGWS test documents) — poll the sink
+    // with a deadline instead
+    val input = MemoryStream[StreamOps.KeyedValue](spark)
+    val q = StreamOps.emitOnChange(input.toDS(), ttlMs = 2000L)
+      .toDF().writeStream.format("memory").queryName("eoc_ttl")
+      .option("checkpointLocation", tmpDir("eocttl"))
+      .outputMode("update").start()
+    def waitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000
+      while (spark.table("eoc_ttl").count() < n) {
+        assert(System.nanoTime() < deadline,
+          s"timed out waiting for $n rows — post-TTL value was suppressed " +
+            s"(state not evicted?) or engine stalled: " +
+            s"${spark.table("eoc_ttl").collect().toSeq}")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      import StreamOps.KeyedValue
+      input.addData(KeyedValue("P1", 5))
+      waitRows(1)
+      Thread.sleep(6000) // idle well past the 2 s TTL -> state evicted
+      input.addData(KeyedValue("P1", 5)) // unchanged, but state is gone
+      waitRows(2) // re-emission IS the assertion; suppression would time out
+    } finally q.stop()
+    assert(spark.table("eoc_ttl").collect().toSeq.length == 2)
+  }
+
   test("streaming dedup drops duplicate events across micro-batches") {
     val input = MemoryStream[PageEvent](spark)
     // dedup key (name, user, date): watermark bounds the dedup state so it
