@@ -57,6 +57,33 @@ object EventSuite {
         col("session_window.start").cast("long").as("session_start"),
         col("n_events"))
 
+  /** DYNAMIC-gap session windows — `session_window(ts, gapExpr)` with a
+    * per-ROW gap (purchases hold a session open 60 min, everything else
+    * 30 min: the "checkout grace" shape). Semantically richer than the
+    * fixed gap: each event extends the session to ts + its OWN gap, and
+    * sessions merge while the next event starts at or before the RUNNING
+    * MAX of those extents — so the oracle is not the lag-based islands
+    * (which only sees the previous row) but a running-max window over
+    * per-row extents, break strictly past it (the inclusive-boundary
+    * merge pinned by GapSessionPropertySpec). Tie rows share a timestamp
+    * and can never break against each other, so the running max is
+    * tie-order-invariant.
+    */
+  def sessionDynamicGap(spark: SparkSession, dir: String): DataFrame = {
+    // the dynamic-gap API requires CalendarIntervalType; INTERVAL literals
+    // are DayTimeIntervalType under ANSI intervals — make_interval builds
+    // the calendar form
+    val gap = when(col("event_type") === "purchase",
+      expr("make_interval(0, 0, 0, 0, 0, 60, 0)"))
+      .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("n_events"))
+  }
+
   /** As-of join: each event with the user's most recent prior order. */
   def eventsAsofOrders(spark: SparkSession, dir: String): DataFrame =
     AsOf.eventsAsOfOrders(spark, dir)
@@ -344,6 +371,7 @@ object EventSuite {
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
+    "session_dynamic_gap"  -> (sessionDynamicGap _),
     "asof_join"            -> (eventsAsofOrders _),
     "funnel"               -> (funnel _))
 
@@ -654,6 +682,34 @@ object EventSuite {
         |FROM counts, now_t
         |WHERE window_start BETWEEN now_s - 86400 AND now_s
         |GROUP BY event_type""".stripMargin,
+    // dynamic-gap sessions: each event extends the session to ts + its
+    // OWN gap (purchase 60 min, else 30 min); merge while the next start
+    // is at or before the RUNNING MAX of prior extents (strict-> break,
+    // the pinned inclusive-boundary semantics)
+    "session_dynamic_gap" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         ts + CASE WHEN event_type = 'purchase'
+        |                   THEN INTERVAL 60 MINUTE
+        |                   ELSE INTERVAL 30 MINUTE END AS win_end
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN max(win_end) OVER w IS NULL
+        |                OR ts > max(win_end) OVER w
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "session_counts" ->
       """WITH e AS (
         |  SELECT user_id, ts,
