@@ -555,15 +555,15 @@ object EventSuite {
     // answer — same oracle as session_counts
     "stream_topic_sessions" ->
       """WITH e AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM e)
         |SELECT user_id,
@@ -576,15 +576,15 @@ object EventSuite {
     // the identical gap-islands oracle checks both surfaces
     "stream_timer_sessions" ->
       """WITH e AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM e)
         |SELECT user_id,
@@ -597,15 +597,15 @@ object EventSuite {
     // day of close (last event + 30 min)
     "stream_chained_sessions" ->
       """WITH e AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM e),
         |closed AS (
@@ -694,7 +694,7 @@ object EventSuite {
         |                   ELSE INTERVAL 30 MINUTE END AS win_end
         |  FROM events),
         |e AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN max(win_end) OVER w IS NULL
         |                OR ts > max(win_end) OVER w
         |              THEN 1 ELSE 0 END AS brk
@@ -703,7 +703,7 @@ object EventSuite {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         |s AS (
         |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM e)
         |SELECT user_id,
@@ -712,15 +712,15 @@ object EventSuite {
         |FROM s GROUP BY user_id, sess""".stripMargin,
     "session_counts" ->
       """WITH e AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN lag(ts) OVER w IS NULL
         |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM e)
         |SELECT user_id,

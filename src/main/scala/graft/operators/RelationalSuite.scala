@@ -2148,7 +2148,7 @@ object RelationalSuite {
         |SELECT status, count(*) AS n_live,
         |       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_updated,
-        |       CAST(sum(p) AS DOUBLE) AS total_price
+        |       CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS total_price
         |FROM live GROUP BY 1""".stripMargin,
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -107,6 +107,23 @@ object StreamOps {
 
   final case class RankedValue(key: String, rank: Int, value: Long)
 
+  /** The shared top-k kernel both processors delegate to: merge arriving
+    * values into the retained k-capped list, persist, emit the ranking —
+    * one definition, so the seeded and unseeded processors cannot drift
+    * (they are checked against the same oracle; a divergence would
+    * surface as a confusing cross-query mismatch).
+    */
+  private def mergeTopK(top: ListState[Long], key: String,
+                        rows: Iterator[KeyedValue],
+                        k: Int): Iterator[RankedValue] = {
+    val merged = (top.get().toSeq ++ rows.map(_.value).toSeq)
+      .sorted(Ordering[Long].reverse).take(k).toArray
+    top.put(merged)
+    merged.iterator.zipWithIndex.map { case (v, i) =>
+      RankedValue(key, i + 1, v)
+    }
+  }
+
   /** Bounded streaming top-k per key on the transformWithState ListState
     * primitive — the state shape [[EmitOnChange]] (ValueState) and
     * [[GapSessions]] (ValueState + timers) don't touch: the per-key state
@@ -126,14 +143,8 @@ object StreamOps {
       top = getHandle.getListState[Long]("top", Encoders.scalaLong,
         TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[KeyedValue],
-                                 timers: TimerValues): Iterator[RankedValue] = {
-      val merged = (top.get().toSeq ++ rows.map(_.value).toSeq)
-        .sorted(Ordering[Long].reverse).take(k).toArray
-      top.put(merged)
-      merged.iterator.zipWithIndex.map { case (v, i) =>
-        RankedValue(key, i + 1, v)
-      }
-    }
+                                 timers: TimerValues): Iterator[RankedValue] =
+      mergeTopK(top, key, rows, k)
   }
 
   /** Streaming per-key top-k: see [[TopKPerKey]]. */
@@ -368,14 +379,8 @@ object StreamOps {
                                     timers: TimerValues): Unit =
       top.put(initial.values.sorted(Ordering[Long].reverse).take(k).toArray)
     override def handleInputRows(key: String, rows: Iterator[KeyedValue],
-                                 timers: TimerValues): Iterator[RankedValue] = {
-      val merged = (top.get().toSeq ++ rows.map(_.value).toSeq)
-        .sorted(Ordering[Long].reverse).take(k).toArray
-      top.put(merged)
-      merged.iterator.zipWithIndex.map { case (v, i) =>
-        RankedValue(key, i + 1, v)
-      }
-    }
+                                 timers: TimerValues): Iterator[RankedValue] =
+      mergeTopK(top, key, rows, k)
   }
 
   /** Streaming top-k seeded from a batch snapshot: see [[TopKBootstrap]]. */

@@ -1395,15 +1395,19 @@ object StreamReplay {
         .groupBy(col("event_type"), col("rank"))
         .agg(max(col("value")).as("value"))
       // the bootstrap must be load-bearing: tail-only top-k must differ
-      // somewhere, else this row degenerates to stream_topic_topk
+      // somewhere, else this row degenerates to stream_topic_topk. FULL
+      // OUTER + null-safe inequality: a seed whose only effect is
+      // contributing ranks the tail can't reach at all (a key with < k
+      // tail events) is a presence difference an inner join would hide
+      // (review finding, round 11)
       val tailOnly = topkOf(events.filter(col("date") > fence)
         .select(col("name"), col("value")))
         .select(col("key").as("event_type"),
           posexplode(col("values")).as(Seq("pos", "value")))
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
-          col("value"))
-      require(converged.join(tailOnly, Seq("event_type", "rank"))
-          .filter(converged("value") =!= tailOnly("value")).limit(1)
+          col("value").as("tail_value"))
+      require(converged.join(tailOnly, Seq("event_type", "rank"), "full_outer")
+          .filter(!(col("value") <=> col("tail_value"))).limit(1)
           .count() > 0,
         s"bootstrap top-$k is vacuous on '$dir': the tail alone already " +
           "produces every converged ranking — move the fence later so " +
