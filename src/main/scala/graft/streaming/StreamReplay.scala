@@ -69,6 +69,37 @@ object StreamReplay {
     child
   }
 
+  /** The quartered publish-and-restart schedule shared by the topic
+    * replays (review finding, round 11 — previously copy-pasted per
+    * replay): the fixture streams in as four event-time quarters with the
+    * consumer stopped and restarted from its checkpoint mid-stream, then
+    * each `sentinelOffset` (days past the fixture's end) publishes one
+    * sentinel row and drains again — the two-sentinel watermark-flush
+    * pattern, N-sentinel for operator chains with deeper emission lag.
+    * Replays with a non-quartered schedule (redelivery injection, fence
+    * splits, tail-only bootstraps, two-topic joins) keep their own
+    * schedules — the schedule IS their scenario.
+    */
+  private def runQuartered(events: DataFrame, lo: Long, hi: Long,
+                           publish: DataFrame => Unit, drain: () => Unit,
+                           sentinelOffsets: Seq[Long] = Nil,
+                           sentinel: Long => DataFrame = null): Unit = {
+    val quarter = math.max(1L, (hi - lo) / 4)
+    def range(from: Long, until: Long, last: Boolean): DataFrame =
+      events.filter(col("date") >= from &&
+        (if (last) lit(true) else col("date") < until)).coalesce(1)
+    publish(range(lo, lo + quarter, last = false))
+    publish(range(lo + quarter, lo + 2 * quarter, last = false))
+    drain() // incarnation 1: offsets + operator state checkpointed
+    publish(range(lo + 2 * quarter, lo + 3 * quarter, last = false))
+    publish(range(lo + 3 * quarter, Long.MaxValue, last = true))
+    if (sentinelOffsets.isEmpty) drain() // incarnation 2: recovered state
+    else sentinelOffsets.foreach { off =>
+      publish(sentinel(hi + off * 86400L * 1000000L))
+      drain()
+    }
+  }
+
   /** The reference topology (filter -> rekey -> 5 s tumbling window ->
     * count), executed AS A STREAM: the events fixture is replayed
     * in event-time order through `numBatches` micro-batches of a
@@ -425,12 +456,6 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_ckpt")
     val t2 = new FileTopic(Topics.T2, wireSchema, root.toString)
     val t4 = new FileTopic(Topics.T4, outSchema, root.toString)
-    // event-time-ordered publishes: one file per time-quarter of the
-    // fixture, so the 10 s watermark never drops a row
-    def publish(from: Long, until: Long, last: Boolean): Unit =
-      t2.append(events
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
     // one consumer incarnation: resume from the checkpointed offsets,
     // drain everything published so far into T4, stop
     def drain(): Unit = {
@@ -454,13 +479,8 @@ object StreamReplay {
       try { q.processAllAvailable() } finally q.stop()
     }
     try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(lo, lo + quarter, last = false)
-      publish(lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: first half, offsets committed
-      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(lo + 3 * quarter, Long.MaxValue, last = true)
-      drain() // incarnation 2: restart from checkpoint, second half only
+      // event-time-ordered quarters so the 10 s watermark never drops a row
+      runQuartered(events, lo, hi, t2.append, () => drain())
       // converged fixpoint from the T4 changelog, snapshotted locally so
       // the temp dirs can be deleted before the caller executes the plan
       val rows = t4.batch(child)
@@ -631,10 +651,6 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_sess_ckpt")
     val in = new FileTopic("sessions_in", wireSchema, root.toString)
     val out = new FileTopic("sessions_out", outSchema, root.toString)
-    def publish(from: Long, until: Long, last: Boolean): Unit =
-      in.append(events
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
     def drain(): Unit = {
       val sessions = in.stream(child)
         .withColumn("ts", timestamp_micros(col("date")))
@@ -652,12 +668,6 @@ object StreamReplay {
       try { q.processAllAvailable() } finally q.stop()
     }
     try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(lo, lo + quarter, last = false)
-      publish(lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: open sessions checkpointed in the store
-      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(lo + 3 * quarter, Long.MaxValue, last = true)
       // TWO sentinel batches, not one (same workaround the MemoryStream
       // twin streamedSessionAppend documents): the watermark only
       // advances at the END of the batch that carries sentinel-1, and
@@ -667,15 +677,10 @@ object StreamReplay {
       // flushes every real session. Both ride reserved user -1.
       // sentinel frames built on the conf-scoped `child` like every other
       // frame in this replay (ADVICE r10 — session-isolation consistency)
-      def sentinel(offsetDays: Long): Unit =
-        in.append(child.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, hi + offsetDays * 86400L * 1000000L)),
-          wireSchema))
-      sentinel(2)
-      drain() // incarnation 2: recovered sessions extend, then close
-      sentinel(4)
-      drain() // incarnation 3: watermark already past every real session
+      runQuartered(events, lo, hi, in.append, () => drain(),
+        sentinelOffsets = Seq(2, 4),
+        sentinel = ts => child.createDataFrame(
+          java.util.Arrays.asList(Row(-1L, ts)), wireSchema))
       val rows = out.batch(child)
         .filter(col("user_id") =!= -1L)
         .collect()
@@ -1098,10 +1103,6 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_timer_sess_ckpt")
     val in = new FileTopic("timer_sessions_in", wireSchema, root.toString)
     val out = new FileTopic("timer_sessions_out", outSchema, root.toString)
-    def publish(from: Long, until: Long, last: Boolean): Unit =
-      in.append(events
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
     def drain(): Unit = {
       implicit val enc = org.apache.spark.sql.Encoders.product[StreamOps.Stamp]
       val stamps = in.stream(child)
@@ -1124,21 +1125,12 @@ object StreamReplay {
       try { q.processAllAvailable() } finally q.stop()
     }
     try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(lo, lo + quarter, last = false)
-      publish(lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: open sessions + ARMED TIMERS checkpointed
-      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(lo + 3 * quarter, Long.MaxValue, last = true)
-      def sentinel(offsetDays: Long): Unit =
-        in.append(child.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, hi + offsetDays * 86400L * 1000000L)),
-          wireSchema))
-      sentinel(2)
-      drain() // incarnation 2: recovered timers re-fire or extend
-      sentinel(4)
-      drain() // incarnation 3: watermark already past every real timer
+      // incarnation 1 checkpoints open sessions + ARMED TIMERS; the
+      // sentinel drains recover and fire them (two-sentinel flush)
+      runQuartered(events, lo, hi, in.append, () => drain(),
+        sentinelOffsets = Seq(2, 4),
+        sentinel = ts => child.createDataFrame(
+          java.util.Arrays.asList(Row(-1L, ts)), wireSchema))
       val rows = out.batch(child)
         .filter(col("user_id") =!= -1L)
         .collect()
@@ -1180,10 +1172,6 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topk_ckpt")
     val in = new FileTopic("topk_in", wireSchema, root.toString)
     val out = new FileTopic("topk_out", outSchema, root.toString)
-    def publish(from: Long, until: Long, last: Boolean): Unit =
-      in.append(events
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
     def drain(): Unit = {
       implicit val enc = org.apache.spark.sql.Encoders
         .product[StreamOps.KeyedValue]
@@ -1201,13 +1189,9 @@ object StreamReplay {
       try { q.processAllAvailable() } finally q.stop()
     }
     try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(lo, lo + quarter, last = false)
-      publish(lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: the k-capped lists checkpointed
-      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(lo + 3 * quarter, Long.MaxValue, last = true)
-      drain() // incarnation 2: recovered lists merge the second half
+      // incarnation 1 checkpoints the k-capped lists; incarnation 2's
+      // recovered lists merge the second half
+      runQuartered(events, lo, hi, in.append, () => drain())
       val rows = out.batch(child)
         .groupBy(col("event_type"), col("rank"))
         .agg(max(col("value")).as("value"))
@@ -1258,10 +1242,6 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_chained_ckpt")
     val in = new FileTopic("chained_in", wireSchema, root.toString)
     val out = new FileTopic("chained_out", outSchema, root.toString)
-    def publish(from: Long, until: Long, last: Boolean): Unit =
-      in.append(events
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
     def drain(): Unit = {
       implicit val enc = org.apache.spark.sql.Encoders.product[StreamOps.Stamp]
       val stamps = in.stream(child)
@@ -1288,27 +1268,16 @@ object StreamReplay {
       try { q.processAllAvailable() } finally q.stop()
     }
     try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(lo, lo + quarter, last = false)
-      publish(lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: both operators' state checkpointed
-      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(lo + 3 * quarter, Long.MaxValue, last = true)
-      def sentinel(offsetDays: Long): Unit =
-        in.append(child.createDataFrame(
-          java.util.Arrays.asList(
-            Row(-1L, hi + offsetDays * 86400L * 1000000L)),
-          wireSchema))
       // TWO sentinels suffice even with two stateful operators: in
       // sentinel-2's data batch the upstream timers fire against the
       // already-advanced watermark AND the emitted closes flow into the
       // downstream aggregate BEFORE its eviction runs with the same
       // watermark — rows added and evicted in one batch (verified: a
       // third sentinel emits nothing more at any fixture scale)
-      sentinel(2)
-      drain() // incarnation 2: recovered sessions close
-      sentinel(4)
-      drain() // incarnation 3: timers fire, day windows fill AND evict
+      runQuartered(events, lo, hi, in.append, () => drain(),
+        sentinelOffsets = Seq(2, 4),
+        sentinel = ts => child.createDataFrame(
+          java.util.Arrays.asList(Row(-1L, ts)), wireSchema))
       val rows = out.batch(child).collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
@@ -1449,10 +1418,6 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_trans_ckpt")
     val in = new FileTopic("trans_in", wireSchema, root.toString)
     val out = new FileTopic("trans_out", pairSchema, root.toString)
-    def publish(from: Long, until: Long, last: Boolean): Unit =
-      in.append(events
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
     def drain(): Unit = {
       implicit val enc = org.apache.spark.sql.Encoders
         .product[StreamOps.TypedEvent]
@@ -1472,13 +1437,9 @@ object StreamReplay {
       try { q.processAllAvailable() } finally q.stop()
     }
     try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(lo, lo + quarter, last = false)
-      publish(lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: last-event + count-map state checkpointed
-      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(lo + 3 * quarter, Long.MaxValue, last = true)
-      drain() // incarnation 2: boundary transitions need recovered state
+      // incarnation 1 checkpoints last-event + count-map state;
+      // incarnation 2's boundary transitions need the recovered state
+      runQuartered(events, lo, hi, in.append, () => drain())
       // converged per-user counts -> global matrix + outgoing fractions
       // (|types|^2 rows; the fraction window runs over that constant size)
       val wf = org.apache.spark.sql.expressions.Window
@@ -1532,10 +1493,6 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_enrich_ckpt")
     val in = new FileTopic("enrich_in", wireSchema, root.toString)
     val out = new FileTopic("enrich_out", outSchema, root.toString)
-    def publish(from: Long, until: Long, last: Boolean): Unit =
-      in.append(events
-        .filter(col("date") >= from && (if (last) lit(true) else col("date") < until))
-        .coalesce(1))
     def drain(): Unit = {
       // the static side: read on the SAME session as the stream, broadcast
       // into every micro-batch's join (dim is ~|customers| rows — the
@@ -1561,13 +1518,9 @@ object StreamReplay {
       try { q.processAllAvailable() } finally q.stop()
     }
     try {
-      val quarter = math.max(1L, (hi - lo) / 4)
-      publish(lo, lo + quarter, last = false)
-      publish(lo + quarter, lo + 2 * quarter, last = false)
-      drain() // incarnation 1: offsets + window state committed
-      publish(lo + 2 * quarter, lo + 3 * quarter, last = false)
-      publish(lo + 3 * quarter, Long.MaxValue, last = true)
-      drain() // incarnation 2: restart from checkpoint, dim re-resolved
+      // incarnation 1 commits offsets + window state; incarnation 2
+      // restarts from checkpoint with the dim re-resolved per trigger
+      runQuartered(events, lo, hi, in.append, () => drain())
       val rows = out.batch(child)
         .groupBy(col("segment"), col("window_start"))
         .agg(max(col("cnt")).as("cnt"))
