@@ -356,6 +356,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedBootstrapTopK(s, d)),
     "stream_topic_enrich"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicEnrich(s, d)),
+    "stream_topic_blocklist" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTopicBlocklist(s, d)),
     "stream_topic_sliding" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSliding(s, d)),
     "stream_topic_dedup"   -> ((s: SparkSession, d: String) =>
@@ -656,6 +658,17 @@ object EventSuite {
         |  FROM events)
         |SELECT event_type, CAST(rank AS BIGINT) AS rank, v AS value
         |FROM r WHERE rank <= 3""".stripMargin,
+    // stream-static LEFT ANTI (blocklist) join: surviving per-type
+    // hourly counts equal the batch NOT IN aggregate
+    "stream_topic_blocklist" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 3600000000) * 3600 AS BIGINT)
+        |         AS window_start,
+        |       count(*) AS cnt
+        |FROM events
+        |WHERE user_id NOT IN (SELECT c_custkey FROM customer
+        |                      WHERE c_mktsegment = 'MACHINERY')
+        |GROUP BY 1, 2""".stripMargin,
     // stream-STATIC enrichment join (stateless broadcast dim under a
     // streaming plan, dim re-resolved every trigger, restart mid-stream):
     // converged per-segment hourly counts equal the batch join + aggregate

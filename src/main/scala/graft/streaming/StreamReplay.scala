@@ -1386,6 +1386,66 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Stream-static LEFT ANTI join over the production source — the
+    * blocklist shape (bot/fraud/abuse filtering): each micro-batch drops
+    * events whose user appears in a STATIC blocklist table (customers of
+    * one market segment here), re-resolved from storage every trigger
+    * like the enrich replay's dim. Completes the streaming join-mode
+    * matrix beside inner stream-stream (attrib), FULL OUTER stream-stream
+    * (attrib_outer), and inner stream-static (enrich); anti joins carry
+    * no state — the static side broadcasts into every batch. Restart
+    * mid-stream as always; converged per-type counts of SURVIVING events
+    * equal the batch NOT IN aggregate.
+    */
+  def streamedTopicBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("date", LongType),
+      StructField("event_type", StringType)))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("window_start", LongType),
+      StructField("cnt", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("date"),
+        col("event_type"))
+    val (lo, hi) = timeBounds(events, s"$dir events (blocklist)")
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_block")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_block_ckpt")
+    val in = new FileTopic("block_in", wireSchema, root.toString)
+    val out = new FileTopic("block_out", outSchema, root.toString)
+    def drain(): Unit = {
+      val blocklist = broadcast(Tables.customer(child, dir)
+        .filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey")))
+      val kept = in.stream(child)
+        .withColumn("ts", timestamp_micros(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .join(blocklist, col("user_id") === col("c_custkey"), "left_anti")
+      val counts = kept
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+          col("window.start").cast("long").as("window_start"), col("cnt"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      runQuartered(events, lo, hi, in.append, () => drain())
+      val rows = out.batch(child)
+        .groupBy(col("event_type"), col("window_start"))
+        .agg(max(col("cnt")).as("cnt"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Per-user event transitions over the production source on the
     * transformWithState MAP-state primitive ([[StreamOps.TransitionCounts]])
     * — MapState point-updates one (from|to) counter per arriving event

@@ -73,6 +73,9 @@ class CollectLintSpec extends SparkSpec {
       // stream_topic_enrich: same replay posture; the stream-static join's
       // broadcast dim is bounded (|customers| rows) and executor-resolved
       "stream_topic_enrich",
+      // stream_topic_blocklist: same posture, LEFT ANTI against the
+      // broadcast static blocklist
+      "stream_topic_blocklist",
       "stream_topic_sliding",
       "stream_topic_dedup",
       "stream_topic_attrib",
