@@ -1,0 +1,133 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Randomized parity for the remaining transformWithState processors —
+  * the [[GapSessionPropertySpec]] treatment applied to the ListState
+  * top-k (plain and seeded) and the MapState transition counter: each
+  * must agree with its batch twin on ARBITRARY inputs, not just the
+  * fixture scales the oracle rows cover. Seeded RNG: failures reproduce.
+  *
+  * The generators aim at the spots most likely to diverge: duplicate
+  * values at the k-boundary (multiset semantics), keys with fewer than k
+  * rows, a seed whose values interleave the stream's (bootstrap), and
+  * duplicate timestamps (the transition processor's within-batch sort
+  * must break ties by eventId exactly as the batch window's ORDER BY).
+  */
+class ProcessorPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260814L)
+
+  private def convergedTopK(stream: Seq[StreamOps.KeyedValue],
+                            seed: Option[Seq[StreamOps.TopKSeed]],
+                            k: Int, name: String): Set[(String, Int, Long)] = {
+    val input = MemoryStream[StreamOps.KeyedValue](spark)
+    val ds = seed match {
+      case Some(sd) => StreamOps.topKBootstrapped(input.toDS(), sd.toDS(), k)
+      case None     => StreamOps.topKPerKey(input.toDS(), k)
+    }
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmpDir(name))
+      .outputMode("update").start()
+    try {
+      stream.grouped(math.max(1, stream.length / 3)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).groupBy($"key", $"rank").agg(max($"value").as("v"))
+      .as[(String, Int, Long)].collect().toSet
+  }
+
+  private def batchTopK(rows: Seq[(String, Long)], k: Int): Set[(String, Int, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"key").orderBy($"value".desc)
+    rows.toDF("key", "value")
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= k)
+      .select($"key", $"rank", $"value")
+      .as[(String, Int, Long)].collect().toSet
+  }
+
+  test("topKPerKey equals the batch row_number top-k on random streams") {
+    (1 to 3).foreach { sample =>
+      // small value range forces duplicates at the k-boundary
+      val rows = (1 to 200).map(_ =>
+        (s"K${rnd.nextInt(6)}", rnd.nextInt(20).toLong))
+      val got = convergedTopK(rows.map(r => StreamOps.KeyedValue(r._1, r._2)),
+        None, k = 3, name = s"tkprop$sample")
+      val want = batchTopK(rows, k = 3)
+      assert(got == want, s"sample $sample: $got vs $want")
+    }
+  }
+
+  test("topKBootstrapped(seed ++ tail) equals batch top-k over seed ++ tail") {
+    (1 to 3).foreach { sample =>
+      val all = (1 to 160).map(_ =>
+        (s"K${rnd.nextInt(5)}", rnd.nextInt(25).toLong))
+      val (hist, tail) = all.splitAt(all.length / 2)
+      // the seed is history's OWN top-k — what a real bootstrap batch
+      // job would hand over; keys absent from history get no seed row
+      val seed = hist.groupBy(_._1).map { case (key, vs) =>
+        StreamOps.TopKSeed(key, vs.map(_._2).sorted.reverse.take(3))
+      }.toSeq
+      val got = convergedTopK(tail.map(r => StreamOps.KeyedValue(r._1, r._2)),
+        Some(seed), k = 3, name = s"btprop$sample")
+      // keys with NO tail rows never emit (nothing arrives to trigger
+      // them) — compare only keys the stream touched, mirroring the
+      // replay's reliance on every key appearing in the tail
+      val tailKeys = tail.map(_._1).toSet
+      val want = batchTopK(all, k = 3).filter(r => tailKeys(r._1))
+      assert(got == want, s"sample $sample: $got vs $want")
+    }
+  }
+
+  test("transitionCounts equals the batch lead() window under timestamp ties") {
+    (1 to 3).foreach { sample =>
+      // coarse second resolution + few users = frequent exact-ts ties;
+      // eventId is the tiebreak on both sides
+      val rows = (1 to 240).map { i =>
+        StreamOps.TypedEvent(1L + rnd.nextInt(4),
+          new Timestamp((1700000000L + rnd.nextInt(40)) * 1000L), i.toLong,
+          Seq("view", "click", "purchase")(rnd.nextInt(3)))
+      }
+      val input = MemoryStream[StreamOps.TypedEvent](spark)
+      val name = s"trprop$sample"
+      val q = StreamOps.transitionCounts(input.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir(name))
+        .outputMode("update").start()
+      try {
+        // event-time-ordered chunks like the replay publishes (the
+        // processor orders within a batch; ACROSS batches order is the
+        // wire's responsibility)
+        rows.sortBy(r => (r.ts.getTime, r.eventId))
+          .grouped(80).foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
+      val got = spark.table(name)
+        .groupBy($"user", $"pair").agg(max($"n").as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      val want = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user").orderBy($"ts", $"eventId")
+        rows.toDF()
+          .withColumn("to_typ", lead($"typ", 1).over(w))
+          .filter($"to_typ".isNotNull)
+          .groupBy($"user", concat($"typ", lit("|"), $"to_typ").as("pair"))
+          .agg(count(lit(1)).as("n"))
+          .as[(Long, String, Long)].collect().toSet
+      }
+      assert(got == want,
+        s"sample $sample: only-in-processor ${got -- want}, " +
+          s"only-in-batch ${want -- got}")
+    }
+  }
+}
