@@ -96,8 +96,48 @@ object Bench {
     Health(verdicts, band, status, headlinePass, pass2Adj)
   }
 
+  /** Cross-round drift baseline (round-11 verdict ask #6): the per-query
+    * min seconds and per-query sf of the PREVIOUS committed
+    * BENCH_DETAIL.json, parsed with a regex over the format this file
+    * itself writes (no JSON dep needed for a self-authored format). Rows
+    * whose sf changed between records are incomparable and skipped.
+    */
+  def readPrevDetail(text: String, recordSf: String): Map[String, (Double, String)] = {
+    val row = """"([a-z0-9_]+)":\{"sec":([0-9.]+)([^}]*)\}""".r
+    val qsf = """"qsf":"([^"]+)"""".r
+    row.findAllMatchIn(text).map { m =>
+      val sf = qsf.findFirstMatchIn(m.group(3)).map(_.group(1)).getOrElse(recordSf)
+      m.group(1) -> (m.group(2).toDouble, sf)
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Replay rows (stream_*) are VERIFICATION HARNESSES — multi-query
+    // micro-batch lifecycles whose wall is checkpoint/restart machinery,
+    // not engine throughput; their semantics are oracle-proven at sf0.01
+    // by Verify. Round 11 measured them at sf0.1: 16 rows carried ~115 s
+    // of the 247 s pass-2 headline and their per-pass JIT/class churn
+    // taxed NEIGHBORING queries (the round-11 1.22x shared-query drift —
+    // isolated re-runs at both commits reproduce round-10 times exactly).
+    // They now run at sf0.001 (round-11 verdict ask #7), declared per-row
+    // via "qsf" and record-level via "replay_sf" so cross-round tooling
+    // never mis-joins the two scales.
+    val replaySfDir = sys.env.getOrElse("SPARK_GRAFT_REPLAY_SF_DIR",
+      "/root/testdata/sf0.001")
+    def dirFor(name: String): String =
+      if (name.startsWith("stream_")) replaySfDir else sfDir
+    // read the PREVIOUS record before this run overwrites it
+    val prevDetail: Map[String, (Double, String)] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+        if (java.nio.file.Files.exists(p)) {
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val recSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(text)
+            .map(_.group(1)).getOrElse("")
+          readPrevDetail(text, recSf)
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -191,7 +231,7 @@ object Bench {
       // noop sink forces full materialization of every output column
       // (a bare .count() would let Catalyst prune the whole projection).
       var ran = true
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      try { fn(spark, dirFor(name)).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
         ran = false
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -295,6 +335,30 @@ object Bench {
     // gc_sec binds to the same pass as the headline it accompanies
     val gcTotal = headline.map(_._2.gc).sum
     val sfName = new java.io.File(sfDir).getName
+    // CROSS-ROUND DRIFT (round-11 verdict ask #6): per-query min vs the
+    // previous committed record, flagged at >1.5x AND >0.5 s absolute
+    // excess (the ratio alone would flag 0.1 -> 0.2 s noise). Advisory —
+    // it never changes health status — but it makes the judge's
+    // hand-diff of BENCH_DETAIL mins mechanical. Rows whose sf changed
+    // between records (e.g. the round-12 replay-row move to sf0.001)
+    // are incomparable and counted in "skipped_sf_changed".
+    val (driftJson, driftFlagged) = locally {
+      val cur = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
+        (n, math.min(s1.sec, s2.sec), new java.io.File(dirFor(n)).getName)
+      }
+      val comparable = cur.flatMap { case (n, sec, sf) =>
+        prevDetail.get(n).collect { case (p, psf) if psf == sf => (n, p, sec) }
+      }
+      val skipped = cur.count { case (n, _, sf) =>
+        prevDetail.get(n).exists(_._2 != sf)
+      }
+      val flagged = comparable.collect {
+        case (n, p, c) if c > 1.5 * p && c - p > 0.5 =>
+          f"""{"name":"$n","prev":$p%.3f,"now":$c%.3f,"ratio":${c / p}%.2f}"""
+      }
+      (s"""{"compared":${comparable.size},"skipped_sf_changed":$skipped,""" +
+        s""""flagged":${flagged.mkString("[", ",", "]")}}""", flagged.size)
+    }
     // Full-fidelity per-query record (min + both passes + gc, 3 decimals)
     // goes to a FILE in the repo — the stdout line is size-capped by the
     // recorder's 2000-char tail, the file is not, and the driver commits
@@ -325,7 +389,10 @@ object Bench {
           f""""jit1":${s1.jit}%.2f,"jit2":${s2.jit}%.2f,""" +
           f""""cls1":${s1.cls},"cls2":${s2.cls},""" +
           f""""t1":${s1.startMs},"t2":${s2.startMs},""" +
-          f""""load1":${s1.load}%.1f,"load2":${s2.load}%.1f$extra}"""
+          f""""load1":${s1.load}%.1f,"load2":${s2.load}%.1f""" +
+          (if (dirFor(n) != sfDir)
+            s""","qsf":"${new java.io.File(dirFor(n)).getName}""""
+          else "") + s"$extra}"
       }.mkString(",\n")
       val jit = passJit.zipWithIndex.map { case ((js, cl, cc), i) =>
         f""""pass${i + 1}":{"jit_sec":$js%.1f,"classes_loaded":$cl,"code_cache_mb":$cc%.1f}"""
@@ -342,9 +409,11 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
         f""""queries_metric":"pass$headlinePass",""" +
+        s""""replay_sf":"${new java.io.File(replaySfDir).getName}",""" +
         f""""min_sec":$minTotal%.3f,""" +
         f""""gc_sec":$gcTotal%.2f,"pass_sec":[${passTotals.head}%.1f,""" +
         f"""${passTotals.last}%.1f],"jit":$jit,"health":$health,""" +
+        f""""drift":$driftJson,""" +
         f""""queries":{\n$detail\n}}\n"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
@@ -378,8 +447,10 @@ object Bench {
         f""""pass_ratio":${passTotals.last / passTotals.head}%.2f,""" +
         s""""anomalies":${verdicts.size},""" +
         s""""transient":${verdicts.count(_.transient)},""" +
-        s""""reproducible":${reproducible.size},"contiguous_band":$band}"""
+        s""""reproducible":${reproducible.size},"contiguous_band":$band,""" +
+        s""""drift_flagged":$driftFlagged}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
+        s""""replay_sf":"${new java.io.File(replaySfDir).getName}",""" +
         s""""queries_metric":"pass$headlinePass","queries":$qs$omitted,""" +
         s""""gc_sec":${f"$gcTotal%.2f"},"pass_sec":[${f"${passTotals.head}%.1f"},""" +
         s"""${f"${passTotals.last}%.1f"}],"jit_sec":$jitSec,""" +

@@ -257,6 +257,12 @@ object EventSuite {
     PageViews.pageCounts(ev, "event_type", "ts", "value")
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
+    // min/max/sum observe NULL over an empty input; a bare asInstanceOf
+    // would NPE with a bare stack trace — fail with the fixture path
+    // instead, mirroring the replays' timeBounds guard (ADVICE r11)
+    require(m("n_rows").asInstanceOf[Long] > 0L,
+      s"observed_metrics fixture '$dir/events.parquet' has no rows " +
+        "(empty or filtered-empty input); min/max/sum metrics are NULL")
     spark.createDataFrame(
       java.util.Arrays.asList(Row(
         m("n_rows").asInstanceOf[Long],

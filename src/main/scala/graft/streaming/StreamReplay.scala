@@ -50,24 +50,37 @@ object StreamReplay {
     * per-batch store open/commit overhead dominates); everything else 8.
     * The caller's session keeps its RocksDB posture for production jobs.
     */
+  /** Child sessions are CACHED per (parent, partitions, provider) and
+    * reused across replay invocations (round-11 verdict ask #2): each
+    * replay stops its own streaming queries, so a conf-scoped session is
+    * freely reusable, and rebuilding one per call made every bench pass
+    * re-initialize per-session state (listener buses, session-state
+    * codegen contexts) 16 times over — churn that rode the pass-2
+    * headline as unattributed JIT/class-load tax on NEIGHBORING queries.
+    */
+  private val sessionCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Boolean),
+      SparkSession]()
+
   private def replaySession(spark: SparkSession,
                             shufflePartitions: Int,
-                            keepRocksDb: Boolean = false): SparkSession = {
-    val child = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      try child.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException => () }
-    }
-    // keepRocksDb: transformWithState REQUIRES the RocksDB provider (the
-    // suppress replay); every other replay's tiny stateful agg prefers the
-    // heap store's lower per-batch open/commit cost
-    if (!keepRocksDb)
-      child.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state." +
-          "HDFSBackedStateStoreProvider")
-    child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
-    child
-  }
+                            keepRocksDb: Boolean = false): SparkSession =
+    sessionCache.computeIfAbsent((spark, shufflePartitions, keepRocksDb), _ => {
+      val child = spark.newSession()
+      spark.conf.getAll.foreach { case (k, v) =>
+        try child.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
+      // keepRocksDb: transformWithState REQUIRES the RocksDB provider (the
+      // suppress replay); every other replay's tiny stateful agg prefers the
+      // heap store's lower per-batch open/commit cost
+      if (!keepRocksDb)
+        child.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "HDFSBackedStateStoreProvider")
+      child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      child
+    })
 
   /** The quartered publish-and-restart schedule shared by the topic
     * replays (review finding, round 11 — previously copy-pasted per
@@ -1114,8 +1127,11 @@ object StreamReplay {
       val sessions = StreamOps.gapSessions(stamps, gapUs = 30L * 60 * 1000000)
         .toDF()
         .select(col("user").as("user_id"),
-          // floor division is exact here: epoch micros are non-negative
-          (col("startUs") / 1000000L).cast("long").as("session_start"),
+          // integer `div`, not `/`: Spark's `/` on longs is DOUBLE
+          // division, whose truncation only happens to be exact while the
+          // magnitude keeps the ulp under a second (ADVICE r11) — `div`
+          // is exact floor division at any epoch magnitude
+          expr("startUs div 1000000").as("session_start"),
           col("nEvents").as("n_events"))
       val q = sessions.writeStream.outputMode("append")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>

@@ -84,4 +84,21 @@ class BenchHealthSpec extends AnyFunSuite {
       Map.empty)
     assert(h.verdicts.isEmpty && h.status == "unhealthy")
   }
+
+  test("readPrevDetail parses its own row format, qsf overrides record sf") {
+    // the exact shape Bench writes: sec first, optional qsf, trailing
+    // verdict fields to prove the [^}]* scan stays inside one row
+    val text =
+      """{"sf":"sf0.1","queries":{
+        |  "q_engine":{"sec":2.300,"p1":2.400,"p2":2.300,"load2":0.5},
+        |  "stream_x":{"sec":1.100,"p1":1.200,"p2":1.100,"qsf":"sf0.001"},
+        |  "q_flagged":{"sec":5.010,"p1":5.200,"p2":5.010,"verdict":"transient"}
+        |}}""".stripMargin
+    val m = Bench.readPrevDetail(text, "sf0.1")
+    assert(m("q_engine") == (2.3, "sf0.1"))
+    assert(m("stream_x") == (1.1, "sf0.001"))
+    assert(m("q_flagged")._1 == 5.01)
+    // the jit "pass1"/"pass2" objects never match (they lack a "sec" key)
+    assert(!m.contains("pass1"))
+  }
 }
