@@ -350,6 +350,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicCounts(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
+    "stream_dynamic_sessions" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedDynamicSessions(s, d)),
     "stream_timer_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTimerSessions(s, d)),
     "stream_topic_topk"    -> ((s: SparkSession, d: String) =>
@@ -705,6 +707,34 @@ object EventSuite {
     // OWN gap (purchase 60 min, else 30 min); merge while the next start
     // is at or before the RUNNING MAX of prior extents (strict-> break,
     // the pinned inclusive-boundary semantics)
+    // streamed dynamic-gap sessions (FileTopic readStream, append mode,
+    // mid-stream restart with open sessions' MERGED EXTENTS in recovered
+    // state): exactly-once emitted rows must equal the batch dynamic-gap
+    // answer — the identical running-max-islands oracle checks both
+    "stream_dynamic_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         ts + CASE WHEN event_type = 'purchase'
+        |                   THEN INTERVAL 60 MINUTE
+        |                   ELSE INTERVAL 30 MINUTE END AS win_end
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN max(win_end) OVER w IS NULL
+        |                OR ts > max(win_end) OVER w
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM e)
+        |SELECT user_id,
+        |       CAST(epoch_us(min(ts)) // 1000000 AS BIGINT) AS session_start,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
     "session_dynamic_gap" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -701,6 +701,75 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** DYNAMIC-gap session windows STREAMED (round-11 verdict ask #5 —
+    * previously batch-only as `session_dynamic_gap`): the per-row gap
+    * (`session_window(ts, gapExpr)` — purchases hold the session open
+    * 60 min, everything else 30) runs through the same production-source
+    * scaffold as [[streamedTopicSessions]]: FileTopic readStream, append
+    * mode, quartered publish with a mid-stream consumer restart (open
+    * sessions + their per-row extents recovered from the state store),
+    * two far-future sentinels to flush. Dynamic gaps make the RESTART
+    * strictly harder than the fixed-gap sibling: a recovered session's
+    * close time depends on WHICH event types it absorbed before the
+    * crash, so state recovery must restore the merged extent, not just
+    * the event count. Converges to the batch answer under the identical
+    * running-max-islands oracle.
+    */
+  def streamedDynamicSessions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("date", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("session_start", LongType),
+      StructField("n_events", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("date"))
+    val (lo, hi) = timeBounds(events, s"$dir events (dynamic sessions)")
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_dyn_sess")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dyn_sess_ckpt")
+    val in = new FileTopic("dyn_sessions_in", wireSchema, root.toString)
+    val out = new FileTopic("dyn_sessions_out", outSchema, root.toString)
+    def drain(): Unit = {
+      // CalendarIntervalType via make_interval, exactly like the batch
+      // twin (INTERVAL literals are DayTimeIntervalType under ANSI)
+      val gap = when(col("event_type") === "purchase",
+        expr("make_interval(0, 0, 0, 0, 0, 60, 0)"))
+        .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+      val sessions = in.stream(child)
+        .withColumn("ts", timestamp_micros(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("n_events"))
+      val q = sessions.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      // sentinels ride reserved user -1 with a NON-purchase type (the
+      // 30-min arm) — the sentinel session itself stays open and is
+      // filtered; only its watermark advance matters
+      runQuartered(events, lo, hi, in.append, () => drain(),
+        sentinelOffsets = Seq(2, 4),
+        sentinel = ts => child.createDataFrame(
+          java.util.Arrays.asList(Row(-1L, "sentinel", ts)), wireSchema))
+      val rows = out.batch(child)
+        .filter(col("user_id") =!= -1L)
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Watermarked dedup over the PRODUCTION source, with duplicates
     * injected ACROSS the consumer restart — the at-least-once redelivery
     * scenario the operator exists for: after incarnation 1 commits its
