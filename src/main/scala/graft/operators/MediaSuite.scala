@@ -5,18 +5,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.model.Tables
 
 /** Multimodal pipeline queries: documents -> media table (binary payload +
-  * typed metadata) -> per-partition decode/feature-extract.
+  * typed metadata) -> per-partition decode/feature-extract/frame-sample.
   *
-  * The image AND audio paths are REAL: payloads are genuine PNGs
-  * (javax.imageio) and genuine 16-bit PCM WAVs (javax.sound.sampled),
-  * generated on the executors and decoded back through the same JDK
-  * codecs — the oracle checks decoded dimensions / sample-rate / frame
-  * counts against the parameters that sized the encode, and the decoded
-  * pixel and abs-sample digests against the closed forms of the
-  * deterministic fills, so a broken encoder OR decoder fails the hash.
-  * Video stays on the clearly-marked stub (no video codec in this
-  * container); its rows are oracle-checked through md5 + integer
-  * arithmetic as before.
+  * ALL THREE kinds are REAL: payloads are genuine PNGs (javax.imageio),
+  * genuine 16-bit PCM WAVs (javax.sound.sampled), and genuine multi-frame
+  * animated GIFs (javax.imageio sequence writer), generated on the
+  * executors and decoded back through the same JDK codecs — the oracle
+  * checks decoded dimensions / sample-rate / frame counts against the
+  * parameters that sized the encode, and the decoded pixel and abs-sample
+  * digests against the closed forms of the deterministic fills, so a
+  * broken encoder OR decoder fails the hash. (Round-11 verdict ask #3:
+  * the video stub is retired; `MediaDecoder` remains the swap point for
+  * richer codecs outside this container.)
   */
 object MediaSuite {
 
@@ -26,9 +26,7 @@ object MediaSuite {
   }
 
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val media = Multimodal.mediaTable(Tables.documents(spark, dir))
-      .as[Multimodal.MediaRow]
+    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir))
     Multimodal.sampleFrames(media).toDF()
   }
 
@@ -37,15 +35,16 @@ object MediaSuite {
     "frame_sample"   -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
-    // px recomputes the decoded pixel sum in closed form: the image fill
-    // is (doc_id + x + y) mod 256 at every pixel of the (w, h) gradient,
-    // so sum over the pixel grid reproduces what ImageIoDecoder reads
-    // back from the actual PNG bytes
+    // px/asum/vsum recompute the decoded content digests in closed form:
+    // the image fill is (doc_id + x + y) mod 256 over the (w, h) gradient,
+    // the audio samples are ((doc_id*31 + i*17) mod 65536) - 32768, and
+    // the video fill is (doc_id + 3f + x + y) mod 256 over every frame f
+    // of the (vw, vh) GIF — so the sums reproduce exactly what the JDK
+    // codecs read back from the actual PNG/WAV/GIF bytes
     "media_features" ->
       """WITH m AS (
         |  SELECT doc_id,
         |         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
-        |         text,
         |         (32 + doc_id % 97)::INT AS w,
         |         (32 + (doc_id * 7) % 97)::INT AS h
         |  FROM documents),
@@ -68,15 +67,33 @@ object MediaSuite {
         |           AS BIGINT) AS audio_sum
         |  FROM au, LATERAL (SELECT unnest(range(au.n)) AS i) s
         |  GROUP BY au.doc_id),
+        |vx AS (
+        |  SELECT doc_id,
+        |         (2 + doc_id % 7)::INT AS n,
+        |         (16 + doc_id % 16)::INT AS vw,
+        |         (16 + (doc_id * 5) % 16)::INT AS vh
+        |  FROM m WHERE kind = 'video'),
+        |vsum AS (
+        |  SELECT vx.doc_id,
+        |         CAST(sum((vx.doc_id + 3 * f.j + x.i + y.k) % 256)
+        |           AS BIGINT) AS video_sum
+        |  FROM vx,
+        |       LATERAL (SELECT unnest(range(vx.n)) AS j) f,
+        |       LATERAL (SELECT unnest(range(vx.vw)) AS i) x,
+        |       LATERAL (SELECT unnest(range(vx.vh)) AS k) y
+        |  GROUP BY vx.doc_id),
         |f AS (
-        |  SELECT m.doc_id, m.kind, m.text,
-        |         CASE WHEN m.kind = 'audio' THEN au.sr ELSE m.w END AS width,
-        |         CASE WHEN m.kind = 'audio' THEN 1 ELSE m.h END AS height,
-        |         CASE WHEN m.kind = 'video'
-        |              THEN least(8, 1 + strlen(m.text) // 1024)
+        |  SELECT m.doc_id, m.kind,
+        |         CASE WHEN m.kind = 'audio' THEN au.sr
+        |              WHEN m.kind = 'video' THEN vx.vw
+        |              ELSE m.w END AS width,
+        |         CASE WHEN m.kind = 'audio' THEN 1
+        |              WHEN m.kind = 'video' THEN vx.vh
+        |              ELSE m.h END AS height,
+        |         CASE WHEN m.kind = 'video' THEN vx.n
         |              WHEN m.kind = 'audio' THEN au.n
         |              ELSE 0 END AS n_frames_sampled
-        |  FROM m LEFT JOIN au USING (doc_id))
+        |  FROM m LEFT JOIN au USING (doc_id) LEFT JOIN vx USING (doc_id))
         |SELECT f.doc_id, f.kind, f.width::INT AS width, f.height::INT AS height,
         |       (CASE WHEN greatest(width, height) <= 64 THEN width
         |             ELSE greatest(1, (width * 64) // greatest(width, height))
@@ -85,24 +102,35 @@ object MediaSuite {
         |             ELSE greatest(1, (height * 64) // greatest(width, height))
         |        END)::INT AS thumb_h,
         |       f.n_frames_sampled::INT AS n_frames_sampled,
-        |       CASE WHEN f.kind = 'video' THEN md5(f.text) END AS payload_md5,
         |       CASE WHEN f.kind = 'image' THEN px.pixel_sum
-        |            WHEN f.kind = 'audio' THEN asum.audio_sum END AS pixel_sum
-        |FROM f LEFT JOIN px USING (doc_id) LEFT JOIN asum USING (doc_id)""".stripMargin,
-    // same deterministic media derivation; evenly-spaced byte offsets via
-    // integer division, one row per sampled frame of each video payload
+        |            WHEN f.kind = 'audio' THEN asum.audio_sum
+        |            ELSE vsum.video_sum END AS pixel_sum
+        |FROM f LEFT JOIN px USING (doc_id) LEFT JOIN asum USING (doc_id)
+        |       LEFT JOIN vsum USING (doc_id)""".stripMargin,
+    // the sampler picks min(4, n) evenly spaced frames (idx = i*n/k) and
+    // materializes EACH SAMPLED FRAME's pixels; the per-frame digest has
+    // the same closed form, fixed at that frame index
     "frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id,
-        |         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
-        |         strlen(text)::BIGINT AS n_bytes
+        |         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind
         |  FROM documents),
         |v AS (
-        |  SELECT doc_id, n_bytes,
-        |         least(8, 1 + n_bytes // 1024)::INT AS n_frames
-        |  FROM m WHERE kind = 'video')
-        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
-        |       CAST(i * (n_bytes // n_frames) AS BIGINT) AS frame_offset
-        |FROM (SELECT doc_id, n_bytes, n_frames, unnest(range(n_frames)) AS i
-        |      FROM v)""".stripMargin)
+        |  SELECT doc_id,
+        |         (2 + doc_id % 7)::INT AS n,
+        |         (16 + doc_id % 16)::INT AS vw,
+        |         (16 + (doc_id * 5) % 16)::INT AS vh
+        |  FROM m WHERE kind = 'video'),
+        |s AS (
+        |  SELECT doc_id, n, vw, vh, least(4, n) AS k FROM v),
+        |f AS (
+        |  SELECT doc_id, vw, vh, ((t.i * n) // k)::INT AS frame_idx
+        |  FROM s, LATERAL (SELECT unnest(range(s.k)) AS i) t)
+        |SELECT f.doc_id, f.frame_idx,
+        |       CAST(sum((f.doc_id + 3 * f.frame_idx + x.i + y.j) % 256)
+        |         AS BIGINT) AS frame_px_sum
+        |FROM f,
+        |     LATERAL (SELECT unnest(range(f.vw)) AS i) x,
+        |     LATERAL (SELECT unnest(range(f.vh)) AS j) y
+        |GROUP BY f.doc_id, f.frame_idx""".stripMargin)
 }

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * `binary` payloads + typed metadata, with decode / feature-extraction /
   * resize / frame-sampling as per-partition batch transforms.
   *
-  * The IMAGE path is real end-to-end: fixture payloads are genuine PNGs
-  * (encoded executor-side with the JDK's javax.imageio, deterministic
-  * gradient fill) and `ImageIoDecoder` decodes them back — true header
-  * dimensions, true pixel reads. Audio/video codecs are not in this
-  * container (no ffmpeg/soundfile), so those kinds go through the clearly
-  * marked `StubDecoder`; its trait is the swap point, same as the image
-  * path demonstrates.
+  * ALL THREE kinds decode for real on pure-JDK codecs: images are genuine
+  * PNGs (javax.imageio), audio genuine 16-bit PCM WAVs
+  * (javax.sound.sampled), and video genuine multi-frame ANIMATED GIFs
+  * (javax.imageio's GIF writer supports frame sequences — the one true
+  * video container a bare JDK can both encode and decode). Payloads are
+  * encoded executor-side with deterministic fills, decoded back through
+  * the same JDK codecs, and the decoded pixel/sample digests have closed
+  * forms the SQL oracle recomputes — a broken encoder OR decoder breaks
+  * the hash. The `MediaDecoder` trait stays the swap point for richer
+  * codecs (ffmpeg et al.) outside this container.
   */
 object Multimodal {
 
@@ -23,19 +26,19 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
                             meta_width: Int, meta_height: Int)
 
-  /** Extracted features. `width`/`height` are DECODED dimensions (read
-    * from the PNG header for images — proving the payload round-trip —
-    * and metadata passthrough for the stubbed kinds); `pixel_sum` is the
-    * sum of decoded red-channel values (image only), the pixel-level
-    * digest the oracle recomputes in closed form; `payload_md5` digests
-    * the raw payload for the stubbed kinds (images carry the pixel digest
-    * instead — an external SQL engine cannot re-encode a PNG to hash it).
+  /** Extracted features. `width`/`height` are DECODED physical properties
+    * (PNG/GIF header dims for image and video, sample-rate x channels for
+    * audio — proving the payload round-trip, never metadata passthrough);
+    * `n_frames_sampled` is the decoded frame count (GIF frames, WAV
+    * sample frames; 0 for stills); `pixel_sum` is the decoded content
+    * digest — red-channel sum over every pixel of every frame for
+    * image/video, abs-sample sum for audio — which the SQL oracle
+    * recomputes in closed form from the deterministic fills.
     */
   final case class MediaFeatures(doc_id: Long, kind: String, width: Int,
                                  height: Int, thumb_w: Int, thumb_h: Int,
                                  n_frames_sampled: Int,
-                                 payload_md5: Option[String],
-                                 pixel_sum: Option[Long])
+                                 pixel_sum: Long)
 
   /** What a decoder returns; pixelSum is -1 for kinds without pixel data. */
   final case class Decoded(width: Int, height: Int, nFrames: Int,
@@ -45,33 +48,16 @@ object Multimodal {
     def decode(kind: String, payload: Array[Byte], metaW: Int, metaH: Int): Decoded
   }
 
-  /** STUB: stands in for the audio/video codecs (ffmpeg/soundfile are not
-    * installed here). Deterministic: dimensions from metadata, frame count
-    * from payload size — so tests and oracles are exact. A real decoder
-    * implements the same trait; nothing else changes (ImageIoDecoder is
-    * exactly that swap for images).
-    */
-  object StubDecoder extends MediaDecoder {
-    override def decode(kind: String, payload: Array[Byte], metaW: Int, metaH: Int): Decoded = {
-      val frames = kind match {
-        case "video" => math.min(8L, 1L + payload.length / 1024L).toInt
-        case _       => 0
-      }
-      Decoded(metaW, metaH, frames)
-    }
-  }
-
-  /** REAL image codec on the JDK's javax.imageio: decodes the PNG payload
-    * (header dimensions + full pixel read, summing the red channel as the
-    * content digest), ignoring the metadata dims on purpose — a payload
-    * that doesn't round-trip fails the oracle instead of being papered
-    * over by metadata. AUDIO rows decode for real too (javax.sound WAV —
-    * see [[WavCodec]]): width/height carry the decoded sampleRate and
-    * channel count (the decoded physical properties, in the schema shared
-    * across kinds), nFrames the audio frame count, pixelSum the
-    * abs-sample content digest. Video (no codec in the container)
-    * delegates to StubDecoder. One decoder per partition via
-    * extractFeatures' mapPartitions; the ImageIO disk cache is off.
+  /** REAL codecs on the JDK, one per kind: PNG (image — header dimensions
+    * + full pixel read, red-channel sum as the content digest), WAV
+    * (audio — see [[WavCodec]]: width/height carry decoded sampleRate and
+    * channel count, nFrames the frame count, pixelSum the abs-sample
+    * digest), and multi-frame GIF (video — see [[GifCodec]]: frame-0
+    * dims, decoded frame count, red-channel sum over EVERY frame).
+    * Metadata dims are ignored on purpose — a payload that doesn't
+    * round-trip fails the oracle instead of being papered over by
+    * metadata. One decoder per partition via extractFeatures'
+    * mapPartitions; the ImageIO disk cache is off.
     */
   object ImageIoDecoder extends MediaDecoder {
     javax.imageio.ImageIO.setUseCache(false)
@@ -93,8 +79,106 @@ object Multimodal {
           }
           Decoded(img.getWidth, img.getHeight, 0, sum)
         case "audio" => WavCodec.decode(payload)
-        case _ => StubDecoder.decode(kind, payload, metaW, metaH)
+        case "video" => GifCodec.decode(payload)
+        case other => throw new IllegalArgumentException(
+          s"no codec for kind '$other' — implement MediaDecoder for it")
       }
+  }
+
+  /** REAL video codec on the JDK's javax.imageio GIF sequence support:
+    * encodes `nFrames(docId)` grayscale frames (fill: pixel (x, y) of
+    * frame f carries (doc_id + 3 f + x + y) mod 256) into ONE animated
+    * GIF via `prepareWriteSequence`/`writeToSequence`, and decodes the
+    * frames back with `getNumImages(true)` + per-frame reads. An 8-bit
+    * grayscale fill round-trips GIF's 256-entry palette losslessly
+    * (probe-verified), so the decoded all-frames pixel sum has a closed
+    * form the SQL oracle recomputes — frame COUNT, frame DIMS, and frame
+    * CONTENT are all checked, not just container magic.
+    */
+  private[graft] object GifCodec {
+    def nFrames(docId: Long): Int = 2 + (docId % 7).toInt
+    def frameW(docId: Long): Int = 16 + (docId % 16).toInt
+    def frameH(docId: Long): Int = 16 + ((docId * 5) % 16).toInt
+
+    private def frame(docId: Long, f: Int): java.awt.image.BufferedImage = {
+      val (w, h) = (frameW(docId), frameH(docId))
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((docId + 3L * f + x + y) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(docId: Long): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        wr.setOutput(ios)
+        wr.prepareWriteSequence(null)
+        (0 until nFrames(docId)).foreach(f =>
+          wr.writeToSequence(
+            new javax.imageio.IIOImage(frame(docId, f), null, null), null))
+        wr.endWriteSequence()
+      } finally { wr.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    private def reader(payload: Array[Byte]): javax.imageio.ImageReader = {
+      val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload)))
+      rd
+    }
+
+    private def redSum(img: java.awt.image.BufferedImage): Long = {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          sum += (img.getRGB(x, y) >> 16) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      sum
+    }
+
+    def decode(payload: Array[Byte]): Decoded = {
+      val rd = reader(payload)
+      try {
+        val n = rd.getNumImages(true)
+        require(n > 0, "payload is not a decodable GIF")
+        val first = rd.read(0)
+        var sum = redSum(first)
+        var f = 1
+        while (f < n) { sum += redSum(rd.read(f)); f += 1 }
+        Decoded(first.getWidth, first.getHeight, n, sum)
+      } finally rd.dispose()
+    }
+
+    /** Frame count + pixel digests of the SELECTED frames through one
+      * reader open — the clip-selection decode: a real pipeline seeks the
+      * codec once and materializes only the sampled frames' pixels.
+      * `pick` maps the decoded frame count to the sampled indices.
+      */
+    def sampleSums(payload: Array[Byte], pick: Int => Seq[Int]): Seq[(Int, Long)] = {
+      val rd = reader(payload)
+      try {
+        val n = rd.getNumImages(true)
+        require(n > 0, "payload is not a decodable GIF")
+        pick(n).map(idx => idx -> redSum(rd.read(idx)))
+      } finally rd.dispose()
+    }
   }
 
   /** REAL audio codec on the JDK's javax.sound.sampled: 16-bit PCM mono
@@ -171,8 +255,8 @@ object Multimodal {
 
   /** Build a media table from the documents fixture: kind round-robins
     * image/audio/video, metadata dims derive deterministically from
-    * doc_id; audio/video payloads are the UTF-8 text bytes (stand-in
-    * blobs for the stubbed codecs).
+    * doc_id; payloads are the UTF-8 text bytes (stand-in blobs —
+    * [[mediaTableReal]] swaps in the genuine encoded media).
     */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
@@ -183,10 +267,10 @@ object Multimodal {
       (lit(32) + pmod(col("doc_id"), lit(97))).cast("int").as("meta_width"),
       (lit(32) + pmod(col("doc_id") * 7, lit(97))).cast("int").as("meta_height"))
 
-  /** mediaTable with REAL payloads for image AND audio rows: images
-    * become genuine PNGs, audio rows genuine 16-bit PCM WAVs (both
-    * encoded right here on the executors — a per-partition map, no
-    * shuffle, no driver bytes). Video rows keep their stand-in blobs.
+  /** mediaTable with REAL payloads for every kind: images become genuine
+    * PNGs, audio rows genuine 16-bit PCM WAVs, video rows genuine
+    * multi-frame animated GIFs — all encoded right here on the executors
+    * (a per-partition map, no shuffle, no driver bytes).
     */
   def mediaTableReal(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -196,6 +280,7 @@ object Multimodal {
           case "image" =>
             r.copy(payload = pngPayload(r.doc_id, r.meta_width, r.meta_height))
           case "audio" => r.copy(payload = WavCodec.encode(r.doc_id))
+          case "video" => r.copy(payload = GifCodec.encode(r.doc_id))
           case _ => r
         }
       }
@@ -211,28 +296,29 @@ object Multimodal {
     else (math.max(1, w * maxSide / m), math.max(1, h * maxSide / m))
   }
 
-  /** One sampled frame: byte offset into the payload where a real pipeline
-    * seeks the codec (re-decoding from the nearest keyframe).
+  /** One sampled frame: `frame_px_sum` is the decoded pixel digest of
+    * that frame alone — proof the sampler materialized the FRAME'S
+    * pixels, not just planned an offset.
     */
-  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_offset: Long)
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_px_sum: Long)
 
   /** Evenly-spaced frame sampling for video rows — the clip-selection step
-    * of a video training pipeline: the decoder reports the frame count;
-    * emit one descriptor per sampled frame with its byte offset. flatMap
-    * shape: each row expands to at most the decoder's bounded frame count,
-    * no shuffle, no driver involvement; the descriptors join back on
-    * doc_id or feed a second decode pass that materializes pixels.
+    * of a video training pipeline: decode the GIF's frame count, pick
+    * min(k, n) evenly spaced frames (idx = i*n/k, the standard stride
+    * that always includes frame 0 and never repeats while n >= k), and
+    * materialize each sampled frame's pixels through one reader open.
+    * flatMap shape: each row expands to at most k rows, no shuffle, no
+    * driver involvement; the digests join back on doc_id or feed the
+    * training batch directly.
     */
-  def sampleFrames(media: Dataset[MediaRow],
-                   decoder: MediaDecoder = StubDecoder): Dataset[FrameSample] = {
+  def sampleFrames(media: Dataset[MediaRow], k: Int = 4): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val dec = decoder.decode(r.kind, r.payload, r.meta_width, r.meta_height)
-      if (dec.nFrames <= 0) Iterator.empty
-      else {
-        val step = r.payload.length.toLong / dec.nFrames
-        (0 until dec.nFrames).iterator.map(i => FrameSample(r.doc_id, i, i * step))
-      }
+      if (r.kind != "video") Iterator.empty
+      else GifCodec.sampleSums(r.payload, n => {
+        val kk = math.min(k, n)
+        (0 until kk).map(i => i * n / kk)
+      }).iterator.map { case (idx, sum) => FrameSample(r.doc_id, idx, sum) }
     }
   }
 
@@ -245,23 +331,11 @@ object Multimodal {
                       decoder: MediaDecoder = ImageIoDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val dec = decoder.decode(r.kind, r.payload, r.meta_width, r.meta_height)
         val (tw, th) = thumbDims(dec.width, dec.height)
-        // kinds the decoder actually OPENS carry the decoded content
-        // digest (pixel/sample sum); only stub-decoded kinds fall back
-        // to the raw-payload md5
-        val real = dec.pixelSum >= 0
-        val digest =
-          if (real) None
-          else {
-            md.reset()
-            Some(md.digest(r.payload).map("%02x".format(_)).mkString)
-          }
-        val psum = if (real) Some(dec.pixelSum) else None
         MediaFeatures(r.doc_id, r.kind, dec.width, dec.height, tw, th,
-          dec.nFrames, digest, psum)
+          dec.nFrames, dec.pixelSum)
       }
     }
   }

@@ -49,6 +49,9 @@ class CollectLintSpec extends SparkSpec {
       // be deleted
       "stream_topic_counts",
       "stream_topic_sessions",
+      // stream_dynamic_sessions: the dynamic-gap sibling of
+      // stream_topic_sessions — identical replay posture
+      "stream_dynamic_sessions",
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",

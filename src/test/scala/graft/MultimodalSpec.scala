@@ -31,10 +31,10 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("not a decodable image"))
   }
 
-  test("feature extraction: real decode for images and audio, md5 + frames for video") {
+  test("feature extraction: real decode for all three kinds") {
     val rows = Seq(
       MediaRow(0L, "image", Multimodal.pngPayload(0L, 128, 64), 128, 64),
-      MediaRow(2L, "video", Array.fill[Byte](3000)(7), 10, 10),
+      MediaRow(2L, "video", Multimodal.GifCodec.encode(2L), 10, 10),
       MediaRow(1L, "audio", Multimodal.WavCodec.encode(1L), 8, 8))
     val got = Multimodal.extractFeatures(rows.toDS())
       .collect().map(f => f.doc_id -> f).toMap
@@ -43,23 +43,64 @@ class MultimodalSpec extends SparkSpec {
     assert((img.width, img.height) == (128, 64))
     assert((img.thumb_w, img.thumb_h) == (64, 32))
     assert(img.n_frames_sampled == 0)
-    assert(img.payload_md5.isEmpty, "images carry the pixel digest, not an md5")
     val want = (for { x <- 0 until 128; y <- 0 until 64 } yield (0L + x + y) % 256).sum
-    assert(img.pixel_sum.contains(want))
+    assert(img.pixel_sum == want)
 
     val vid = got(2L)
-    assert(vid.n_frames_sampled == 3) // 1 + 3000/1024 = 3
-    assert(vid.pixel_sum.isEmpty)
+    // decoded GIF properties, not metadata: frameW(2)=18, frameH(2)=26
+    assert((vid.width, vid.height) == (18, 26),
+      "video dims must come from the decoded GIF frames, not metadata")
+    assert(vid.n_frames_sampled == Multimodal.GifCodec.nFrames(2L)) // 2 + 2%7 = 4
+    val wantVid = (for {
+      f <- 0 until Multimodal.GifCodec.nFrames(2L)
+      x <- 0 until 18; y <- 0 until 26
+    } yield (2L + 3L * f + x + y) % 256).sum
+    assert(vid.pixel_sum == wantVid,
+      s"all-frames pixel digest ${vid.pixel_sum} != closed form $wantVid")
 
     val aud = got(1L)
     // decoded physical properties, not metadata: sampleRate(1)=8000, mono
     assert((aud.width, aud.height) == (8000, 1))
     assert(aud.n_frames_sampled == Multimodal.WavCodec.nSamples(1L))
-    assert(aud.payload_md5.isEmpty, "audio carries the sample digest, not an md5")
     val wantAud = (0 until Multimodal.WavCodec.nSamples(1L))
       .map(i => math.abs(((1L * 31 + i.toLong * 17) % 65536) - 32768)).sum
-    assert(aud.pixel_sum.contains(wantAud),
+    assert(aud.pixel_sum == wantAud,
       s"sample digest ${aud.pixel_sum} != closed form $wantAud")
+  }
+
+  test("GIF payload round-trips through the real multi-frame codec") {
+    val gif = Multimodal.GifCodec.encode(9L)
+    // GIF magic — a genuine animated image file, not a fake blob
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    val dec = Multimodal.GifCodec.decode(gif)
+    assert(dec.width == Multimodal.GifCodec.frameW(9L))
+    assert(dec.height == Multimodal.GifCodec.frameH(9L))
+    assert(dec.nFrames == Multimodal.GifCodec.nFrames(9L))
+    val e = intercept[Exception] {
+      Multimodal.GifCodec.decode("not a gif".getBytes)
+    }
+    assert(e != null)
+  }
+
+  test("sampleFrames picks i*n/k evenly spaced frames and digests THEIR pixels") {
+    // doc_id 8: nFrames = 2 + 8%7 = 3, k = min(4,3) = 3 -> idx 0,1,2
+    // doc_id 5: nFrames = 2 + 5%7 = 7, k = 4 -> idx 0,1,3,5
+    val rows = Seq(
+      MediaRow(8L, "video", Multimodal.GifCodec.encode(8L), 1, 1),
+      MediaRow(5L, "video", Multimodal.GifCodec.encode(5L), 1, 1),
+      MediaRow(0L, "image", Multimodal.pngPayload(0L, 8, 8), 8, 8))
+    val got = Multimodal.sampleFrames(rows.toDS()).collect()
+      .groupBy(_.doc_id).map { case (id, fs) =>
+        id -> fs.map(f => f.frame_idx -> f.frame_px_sum).toMap
+      }
+    assert(!got.contains(0L), "non-video rows must not emit frames")
+    assert(got(8L).keySet == Set(0, 1, 2))
+    assert(got(5L).keySet == Set(0, 1, 3, 5))
+    val (w, h) = (Multimodal.GifCodec.frameW(5L), Multimodal.GifCodec.frameH(5L))
+    val want3 = (for { x <- 0 until w; y <- 0 until h }
+      yield (5L + 3L * 3 + x + y) % 256).sum
+    assert(got(5L)(3) == want3,
+      "sampled digest must be the SAMPLED frame's pixels, not frame 0's")
   }
 
   test("WAV payload round-trips through the real javax.sound codec") {
@@ -88,10 +129,10 @@ class MultimodalSpec extends SparkSpec {
       .map(r => r.doc_id -> r).toMap
     val dec = Multimodal.ImageIoDecoder.decode("image", real(0L).payload, -1, -1)
     assert((dec.width, dec.height) == (real(0L).meta_width, real(0L).meta_height))
-    // audio rows get genuine WAVs; video keeps its stand-in blob
+    // audio rows get genuine WAVs, video rows genuine animated GIFs
     val audDec = Multimodal.WavCodec.decode(real(1L).payload)
     assert(audDec.nFrames == Multimodal.WavCodec.nSamples(1L))
-    assert(java.util.Arrays.equals(real(2L).payload, "t2".getBytes("UTF-8")),
-      "stub-kind payloads must pass through unchanged")
+    val vidDec = Multimodal.GifCodec.decode(real(2L).payload)
+    assert(vidDec.nFrames == Multimodal.GifCodec.nFrames(2L))
   }
 }
