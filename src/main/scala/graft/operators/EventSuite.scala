@@ -227,6 +227,47 @@ object EventSuite {
         col("n").cast("double") / sum(col("n")).over(wf))
   }
 
+  /** Trailing-window anomaly detection — the z-score monitor every event
+    * pipeline hangs off its hourly series: per event_type, each hour's
+    * count is scored against the mean/std of the PRECEDING 24 hours
+    * (ROWS 24 PRECEDING .. 1 PRECEDING — the current hour must not
+    * contaminate its own baseline), flagged at |z| > 3. One hash shuffle
+    * to the hourly grain, then a partition-local sort per type — the
+    * window state is 24 longs per series however large the log, so the
+    * operator is scan-bound at 100 TB. Exactness across engines: the
+    * baseline sums are integer-exact, variance is an integer-ratio
+    * ((n*ss - s^2) / n^2) evaluated in one IEEE division, and sqrt /
+    * subtraction / division are correctly-rounded IEEE ops on identical
+    * operands — so the doubles hash-match bit-for-bit, no decimal
+    * routing needed.
+    */
+  def rollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (floor(col("ts").cast("long") / 3600) * 3600).as("hour_s"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("n_base", count(col("cnt")).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      // score only hours with a FULL baseline: a warm-up hour scored
+      // against 3 neighbors alarms on noise
+      .filter(col("n_base") === 24)
+      .withColumn("variance",
+        (col("n_base") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n_base") * col("n_base")).cast("double"))
+      .withColumn("z",
+        when(col("variance") > 0,
+          (col("cnt").cast("double") -
+            col("s").cast("double") / col("n_base").cast("double")) /
+            sqrt(col("variance"))))
+      .select(col("event_type"), col("hour_s"), col("cnt"), col("z"),
+        (abs(col("z")) > 3.0).as("is_anomaly"))
+  }
+
   /** Pipeline-embedded observability — the `Dataset.observe` /
     * CollectMetrics surface (the Spark-native analogue of Kafka Streams'
     * metrics registry): data-quality metrics are accumulated ON THE
@@ -379,6 +420,7 @@ object EventSuite {
     "stream_backfill_union" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedBackfillUnion(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
+    "rolling_zscore"       -> (rollingZscore _),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
     "session_dynamic_gap"  -> (sessionDynamicGap _),
@@ -452,6 +494,39 @@ object EventSuite {
         |FROM grid LEFT JOIN hourly
         |  ON grid.event_type = hourly.event_type
         | AND grid.hour_ts = hourly.hour_ts""".stripMargin,
+    // trailing-24h z-score: baseline sums are integer-exact; variance,
+    // mean, z are the SAME IEEE expression tree on both engines
+    // (BIGINT -> DOUBLE casts, one division each, correctly-rounded
+    // sqrt), so the doubles hash-match without decimal routing
+    "rolling_zscore" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CAST(((epoch_us(ts) // 1000000) // 3600) * 3600 AS BIGINT)
+        |           AS hour_s,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour_s, cnt,
+        |         count(cnt) OVER tw AS n_base,
+        |         sum(cnt) OVER tw AS s,
+        |         sum(cnt * cnt) OVER tw AS ss
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_s
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT event_type, hour_s, cnt,
+        |         CAST(n_base * ss - s * s AS DOUBLE) /
+        |           CAST(n_base * n_base AS DOUBLE) AS variance,
+        |         CAST(s AS DOUBLE) / CAST(n_base AS DOUBLE) AS mean
+        |  FROM w WHERE n_base = 24),
+        |z AS (
+        |  SELECT event_type, hour_s, cnt,
+        |         CASE WHEN variance > 0e0
+        |              THEN (CAST(cnt AS DOUBLE) - mean) / sqrt(variance)
+        |         END AS z
+        |  FROM v)
+        |SELECT event_type, hour_s, cnt, z, abs(z) > 3.0e0 AS is_anomaly
+        |FROM z""".stripMargin,
     "retention_daily" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

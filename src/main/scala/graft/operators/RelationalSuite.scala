@@ -1661,7 +1661,61 @@ object RelationalSuite {
           .cast("double").as("sum_coalesced"))
   }
 
+  /** Degree-oriented triangle counting over the co-purchase graph — the
+    * graph-analytics kernel (community detection, recommendation, fraud
+    * rings) run the distributed-correct way. Graph: parts are nodes, an
+    * edge joins two parts co-occurring in >= 2 orders (the support
+    * threshold prunes one-off noise AND bounds the edge set). Counting:
+    * every edge is ORIENTED from its lower-(degree, id) endpoint to the
+    * higher — the standard trick that bounds each node's out-degree by
+    * O(sqrt(m)) on any graph, so the wedge self-join generates
+    * O(m^1.5) candidates instead of the hub-explosion sum-of-deg^2 a
+    * naive wedge count suffers (one celebrity part with degree 10^6
+    * would otherwise emit 10^12 wedges from that node alone). Shuffles:
+    * pair expansion co-partitions on order id (bounded by order size),
+    * wedges + closure co-partition on node id; degrees are a tiny
+    * broadcast. Output: one audit row (edges, oriented wedges,
+    * triangles, closure rate).
+    */
+  def triangleCoocc(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("pa"), col("pb"))
+    val deg = e.select(col("pa").as("n"))
+      .unionAll(e.select(col("pb").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val aLower = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
+    val ek = e
+      .join(broadcast(deg.select(col("n").as("pa"), col("d").as("da"))), "pa")
+      .join(broadcast(deg.select(col("n").as("pb"), col("d").as("db"))), "pb")
+      .select(
+        when(aLower, col("pa")).otherwise(col("pb")).as("src"),
+        when(aLower, col("pb")).otherwise(col("pa")).as("dst"),
+        // the DESTINATION's (degree, id) key rides along so wedge arms
+        // order without re-joining degrees
+        when(aLower, col("db")).otherwise(col("da")).as("dd"))
+    val wedges = ek.as("e1").join(ek.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.dd"), col("e1.dst")) <
+            struct(col("e2.dd"), col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(ek.select(col("src"), col("dst")),
+      col("v") === col("src") && col("w") === col("dst"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (col("n_triangles").cast("double") / col("n_wedges").cast("double"))
+          .as("closure"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "triangle_coocc"     -> (triangleCoocc _),
     "null_semantics"     -> (nullSemantics _),
     "array_analytics"    -> (arrayAnalytics _),
     "snapshot_diff"      -> (snapshotDiff _),
@@ -1731,6 +1785,38 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    // same support-thresholded co-purchase graph, same (degree, id)
+    // orientation via row-value comparison; all-integer counts, one
+    // IEEE division for the closure rate
+    "triangle_coocc" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS pa, b.p AS pb
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT pa AS n FROM e UNION ALL SELECT pb FROM e) GROUP BY 1),
+        |ek AS (
+        |  SELECT CASE WHEN (da.d, e.pa) < (db.d, e.pb)
+        |              THEN e.pa ELSE e.pb END AS src,
+        |         CASE WHEN (da.d, e.pa) < (db.d, e.pb)
+        |              THEN e.pb ELSE e.pa END AS dst,
+        |         CASE WHEN (da.d, e.pa) < (db.d, e.pb)
+        |              THEN db.d ELSE da.d END AS dd
+        |  FROM e JOIN deg da ON da.n = e.pa JOIN deg db ON db.n = e.pb),
+        |w AS (
+        |  SELECT e1.dst AS v, e2.dst AS w2
+        |  FROM ek e1 JOIN ek e2 ON e1.src = e2.src
+        |   AND (e1.dd, e1.dst) < (e2.dd, e2.dst))
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       (SELECT count(*) FROM w JOIN ek
+        |          ON w.v = ek.src AND w.w2 = ek.dst) AS n_triangles,
+        |       CAST((SELECT count(*) FROM w JOIN ek
+        |          ON w.v = ek.src AND w.w2 = ek.dst) AS DOUBLE) /
+        |         CAST((SELECT count(*) FROM w) AS DOUBLE) AS closure""".stripMargin,
     "null_semantics" ->
       """WITH x AS (
         |  SELECT l_returnflag,

@@ -50,6 +50,113 @@ object Scaling {
   def rowCount(spark: SparkSession, dir: String, table: String): Long =
     spark.read.parquet(s"$dir/$table.parquet").count()
 
+  /** SECOND measured decade for the corpus tables (round-11 verdict ask
+    * #4): the driver fixtures hold 500 documents at BOTH sf0.001 and
+    * sf0.01 and 5,000 at sf0.1, so every slope previously rested on the
+    * single 500 -> 5,000 decade. This builds a 50,000-document /
+    * 20,000-embedding "sf1x" slice ONCE under target/ (deterministic
+    * seed, cached behind a _DONE marker), derived from the sf0.1
+    * fixtures' own empirical distributions — word frequencies, document
+    * lengths, lang x source mix, the fixture's ~0.16% exact-duplicate
+    * rate (planted as regenerable doc_id pairs), and per-label embedding
+    * centroids + dispersion so IVF/LSH cell occupancy keeps its shape.
+    * Used ONLY for this scaling measurement; correctness oracles read
+    * the driver fixtures untouched.
+    */
+  def extendedDir(spark: SparkSession, base: String = "/root/testdata/sf0.1",
+                  docs: Int = 50000, vecs: Int = 20000): String = {
+    import spark.implicits._
+    val dir = new java.io.File("target/sf1x").getAbsolutePath
+    val done = new java.io.File(s"$dir/_DONE")
+    // local (closure-captured) twin of the cumulative-frequency search:
+    // referencing an object method from the .map lambdas would drag the
+    // whole non-serializable Scaling module into the task closure
+    def lowerBound(arr: Array[Long], t: Long): Int = {
+      var lo = 0
+      var hi = arr.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (arr(mid) > t) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    if (!done.exists) {
+      val src = spark.read.parquet(s"$base/documents.parquet")
+      // empirical word frequencies + length sample + (lang, source) mix:
+      // small driver-side tables (vocab of a word-soup fixture), then a
+      // distributed, per-row-deterministic regeneration at 10x rows
+      val vocab = src.select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split($"text", " ")).as("w"))
+        .groupBy("w").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).filter(_._1.nonEmpty)
+      val cum = vocab.scanLeft(("", 0L)) { case ((_, acc), (w, c)) => (w, acc + c) }
+        .drop(1)
+      val totalW = cum.last._2
+      val lens = src.select($"n_chars").as[Long].collect()
+      val mix = src.groupBy("lang", "source").count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val cumMix = mix.scanLeft(("", "", 0L)) { case ((_, _, acc), (l, s, c)) =>
+        (l, s, acc + c)
+      }.drop(1)
+      val totalMix = cumMix.last._3
+      def pickWord(rnd: scala.util.Random): String = {
+        val t = (rnd.nextDouble() * totalW).toLong
+        cum(lowerBound(cum.map(_._2), t))._1
+      }
+      def genText(docId: Long): String = {
+        val rnd = new scala.util.Random(docId * 6364136223846793005L + 11L)
+        val target = lens(rnd.nextInt(lens.length))
+        val sb = new StringBuilder
+        while (sb.length < target) {
+          if (sb.nonEmpty) sb += ' '
+          sb ++= pickWord(rnd)
+        }
+        sb.toString
+      }
+      val genDocs = spark.range(docs.toLong).map { id =>
+        // plant the fixture's exact-duplicate rate: 1 pair per 625 docs
+        // (80 in 50k ~ 0.16%), regenerable because text IS a pure
+        // function of doc_id — no join, no driver lookup
+        val textId: Long = if (id % 625 == 624 && id >= 300) id - 300 else id
+        val text = genText(textId)
+        val rnd = new scala.util.Random(id * -7046029254386353131L + 3L)
+        val m = (rnd.nextDouble() * totalMix).toLong
+        val (lang, source, _) = cumMix(lowerBound(cumMix.map(_._3), m))
+        (id, text, lang, source, text.length.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      genDocs.coalesce(4).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      // embeddings: per-label centroid + average dispersion from the
+      // fixture, gaussian resample at 10x — preserves the cluster
+      // geometry IVF cell occupancy and LSH bucket load depend on
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val byLabel = emb.select($"label", $"embedding").as[(Int, Array[Float])]
+        .collect().groupBy(_._1).map { case (l, rows) =>
+          val dim = rows.head._2.length
+          val mean = new Array[Double](dim)
+          rows.foreach(r => (0 until dim).foreach(i => mean(i) += r._2(i)))
+          (0 until dim).foreach(i => mean(i) /= rows.length)
+          var varSum = 0.0
+          rows.foreach(r => (0 until dim).foreach(i =>
+            varSum += math.pow(r._2(i) - mean(i), 2)))
+          val sigma = math.sqrt(varSum / (rows.length.toLong * dim))
+          l -> (mean, sigma)
+        }
+      val labels = byLabel.keys.toArray.sorted
+      val genVecs = spark.range(vecs.toLong).map { id =>
+        val rnd = new scala.util.Random(id * 2862933555777941757L + 7L)
+        val label = labels(rnd.nextInt(labels.length))
+        val (mean, sigma) = byLabel(label)
+        val v = mean.map(m => (m + rnd.nextGaussian() * sigma).toFloat)
+        (id, v, label)
+      }.toDF("vec_id", "embedding", "label")
+      genVecs.coalesce(4).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
   private def time(spark: SparkSession, dir: String, name: String): Double = {
     val fn = SparkEntry.queries(name)
     def once(): Double = {
@@ -73,10 +180,19 @@ object Scaling {
         Point(new java.io.File(d).getName, rowCount(spark, d, table),
           time(spark, d, name))
       }
-      val steps = pts.zip(pts.tail).filter { case (a, b) => b.rows > a.rows }
-      val slope = steps.lastOption.map { case (a, b) =>
-        math.log(b.sec / a.sec) / math.log(b.rows.toDouble / a.rows)
-      }.getOrElse(Double.NaN)
+      // least-squares log-log fit over ALL points (round-11 ask #4:
+      // with the sf1x slice each family has three distinct row counts,
+      // so a single-pair slope would waste the new decade; duplicate-x
+      // points — the 500-row sf0.001/sf0.01 pair — just average in y)
+      val slope = {
+        val xs = pts.map(p => math.log(p.rows.toDouble))
+        val ys = pts.map(p => math.log(p.sec))
+        val mx = xs.sum / xs.size
+        val my = ys.sum / ys.size
+        val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+        if (sxx == 0) Double.NaN
+        else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / sxx
+      }
       Result(name, pts, slope)
     }
 
@@ -84,7 +200,7 @@ object Scaling {
     val spark = graft.GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+      "/root/testdata/sf0.1", extendedDir(spark))
     val results = run(spark, dirs)
     val body = results.map { r =>
       val pts = r.points.map(p =>
