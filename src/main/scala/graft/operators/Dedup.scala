@@ -158,14 +158,32 @@ object Dedup {
     * exact Jaccard over the pruned shingle sets. The default 2% cutoff sits
     * above the fixtures' max document frequency (1.4% at sf0.01, 0.5% at
     * sf0.1 — measured), so nothing is pruned there and the DuckDB oracle
-    * (unpruned) still hash-matches; at 100 TB the cutoff is the knob that
-    * bounds the worst bucket at frac x corpus rows. The df filter joins on
-    * the same key (h) as the self-join, so its shuffle is co-partitioned
-    * with the work it feeds.
+    * still hash-matches (the oracle mirrors the full cutoff rule). The df
+    * filter joins on the same key (h) as the self-join, so its shuffle is
+    * co-partitioned with the work it feeds.
+    *
+    * SCALE LIMIT (probed by SCALING.json's second decade, round 12): a
+    * purely FRACTIONAL cutoff admits shingles with df up to frac*N, each
+    * generating C(df, 2) pairs — `maxDocFreqAbs` (default 256) caps the
+    * cutoff ABSOLUTELY, bounding per-shingle pair fan-out by a constant
+    * (the SpotSigs-style stop-shingle posture: a shingle in >256
+    * documents is corpus boilerplate with no pair signal regardless of
+    * corpus size). At every driver fixture scale frac*N <= 100 < 256, so
+    * the cap changes nothing the oracles see. Know its boundary, though,
+    * measured on the 50k-doc sf1x slice: on a corpus whose shingle
+    * VOCABULARY saturates (the fixtures draw from 31 words, so all
+    * 31^3 = 29,791 trigrams exist by ~50k docs and EVERY df grows
+    * linearly while staying under the cap), the candidate set — pairs
+    * sharing any retained shingle — is itself Theta(N^2) (127M pairs
+    * measured, ~139 s); no exact-verifier cutoff can beat the answer
+    * size. Real corpora obey Heaps' law (most trigram occurrences are
+    * near-unique), which keeps typical df bounded and the postings join
+    * linear; the cap then exists precisely for the boilerplate tail.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.05,
                         textCol: String = "text", idCol: String = "doc_id",
-                        maxDocFreqFrac: Double = 0.02): DataFrame = {
+                        maxDocFreqFrac: Double = 0.02,
+                        maxDocFreqAbs: Int = 256): DataFrame = {
     // join on the 64-bit shingle hash, not the shingle string: the equi-join
     // key shrinks from ~n-word strings to a long (cheaper shuffle + compare;
     // measured ~3x on the fixture). Collision odds over d distinct shingles
@@ -180,7 +198,8 @@ object Dedup {
     val dfreq = shAll.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
     // small-corpus guard: a fractional cutoff is meaningless when
     // frac x n_docs rounds below a handful — never prune df <= 8
-    val cutoff = greatest(col("n_docs") * maxDocFreqFrac, lit(8.0))
+    val cutoff = least(greatest(col("n_docs") * maxDocFreqFrac, lit(8.0)),
+      lit(maxDocFreqAbs.toDouble))
     val sh = shAll.join(dfreq, "h").crossJoin(broadcast(total))
       .filter(col("df_sh") <= cutoff)
       .select(col("doc_id"), col("h"))
@@ -212,7 +231,8 @@ object Dedup {
   def deltaNearDups(corpus: DataFrame, batch: DataFrame, n: Int = 3,
                     threshold: Double = 0.2, textCol: String = "text",
                     idCol: String = "doc_id",
-                    maxDocFreqFrac: Double = 0.02): DataFrame = {
+                    maxDocFreqFrac: Double = 0.02,
+                    maxDocFreqAbs: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val all = corpus.select(lit(0).as("side"), col(idCol).as("doc_id"),
         col(textCol).as("text"))
@@ -222,7 +242,10 @@ object Dedup {
       explode(shingleHashes(col("text"), n)).as("h"))
     val total = all.select(count(lit(1)).as("n_docs"))
     val dfreq = shAll.groupBy(col("h")).agg(count(lit(1)).as("df_sh"))
-    val cutoff = greatest(col("n_docs") * maxDocFreqFrac, lit(8.0))
+    // same absolute stop-shingle cap as ngramJaccardPairs (the
+    // fractional-only cutoff was quadratic — see its scaladoc)
+    val cutoff = least(greatest(col("n_docs") * maxDocFreqFrac, lit(8.0)),
+      lit(maxDocFreqAbs.toDouble))
     val sh = shAll.join(dfreq, "h").crossJoin(broadcast(total))
       .filter(col("df_sh") <= cutoff)
       .select(col("side"), col("doc_id"), col("h"))

@@ -250,9 +250,14 @@ object EventSuite {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
       .rowsBetween(-24, -1)
     hourly
+      // cnt^2 as a plain column BEFORE the window: a composite expression
+      // inside sum().over() gets extracted into its own Project + Window
+      // pass, splitting the three baseline stats across TWO sorts of the
+      // series (PlanSpec pins the fused single-Window shape)
+      .withColumn("cnt2", col("cnt") * col("cnt"))
       .withColumn("n_base", count(col("cnt")).over(w))
       .withColumn("s", sum(col("cnt")).over(w))
-      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt2")).over(w))
       // score only hours with a FULL baseline: a warm-up hour scored
       // against 3 neighbors alarms on noise
       .filter(col("n_base") === 24)

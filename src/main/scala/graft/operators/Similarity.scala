@@ -471,6 +471,14 @@ object Similarity {
     * Candidate pairs are deduped on ids only (distinct over rows carrying
     * the embedding arrays would shuffle and compare the vectors), then the
     * vectors are joined back for the exact cosine check.
+    *
+    * Sizing at scale: expected bucket occupancy is N / 2^nBits, and
+    * within-bucket pair work grows with its SQUARE — so `nBits` must
+    * scale as ~log2(N / targetOccupancy), not stay a constant (the
+    * default 12 bits targets the fixture decades; SCALING.json's 20k-vec
+    * slice measured slope 0.8 there). At 10^9 vectors, ~24 bits keeps
+    * occupancy at the same tens-of-vectors the recall calibration
+    * assumed; `tables` is the recall knob and multiplies work linearly.
     */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       nBits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {

@@ -994,13 +994,16 @@ object TextSuite {
 
   /** Shared oracle prologue: distinct word-3-gram shingles per doc, with the
     * SAME stop-shingle pruning the engine applies (ngramJaccardPairs
-    * maxDocFreqFrac = 0.02, absolute floor 8) — string-shingle document
-    * frequency equals hash-shingle df because the shingle -> 64-bit-hash map
-    * is injective at fixture scale. With the cutoff on BOTH sides, engine
-    * and oracle stay exact-equal even on a corpus where pruning actually
-    * fires, instead of resting on the measured fixture property that
-    * nothing prunes (max df 1.4% at sf0.01, 0.5% at sf0.1 — also pinned by
-    * DedupSpec's headroom test).
+    * maxDocFreqFrac = 0.02, absolute floor 8, absolute cap 256 — the
+    * round-12 fix for the fractional-only cutoff's quadratic pair volume,
+    * see ngramJaccardPairs' scaladoc) — string-shingle document frequency
+    * equals hash-shingle df because the shingle -> 64-bit-hash map is
+    * injective at fixture scale. With the full cutoff rule on BOTH sides,
+    * engine and oracle stay exact-equal even on a corpus where pruning
+    * actually fires, instead of resting on the measured fixture property
+    * that nothing prunes (max df 1.4% at sf0.01, 0.5% at sf0.1 — also
+    * pinned by DedupSpec's headroom test; at fixture scales
+    * frac*N <= 100 < 256, so the cap is exercised only beyond them).
     */
   private val prunedShingles =
     """toks AS (
@@ -1014,7 +1017,8 @@ object TextSuite {
       |dfq AS (SELECT s, count(*) AS df_sh FROM sh0 GROUP BY 1),
       |sh AS (
       |  SELECT sh0.doc_id, sh0.s FROM sh0 JOIN dfq USING (s)
-      |  WHERE df_sh <= greatest((SELECT count(*) FROM documents) * 0.02, 8.0))""".stripMargin
+      |  WHERE df_sh <= least(greatest((SELECT count(*) FROM documents) * 0.02, 8.0),
+      |                       256.0))""".stripMargin
 
   /** Shared by dedup_clusters and dedup_clusters_fixpoint: the recursive-CTE
     * transitive closure both labelings must reproduce exactly.

@@ -106,7 +106,7 @@ class DedupSpec extends SparkSpec {
         explode(shingleHashes(col("text"), 3)).as("h"))
       val (maxDf, nDocs) = sh.groupBy(col("h")).count()
         .agg(max(col("count"))).as[Long].head() -> docs.count()
-      val cutoff = math.max(nDocs * 0.02, 8.0)
+      val cutoff = math.min(math.max(nDocs * 0.02, 8.0), 256.0)
       assert(maxDf <= cutoff,
         s"$sf: max shingle df $maxDf exceeds prune cutoff $cutoff — " +
           "the wired dedup queries would now diverge from an unpruned run")

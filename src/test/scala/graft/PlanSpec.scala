@@ -386,4 +386,28 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"q15 supplier dim must broadcast in:\n$plan")
   }
+
+  test("rolling_zscore computes all three baseline stats in ONE window pass") {
+    val plan = executedPlan(graft.operators.EventSuite.rollingZscore(spark, dir))
+    // count/sum/sum-of-squares over the same frame must share a single
+    // Window operator (one sort, one state pass) — a composite expression
+    // inside an agg would split them across two sorts of the series
+    assert("""\+- Window \[""".r.findAllIn(plan).size == 1,
+      s"baseline stats split across multiple Window passes:\n$plan")
+    // and the hourly pre-aggregation map-side combines before its shuffle
+    assert(plan.contains("partial_count"),
+      s"hourly grain must partially aggregate:\n$plan")
+  }
+
+  test("triangle_coocc broadcasts degrees and never falls back to a nested loop") {
+    val plan = executedPlan(graft.operators.RelationalSuite.triangleCoocc(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"degree table must broadcast in:\n$plan")
+    // exactly TWO nested-loop joins: the single-row x single-row audit
+    // combines at the top. Any more means a wedge/closure join degraded
+    // to a pair-explosion plan.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 2 &&
+      !plan.contains("CartesianProduct"),
+      s"wedge/closure joins degraded to a pair-explosion plan:\n$plan")
+  }
 }

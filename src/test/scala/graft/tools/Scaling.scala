@@ -62,6 +62,22 @@ object Scaling {
     * centroids + dispersion so IVF/LSH cell occupancy keeps its shape.
     * Used ONLY for this scaling measurement; correctness oracles read
     * the driver fixtures untouched.
+    *
+    * ONE deliberate departure from the empirical text distribution: the
+    * fixtures draw from a 31-word vocabulary, whose 31^3 = 29,791
+    * trigram space is 99% SATURATED by 50k docs (measured) — every
+    * shingle's df then grows linearly with N and the exact-Jaccard
+    * candidate set (pairs sharing any shingle) is itself Theta(N^2)
+    * (127M pairs measured at 50k docs), so a distribution-matched slice
+    * would measure corpus degeneracy, not operator scaling. Real corpora
+    * obey Heaps' law: most trigram occurrences are near-unique. sf1x
+    * models that by drawing each word from a scale-proportional rare
+    * pool with probability 1/2 (tail vocabulary ~ N/2, Heaps exponent
+    * ~1) and the empirical 31-word distribution otherwise — common-
+    * trigram df stays bounded at this decade, singleton trigrams
+    * dominate, and the postings join measures its true linear shape.
+    * The saturated-corpus behavior is documented (with numbers) in
+    * ngramJaccardPairs' scaladoc rather than hidden in the artifact.
     */
   def extendedDir(spark: SparkSession, base: String = "/root/testdata/sf0.1",
                   docs: Int = 50000, vecs: Int = 20000): String = {
@@ -103,13 +119,19 @@ object Scaling {
         val t = (rnd.nextDouble() * totalW).toLong
         cum(lowerBound(cum.map(_._2), t))._1
       }
+      // Heaps-law tail vocabulary (see scaladoc): half the words come
+      // from a rare pool sized ~ N/2 so trigram df stays bounded the way
+      // real text keeps it, instead of the 31-word fixture vocabulary
+      // saturating its trigram space
+      val rareK = math.max(1000, docs / 2)
       def genText(docId: Long): String = {
         val rnd = new scala.util.Random(docId * 6364136223846793005L + 11L)
         val target = lens(rnd.nextInt(lens.length))
         val sb = new StringBuilder
         while (sb.length < target) {
           if (sb.nonEmpty) sb += ' '
-          sb ++= pickWord(rnd)
+          if (rnd.nextBoolean()) sb ++= "u" + rnd.nextInt(rareK)
+          else sb ++= pickWord(rnd)
         }
         sb.toString
       }
