@@ -111,6 +111,26 @@ object Bench {
     }.toMap
   }
 
+  /** Pure drift classification (unit-tested by BenchHealthSpec): compare
+    * this run's per-query (min-sec, sf) against the previous record's,
+    * flagging >1.5x AND >0.5 s absolute excess (the ratio alone would
+    * flag 0.1 -> 0.2 s noise); rows whose sf changed between records are
+    * incomparable and counted separately. Returns
+    * (flagged (name, prev, now), compared, skipped_sf_changed).
+    */
+  def driftFlags(prev: Map[String, (Double, String)],
+                 cur: Seq[(String, Double, String)])
+      : (Seq[(String, Double, Double)], Int, Int) = {
+    val comparable = cur.flatMap { case (n, sec, sf) =>
+      prev.get(n).collect { case (p, psf) if psf == sf => (n, p, sec) }
+    }
+    val skipped = cur.count { case (n, _, sf) => prev.get(n).exists(_._2 != sf) }
+    val flagged = comparable.collect {
+      case (n, p, c) if c > 1.5 * p && c - p > 0.5 => (n, p, c)
+    }
+    (flagged, comparable.size, skipped)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Replay rows (stream_*) are VERIFICATION HARNESSES — multi-query
@@ -346,18 +366,12 @@ object Bench {
       val cur = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
         (n, math.min(s1.sec, s2.sec), new java.io.File(dirFor(n)).getName)
       }
-      val comparable = cur.flatMap { case (n, sec, sf) =>
-        prevDetail.get(n).collect { case (p, psf) if psf == sf => (n, p, sec) }
+      val (flagged, compared, skipped) = driftFlags(prevDetail, cur)
+      val flaggedJson = flagged.map { case (n, p, c) =>
+        f"""{"name":"$n","prev":$p%.3f,"now":$c%.3f,"ratio":${c / p}%.2f}"""
       }
-      val skipped = cur.count { case (n, _, sf) =>
-        prevDetail.get(n).exists(_._2 != sf)
-      }
-      val flagged = comparable.collect {
-        case (n, p, c) if c > 1.5 * p && c - p > 0.5 =>
-          f"""{"name":"$n","prev":$p%.3f,"now":$c%.3f,"ratio":${c / p}%.2f}"""
-      }
-      (s"""{"compared":${comparable.size},"skipped_sf_changed":$skipped,""" +
-        s""""flagged":${flagged.mkString("[", ",", "]")}}""", flagged.size)
+      (s"""{"compared":$compared,"skipped_sf_changed":$skipped,""" +
+        s""""flagged":${flaggedJson.mkString("[", ",", "]")}}""", flagged.size)
     }
     // Full-fidelity per-query record (min + both passes + gc, 3 decimals)
     // goes to a FILE in the repo — the stdout line is size-capped by the
