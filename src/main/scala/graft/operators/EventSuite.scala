@@ -241,12 +241,18 @@ object EventSuite {
     * operands — so the doubles hash-match bit-for-bit, no decimal
     * routing needed.
     */
-  def rollingZscore(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(spark, dir)
+  def rollingZscore(spark: SparkSession, dir: String): DataFrame =
+    rollingZscoreOf(Tables.events(spark, dir)
       .groupBy(col("event_type"),
         (floor(col("ts").cast("long") / 3600) * 3600).as("hour_s"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The scoring kernel over an already-hourly series (event_type,
+    * hour_s, cnt) — split out so the randomized reference-parity spec
+    * (ZscorePropertySpec) can drive it on arbitrary series.
+    */
+  def rollingZscoreOf(hourly: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_s"))
       .rowsBetween(-24, -1)
     hourly

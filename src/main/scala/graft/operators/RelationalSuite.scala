@@ -1686,6 +1686,15 @@ object RelationalSuite {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("pa"), col("pb"))
+    triangleCount(e)
+  }
+
+  /** Degree-oriented triangle kernel over an undirected edge list
+    * (`pa < pb`, no duplicates) — see [[triangleCoocc]] for the
+    * orientation argument. Split out so the randomized brute-force
+    * parity spec (GraphPropertySpec) can drive it on arbitrary graphs.
+    */
+  def triangleCount(e: DataFrame): DataFrame = {
     val deg = e.select(col("pa").as("n"))
       .unionAll(e.select(col("pb").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalSuite
+
+/** Randomized brute-force parity for the degree-oriented triangle kernel.
+  * The orientation argument (edges directed low-(degree, id) -> high, a
+  * triangle counted from exactly one of its three corners) is the kind of
+  * claim a fixture hash can confirm but not defend — these tests grind it
+  * against a three-nested-loop reference on random graphs, including the
+  * shapes most likely to break it: degree TIES everywhere (the id
+  * tie-break must induce a strict total order or a triangle of equal-degree
+  * nodes is counted zero or three times), stars (wedge-heavy, zero
+  * triangles), and cliques (every wedge closes). Seeded per sample:
+  * failures reproduce.
+  */
+class GraphPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteTriangles(edges: Set[(Long, Long)]): (Long, Long) = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def has(a: Long, b: Long) = edges((math.min(a, b), math.max(a, b)))
+    var tri = 0L
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if has(nodes(i), nodes(j))
+      k <- (j + 1) until nodes.size
+      if has(nodes(i), nodes(k)) && has(nodes(j), nodes(k))
+    } tri += 1
+    // oriented-wedge count reference: per node, out-degree under the
+    // (degree, id) order; wedges = sum over nodes of C(outdeg, 2)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    import scala.math.Ordering.Implicits._
+    val out = edges.toSeq
+      .map { case (a, b) =>
+        if (implicitly[Ordering[(Long, Long)]].lt((deg(a), a), (deg(b), b))) a
+        else b
+      }
+      .groupBy(x => x).map(_._2.size.toLong)
+    val wedges = out.map(d => d * (d - 1) / 2).sum
+    (wedges, tri)
+  }
+
+  private def kernel(edges: Set[(Long, Long)]): (Long, Long, Long) = {
+    val df = edges.toSeq.toDF("pa", "pb")
+    val r = RelationalSuite.triangleCount(df)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"))
+      .as[(Long, Long, Long)].head()
+    r
+  }
+
+  test("random graphs: kernel equals the brute-force triangle and wedge counts") {
+    (1 to 4).foreach { sample =>
+      val rnd = new scala.util.Random(987000L + sample)
+      val n = 12 + rnd.nextInt(10)
+      // small id space + p=0.3 forces many degree ties
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSet
+      val (wWant, tWant) = bruteTriangles(edges)
+      val (e, w, t) = kernel(edges)
+      assert(e == edges.size && w == wWant && t == tWant,
+        s"sample $sample: got (e=$e, w=$w, t=$t), want " +
+          s"(e=${edges.size}, w=$wWant, t=$tWant)")
+    }
+  }
+
+  test("adversarial shapes: star (no triangles), clique (all wedges close)") {
+    // star: hub 0 with 8 leaves — 28 oriented wedges at the hub IF the
+    // orientation pointed outward; low-degree-first points every edge
+    // leaf -> hub, so wedges land at leaves: 0 out-pairs => 0 wedges
+    val star = (1L to 8L).map(l => (0L min l, 0L max l)).toSet
+    val (se, sw, st) = kernel(star)
+    assert((se, st) == (8L, 0L), s"star: ($se, $st)")
+    assert(sw == bruteTriangles(star)._1, s"star wedges: $sw")
+
+    // K5: C(5,3) = 10 triangles, every orientation wedge closes
+    val k5 = (for { a <- 0L until 5; b <- (a + 1) until 5 } yield (a, b)).toSet
+    val (ke, kw, kt) = kernel(k5)
+    assert((ke, kt) == (10L, 10L), s"K5: ($ke, $kt)")
+    assert(kw == bruteTriangles(k5)._1 && kw == kt,
+      s"K5 wedges must all close: $kw vs $kt")
+  }
+}
