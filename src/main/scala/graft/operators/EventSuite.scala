@@ -432,11 +432,43 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedBackfillUnion(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "rolling_zscore"       -> (rollingZscore _),
+    "stream_zscore"        -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedZscore(s, d)),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
     "session_dynamic_gap"  -> (sessionDynamicGap _),
     "asof_join"            -> (eventsAsofOrders _),
     "funnel"               -> (funnel _))
+
+  private val zscoreOracle =
+    """WITH h AS (
+      |  SELECT event_type,
+      |         CAST(((epoch_us(ts) // 1000000) // 3600) * 3600 AS BIGINT)
+      |           AS hour_s,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, hour_s, cnt,
+      |         count(cnt) OVER tw AS n_base,
+      |         sum(cnt) OVER tw AS s,
+      |         sum(cnt * cnt) OVER tw AS ss
+      |  FROM h
+      |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_s
+      |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |v AS (
+      |  SELECT event_type, hour_s, cnt,
+      |         CAST(n_base * ss - s * s AS DOUBLE) /
+      |           CAST(n_base * n_base AS DOUBLE) AS variance,
+      |         CAST(s AS DOUBLE) / CAST(n_base AS DOUBLE) AS mean
+      |  FROM w WHERE n_base = 24),
+      |z AS (
+      |  SELECT event_type, hour_s, cnt,
+      |         CASE WHEN variance > 0e0
+      |              THEN (CAST(cnt AS DOUBLE) - mean) / sqrt(variance)
+      |         END AS z
+      |  FROM v)
+      |SELECT event_type, hour_s, cnt, z, abs(z) > 3.0e0 AS is_anomaly
+      |FROM z""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // PERMISSIVE-parse quarantine: corruption is deterministic (id % 7),
@@ -509,35 +541,11 @@ object EventSuite {
     // mean, z are the SAME IEEE expression tree on both engines
     // (BIGINT -> DOUBLE casts, one division each, correctly-rounded
     // sqrt), so the doubles hash-match without decimal routing
-    "rolling_zscore" ->
-      """WITH h AS (
-        |  SELECT event_type,
-        |         CAST(((epoch_us(ts) // 1000000) // 3600) * 3600 AS BIGINT)
-        |           AS hour_s,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |w AS (
-        |  SELECT event_type, hour_s, cnt,
-        |         count(cnt) OVER tw AS n_base,
-        |         sum(cnt) OVER tw AS s,
-        |         sum(cnt * cnt) OVER tw AS ss
-        |  FROM h
-        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour_s
-        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-        |v AS (
-        |  SELECT event_type, hour_s, cnt,
-        |         CAST(n_base * ss - s * s AS DOUBLE) /
-        |           CAST(n_base * n_base AS DOUBLE) AS variance,
-        |         CAST(s AS DOUBLE) / CAST(n_base AS DOUBLE) AS mean
-        |  FROM w WHERE n_base = 24),
-        |z AS (
-        |  SELECT event_type, hour_s, cnt,
-        |         CASE WHEN variance > 0e0
-        |              THEN (CAST(cnt AS DOUBLE) - mean) / sqrt(variance)
-        |         END AS z
-        |  FROM v)
-        |SELECT event_type, hour_s, cnt, z, abs(z) > 3.0e0 AS is_anomaly
-        |FROM z""".stripMargin,
+    "rolling_zscore" -> zscoreOracle,
+    // stream_zscore (the RollingZscore processor fed by append-mode
+    // hourly counts, restarted mid-stream) must converge to the
+    // IDENTICAL answer — same oracle, bit-equal doubles included
+    "stream_zscore" -> zscoreOracle,
     "retention_daily" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

@@ -393,6 +393,67 @@ object StreamOps {
         OutputMode.Update(), seed.groupByKey(_.key)(Encoders.STRING))
   }
 
+  final case class HourCount(etype: String, hourS: Long, cnt: Long)
+  final case class HourScore(event_type: String, hour_s: Long, cnt: Long,
+                             z: Option[Double], is_anomaly: Option[Boolean])
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class HourBucket(hourS: Long, cnt: Long)
+
+  /** Streaming trailing-window z-score — the stateful twin of the batch
+    * `rolling_zscore` window query: per key, a ListState buffer holds the
+    * last `baseline` FINALIZED hours (append-mode windowed counts arrive
+    * exactly once per hour, in nondecreasing hour order across batches —
+    * the watermark only moves forward — and are sorted within a batch);
+    * each arriving hour is scored against the buffered 24 BEFORE being
+    * appended, exactly the ROWS 24 PRECEDING .. 1 PRECEDING frame. Rows
+    * with a partial baseline emit nothing (the batch filters n_base = 24)
+    * and a zero-variance baseline scores NULL, never a division. State is
+    * |keys| x 24 pairs of longs however long the stream runs. The z
+    * arithmetic replays the batch expression tree operand-for-operand
+    * (integer sums, one IEEE division each, sqrt), so the streamed
+    * doubles hash-match the batch and the DuckDB oracle bit-for-bit.
+    */
+  final class RollingZscore(baseline: Int)
+    extends StatefulProcessor[String, HourCount, HourScore] {
+    @transient private var buf: ListState[HourBucket] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[HourBucket]("buf",
+        Encoders.product[HourBucket], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[HourCount],
+                                 timers: TimerValues): Iterator[HourScore] = {
+      var window = buf.get().toSeq
+      val out = rows.toSeq.sortBy(_.hourS).flatMap { hc =>
+        val scored = if (window.size >= baseline) {
+          val base = window.takeRight(baseline)
+          val n = base.size.toLong
+          val s = base.map(_.cnt).sum
+          val ss = base.map(b => b.cnt * b.cnt).sum
+          val variance = (n * ss - s * s).toDouble / (n * n).toDouble
+          val z =
+            if (variance > 0)
+              Some((hc.cnt.toDouble - s.toDouble / n.toDouble) /
+                math.sqrt(variance))
+            else None
+          Some(HourScore(key, hc.hourS, hc.cnt, z,
+            z.map(v => math.abs(v) > 3.0)))
+        } else None
+        window = (window :+ HourBucket(hc.hourS, hc.cnt)).takeRight(baseline)
+        scored
+      }
+      buf.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** Streaming rolling z-score: see [[RollingZscore]]. */
+  def rollingZscoreStream(rows: Dataset[HourCount],
+                          baseline: Int = 24): Dataset[HourScore] = {
+    implicit val enc = Encoders.product[HourScore]
+    rows.groupByKey(_.etype)(Encoders.STRING)
+      .transformWithState(new RollingZscore(baseline), TimeMode.None(),
+        OutputMode.Update())
+  }
+
   final case class SessionUpdate(user: String, nEvents: Long, totalDuration: Long,
                                  closed: Boolean)
   // public: the state encoder's generated code instantiates it reflectively

@@ -770,6 +770,111 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Streaming trailing-window anomaly detection — the batch
+    * `rolling_zscore` run as a production stream (round 12, the
+    * [[StreamOps.RollingZscore]] surface): two chained jobs in the
+    * stream_suppress topology (a stateful-over-stateful chain in one
+    * update-mode query is unsupported, and the hourly grain between jobs
+    * is where a real deployment puts the topic anyway):
+    *
+    *  1. PRODUCER: hourly tumbling counts per event_type in APPEND mode —
+    *     each (type, hour) emits exactly once when the watermark passes
+    *     the hour, so the mid topic carries the FINALIZED hourly series
+    *     in nondecreasing hour order per key.
+    *  2. CONSUMER: streams the hourly rows through the RollingZscore
+    *     processor — each hour scored against the ListState buffer of
+    *     the 24 preceding hours — RESTARTED mid-stream from its
+    *     checkpoint, so post-restart scores depend on baseline hours
+    *     buffered BEFORE the crash: recovery must restore the rolling
+    *     window, not just offsets.
+    *
+    * Two far-future sentinels (reserved type) flush the tail hours
+    * through the producer's watermark; the sentinel key's own scores are
+    * filtered. Converges to the batch answer under the IDENTICAL
+    * rolling_zscore oracle — including bit-equal z doubles, because the
+    * processor replays the batch expression tree operand-for-operand.
+    */
+  def streamedZscore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("date", LongType)))
+    val hourSchema = StructType(Seq(
+      StructField("etype", StringType), StructField("hourS", LongType),
+      StructField("cnt", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("hour_s", LongType), StructField("cnt", LongType),
+      StructField("z", DoubleType), StructField("is_anomaly", BooleanType)))
+    val events = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("date"))
+    val (lo, hi) = timeBounds(events, s"$dir events (zscore)")
+    // transformWithState requires RocksDB — keep the tuned provider
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_zscore")
+    val ckptP = java.nio.file.Files.createTempDirectory("graft_zscore_p")
+    val ckptC = java.nio.file.Files.createTempDirectory("graft_zscore_c")
+    val in = new FileTopic("zscore_in", wireSchema, root.toString)
+    val mid = new FileTopic("zscore_hours", hourSchema, root.toString)
+    val out = new FileTopic("zscore_out", outSchema, root.toString)
+    def drainProducer(): Unit = {
+      val hourly = in.stream(child)
+        .withColumn("ts", timestamp_micros(col("date")))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type").as("etype"),
+          col("window.start").cast("long").as("hourS"), col("cnt"))
+      val q = hourly.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          mid.sinkBatch(df, id))
+        .option("checkpointLocation", ckptP.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    def drainConsumer(): Unit = {
+      implicit val enc = org.apache.spark.sql.Encoders
+        .product[StreamOps.HourCount]
+      val scored = StreamOps.rollingZscoreStream(
+        mid.stream(child).as[StreamOps.HourCount])
+      val q = scored.toDF().writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckptC.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      // construction requires the restart to be LOAD-BEARING: rows scored
+      // in incarnation 1 (pre-restart) and strictly more after — the
+      // post-restart scores can only come from the RECOVERED 24-hour
+      // baseline buffer, the scenario this row exists for
+      var preRestart = -1L
+      def scoredCount(): Long =
+        out.batch(child).filter(col("event_type") =!= "sentinel").count()
+      runQuartered(events, lo, hi,
+        df => in.append(df),
+        () => {
+          drainProducer(); drainConsumer()
+          if (preRestart < 0) preRestart = scoredCount()
+        },
+        sentinelOffsets = Seq(2, 4),
+        sentinel = ts => child.createDataFrame(
+          java.util.Arrays.asList(Row("sentinel", ts)), wireSchema))
+      val rows = out.batch(child)
+        .filter(col("event_type") =!= "sentinel")
+        .collect()
+      require(preRestart > 0,
+        "zscore replay scored nothing before the restart — the first two " +
+          "quarters never filled a 24-hour baseline (fixture too short?)")
+      require(rows.length > preRestart,
+        s"zscore replay scored nothing after the restart ($preRestart " +
+          "before, ${rows.length} total) — the recovered baseline buffer " +
+          "produced nothing, the scenario this row exists for")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckptP); deleteTree(ckptC); deleteTree(root) }
+  }
+
   /** Watermarked dedup over the PRODUCTION source, with duplicates
     * injected ACROSS the consumer restart — the at-least-once redelivery
     * scenario the operator exists for: after incarnation 1 commits its

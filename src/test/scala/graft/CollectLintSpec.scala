@@ -52,6 +52,9 @@ class CollectLintSpec extends SparkSpec {
       // stream_dynamic_sessions: the dynamic-gap sibling of
       // stream_topic_sessions — identical replay posture
       "stream_dynamic_sessions",
+      // stream_zscore: two chained jobs (hourly producer -> RollingZscore
+      // consumer) in the stream_suppress topology, same replay posture
+      "stream_zscore",
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",
