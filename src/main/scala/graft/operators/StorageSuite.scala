@@ -347,6 +347,39 @@ object StorageSuite {
         col("n_customers"), col("cust_bal"))
   }
 
+  /** Schema evolution across partition generations — the storage-drift
+    * reality of any table written for years: early partitions lack
+    * columns later ones carry. Generation v=1 writes a NARROW orders
+    * projection (key, custkey, totalprice; even order keys), v=2 writes
+    * the WIDENED schema adding o_orderpriority (odd keys); the read
+    * unifies them with `mergeSchema` — Parquet's column-by-name union,
+    * where v1 rows surface the missing column as NULL, no rewrite of old
+    * partitions. The aggregate proves all three properties at once: the
+    * unioned column exists (group key), v1 rows land in the NULL->legacy
+    * bucket exactly (counts), and every value survived both generations
+    * (exact-decimal total). Scale note: mergeSchema footers are read on
+    * the DRIVER per file — at 100 TB you set the union schema explicitly
+    * or keep it in a catalog; the per-file-footer path here is the
+    * semantics under test, not the recommended deployment.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${layoutRoot(dir)}/evo"
+    val o = Tables.orders(spark, dir)
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$root/v1")
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$root/v2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("legacy")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("total"))
+  }
+
   private val checksumTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events", "documents",
     "embeddings")
@@ -430,11 +463,23 @@ object StorageSuite {
     "table_checksum"  -> (tableChecksum _),
     "checksum_merge"  -> (checksumMerge _),
     "checksum_buckets" -> (checksumBuckets _),
-    "format_roundtrip" -> (formatRoundtrip _))
+    "format_roundtrip" -> (formatRoundtrip _),
+    "schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
     // exactly what the hash compare then proves
+    // the generation split is deterministic (orderkey parity), so the
+    // oracle derives the merged-read answer from the original table:
+    // equality proves mergeSchema unioned the column, surfaced v1 rows
+    // as NULL (-> 'legacy'), and lost no values across generations
+    "schema_evolution" ->
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1
+        |                     THEN o_orderpriority END, 'legacy') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
     "table_checksum" -> checksumOracle,
     "checksum_merge" -> checksumMergeOracle,
     "checksum_buckets" ->

@@ -35,6 +35,9 @@ class CollectLintSpec extends SparkSpec {
     Set("ivf_kmeans_recall", "pq_kmeans_gain",
       "bucketed_join", "partition_prune", "dpp_join", "zorder_layout",
       "format_roundtrip",
+      // schema_evolution: writes its two partition generations at
+      // construction, same executor-side layout-build posture
+      "schema_evolution",
       // stream_page_counts is a declared REPLAY harness: construction runs
       // the streaming pipeline itself (micro-batch jobs) and its source
       // collects the fixture to the driver to simulate a wire — the
