@@ -1632,6 +1632,41 @@ object RelationalSuite {
           .cast("long").as("n_large"))
   }
 
+  /** Nested record shaping — the denormalize -> navigate -> renormalize
+    * cycle every nested-parquet pipeline runs (orders carrying an
+    * `items[]` array of structs): lineitem rows roll up into a per-order
+    * sorted struct array, the ANALYTICS happen in the nested domain
+    * (each order's top item found by lexicographic struct sort over
+    * (qty, lineno) — the HOF navigates struct fields, no explode), and
+    * the array then explodes BACK to per-position aggregates. The oracle
+    * computes the same numbers straight from flat lineitem (window
+    * row_number for the top item), so the hash proves the nested
+    * round-trip lost nothing and the in-array analytics match the
+    * relational form exactly. One shuffle to the order grain; the
+    * per-order arrays are bounded by order size (~7), never the table.
+    */
+  def nestedItems(spark: SparkSession, dir: String): DataFrame = {
+    val nested = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        struct(col("l_linenumber").as("ln"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty")).as("item"))
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(col("item"))).as("items"))
+    // top item per order IN THE NESTED DOMAIN: lexicographic max of
+    // (qty, ln) — qty first, line number breaking exact-qty ties
+    val withTop = nested.withColumn("top_ln",
+      element_at(array_sort(transform(col("items"),
+        x => struct(x.getField("qty").as("qty"),
+          x.getField("ln").as("ln")))), -1).getField("ln"))
+    withTop
+      .select(col("top_ln"), explode(col("items")).as("it"))
+      .groupBy(col("it.ln").as("lineno"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("it.qty")).cast("double").as("total_qty"),
+        sum(when(col("it.ln") === col("top_ln"), 1L).otherwise(0L))
+          .as("n_top"))
+  }
+
   /** Null-semantics pin — the fixtures carry no NULLs, so every
     * null-handling rule the engine relies on (aggregates skip NULLs,
     * count(*) vs count(col), null-safe equality, coalesce fallbacks,
@@ -1725,6 +1760,7 @@ object RelationalSuite {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triangle_coocc"     -> (triangleCoocc _),
+    "nested_items"       -> (nestedItems _),
     "null_semantics"     -> (nullSemantics _),
     "array_analytics"    -> (arrayAnalytics _),
     "snapshot_diff"      -> (snapshotDiff _),
@@ -1794,6 +1830,29 @@ object RelationalSuite {
     "drift_histogram"    -> (driftHistogram _))
 
   val oracles: Map[String, String] = Map(
+    // the flat-relational twin of the nested pipeline: per-position
+    // aggregates straight off lineitem, the per-order top item via a
+    // window row_number ordered (qty DESC, lineno DESC) — exactly the
+    // lexicographic struct max the nested side computes in-array
+    "nested_items" ->
+      """WITH t AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS q
+        |  FROM lineitem),
+        |top AS (
+        |  SELECT l_orderkey, l_linenumber FROM (
+        |    SELECT l_orderkey, l_linenumber,
+        |           row_number() OVER (PARTITION BY l_orderkey
+        |                              ORDER BY q DESC, l_linenumber DESC) AS rn
+        |    FROM t) WHERE rn = 1)
+        |SELECT t.l_linenumber AS lineno,
+        |       count(*) AS n_items,
+        |       CAST(CAST(sum(t.q) AS VARCHAR) AS DOUBLE) AS total_qty,
+        |       CAST(count(top.l_orderkey) AS BIGINT) AS n_top
+        |FROM t LEFT JOIN top
+        |  ON t.l_orderkey = top.l_orderkey
+        | AND t.l_linenumber = top.l_linenumber
+        |GROUP BY 1""".stripMargin,
     // same support-thresholded co-purchase graph, same (degree, id)
     // orientation via row-value comparison; all-integer counts, one
     // IEEE division for the closure rate
