@@ -279,6 +279,69 @@ object EventSuite {
         (abs(col("z")) > 3.0).as("is_anomaly"))
   }
 
+  /** MAP-column analytics — completes the complex-type matrix (arrays:
+    * array_analytics, structs: nested_items, variant: variant_props):
+    * per-user maps of event_type -> count built with map_from_entries,
+    * then navigated ENTIRELY in the map domain — size, value aggregation
+    * over map_values, keyed lookup via try_element_at (ANSI-safe NULL on
+    * a missing key, coalesced to 0), map_filter for the heavy-type count,
+    * and the top type by lexicographic (cnt, key) struct max over
+    * map_entries. The flat-relational oracle recomputes every column, so
+    * the hash proves the map round-trip and each HOF. Maps are bounded
+    * at |event types| per user however large the log — the legitimate
+    * collect shape, same argument as array_analytics.
+    */
+  def mapAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).cast("long").as("n_types"),
+        aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x)
+          .as("total"),
+        coalesce(try_element_at(col("m"), lit("purchase")), lit(0L))
+          .as("n_purchase"),
+        size(map_filter(col("m"), (_, v) => v >= 5)).cast("long")
+          .as("n_heavy"),
+        // map_entries structs are (key, value) — reorder to (cnt, key)
+        // so the lexicographic sort ranks by count first
+        element_at(array_sort(transform(map_entries(col("m")),
+          e => struct(e.getField("value").as("cnt"),
+            e.getField("key").as("k")))), -1)
+          .getField("k").as("top_type"))
+  }
+
+  /** Semi-structured VARIANT navigation — the Spark 4 surface for the
+    * schema-on-read column every event log carries: each row's `props`
+    * JSON is wrapped into a NESTED document in-plan (so the path
+    * navigation is real, not single-level), parsed once into a
+    * VariantType column, and navigated with `variant_get` paths + typed
+    * extraction ($.meta.src as string, $.payload.k as long) — the
+    * open-schema alternative to from_json's fixed StructType
+    * (json_extract_agg) when producers add fields freely. The oracle
+    * recomputes from the raw columns via DuckDB's JSON extraction, so
+    * the hash proves parse + path + cast fidelity. One scan; VARIANT's
+    * binary encoding parses each document once however many paths read
+    * it — the reason it beats per-path get_json_object rescans at 100 TB.
+    */
+  def variantProps(spark: SparkSession, dir: String): DataFrame = {
+    val doc = concat(lit("""{"meta":{"src":""""), col("event_type"),
+      lit(""""},"payload":"""), col("props"), lit("}"))
+    Tables.events(spark, dir)
+      .select(parse_json(doc).as("v"))
+      .select(
+        expr("variant_get(v, '$.meta.src', 'string')").as("src"),
+        expr("variant_get(v, '$.payload.k', 'long')").as("k"))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+  }
+
   /** Pipeline-embedded observability — the `Dataset.observe` /
     * CollectMetrics surface (the Spark-native analogue of Kafka Streams'
     * metrics registry): data-quality metrics are accumulated ON THE
@@ -432,6 +495,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedBackfillUnion(s, d)),
     "page_counts_snapshot" -> (pageCountsSnapshot _),
     "rolling_zscore"       -> (rollingZscore _),
+    "variant_props"        -> (variantProps _),
+    "map_analytics"        -> (mapAnalytics _),
     "stream_zscore"        -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedZscore(s, d)),
     "sliding_counts"       -> (slidingCounts _),
@@ -475,6 +540,40 @@ object EventSuite {
     // so DuckDB audits the wire without a JSON parser — the hash proves
     // Spark quarantined exactly the torn payloads and round-tripped the
     // rest bit-for-bit. Decimal sum routed through VARCHAR (ulp gotcha)
+    // the flat twin of every map-domain HOF; the top type's window
+    // row_number ordered (cnt DESC, key DESC) reproduces the in-map
+    // lexicographic (cnt, key) struct max
+    "map_analytics" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id, event_type FROM (
+        |    SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |                              ORDER BY cnt DESC, event_type DESC) AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT c.user_id,
+        |       count(*) AS n_types,
+        |       sum(cnt) AS total,
+        |       CAST(coalesce(sum(CASE WHEN c.event_type = 'purchase'
+        |                              THEN cnt END), 0) AS BIGINT) AS n_purchase,
+        |       CAST(sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_heavy,
+        |       max(top.event_type) AS top_type
+        |FROM c JOIN top ON c.user_id = top.user_id
+        |GROUP BY 1""".stripMargin,
+    // VARIANT navigation oracle: recompute from the RAW columns — the
+    // wrapped document's $.meta.src IS event_type and $.payload.k IS
+    // props->k, so equality proves parse + nested path + typed cast
+    "variant_props" ->
+      """SELECT event_type AS src,
+        |       count(*) AS n_rows,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS n_distinct_k
+        |FROM events GROUP BY 1""".stripMargin,
     "json_quarantine" ->
       """SELECT count(*) AS n_rows,
         |       CAST(count(CASE WHEN event_id % 7 <> 0 THEN 1 END)
