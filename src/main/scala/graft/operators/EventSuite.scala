@@ -499,6 +499,8 @@ object EventSuite {
     "map_analytics"        -> (mapAnalytics _),
     "stream_zscore"        -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedZscore(s, d)),
+    "stream_quarantine"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedQuarantine(s, d)),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
     "session_dynamic_gap"  -> (sessionDynamicGap _),
@@ -540,6 +542,18 @@ object EventSuite {
     // so DuckDB audits the wire without a JSON parser — the hash proves
     // Spark quarantined exactly the torn payloads and round-tripped the
     // rest bit-for-bit. Decimal sum routed through VARCHAR (ulp gotcha)
+    // streaming DLQ audit: parsed rows per type + exact-decimal value
+    // mass from the output topic, quarantined count + id-sum from the
+    // dead-letter topic — derived here from the original table under the
+    // same deterministic mod-7 corruption rule (no JSON parser needed)
+    "stream_quarantine" ->
+      """SELECT event_type AS bucket, count(*) AS n_rows,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+        |         AS DOUBLE) AS checksum
+        |FROM events WHERE event_id % 7 <> 0 GROUP BY 1
+        |UNION ALL
+        |SELECT 'DLQ', count(*), CAST(sum(event_id) AS DOUBLE)
+        |FROM events WHERE event_id % 7 = 0""".stripMargin,
     // the flat twin of every map-domain HOF; the top type's window
     // row_number ordered (cnt DESC, key DESC) reproduces the in-map
     // lexicographic (cnt, key) struct max

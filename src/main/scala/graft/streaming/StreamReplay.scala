@@ -770,6 +770,96 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Streaming DEAD-LETTER QUEUE — malformed-input quarantine as a
+    * production stream (the operational shape of the batch
+    * `json_quarantine`): wire rows carry an intact envelope (event_id,
+    * event-time) around a JSON payload, every 7th payload torn
+    * mid-object (producer bug, partial write — the reasons DLQs exist).
+    * The consumer PERMISSIVE-parses each micro-batch and routes it in
+    * ONE foreachBatch to TWO topics — parsed rows to the output, corrupt
+    * rows (raw payload + envelope preserved for replay/forensics) to the
+    * DLQ — both sinks idempotent per batchId, with the consumer stopped
+    * and restarted from its checkpoint mid-stream: a batch spanning the
+    * crash must not double-deliver to EITHER topic. Stateless routing, so
+    * no sentinels are needed; recovery is pure offset log + dual-sink
+    * idempotence. The audit unions both topics — per-type counts and the
+    * exact-decimal value mass from the output, the quarantined count and
+    * id-sum from the DLQ — and must hash-match the oracle's derivation
+    * from the original table under the same deterministic corruption
+    * rule.
+    */
+  def streamedQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("date", LongType),
+      StructField("payload", StringType)))
+    val outSchema = StructType(Seq(
+      StructField("name", StringType), StructField("value", DoubleType),
+      StructField("event_id", LongType)))
+    val dlqSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("raw", StringType)))
+    val parseSchema = StructType(Seq(
+      StructField("name", StringType), StructField("value", DoubleType),
+      StructField("_bad", StringType)))
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("date"),
+        to_json(struct(col("event_type").as("name"), col("value"))).as("js"))
+      .select(col("event_id"), col("date"),
+        when(col("event_id") % 7 === 0,
+          expr("substring(js, 1, length(js) - 3)"))
+          .otherwise(col("js")).as("payload"))
+    val (lo, hi) = timeBounds(events, s"$dir events (quarantine)")
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_dlq")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dlq_ckpt")
+    val in = new FileTopic("dlq_in", wireSchema, root.toString)
+    val out = new FileTopic("dlq_parsed", outSchema, root.toString)
+    val dlq = new FileTopic("dlq_dead", dlqSchema, root.toString)
+    def drain(): Unit = {
+      val parsed = in.stream(child)
+        .select(col("event_id"), col("payload"),
+          from_json(col("payload"), parseSchema,
+            java.util.Map.of("columnNameOfCorruptRecord", "_bad")).as("p"))
+      val q = parsed.writeStream.outputMode("append")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          // ONE batch, TWO idempotent sinks: the restart-spanning batch
+          // must not double-deliver to either
+          val d = df.persist()
+          try {
+            out.sinkBatch(d.filter(col("p._bad").isNull)
+              .select(col("p.name").as("name"), col("p.value").as("value"),
+                col("event_id")), id)
+            dlq.sinkBatch(d.filter(col("p._bad").isNotNull)
+              .select(col("event_id"), col("payload").as("raw")), id)
+          } finally d.unpersist()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      runQuartered(events, lo, hi, in.append, () => drain())
+      val parsedAgg = out.batch(child)
+        .groupBy(col("name").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double").as("checksum"))
+      val dlqRows = dlq.batch(child)
+      // forensic invariant: every quarantined payload rides with its raw
+      // bytes (replayable), none parses as valid JSON by accident
+      val dlqAgg = dlqRows
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).cast("double").as("checksum"))
+        .select(lit("DLQ").as("bucket"), col("n_rows"), col("checksum"))
+      val rows = parsedAgg.unionByName(dlqAgg).collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("bucket", StringType),
+          StructField("n_rows", LongType),
+          StructField("checksum", DoubleType))))
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Streaming trailing-window anomaly detection — the batch
     * `rolling_zscore` run as a production stream (round 12, the
     * [[StreamOps.RollingZscore]] surface): two chained jobs in the

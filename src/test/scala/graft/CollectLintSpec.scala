@@ -58,6 +58,9 @@ class CollectLintSpec extends SparkSpec {
       // stream_zscore: two chained jobs (hourly producer -> RollingZscore
       // consumer) in the stream_suppress topology, same replay posture
       "stream_zscore",
+      // stream_quarantine: stateless DLQ routing to two topics, same
+      // replay posture (publish to temp topic, snapshot the audit)
+      "stream_quarantine",
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",
