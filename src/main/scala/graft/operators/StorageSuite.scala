@@ -347,6 +347,33 @@ object StorageSuite {
         col("n_customers"), col("cust_bal"))
   }
 
+  /** Parquet AGGREGATE pushdown — COUNT/MIN/MAX answered from row-group
+    * FOOTER STATISTICS without decoding a single data page: at 100 TB a
+    * table-stats query (row counts, value envelopes — the numbers every
+    * catalog/monitoring sweep collects per table per day) costs metadata
+    * reads instead of a full scan. Needs the DSv2 parquet reader
+    * (`useV1SourceList` minus parquet) + `parquet.aggregatePushdown`,
+    * both scoped to a child session so the engine default (v1 + the
+    * NANOS handling Tables depends on) is untouched. PlanSpec pins the
+    * `PushedAggregation` scan shape; the oracle recomputes the same
+    * stats by brute force, proving footer stats equal the data.
+    */
+  def aggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList",
+      "avro,csv,json,kafka,orc,text")
+    def stats(tab: String, priceCol: String): DataFrame =
+      s2.read.parquet(s"$dir/$tab.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col(priceCol)).cast("double").as("min_price"),
+          max(col(priceCol)).cast("double").as("max_price"))
+        .select(lit(tab).as("tab"), col("n_rows"), col("min_price"),
+          col("max_price"))
+    stats("orders", "o_totalprice")
+      .unionByName(stats("lineitem", "l_extendedprice"))
+  }
+
   /** Schema evolution across partition generations — the storage-drift
     * reality of any table written for years: early partitions lack
     * columns later ones carry. Generation v=1 writes a NARROW orders
@@ -464,7 +491,8 @@ object StorageSuite {
     "checksum_merge"  -> (checksumMerge _),
     "checksum_buckets" -> (checksumBuckets _),
     "format_roundtrip" -> (formatRoundtrip _),
-    "schema_evolution" -> (schemaEvolution _))
+    "schema_evolution" -> (schemaEvolution _),
+    "agg_pushdown"     -> (aggPushdown _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
@@ -473,6 +501,16 @@ object StorageSuite {
     // oracle derives the merged-read answer from the original table:
     // equality proves mergeSchema unioned the column, surfaced v1 rows
     // as NULL (-> 'legacy'), and lost no values across generations
+    // brute-force recomputation of the footer-stat answers: equality
+    // proves parquet row-group statistics match the data they describe
+    "agg_pushdown" ->
+      """SELECT 'orders' AS tab, count(*) AS n_rows,
+        |       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', count(*),
+        |       min(l_extendedprice), max(l_extendedprice)
+        |FROM lineitem""".stripMargin,
     "schema_evolution" ->
       """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1
         |                     THEN o_orderpriority END, 'legacy') AS priority,

@@ -38,6 +38,10 @@ class CollectLintSpec extends SparkSpec {
       // schema_evolution: writes its two partition generations at
       // construction, same executor-side layout-build posture
       "schema_evolution",
+      // agg_pushdown: DSv2 BatchScan resolves parquet footers during
+      // planning (a metadata listing, not a data-page job) — the very
+      // point of the operator
+      "agg_pushdown",
       // stream_page_counts is a declared REPLAY harness: construction runs
       // the streaming pipeline itself (micro-batch jobs) and its source
       // collects the fixture to the driver to simulate a wire — the

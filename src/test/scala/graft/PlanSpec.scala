@@ -387,6 +387,15 @@ class PlanSpec extends SparkSpec {
       s"q15 supplier dim must broadcast in:\n$plan")
   }
 
+  test("agg_pushdown answers COUNT/MIN/MAX from parquet footers, not a row scan") {
+    val plan = executedPlan(graft.operators.StorageSuite.aggPushdown(spark, dir))
+    assert("PushedAggregation: \\[COUNT".r.findAllIn(plan).size == 2,
+      s"both tables' aggregates must push to the scan:\n$plan")
+    assert(plan.contains("MIN(o_totalprice)") &&
+      plan.contains("MAX(l_extendedprice)"),
+      s"min/max not pushed in:\n$plan")
+  }
+
   test("rolling_zscore computes all three baseline stats in ONE window pass") {
     val plan = executedPlan(graft.operators.EventSuite.rollingZscore(spark, dir))
     // count/sum/sum-of-squares over the same frame must share a single
