@@ -347,6 +347,57 @@ object StorageSuite {
         col("n_customers"), col("cust_bal"))
   }
 
+  /** Corrupt-file tolerance + the loss AUDIT that must accompany it: a
+    * 100 TB lake WILL hold torn files (failed writers, bit rot, partial
+    * uploads), and `spark.sql.files.ignoreCorruptFiles` is how a sweep
+    * keeps running — but it skips data SILENTLY, so the only safe
+    * deployment pairs it with an accounting query against the source of
+    * truth. Here the events table is laid out partitioned by type, ONE
+    * partition's file gets its footer magic deterministically smashed,
+    * and the read (explicit schema — planning never touches the torn
+    * footer; tolerance as a per-relation option) joins back against the
+    * original table: the output carries n_read vs n_expected per type,
+    * making the skipped partition VISIBLE as a zero instead of silent.
+    */
+  def corruptFileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${layoutRoot(dir)}/corrupt"
+    val ev = Tables.events(spark, dir).select(col("event_id"),
+      col("event_type"), col("value"))
+    ev.coalesce(1).write.mode("overwrite")
+      .partitionBy("event_type").parquet(root)
+    // smash the 'view' partition's footer magic (the last 4 bytes every
+    // parquet reader validates) — driver-local file IO, not a Spark job
+    val viewDir = new java.io.File(s"$root/event_type=view")
+    val part = viewDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val raf = new java.io.RandomAccessFile(part, "rw")
+    try {
+      raf.seek(raf.length() - 4)
+      raf.write(Array[Byte]('D', 'E', 'A', 'D'))
+    } finally raf.close()
+    // per-RELATION option, not a session conf: the audit joins this scan
+    // against the pristine source table in one plan, and only the
+    // corrupted layout's scan may tolerate torn files — a session-wide
+    // setting would also mask corruption in the source of truth (and a
+    // child-session conf wouldn't survive execution under the caller's
+    // session anyway)
+    val read = spark.read.option("ignoreCorruptFiles", "true").schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType))))
+      .parquet(root)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_read"))
+    val expected = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_expected"))
+    expected.join(read, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("n_read"), lit(0L)).as("n_read"),
+        col("n_expected"),
+        (coalesce(col("n_read"), lit(0L)) =!= col("n_expected"))
+          .as("data_lost"))
+  }
+
   /** Parquet AGGREGATE pushdown — COUNT/MIN/MAX answered from row-group
     * FOOTER STATISTICS without decoding a single data page: at 100 TB a
     * table-stats query (row counts, value envelopes — the numbers every
@@ -492,7 +543,8 @@ object StorageSuite {
     "checksum_buckets" -> (checksumBuckets _),
     "format_roundtrip" -> (formatRoundtrip _),
     "schema_evolution" -> (schemaEvolution _),
-    "agg_pushdown"     -> (aggPushdown _))
+    "agg_pushdown"     -> (aggPushdown _),
+    "corrupt_file_audit" -> (corruptFileAudit _))
 
   val oracles: Map[String, String] = Map(
     // the oracles query the RAW parquet: layout round-trip fidelity is
@@ -501,6 +553,16 @@ object StorageSuite {
     // oracle derives the merged-read answer from the original table:
     // equality proves mergeSchema unioned the column, surfaced v1 rows
     // as NULL (-> 'legacy'), and lost no values across generations
+    // the corruption is deterministic (the 'view' partition's file), so
+    // the oracle knows exactly which rows the tolerant read must skip —
+    // equality proves BOTH the skip semantics and the audit's honesty
+    "corrupt_file_audit" ->
+      """SELECT event_type,
+        |       CAST(CASE WHEN event_type = 'view' THEN 0
+        |            ELSE count(*) END AS BIGINT) AS n_read,
+        |       count(*) AS n_expected,
+        |       event_type = 'view' AS data_lost
+        |FROM events GROUP BY 1""".stripMargin,
     // brute-force recomputation of the footer-stat answers: equality
     // proves parquet row-group statistics match the data they describe
     "agg_pushdown" ->

@@ -42,6 +42,9 @@ class CollectLintSpec extends SparkSpec {
       // planning (a metadata listing, not a data-page job) — the very
       // point of the operator
       "agg_pushdown",
+      // corrupt_file_audit: writes the partitioned layout (then smashes
+      // one footer driver-locally) at construction, same layout posture
+      "corrupt_file_audit",
       // stream_page_counts is a declared REPLAY harness: construction runs
       // the streaming pipeline itself (micro-batch jobs) and its source
       // collects the fixture to the driver to simulate a wire — the
