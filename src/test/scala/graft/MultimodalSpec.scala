@@ -68,6 +68,26 @@ class MultimodalSpec extends SparkSpec {
       s"sample digest ${aud.pixel_sum} != closed form $wantAud")
   }
 
+  test("GIF grayscale round-trip is lossless across the parameter space") {
+    // the closed-form media oracles REST on this: every (docId-derived
+    // frame count, width, height) must survive GIF's 256-entry palette
+    // bit-exactly. Random docIds sweep the 2..8 frame and 16..31 dim
+    // ranges; seeded, failures reproduce.
+    val rnd = new scala.util.Random(424242L)
+    (1 to 6).foreach { _ =>
+      val id = rnd.nextLong().abs % 100000L
+      val dec = Multimodal.GifCodec.decode(Multimodal.GifCodec.encode(id))
+      val (n, w, h) = (Multimodal.GifCodec.nFrames(id),
+        Multimodal.GifCodec.frameW(id), Multimodal.GifCodec.frameH(id))
+      assert((dec.nFrames, dec.width, dec.height) == (n, w, h), s"docId $id")
+      val want = (for { f <- 0 until n; x <- 0 until w; y <- 0 until h }
+        yield (id + 3L * f + x + y) % 256).sum
+      assert(dec.pixelSum == want,
+        s"docId $id: decoded sum ${dec.pixelSum} != closed form $want — " +
+          "the GIF palette round-trip is NOT lossless for these params")
+    }
+  }
+
   test("GIF payload round-trips through the real multi-frame codec") {
     val gif = Multimodal.GifCodec.encode(9L)
     // GIF magic — a genuine animated image file, not a fake blob
