@@ -153,11 +153,27 @@ class CollectLintSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("no query plan contains a CollectLimit (top-k must be TakeOrdered)") {
+  test("no CollectLimit in any plan; every schema is driver-hash safe") {
+    // one construction pass, two contracts (replay queries run their whole
+    // topic replay at construction — rebuilding them per concern would
+    // double the spec's wall time):
+    //  1. top-k must plan TakeOrdered, never a CollectLimit;
+    //  2. SCHEMA DISCIPLINE for the driver's hash compare, which sorts
+    //     columns BY NAME: duplicate names (even case-insensitively)
+    //     would collide in the sort, and a non-lowercase name can never
+    //     match an unquoted DuckDB alias — either defect would surface as
+    //     an unexplainable hash mismatch instead of failing here by name.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
-      val plan = q(spark, dir).queryExecution.executedPlan.toString
+      val df = q(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CollectLimit"),
         s"$name plans a CollectLimit:\n$plan")
+      val cols = df.schema.fieldNames.toSeq
+      assert(cols.map(_.toLowerCase).distinct.size == cols.size,
+        s"$name: duplicate column names (case-insensitive): $cols")
+      cols.foreach(c => assert(c.matches("[a-z][a-z0-9_]*"),
+        s"$name: column '$c' is not lowercase snake_case — it cannot " +
+          "match an unquoted DuckDB oracle alias"))
     }
   }
 }
