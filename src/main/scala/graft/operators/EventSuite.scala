@@ -279,6 +279,41 @@ object EventSuite {
         (abs(col("z")) > 3.0).as("is_anomaly"))
   }
 
+  /** GLOBAL ranking without the global-sort bottleneck — row_number over
+    * a table-wide total order is the classic scale trap: a bare
+    * `row_number() OVER (ORDER BY ...)` funnels EVERY row through one
+    * partition. The distributed form splits the order into a coarse
+    * BUCKET (here: the integer value decade, descending), computes the
+    * tiny per-bucket histogram, turns it into per-bucket STARTING OFFSETS
+    * with a prefix-sum window over that bounded table, and ranks within
+    * each bucket independently — rank = bucket offset + within-bucket
+    * row_number, exactly equal to the single-partition answer while every
+    * data-carrying operator partitions by bucket. The only
+    * single-partition work is the prefix sum over |buckets| rows
+    * (bounded by the VALUE RANGE, not the row count). The oracle is the
+    * bare global row_number, so the hash proves exact equality of the
+    * two formulations.
+    */
+  def globalRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("value"),
+        floor(col("value") / 10).as("bucket"))
+    val counts = ev.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    // offsets: rows in strictly HIGHER buckets (order is value DESC)
+    val wOff = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("offset", coalesce(sum(col("n")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("value").desc, col("event_id"))
+    ev.join(broadcast(offsets), "bucket")
+      .withColumn("global_rank",
+        (col("offset") + row_number().over(wIn)).cast("long"))
+      .select(col("event_id"), col("value"), col("global_rank"))
+  }
+
   /** MAP-column analytics — completes the complex-type matrix (arrays:
     * array_analytics, structs: nested_items, variant: variant_props):
     * per-user maps of event_type -> count built with map_from_entries,
@@ -497,6 +532,7 @@ object EventSuite {
     "rolling_zscore"       -> (rollingZscore _),
     "variant_props"        -> (variantProps _),
     "map_analytics"        -> (mapAnalytics _),
+    "global_rank"          -> (globalRank _),
     "stream_zscore"        -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedZscore(s, d)),
     "stream_quarantine"    -> ((s: SparkSession, d: String) =>
@@ -542,6 +578,14 @@ object EventSuite {
     // so DuckDB audits the wire without a JSON parser — the hash proves
     // Spark quarantined exactly the torn payloads and round-tripped the
     // rest bit-for-bit. Decimal sum routed through VARCHAR (ulp gotcha)
+    // the bare single-partition formulation the bucketed engine plan
+    // must equal exactly; value DESC with event_id tiebreak makes the
+    // total order (and so every rank) deterministic on both engines
+    "global_rank" ->
+      """SELECT event_id, value,
+        |       CAST(row_number() OVER (ORDER BY value DESC, event_id)
+        |         AS BIGINT) AS global_rank
+        |FROM events""".stripMargin,
     // streaming DLQ audit: parsed rows per type + exact-decimal value
     // mass from the output topic, quarantined count + id-sum from the
     // dead-letter topic — derived here from the original table under the

@@ -396,6 +396,18 @@ class PlanSpec extends SparkSpec {
       s"min/max not pushed in:\n$plan")
   }
 
+  test("global_rank never funnels event rows through one partition") {
+    val plan = executedPlan(graft.operators.EventSuite.globalRank(spark, dir))
+    // the data-carrying Window must partition by bucket; the ONLY
+    // single-partition stage is the prefix sum over the bounded
+    // per-bucket histogram (and its broadcast). A bare global
+    // row_number would show an empty partition spec over the events.
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"ranking window must partition by bucket:\n$plan")
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 1,
+      s"more than the histogram prefix-sum runs single-partition:\n$plan")
+  }
+
   test("rolling_zscore computes all three baseline stats in ONE window pass") {
     val plan = executedPlan(graft.operators.EventSuite.rollingZscore(spark, dir))
     // count/sum/sum-of-squares over the same frame must share a single
