@@ -768,6 +768,35 @@ object TextSuite {
           .as("kept_tokens"))
   }
 
+  /** Source-concentration audit (Lorenz view) — the other mix-planning
+    * prior: "how much of the corpus do the top-k sources hold?", read
+    * before any cap or weight is chosen (a corpus where 3 of 20 sources
+    * carry half the tokens needs domain_cap; a flat one doesn't). Sources
+    * rank by size (count desc, name tiebreak — deterministic), and each
+    * carries its cumulative share: an exact-long running sum over the
+    * |sources|-row aggregate divided once in IEEE — bit-equal across
+    * engines, no transcendental (a Gini/entropy variant would need ln(),
+    * which is NOT correctly rounded and breaks cross-engine hashing).
+    * The ranking window runs over the bounded per-source table, never
+    * the corpus.
+    */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val order = Window.orderBy(col("n_chars").desc, col("source"))
+    val run = Window.orderBy(col("n_chars").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = bySrc.agg(sum(col("n_chars")).as("total_chars"))
+    bySrc.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_chars", sum(col("n_chars")).over(run))
+      .select(col("source"), col("rank"), col("n_docs"), col("n_chars"),
+        (col("cum_chars").cast("double") / col("total_chars").cast("double"))
+          .as("cum_share"))
+  }
+
   /** Cross-source duplication audit — the mix-planning question "which of
     * my data sources are copies of each other?" asked BEFORE sources are
     * weighted (token_budget_mix) or capped (domain_cap): near-dup pairs
@@ -983,6 +1012,7 @@ object TextSuite {
     "contam_frac"     -> ((s: SparkSession, d: String) => contamFrac(s, d)),
     "adaptive_quality" -> ((s: SparkSession, d: String) => adaptiveQuality(s, d)),
     "source_overlap"  -> (sourceOverlap _),
+    "source_concentration" -> (sourceConcentration _),
     "delta_dedup"     -> (deltaDedup _),
     "passage_dedup"   -> ((s: SparkSession, d: String) => passageDedup(s, d)),
     "substring_dedup" -> (substringDedup _),
@@ -1657,6 +1687,21 @@ object TextSuite {
         |       CAST(sum(CASE WHEN cd >= 0.25e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(coalesce(sum(CASE WHEN cd >= 0.25e0 THEN n_tokens END), 0) AS BIGINT) AS kept_tokens
         |FROM c GROUP BY 1""".stripMargin,
+    // exact-long running sums over the bounded per-source table, ONE
+    // IEEE division for the share — bit-equal, no transcendentals
+    "source_concentration" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_chars) AS total_chars FROM s)
+        |SELECT source,
+        |       CAST(row_number() OVER w AS BIGINT) AS rank,
+        |       n_docs, n_chars,
+        |       CAST(sum(n_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                               AND CURRENT ROW) AS DOUBLE) /
+        |         CAST(t.total_chars AS DOUBLE) AS cum_share
+        |FROM s, t
+        |WINDOW w AS (ORDER BY n_chars DESC, source)""".stripMargin,
     "source_overlap" ->
       s"""WITH $prunedShingles,
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
