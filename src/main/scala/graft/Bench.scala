@@ -125,8 +125,11 @@ object Bench {
       prev.get(n).collect { case (p, psf) if psf == sf => (n, p, sec) }
     }
     val skipped = cur.count { case (n, _, sf) => prev.get(n).exists(_._2 != sf) }
+    // p > 0: a previous min that rounded to 0.000 (sub-millisecond row)
+    // would pass both gates and serialize ratio as Infinity — invalid
+    // JSON in the drift section; such rows are incomparable noise
     val flagged = comparable.collect {
-      case (n, p, c) if c > 1.5 * p && c - p > 0.5 => (n, p, c)
+      case (n, p, c) if p > 0 && c > 1.5 * p && c - p > 0.5 => (n, p, c)
     }
     (flagged, comparable.size, skipped)
   }

@@ -537,6 +537,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedZscore(s, d)),
     "stream_quarantine"    -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedQuarantine(s, d)),
+    "stream_variant"       -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedVariantProps(s, d)),
     "sliding_counts"       -> (slidingCounts _),
     "session_counts"       -> (sessionCounts _),
     "session_dynamic_gap"  -> (sessionDynamicGap _),
@@ -613,7 +615,7 @@ object EventSuite {
         |    FROM c) WHERE rn = 1)
         |SELECT c.user_id,
         |       count(*) AS n_types,
-        |       sum(cnt) AS total,
+        |       CAST(sum(cnt) AS BIGINT) AS total,
         |       CAST(coalesce(sum(CASE WHEN c.event_type = 'purchase'
         |                              THEN cnt END), 0) AS BIGINT) AS n_purchase,
         |       CAST(sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS BIGINT)
@@ -627,7 +629,8 @@ object EventSuite {
     "variant_props" ->
       """SELECT event_type AS src,
         |       count(*) AS n_rows,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
         |       CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
         |         AS BIGINT) AS n_distinct_k
@@ -703,6 +706,15 @@ object EventSuite {
     // hourly counts, restarted mid-stream) must converge to the
     // IDENTICAL answer — same oracle, bit-equal doubles included
     "stream_zscore" -> zscoreOracle,
+    // streamed VARIANT navigation: recompute from the raw columns, same
+    // equivalence as the batch variant_props oracle (minus n_distinct_k,
+    // which update-mode streaming cannot maintain exactly)
+    "stream_variant" ->
+      """SELECT event_type AS src, count(*) AS n_rows,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
     "retention_daily" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id,

@@ -2672,8 +2672,8 @@ object RelationalSuite {
         |SELECT c_nationkey, 'except' AS op FROM (SELECT c_nationkey FROM a EXCEPT SELECT c_nationkey FROM b)""".stripMargin,
     "distinct_agg" ->
       """SELECT l_returnflag,
-        |       count(DISTINCT l_suppkey) AS n_supp,
-        |       count(DISTINCT l_partkey) AS n_part,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
     "rollup_agg" ->

@@ -480,6 +480,26 @@ object Similarity {
     * occupancy at the same tens-of-vectors the recall calibration
     * assumed; `tables` is the recall knob and multiplies work linearly.
     */
+  /** Occupancy-targeted LSH width — the sizing rule the scaladoc above
+    * states, as code: expected bucket occupancy is n / 2^nBits and
+    * within-bucket candidate work grows with its SQUARE, so a CONSTANT
+    * nBits makes total candidate volume quadratic in n (measured: the
+    * 2k -> 20k embeddings decade at fixed 6 bits ran within-decade slope
+    * ~0.97, ~25M candidate pairs at 20k). Holding OCCUPANCY constant
+    * instead — nBits = ceil(log2(n / targetOcc)) — keeps candidates
+    * linear in n. The `floor` pins small corpora to the recall
+    * calibration (6 bits below ~2k vectors at targetOcc 32), which also
+    * keeps generated oracles static across the oracle-checked fixture
+    * scales. Recall per table decays as bits grow ((1-theta/pi)^nBits);
+    * `tables` is the recall knob and multiplies work linearly — the
+    * caller trades them, this function only bounds the bucket load.
+    */
+  def autoBits(n: Long, floor: Int = 6, targetOcc: Int = 32): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOcc)) / math.log(2.0)).toInt
+    math.max(floor, needed)
+  }
+
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       nBits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val idx = lshIndex(corpus, dim, nBits, tables, seed)

@@ -72,18 +72,55 @@ object SimilaritySuite {
       nSub = pqSub, k = pqK, seed = seed)
   }
 
+  /** Cached parquet footer row counts for the occupancy-targeted LSH
+    * sizing below: the count comes from row-group metadata read directly
+    * on the driver (parquet-hadoop, same footers every scan plans from) —
+    * NO Spark job, so query construction stays job-free under
+    * CollectLintSpec. Handles both the driver's single-file fixtures and
+    * the multi-part directories the scaling slices write.
+    */
+  private val footerRows =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def parquetRowCount(path: String): Long =
+    footerRows.computeIfAbsent(path, p => {
+      val f = new java.io.File(p)
+      val parts: Seq[java.io.File] =
+        if (f.isDirectory)
+          f.listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(f)
+      parts.map { pf =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+
   /** LSH-bucketed near-dup pairs — the scale path for embed_neardup (the
     * block-pair kernel verifies exactly; this prunes candidates first so a
-    * 100 TB corpus never materializes all blocks). Coarse buckets (6 bits
-    * x 8 tables, the embed_ann calibration) because the fixture vectors
-    * are near-random. Oracle-checked EXACTLY: the generated SQL reproduces
-    * buckets -> candidate pairs -> cosine filter from the same seeded
-    * hyperplane literals, so the comparison is exact even though LSH
-    * recall at this threshold is probabilistic.
+    * 100 TB corpus never materializes all blocks). Bucket width is
+    * OCCUPANCY-TARGETED (Similarity.autoBits over the corpus footer row
+    * count): fixed-width buckets fill linearly with corpus size and
+    * candidate pairs grow with occupancy SQUARED — the round-12 sf1x
+    * scaling decade measured exactly that (within-decade slope ~0.97 at a
+    * constant 6 bits). autoBits floors at the 6-bit recall calibration,
+    * so every oracle-checked fixture scale (500-2,000 vectors at
+    * targetOcc 32) still sizes to exactly `annBits` and the STATIC
+    * generated oracle below remains bit-faithful there; only the
+    * scaling-measurement slices (20k, 200k vectors — never
+    * oracle-compared) grow wider tables. Oracle-checked EXACTLY: the
+    * generated SQL reproduces buckets -> candidate pairs -> cosine filter
+    * from the same seeded hyperplane literals, so the comparison is exact
+    * even though LSH recall at this threshold is probabilistic.
     */
-  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame =
+  def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bits = Similarity.autoBits(
+      parquetRowCount(s"$dir/embeddings.parquet"), floor = annBits)
     Similarity.nearDupPairsLsh(Tables.embeddings(spark, dir), threshold = 0.4,
-      nBits = annBits, tables = annTables, seed = seed)
+      nBits = bits, tables = annTables, seed = seed)
+  }
 
   /** IVF-PQ top-5: the FAISS-IVFADC-shaped composition — IVF cells prune,
     * PQ reconstructions score. Oracle-checked EXACTLY: the generated SQL
@@ -432,6 +469,10 @@ object SimilaritySuite {
 
   /** Generated oracle for embed_neardup_lsh: reproduce buckets ->
     * candidate pairs -> exact-cosine filter from the hyperplane literals.
+    * Generated at the `annBits` floor — valid because autoBits sizes every
+    * oracle-checked fixture (<= 2,048 vectors at targetOcc 32) to exactly
+    * annBits; SimilaritySpec pins that equivalence so a fixture-size change
+    * that would desync query and oracle fails by name, not by hash.
     */
   private def nearDupLshOracle: String = {
     val buckets = (0 until annTables).map { t =>

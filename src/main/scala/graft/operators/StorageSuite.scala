@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 import graft.model.Tables
 
@@ -409,11 +409,25 @@ object StorageSuite {
     * `PushedAggregation` scan shape; the oracle recomputes the same
     * stats by brute force, proving footer stats equal the data.
     */
+  /** Conf-scoped child session for [[aggPushdown]], cached per parent —
+    * a fresh `newSession()` per call (twice per bench pass + spec runs)
+    * reintroduces the per-call child-session codegen/JIT churn the
+    * replay harness already eliminated (StreamReplay.replaySession).
+    */
+  private val pushdownSessionCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def pushdownSession(spark: SparkSession): SparkSession =
+    pushdownSessionCache.computeIfAbsent(spark, parent => {
+      val child = parent.newSession()
+      child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      child.conf.set("spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,text")
+      child
+    })
+
   def aggPushdown(spark: SparkSession, dir: String): DataFrame = {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    s2.conf.set("spark.sql.sources.useV1SourceList",
-      "avro,csv,json,kafka,orc,text")
+    val s2 = pushdownSession(spark)
     def stats(tab: String, priceCol: String): DataFrame =
       s2.read.parquet(s"$dir/$tab.parquet")
         .agg(count(lit(1)).as("n_rows"),
@@ -440,22 +454,69 @@ object StorageSuite {
     * or keep it in a catalog; the per-file-footer path here is the
     * semantics under test, not the recommended deployment.
     */
-  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val root = s"${layoutRoot(dir)}/evo"
-    val o = Tables.orders(spark, dir)
-    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .write.mode("overwrite").parquet(s"$root/v1")
-    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderpriority"))
-      .write.mode("overwrite").parquet(s"$root/v2")
-    spark.read.option("mergeSchema", "true")
-      .parquet(s"$root/v1", s"$root/v2")
+  /** One layout write per (root) per JVM: the generations are a pure
+    * deterministic function of the fixture, so re-writing them on every
+    * construction (twice per bench pass + every spec) is churn, not
+    * semantics — same posture as the cached pushdown session above.
+    */
+  private val evoWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def writeEvoGenerations(spark: SparkSession, dir: String): String =
+    evoWritten.computeIfAbsent(s"${layoutRoot(dir)}/evo", root => {
+      val o = Tables.orders(spark, dir)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/v1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$root/v2")
+      root
+    })
+
+  private def evoAggregate(generations: DataFrame): DataFrame =
+    generations
       .groupBy(coalesce(col("o_orderpriority"), lit("legacy")).as("priority"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total"))
+
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = writeEvoGenerations(spark, dir)
+    evoAggregate(spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/v1", s"$root/v2"))
+  }
+
+  /** The 100 TB path of [[schemaEvolution]]: the SAME drifted generations
+    * read under an EXPLICIT union schema — the one the in-code scale note
+    * above prescribes. The schema comes from the catalog layer
+    * (Tables.orders' own field definitions), not from file footers, so
+    * the read plans with ZERO schema-inference work: mergeSchema must
+    * open every file's footer before the first task runs (per-file driver
+    * work that grows with file count — at 100 TB, millions of files),
+    * while this variant goes straight to scan. Parquet's reader fills
+    * the column v1 files lack with NULL against the declared schema —
+    * identical semantics, no discovery cost. Same oracle as
+    * schema_evolution: equal hashes prove the two read paths agree.
+    */
+  /** The union schema as the CATALOG declares it (FIXTURES.md §B orders
+    * types) — a STATIC StructType, not `Tables.orders(...).schema`:
+    * inferring it from the fixture would itself run parquet footer
+    * reading (Spark's V1 inference runs a mergeSchemasInParallel job even
+    * for one file), which is exactly the per-file driver work this
+    * variant exists to avoid. AuditSpec pins construction at ZERO jobs.
+    */
+  private val evoUnionSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("o_orderkey", LongType),
+    org.apache.spark.sql.types.StructField("o_custkey", LongType),
+    org.apache.spark.sql.types.StructField("o_totalprice", DoubleType),
+    org.apache.spark.sql.types.StructField("o_orderpriority", StringType)))
+
+  def schemaEvolutionExplicit(spark: SparkSession, dir: String): DataFrame = {
+    val root = writeEvoGenerations(spark, dir)
+    evoAggregate(spark.read.schema(evoUnionSchema)
+      .parquet(s"$root/v1", s"$root/v2"))
   }
 
   private val checksumTables = Seq("region", "nation", "customer",
@@ -543,6 +604,7 @@ object StorageSuite {
     "checksum_buckets" -> (checksumBuckets _),
     "format_roundtrip" -> (formatRoundtrip _),
     "schema_evolution" -> (schemaEvolution _),
+    "schema_evolution_explicit" -> (schemaEvolutionExplicit _),
     "agg_pushdown"     -> (aggPushdown _),
     "corrupt_file_audit" -> (corruptFileAudit _))
 
@@ -574,6 +636,16 @@ object StorageSuite {
         |       min(l_extendedprice), max(l_extendedprice)
         |FROM lineitem""".stripMargin,
     "schema_evolution" ->
+      """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1
+        |                     THEN o_orderpriority END, 'legacy') AS priority,
+        |       count(*) AS n_orders,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    // the explicit-union-schema read must agree with the mergeSchema read
+    // cell-for-cell — the SAME derivation from the original table checks
+    // both paths
+    "schema_evolution_explicit" ->
       """SELECT coalesce(CASE WHEN o_orderkey % 2 = 1
         |                     THEN o_orderpriority END, 'legacy') AS priority,
         |       count(*) AS n_orders,

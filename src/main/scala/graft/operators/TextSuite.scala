@@ -780,18 +780,34 @@ object TextSuite {
     * The ranking window runs over the bounded per-source table, never
     * the corpus.
     */
-  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    sourceConcentrationOf(Tables.documents(spark, dir))
+
+  /** Core of [[sourceConcentration]] over any table with `source` and
+    * `n_chars` columns — split out so the Lorenz invariants (cum_share
+    * monotone, last share exactly 1.0) can be property-checked on
+    * randomized per-source tables (AuditSpec).
+    */
+  def sourceConcentrationOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bySrc = Tables.documents(spark, dir)
+    val bySrc = docs
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    // ONE corpus scan: the grand total is the unbounded frame of the SAME
+    // ordered window over the bounded per-source table, so rank, running
+    // sum, and total share a single Window pass (a separate
+    // `.agg(sum)` + crossJoin would scan the corpus twice — 2x the I/O
+    // that dominates at 100 TB). The single-partition funnel below the
+    // Window sees only the |sources|-row aggregate (PlanSpec pin).
     val order = Window.orderBy(col("n_chars").desc, col("source"))
-    val run = Window.orderBy(col("n_chars").desc, col("source"))
+    val run = order
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = bySrc.agg(sum(col("n_chars")).as("total_chars"))
-    bySrc.crossJoin(broadcast(total))
+    val all = order
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bySrc
       .withColumn("rank", row_number().over(order).cast("long"))
       .withColumn("cum_chars", sum(col("n_chars")).over(run))
+      .withColumn("total_chars", sum(col("n_chars")).over(all))
       .select(col("source"), col("rank"), col("n_docs"), col("n_chars"),
         (col("cum_chars").cast("double") / col("total_chars").cast("double"))
           .as("cum_share"))
@@ -1108,7 +1124,8 @@ object TextSuite {
         |         CAST(CAST('0x' || substring(md5(CAST(cl AS VARCHAR)), 1, 2)
         |                   AS INT) % 5 AS INT) AS fold
         |  FROM alld)
-        |SELECT fold, count(*) AS n_docs, count(DISTINCT cl) AS n_clusters
+        |SELECT fold, count(*) AS n_docs,
+        |       CAST(count(DISTINCT cl) AS BIGINT) AS n_clusters
         |FROM folds GROUP BY 1""".stripMargin,
     "ngram_novelty" ->
       """WITH toks AS (
@@ -1691,7 +1708,8 @@ object TextSuite {
     // IEEE division for the share — bit-equal, no transcendentals
     "source_concentration" ->
       """WITH s AS (
-        |  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS n_chars
         |  FROM documents GROUP BY 1),
         |t AS (SELECT sum(n_chars) AS total_chars FROM s)
         |SELECT source,

@@ -860,6 +860,72 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** VARIANT schema-on-read over the WIRE — the batch `variant_props`
+    * path (parse_json -> variant_get typed navigation) executed as a
+    * production stream, which is where an open document column earns its
+    * keep: producers ship self-describing JSON documents and the consumer
+    * parses each ONCE into VariantType and navigates typed paths with no
+    * agreed StructType, so a producer adding fields never breaks the
+    * topology. The wire carries (date, doc) — a timestamp envelope plus
+    * an OPAQUE payload; every analyzed column ($.meta.src string,
+    * $.payload.k long) is read out of the document INSIDE the stream.
+    * Update-mode grouped agg (count/sum/max per src — |types| keys of
+    * state), with the consumer RESTARTED mid-stream from its checkpoint:
+    * recovery must restore the running sums, not just offsets. All three
+    * aggregates are monotone under appends (k >= 0 fixture-wide — the
+    * oracle equality itself pins this), so the converged fixpoint per key
+    * is the changelog max, equal to the batch navigation exactly.
+    * n_distinct_k from the batch twin is deliberately absent: update-mode
+    * streaming cannot maintain an exact countDistinct without per-key
+    * distinct-set state (its streamed analogue is the
+    * approx_count_distinct sketch, covered in batch by sketch_accuracy).
+    */
+  def streamedVariantProps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("date", LongType), StructField("doc", StringType)))
+    val outSchema = StructType(Seq(
+      StructField("src", StringType), StructField("n_rows", LongType),
+      StructField("sum_k", LongType), StructField("max_k", LongType)))
+    // the same wrapped document shape as the batch twin (EventSuite
+    // .variantProps): nested meta/payload so navigation is multi-level
+    val events = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("date"),
+        concat(lit("""{"meta":{"src":""""), col("event_type"),
+          lit(""""},"payload":"""), col("props"), lit("}")).as("doc"))
+    val (lo, hi) = timeBounds(events, s"$dir events (variant wire)")
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_variant")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_variant_ckpt")
+    val in = new FileTopic("variant_in", wireSchema, root.toString)
+    val out = new FileTopic("variant_agg", outSchema, root.toString)
+    def drain(): Unit = {
+      val parsed = in.stream(child)
+        .select(parse_json(col("doc")).as("v"))
+        .select(expr("variant_get(v, '$.meta.src', 'string')").as("src"),
+          expr("variant_get(v, '$.payload.k', 'long')").as("k"))
+      val agg = parsed.groupBy(col("src"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      runQuartered(events, lo, hi, in.append, () => drain())
+      val rows = out.batch(child)
+        .groupBy(col("src"))
+        .agg(max(col("n_rows")).as("n_rows"), max(col("sum_k")).as("sum_k"),
+          max(col("max_k")).as("max_k"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Streaming trailing-window anomaly detection — the batch
     * `rolling_zscore` run as a production stream (round 12, the
     * [[StreamOps.RollingZscore]] surface): two chained jobs in the
@@ -959,7 +1025,7 @@ object StreamReplay {
           "quarters never filled a 24-hour baseline (fixture too short?)")
       require(rows.length > preRestart,
         s"zscore replay scored nothing after the restart ($preRestart " +
-          "before, ${rows.length} total) — the recovered baseline buffer " +
+          s"before, ${rows.length} total) — the recovered baseline buffer " +
           "produced nothing, the scenario this row exists for")
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckptP); deleteTree(ckptC); deleteTree(root) }

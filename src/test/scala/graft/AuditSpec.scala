@@ -88,6 +88,79 @@ class AuditSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("schema evolution: explicit union schema = mergeSchema, zero inference jobs") {
+    import graft.operators.StorageSuite
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // mergeSchema path first: writes the generations (cached per JVM)
+    // and is the semantic reference
+    val merged = StorageSuite.schemaEvolution(spark, sf)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(merged.map(_._1).contains("legacy"),
+      "v1 rows must surface as the NULL->legacy bucket")
+    // the explicit-schema read must CONSTRUCT without any job: no
+    // mergeSchema footer sweep, no schema-inference pass — the scale
+    // property the variant exists for (catalog schema -> straight to scan)
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val explicit = try {
+      val df = StorageSuite.schemaEvolutionExplicit(spark, sf)
+      df.queryExecution.assertAnalyzed()
+      org.apache.spark.GraftTestBridge.waitListenerBusEmpty(spark.sparkContext)
+      assert(jobs == 0,
+        s"explicit-schema construction ran $jobs job(s) — footer/schema " +
+          "inference crept back in")
+      df.as[(String, Long, Double)].collect().sortBy(_._1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(explicit.toSeq == merged.toSeq,
+      "explicit union schema and mergeSchema must read identical data")
+  }
+
+  test("sourceConcentration: Lorenz invariants on randomized source tables") {
+    val rng = new scala.util.Random(0xC0CE17L)
+    (1 to 5).foreach { trial =>
+      val nSrc = 1 + rng.nextInt(12)
+      val rows = (0 until nSrc).flatMap { s =>
+        val nDocs = 1 + rng.nextInt(20)
+        (0 until nDocs).map(d =>
+          (s"src_$s", s.toLong * 1000 + d, 1L + rng.nextInt(5000)))
+      }
+      val docs = rows.toDF("source", "doc_id", "n_chars")
+        .repartition(4) // invariants must not depend on physical layout
+      val out = TextSuite.sourceConcentrationOf(docs)
+        .orderBy(col("rank"))
+        .as[(String, Long, Long, Long, Double)].collect()
+      assert(out.length == nSrc, s"trial $trial: one row per source")
+      assert(out.map(_._2).toSeq == (1L to nSrc).toSeq,
+        s"trial $trial: rank must be the dense 1..n ranking")
+      // ranked by size, desc (name tiebreak)
+      assert(out.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._1 < b._1)
+        case _           => true
+      }, s"trial $trial: rows must rank by n_chars desc, source asc")
+      // Lorenz curve: cum_share monotone nondecreasing, last EXACTLY 1.0
+      // (exact-long running sum, one IEEE division of total/total)
+      assert(out.sliding(2).forall {
+        case Array(a, b) => a._5 <= b._5
+        case _           => true
+      }, s"trial $trial: cum_share must be monotone nondecreasing")
+      assert(out.last._5 == 1.0,
+        s"trial $trial: final cumulative share must be exactly 1.0")
+      assert(out.head._5 > 0.0 && out.forall(r => r._5 <= 1.0))
+      // shares recompute from the long columns bit-exactly
+      val total = out.map(_._4).sum
+      var running = 0L
+      out.foreach { r =>
+        running += r._4
+        assert(r._5 == running.toDouble / total.toDouble,
+          s"trial $trial: cum_share must be the exact-long running " +
+            "sum divided once in IEEE")
+      }
+    }
+  }
+
   test("tableChecksum: order-independent, and any mutation moves the digest") {
     import graft.operators.StorageSuite
     val base = StorageSuite.tableChecksum(spark, sf)

@@ -36,8 +36,11 @@ class CollectLintSpec extends SparkSpec {
       "bucketed_join", "partition_prune", "dpp_join", "zorder_layout",
       "format_roundtrip",
       // schema_evolution: writes its two partition generations at
-      // construction, same executor-side layout-build posture
+      // construction (once per JVM, cached), same executor-side
+      // layout-build posture; the explicit-schema variant shares the
+      // cached layout but may be the one to write it first
       "schema_evolution",
+      "schema_evolution_explicit",
       // agg_pushdown: DSv2 BatchScan resolves parquet footers during
       // planning (a metadata listing, not a data-page job) — the very
       // point of the operator
@@ -68,6 +71,9 @@ class CollectLintSpec extends SparkSpec {
       // stream_quarantine: stateless DLQ routing to two topics, same
       // replay posture (publish to temp topic, snapshot the audit)
       "stream_quarantine",
+      // stream_variant: VARIANT schema-on-read over the wire, same
+      // replay posture (publish wrapped docs, snapshot the converged agg)
+      "stream_variant",
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",
@@ -174,6 +180,21 @@ class CollectLintSpec extends SparkSpec {
       cols.foreach(c => assert(c.matches("[a-z][a-z0-9_]*"),
         s"$name: column '$c' is not lowercase snake_case — it cannot " +
           "match an unquoted DuckDB oracle alias"))
+      //  3. ORACLE-SIDE dtype discipline: a Spark LONG column whose oracle
+      //     alias is an unwrapped sum() fetches as DuckDB HUGEINT ->
+      //     pandas float64 and fails the driver's dtype-sensitive hash
+      //     even when every value matches (the round-12
+      //     map_analytics/variant_props/source_concentration defect).
+      SparkEntry.oracleSql.get(name).foreach { sql =>
+        val longCols = df.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.LongType)
+          .map(_.name).toSet
+        val hits = OracleLint.uncastAggAliases(sql, longCols)
+        assert(hits.isEmpty,
+          s"$name: oracle defines LONG column(s) $hits with an uncast " +
+            "aggregate — wrap in CAST(... AS BIGINT) or DuckDB returns " +
+            "HUGEINT and the driver hash fails on dtype")
+      }
     }
   }
 }

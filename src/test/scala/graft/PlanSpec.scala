@@ -408,6 +408,25 @@ class PlanSpec extends SparkSpec {
       s"more than the histogram prefix-sum runs single-partition:\n$plan")
   }
 
+  test("source_concentration: one corpus scan, funnel only the per-source aggregate") {
+    val plan = executedPlan(graft.operators.TextSuite.sourceConcentration(spark, dir))
+    // ONE scan of documents (rank + running sum + grand total all derive
+    // from the same bounded per-source aggregate — a separate total agg
+    // would scan the corpus twice)
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"documents must be scanned exactly once:\n$plan")
+    // the only single-partition funnel sits ABOVE the per-source
+    // HashAggregate: corpus rows partially aggregate map-side, and the
+    // unpartitioned Lorenz windows see only the |sources|-row table
+    assert("Exchange SinglePartition".r.findAllIn(plan).size == 1,
+      s"only the bounded per-source aggregate may run single-partition:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-source aggregate must map-side combine before its shuffle:\n$plan")
+    // rank, cum sum, and total share ONE Window operator (one sort pass)
+    assert("""\+- Window \[""".r.findAllIn(plan).size == 1,
+      s"Lorenz stats split across multiple Window passes:\n$plan")
+  }
+
   test("rolling_zscore computes all three baseline stats in ONE window pass") {
     val plan = executedPlan(graft.operators.EventSuite.rollingZscore(spark, dir))
     // count/sum/sum-of-squares over the same frame must share a single

@@ -123,6 +123,46 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.size.toDouble / exact.size >= 0.6, s"LSH pair recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("autoBits targets occupancy: floor on fixtures, log2 growth beyond") {
+    // every oracle-checked fixture scale sizes to the 6-bit floor — the
+    // STATIC generated oracle (nearDupLshOracle) depends on this
+    assert(Similarity.autoBits(500) == 6)
+    assert(Similarity.autoBits(2000) == 6)
+    assert(Similarity.autoBits(2048) == 6)
+    // the scaling slices grow: occupancy n / 2^bits stays <= targetOcc
+    assert(Similarity.autoBits(20000) == 10)
+    assert(Similarity.autoBits(200000) == 13)
+    Seq(500L, 2048L, 20000L, 200000L, 2000000L).foreach { n =>
+      val b = Similarity.autoBits(n)
+      assert(n.toDouble / (1L << b) <= 32.0,
+        s"n=$n bits=$b occupancy ${n.toDouble / (1L << b)} exceeds target")
+    }
+    // monotone: more vectors never narrows the table
+    val bs = (1 to 22).map(p => Similarity.autoBits(1L << p))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b })
+    // and the ACTUAL driver fixtures all land on the floor — if a fixture
+    // ever grows past 2,048 vectors this fails by name instead of the
+    // wired query silently desyncing from its annBits-generated oracle
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val n = spark.read
+        .parquet(s"/root/testdata/$sf/embeddings.parquet").count()
+      assert(Similarity.autoBits(n) == 6,
+        s"$sf embeddings grew to $n rows: regenerate nearDupLshOracle " +
+          "at the new autoBits width")
+    }
+  }
+
+  test("wider autoBits keeps LSH sound: still a verified subset of exact") {
+    val exact = Similarity.nearDupPairs(vectors, threshold = 0.95, dim = dim)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // 200 vectors at targetOcc 8 -> wider than the floor; pairs must stay
+    // exact-cosine-verified (precision 1.0) at ANY width
+    val wide = Similarity.nearDupPairsLsh(vectors, threshold = 0.95, dim = dim,
+        nBits = Similarity.autoBits(200, floor = 6, targetOcc = 8), tables = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(wide.subsetOf(exact))
+  }
+
   test("near-dup pairs: symmetric-free ordering and threshold respected") {
     val pairs = Similarity.nearDupPairs(vectors, threshold = 0.95, dim = dim)
       .as[(Long, Long, Double)].collect()

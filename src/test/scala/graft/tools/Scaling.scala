@@ -148,32 +148,66 @@ object Scaling {
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
       genDocs.coalesce(4).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
-      // embeddings: per-label centroid + average dispersion from the
-      // fixture, gaussian resample at 10x — preserves the cluster
-      // geometry IVF cell occupancy and LSH bucket load depend on
-      val emb = spark.read.parquet(s"$base/embeddings.parquet")
-      val byLabel = emb.select($"label", $"embedding").as[(Int, Array[Float])]
-        .collect().groupBy(_._1).map { case (l, rows) =>
-          val dim = rows.head._2.length
-          val mean = new Array[Double](dim)
-          rows.foreach(r => (0 until dim).foreach(i => mean(i) += r._2(i)))
-          (0 until dim).foreach(i => mean(i) /= rows.length)
-          var varSum = 0.0
-          rows.foreach(r => (0 until dim).foreach(i =>
-            varSum += math.pow(r._2(i) - mean(i), 2)))
-          val sigma = math.sqrt(varSum / (rows.length.toLong * dim))
-          l -> (mean, sigma)
-        }
-      val labels = byLabel.keys.toArray.sorted
-      val genVecs = spark.range(vecs.toLong).map { id =>
-        val rnd = new scala.util.Random(id * 2862933555777941757L + 7L)
-        val label = labels(rnd.nextInt(labels.length))
-        val (mean, sigma) = byLabel(label)
-        val v = mean.map(m => (m + rnd.nextGaussian() * sigma).toFloat)
-        (id, v, label)
-      }.toDF("vec_id", "embedding", "label")
-      genVecs.coalesce(4).write.mode("overwrite")
-        .parquet(s"$dir/embeddings.parquet")
+      genEmbeddings(spark, base, s"$dir/embeddings.parquet", vecs)
+      done.createNewFile()
+    }
+    dir
+  }
+
+  /** Embeddings resample shared by the sf1x and sf3x slices: per-label
+    * centroid + average dispersion from the fixture, gaussian resample at
+    * the requested count — preserves the cluster geometry IVF cell
+    * occupancy and LSH bucket load depend on. Per-row deterministic
+    * (vector is a pure function of vec_id), so any slice regenerates
+    * bit-identically.
+    */
+  def genEmbeddings(spark: SparkSession, base: String, outPath: String,
+                    vecs: Int): Unit = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val byLabel = emb.select($"label", $"embedding").as[(Int, Array[Float])]
+      .collect().groupBy(_._1).map { case (l, rows) =>
+        val dim = rows.head._2.length
+        val mean = new Array[Double](dim)
+        rows.foreach(r => (0 until dim).foreach(i => mean(i) += r._2(i)))
+        (0 until dim).foreach(i => mean(i) /= rows.length)
+        var varSum = 0.0
+        rows.foreach(r => (0 until dim).foreach(i =>
+          varSum += math.pow(r._2(i) - mean(i), 2)))
+        val sigma = math.sqrt(varSum / (rows.length.toLong * dim))
+        l -> (mean, sigma)
+      }
+    val labels = byLabel.keys.toArray.sorted
+    val genVecs = spark.range(vecs.toLong).map { id =>
+      val rnd = new scala.util.Random(id * 2862933555777941757L + 7L)
+      val label = labels(rnd.nextInt(labels.length))
+      val (mean, sigma) = byLabel(label)
+      val v = mean.map(m => (m + rnd.nextGaussian() * sigma).toFloat)
+      (id, v, label)
+    }.toDF("vec_id", "embedding", "label")
+    genVecs.coalesce(4).write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Third embeddings decade (round-12 verdict ask #4): a 200,000-vector
+    * "sf3x" slice — embeddings ONLY — so the vector families keep two
+    * honest measured decades (2k -> 20k -> 200k). Measured for the
+    * families whose kernels are linear in corpus size (occupancy-bounded
+    * LSH, probed-cell IVF, per-query brute force); semdedup is excluded:
+    * its fixture calibration pins EIGHT seeded centroids, so per-cell
+    * occupancy — and the cell-keyed pair kernel — grows linearly-squared
+    * with n by construction. Its scale path is k ∝ n (kmeansCentroids),
+    * which the fixed-centroid wired query deliberately does not exercise.
+    */
+  val sf3xFamilies: Set[String] = Set("embed_neardup_lsh", "embed_ivf",
+    "embed_topk")
+
+  def extended3xDir(spark: SparkSession,
+                    base: String = "/root/testdata/sf0.1",
+                    vecs: Int = 200000): String = {
+    val dir = new java.io.File("target/sf3x").getAbsolutePath
+    val done = new java.io.File(s"$dir/_DONE")
+    if (!done.exists) {
+      genEmbeddings(spark, base, s"$dir/embeddings.parquet", vecs)
       done.createNewFile()
     }
     dir
@@ -196,9 +230,10 @@ object Scaling {
     * row-count step (earlier fixture scales share row counts for the
     * text/embedding tables).
     */
-  def run(spark: SparkSession, dirs: Seq[String]): Seq[Result] =
+  def run(spark: SparkSession, dirs: Seq[String],
+          extraDirs: Map[String, Seq[String]] = Map.empty): Seq[Result] =
     flagship.map { case (name, table) =>
-      val pts = dirs.map { d =>
+      val pts = (dirs ++ extraDirs.getOrElse(name, Nil)).map { d =>
         Point(new java.io.File(d).getName, rowCount(spark, d, table),
           time(spark, d, name))
       }
@@ -223,7 +258,9 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1", extendedDir(spark))
-    val results = run(spark, dirs)
+    val sf3x = extended3xDir(spark)
+    val results = run(spark, dirs,
+      sf3xFamilies.map(_ -> Seq(sf3x)).toMap)
     val body = results.map { r =>
       val pts = r.points.map(p =>
         f"""{"sf":"${p.sf}","rows":${p.rows},"sec":${p.sec}%.3f}""")

@@ -71,8 +71,11 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {name}: row {bad[0]} col {bad[1]}: got {bad[2]!r} want {bad[3]!r}")
                 n_fail += 1
             elif dt_mismatch:
-                print(f"WARN {name}: values match but dtypes differ: {dt_mismatch}")
-                n_pass += 1
+                # Driver-strict: its hash compare is dtype-sensitive, so a
+                # dtype mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark
+                # int64 from an uncast sum()) IS a failure, not a warning.
+                print(f"FAIL {name}: values match but dtypes differ: {dt_mismatch}")
+                n_fail += 1
             else:
                 print(f"PASS {name} ({len(g)} rows)")
                 n_pass += 1
