@@ -318,9 +318,23 @@ object Dedup {
   // SAME round scoping as the shipped path (ADVICE r10: the round-10
   // prefix-unroll rejection measurement was confounded by comparing a
   // session-default-partition variant against the 8-partition baseline)
+  //
+  // Cached per (parent, partitions) — the same churn argument as
+  // StreamReplay.replaySession: a fresh newSession per invocation makes
+  // every bench pass re-initialize per-session state (session-state
+  // codegen contexts, listener buses) for each of the three fixpoint
+  // queries, and that re-JIT rode their warm-pass times (~3.3 s jit2
+  // each, round-12 BENCH_DETAIL). The edge-cache registry is keyed by
+  // the PARENT session, so release semantics are unchanged.
+  private val roundSessionCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, Int),
+      org.apache.spark.sql.SparkSession]()
+
   private[graft] def roundScopedSession(parent: org.apache.spark.sql.SparkSession,
                                  partitions: Int): org.apache.spark.sql.SparkSession =
-    if (partitions <= 0) parent else {
+    if (partitions <= 0) parent
+    else roundSessionCache.computeIfAbsent((parent, partitions), _ => {
       val child = parent.newSession()
       parent.conf.getAll.foreach { case (k, v) =>
         try child.conf.set(k, v)
@@ -329,7 +343,7 @@ object Dedup {
       child.conf.set("spark.sql.shuffle.partitions", partitions.toString)
       child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       child
-    }
+    })
 
   def connectedComponents(pairs: DataFrame, iters: Int = 6,
                           aCol: String = "doc_a", bCol: String = "doc_b",

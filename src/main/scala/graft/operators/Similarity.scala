@@ -502,21 +502,30 @@ object Similarity {
 
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       nBits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    // Verify cosine INSIDE the bucket self-join: the embeddings ride the
+    // (table_id, bucket) shuffle once — n*tables rows — and every
+    // candidate pair is scored in-stage, so only the SURVIVORS (actual
+    // near-dups) reach the cross-table distinct. The previous shape
+    // (distinct the raw candidate ids, then re-attach both embeddings
+    // with two more joins) shuffled the candidate set — n*occupancy
+    // rows, each carrying a dim-float payload after the first re-join —
+    // three more times; at the 200k-vector scaling slice that was the
+    // entire wall (the dot products themselves are ~2 GFLOP). A pair
+    // colliding in several tables is now verified once per collision —
+    // redundant COMPUTE traded for eliminated SHUFFLE, the right
+    // direction at 100 TB — and the duplicate scores are bit-identical
+    // (same operand order), so distinct() collapses them exactly.
     val idx = lshIndex(corpus, dim, nBits, tables, seed)
-      .select(col("vec_id"), col("table_id"), col("bucket"))
-    val pairs = idx.as("a").join(idx.as("b"),
+    idx.as("a").join(idx.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    pairs.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dotNative(col("emb_a"), col("emb_b")) /
-          (norm2Native(col("emb_a")) * norm2Native(col("emb_b")))).as("cos"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dotNative(col("a.embedding"), col("b.embedding")) /
+          (norm2Native(col("a.embedding")) * norm2Native(col("b.embedding"))))
+          .as("cos"))
       .filter(col("cos") > threshold)
+      .distinct()
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup:

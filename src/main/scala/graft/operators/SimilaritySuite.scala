@@ -114,6 +114,17 @@ object SimilaritySuite {
     * generated SQL reproduces buckets -> candidate pairs -> cosine filter
     * from the same seeded hyperplane literals, so the comparison is exact
     * even though LSH recall at this threshold is probabilistic.
+    *
+    * Scaling attribution (round-13, measured by ProbeLshCandidates at
+    * the exact autoBits widths): across the 20k -> 200k decade, bucket
+    * collisions — the in-join cosine verify work — grew 15.5x and wall
+    * time 6.6x (within-decade slope 0.82), while the TRUE OUTPUT at the
+    * 0.4 threshold grew 27.8x (8.7k -> 242k pairs, ~n^1.4): the fixture
+    * embeddings are gaussian clusters around the sf0.1 label centroids,
+    * so genuinely-near pairs densify super-linearly and any exact-output
+    * kernel has the output itself as a lower bound. The curve therefore
+    * tracks the task's pair density, not a kernel defect — candidates
+    * grow SLOWER than survivors, i.e. precision improves with scale.
     */
   def embedNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
     val bits = Similarity.autoBits(

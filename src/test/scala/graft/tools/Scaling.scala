@@ -231,8 +231,9 @@ object Scaling {
     * text/embedding tables).
     */
   def run(spark: SparkSession, dirs: Seq[String],
-          extraDirs: Map[String, Seq[String]] = Map.empty): Seq[Result] =
-    flagship.map { case (name, table) =>
+          extraDirs: Map[String, Seq[String]] = Map.empty,
+          families: Seq[(String, String)] = flagship): Seq[Result] =
+    families.map { case (name, table) =>
       val pts = (dirs ++ extraDirs.getOrElse(name, Nil)).map { d =>
         Point(new java.io.File(d).getName, rowCount(spark, d, table),
           time(spark, d, name))
@@ -259,16 +260,26 @@ object Scaling {
     val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1", extendedDir(spark))
     val sf3x = extended3xDir(spark)
+    // SPARK_GRAFT_ONLY filters to named families for local iteration on
+    // one kernel (same contract as Bench/Verify); a filtered run prints
+    // but does NOT write SCALING.json — the artifact stays a full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => flagship.filter { case (n, _) => names(n) }
+      case None => flagship
+    }
     val results = run(spark, dirs,
-      sf3xFamilies.map(_ -> Seq(sf3x)).toMap)
+      sf3xFamilies.map(_ -> Seq(sf3x)).toMap, selected)
     val body = results.map { r =>
       val pts = r.points.map(p =>
         f"""{"sf":"${p.sf}","rows":${p.rows},"sec":${p.sec}%.3f}""")
         .mkString("[", ",", "]")
       f""""${r.name}":{"points":$pts,"loglog_slope":${r.slope}%.3f}"""
     }.mkString("{\n", ",\n", "\n}")
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
-      (body + "\n").getBytes("UTF-8"))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("SCALING.json"),
+        (body + "\n").getBytes("UTF-8"))
     results.foreach(r => println(
       f"[scaling] ${r.name}%-20s slope ${r.slope}%5.2f  " +
         r.points.map(p => f"${p.sf}:${p.sec}%.2fs").mkString("  ")))
