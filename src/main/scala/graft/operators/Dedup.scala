@@ -108,15 +108,31 @@ object Dedup {
     * bands of numPerm/bands rows each, hash each band, emit (band, bucket)
     * keys. Near-dup docs agree on >=1 whole band with high probability.
     */
-  def lshBuckets(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame = {
+  def lshBuckets(sigs: DataFrame, numPerm: Int = 64, bands: Int = 16): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(bandHashArray(numPerm, bands)).as(Seq("band", "bucket")))
+
+  /** [[lshBuckets]] retaining the signature column — the streaming
+    * near-dup index scores arrivals against resident signatures, so sig
+    * must ride next to each bucket row. Kept OUT of the batch
+    * [[minhashPairs]] path on purpose: there the self-join re-attaches
+    * signatures AFTER the candidate distinct, so its shuffle carries
+    * 8-byte ids instead of 512-byte signatures. One shared band-hash
+    * expression ([[bandHashArray]]) keeps the two bucketings drift-free.
+    */
+  private[graft] def lshBucketsWithSig(sigs: DataFrame, numPerm: Int = 64,
+                                       bands: Int = 16): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandHashArray(numPerm, bands)).as(Seq("band", "bucket")))
+
+  private def bandHashArray(numPerm: Int, bands: Int): org.apache.spark.sql.Column = {
     require(numPerm % bands == 0,
       s"bands ($bands) must divide numPerm ($numPerm) — otherwise the " +
         "signature tail is silently ignored and recall degrades")
     val rows = numPerm / bands
-    val bandHashes = array((0 until bands).map { b =>
+    array((0 until bands).map { b =>
       xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))
     }: _*)
-    sigs.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bucket")))
   }
 
   /** Candidate pairs from LSH buckets + signature-estimated Jaccard.

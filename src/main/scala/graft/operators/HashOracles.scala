@@ -159,7 +159,62 @@ private[operators] object HashOracles {
     * candidate self-join, and the signature-agreement estimate.
     */
   def minhashPairsOracle(numPerm: Int = 64, bands: Int = 16,
-                         threshold: Double = 0.05, seed: Long = 42L): String = {
+                         threshold: Double = 0.05, seed: Long = 42L): String =
+    s"""WITH ${scoredPairCtes(numPerm, bands, seed)}
+       |SELECT doc_a, doc_b, est_jaccard FROM scored
+       |WHERE est_jaccard >= ${threshold}e0""".stripMargin
+
+  /** Streaming near-dup survivors recompute (`stream_neardup`): the same
+    * shingles -> signatures -> band buckets -> candidate pairs -> agreement
+    * chain as [[minhashPairsOracle]], then per-language counts of the docs
+    * that are NOT the larger member of any pair with >= `minAgree` of
+    * `numPerm` signature positions equal — the batch fixpoint the online
+    * bucket index converges to. Integer agreement compare on BOTH sides
+    * (no double threshold), so the boundary cannot drift between engines.
+    */
+  def streamNearDupOracle(minAgree: Int, numPerm: Int = 64,
+                          bands: Int = 16, seed: Long = 42L): String =
+    s"""WITH ${scoredPairCtes(numPerm, bands, seed)},
+       |dups AS (SELECT DISTINCT doc_b FROM scored WHERE agree >= $minAgree)
+       |SELECT d.lang, count(*) AS n_kept
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_b FROM dups)
+       |GROUP BY d.lang""".stripMargin
+
+  /** Weighted-sample recompute (`weighted_sample`): one xxhash64(doc_id, i)
+    * draw per 32-token chunk i, priority = min draw per doc (SIGNED
+    * comparison, matching Spark's long min), rank per language, keep k.
+    * Spark's two-long xxhash64 folds as hashLong(i, hashLong(doc_id, 42)).
+    */
+  def weightedSampleOracle(k: Int = 16): String = {
+    val steps = hashLongSteps("doc_id::UBIGINT", "42::UBIGINT", "hbase", "x") ++
+      hashLongSteps("i::UBIGINT", "hbase", "h1", "y")
+    val (ctes, last) = chained("SELECT * FROM d", "d0", steps, "dx")
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |         CAST(greatest(1, ((CASE WHEN length(trim(text)) = 0 THEN 0
+       |                ELSE len(string_split_regex(trim(text), '\\s+')) END)
+       |               + 31) // 32) AS BIGINT) AS n_chunks
+       |  FROM documents),
+       |d AS (SELECT doc_id, lang, n_chunks, unnest(range(n_chunks)) AS i
+       |      FROM c),
+       |${ctes.mkString(",\n")},
+       |m AS (SELECT doc_id, lang, n_chunks, min(${toSigned("h1")}) AS p
+       |      FROM $last GROUP BY doc_id, lang, n_chunks),
+       |r AS (SELECT lang, doc_id, n_chunks,
+       |             row_number() OVER (PARTITION BY lang ORDER BY p, doc_id)
+       |               AS rnk
+       |      FROM m)
+       |SELECT lang, doc_id, n_chunks, CAST(rnk AS BIGINT) AS rnk
+       |FROM r WHERE rnk <= $k""".stripMargin
+  }
+
+  /** The shared CTE chain of the minhash oracles, ending in
+    * `scored(doc_a, doc_b, agree, est_jaccard)` — candidate pairs from
+    * band-bucket collisions with their integer signature agreement.
+    * Returned WITHOUT the leading WITH so callers can append CTEs.
+    */
+  private def scoredPairCtes(numPerm: Int, bands: Int, seed: Long): String = {
     require(numPerm == 64 && bands == 16, "generated for the wired defaults")
     val rows = numPerm / bands
     // h1 = xxhash64(h0, lit(42L)) = hashLong(42, hashLong(h0, 42));
@@ -196,7 +251,7 @@ private[operators] object HashOracles {
       hashIntSteps("band::UBIGINT", "acc", "bucket", "w"), "bi")
     val agree = (0 until numPerm).map(i =>
       s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $shingleCtes,
+    s"""$shingleCtes,
        |${hashCtes.mkString(",\n")},
        |sigs AS (
        |  SELECT doc_id, ${sigCols.mkString(",\n         ")}
@@ -209,12 +264,11 @@ private[operators] object HashOracles {
        |  FROM buckets a JOIN buckets b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |scored AS (
-       |  SELECT c.doc_a, c.doc_b, ($agree)::DOUBLE / $numPerm AS est_jaccard
+       |  SELECT c.doc_a, c.doc_b, ($agree) AS agree,
+       |         ($agree)::DOUBLE / $numPerm AS est_jaccard
        |  FROM cand c
        |  JOIN sigs sa ON sa.doc_id = c.doc_a
-       |  JOIN sigs sb ON sb.doc_id = c.doc_b)
-       |SELECT doc_a, doc_b, est_jaccard FROM scored
-       |WHERE est_jaccard >= ${threshold}e0""".stripMargin
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b)""".stripMargin
   }
 
   /** 17-significant-digit scientific notation: DuckDB types E-notation as

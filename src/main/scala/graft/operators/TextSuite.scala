@@ -228,6 +228,50 @@ object TextSuite {
     * 32-token bucket. Pure integer arithmetic — floor division portable to
     * any engine.
     */
+  /** Deterministic token-mass-weighted sample, k docs per language —
+    * "give me a 10 B-token slice whose documents are drawn proportional
+    * to their token mass" without a global sort or an RNG whose replay
+    * depends on partitioning. Bottom-k priority sampling with weight-
+    * proportional replication: each document casts one hash draw
+    * xxhash64(doc_id, i) PER 32-TOKEN CHUNK i, its priority is its best
+    * (smallest) draw, and the k smallest priorities per language win.
+    * Equivalent to sampling chunks uniformly (seeded) and keeping the
+    * first k distinct documents hit — successive weighted sampling
+    * without replacement, with inclusion probability increasing in
+    * chunk count. Every draw is pure integer hashing, so the selection
+    * is bit-reproducible on any cluster, any partitioning, any scale —
+    * the property that makes a training-mix sample auditable.
+    *
+    * Scale shape: the explode is O(corpus chunks) = O(tokens/32) rows of
+    * (id, draw) — a scan-shaped map stage; min(draw) per doc combines
+    * map-side before the shuffle, and the per-language top-k runs on the
+    * |docs|-row priority table via a rank window that WindowGroupLimit
+    * caps at k per partition before the final sort. Nothing materializes
+    * the corpus text past the tokenizer.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val withChunks = docs
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("tc"))
+      // `div` = exact integer floor division (the ADVICE-r11 rule: `/` on
+      // longs is double division); +31 rounds up to whole chunks
+      .select(col("doc_id"), col("lang"),
+        greatest(lit(1L), expr("(tc + 31) div 32")).as("n_chunks"))
+    val draws = withChunks
+      .select(col("doc_id"), col("lang"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+      .select(col("doc_id"), col("lang"), col("n_chunks"),
+        xxhash64(col("doc_id"), col("i")).as("draw"))
+    val prio = draws.groupBy(col("doc_id"), col("lang"), col("n_chunks"))
+      .agg(min(col("draw")).as("p"))
+    import org.apache.spark.sql.expressions.Window
+    prio.select(col("lang"), col("doc_id"), col("n_chunks"),
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("p"), col("doc_id"))).cast("long").as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(floor(tokenCount(col("text")).cast("long") / 32).as("bucket"))
@@ -1004,10 +1048,13 @@ object TextSuite {
     "edit_distance_verify" -> (editDistanceVerify _),
     "minhash_pairs"   -> (minhashPairs _),
     "minhash_recall"  -> (minhashRecall _),
+    "stream_neardup"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedNearDup(s, d)),
     "dedup_clusters"  -> (dedupClusters _),
     "quality_filter"  -> (qualityFilter _),
     "hash_split"      -> (hashSplit _),
     "stratified_split" -> (stratifiedSplit _),
+    "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "token_histogram" -> (tokenHistogram _),
     "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
     "decontaminate"   -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -1094,6 +1141,10 @@ object TextSuite {
     // full in-DuckDB recompute of the seeded MinHash/SimHash pipelines
     // (FNV shingles + XXH64 in wraparound SQL arithmetic) — see HashOracles
     "minhash_pairs" -> HashOracles.minhashPairsOracle(),
+    // the online bucket-index near-dup (StreamReplay.streamedNearDup)
+    // converges to this batch recompute's survivor set exactly
+    "stream_neardup" -> HashOracles.streamNearDupOracle(minAgree = 16),
+    "weighted_sample" -> HashOracles.weightedSampleOracle(),
     "simhash_sketch" -> HashOracles.simhashSketchOracle,
     // same closure as dedup_clusters, then cluster-keyed fold arithmetic
     "cluster_split" ->

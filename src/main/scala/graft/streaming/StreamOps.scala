@@ -501,4 +501,93 @@ object StreamOps {
           }
       }
   }
+
+  /** One document's membership in one LSH bucket: the wire row of the
+    * streaming near-dup index after band explosion. `band` rides along so
+    * a bucket-VALUE collision across two different bands can never merge
+    * two unrelated buckets (the group key is (band, bucket), matching the
+    * batch candidate join's `a.band = b.band AND a.bucket = b.bucket`).
+    */
+  final case class BandDoc(band: Int, bucket: Long, docId: Long,
+                           sig: Seq[Long])
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class IndexedDoc(docId: Long, sig: Seq[Long])
+  /** One detected near-duplicate: `docId` (the LARGER id of the pair — the
+    * "later" document under the deterministic doc_id arrival order) is a
+    * near-dup of `dupOf`, with `agree` of the 64 signature positions equal.
+    */
+  final case class NearDupHit(docId: Long, dupOf: Long, agree: Int)
+
+  /** Streaming MinHash-LSH near-dup detection — the online twin of
+    * Dedup.minhashPairs: documents arrive over the wire as (doc_id,
+    * 64-perm signature), fan out to their 16 band buckets, and each
+    * (band, bucket) group keeps a ListState INDEX of every signature it
+    * has seen. Each arriving document is scored against the bucket's
+    * whole index (signature agreement — pure integer position
+    * comparisons), and every pair with >= `minAgree` of 64 positions
+    * equal emits a hit carrying the pair's LARGER doc_id. Because every
+    * arrival is compared against ALL resident entries, the emitted pair
+    * set is ARRIVAL-ORDER INDEPENDENT — (a,b) is scored exactly when the
+    * later-arriving one shows up, whichever that is — so the converged
+    * distinct hit set equals the batch candidate join exactly, and no
+    * ordering assumption on the source is needed.
+    *
+    * Redelivery-safe: a doc_id already resident in the bucket index is
+    * skipped wholesale (no re-compare, no re-append), so producer retries
+    * and post-restart redelivery emit nothing new — the recovered
+    * ListState, not offset tracking, is what absorbs the duplicates.
+    *
+    * Scale shape: state is the per-bucket occupancy — the online dedup
+    * index itself, |docs| x tables rows corpus-wide, the same footprint
+    * the batch LSH self-join shuffles per run. Work per arrival is
+    * occupancy-bounded (the autoBits argument: band width sized to hold
+    * occupancy constant), keyed state lives in the RocksDB store at
+    * production scale, and nothing ever scans the corpus.
+    */
+  final class NearDupIndex(minAgree: Int)
+    extends StatefulProcessor[(Int, Long), BandDoc, NearDupHit] {
+    @transient private var index: ListState[IndexedDoc] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      index = getHandle.getListState[IndexedDoc]("index",
+        Encoders.product[IndexedDoc], TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDoc],
+                                 timers: TimerValues): Iterator[NearDupHit] = {
+      val resident = index.get().toArray
+      val seen = scala.collection.mutable.Set(resident.map(_.docId): _*)
+      val added = scala.collection.mutable.ArrayBuffer.empty[IndexedDoc]
+      val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      // sorted for deterministic within-batch processing; correctness does
+      // not depend on it (compare-vs-all makes the pair set order-free)
+      rows.toArray.sortBy(_.docId).foreach { r =>
+        if (!seen(r.docId)) {
+          (resident.iterator ++ added.iterator).foreach { o =>
+            var agree = 0
+            var i = 0
+            while (i < r.sig.length && i < o.sig.length) {
+              if (r.sig(i) == o.sig(i)) agree += 1
+              i += 1
+            }
+            if (agree >= minAgree)
+              hits += NearDupHit(math.max(r.docId, o.docId),
+                math.min(r.docId, o.docId), agree)
+          }
+          added += IndexedDoc(r.docId, r.sig)
+          seen += r.docId
+        }
+      }
+      if (added.nonEmpty) index.appendList(added.toArray)
+      hits.iterator
+    }
+  }
+
+  /** Streaming near-dup hits per bucket-fanned document stream: see
+    * [[NearDupIndex]].
+    */
+  def nearDupHits(rows: Dataset[BandDoc], minAgree: Int): Dataset[NearDupHit] = {
+    implicit val enc = Encoders.product[NearDupHit]
+    rows.groupByKey(r => (r.band, r.bucket))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .transformWithState(new NearDupIndex(minAgree), TimeMode.None(),
+        OutputMode.Update())
+  }
 }

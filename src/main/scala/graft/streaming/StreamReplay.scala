@@ -1934,4 +1934,94 @@ object StreamReplay {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
+
+  /** Streaming MinHash-LSH near-dup dedup over the production source —
+    * the online twin of the batch minhash_pairs path, run against the
+    * [[graft.streaming.StreamOps.NearDupIndex]] bucket-keyed signature
+    * index: documents arrive over the wire as (doc_id, 64-perm
+    * signature), fan out to their 16 band buckets (the SAME band-hash
+    * expression as the batch path — Dedup.lshBucketsWithSig), and each
+    * bucket's ListState index scores every arrival against all resident
+    * signatures, emitting the pair's larger doc_id when >= `minAgree` of
+    * 64 positions agree. The consumer RESTARTS mid-stream from its
+    * checkpoint AND the second quarter is REDELIVERED after the restart:
+    * only the recovered bucket index (which skips resident doc_ids
+    * wholesale) keeps the redelivered docs from re-pairing — offset
+    * tracking cannot, because redelivery arrives as new files.
+    *
+    * Final answer: per-language count of SURVIVING documents (docs that
+    * are not the later member of any qualifying pair) — checked against a
+    * DuckDB oracle that recomputes shingles -> signatures -> band buckets
+    * -> candidate pairs -> agreement entirely in SQL (HashOracles), so
+    * the hash compare pins the whole online pipeline bit-for-bit against
+    * an independent batch recompute. Arrival-order independence of the
+    * processor (compare-vs-all) is what makes the streamed answer EQUAL
+    * the batch pair set rather than merely approximate it.
+    */
+  def streamedNearDup(spark: SparkSession, dir: String,
+                      minAgree: Int = 16): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.Dedup
+    val wireSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType))))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dup_of", LongType),
+      StructField("agree", IntegerType)))
+    // transformWithState requires the RocksDB provider (same posture as
+    // the timer-session and suppress replays)
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val docs = Tables.documents(child, dir)
+    val sigs = Dedup.minhashSignatures(docs).select(col("doc_id"), col("sig"))
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    require(!b.isNullAt(0), s"$dir documents is empty — nothing to replay")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardup_ckpt")
+    val in = new FileTopic("neardup_in", wireSchema, root.toString)
+    val out = new FileTopic("neardup_hits", outSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = sigs
+      .filter(col("doc_id") >= from &&
+        (if (last) lit(true) else col("doc_id") < until)).coalesce(1)
+    def drain(): Unit = {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[StreamOps.BandDoc]
+      val banded = Dedup.lshBucketsWithSig(in.stream(child))
+        .select(col("band"), col("bucket"), col("doc_id").as("docId"),
+          col("sig"))
+        .as[StreamOps.BandDoc]
+      val hits = StreamOps.nearDupHits(banded, minAgree).toDF()
+        .select(col("docId").as("doc_id"), col("dupOf").as("dup_of"),
+          col("agree"))
+      val q = hits.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + bucket indexes checkpointed
+      // REDELIVERY ACROSS THE RESTART: the whole second quarter again —
+      // new files, so only the recovered signature index can absorb them
+      in.append(range(q2lo, q2hi, last = false))
+      in.append(range(q2hi, lo + 3 * quarter, last = false))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2
+      val dups = out.batch(child).select(col("doc_id")).distinct()
+      val rows = Tables.documents(child, dir)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("lang", StringType),
+          StructField("n_kept", LongType, nullable = false))))
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
 }

@@ -74,6 +74,11 @@ class CollectLintSpec extends SparkSpec {
       // stream_variant: VARIANT schema-on-read over the wire, same
       // replay posture (publish wrapped docs, snapshot the converged agg)
       "stream_variant",
+      // stream_neardup: same replay posture through the NearDupIndex
+      // bucket-keyed signature index (transformWithState ListState) —
+      // construction publishes the signature stream, runs the consumer
+      // with a mid-stream restart + redelivery, snapshots survivors
+      "stream_neardup",
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{RelationalSuite, SimilaritySuite}
+import graft.operators.{RelationalSuite, SimilaritySuite, TextSuite}
 
 /** Plan-hygiene assertions: the physical plans must keep the properties the
   * 100 TB design depends on — filters and projections reaching the parquet
@@ -315,6 +315,20 @@ class PlanSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan).size == 2,
       s"LWW compaction lost its partial WindowGroupLimit (map-side " +
         s"version pruning) in:\n$plan")
+  }
+
+  test("weighted_sample: one scan, map-side min, rank capped by WindowGroupLimit") {
+    val plan = executedPlan(TextSuite.weightedSample(spark, dir))
+    assert("FileScan parquet|Scan parquet".r.findAllIn(plan).size == 1,
+      s"weighted sample must make ONE pass over the corpus:\n$plan")
+    // min(draw) per doc combines before the shuffle — the chunk-exploded
+    // rows (O(tokens/32)) never leave their map task
+    assert(plan.contains("partial_min"),
+      s"chunk draws must combine map-side in:\n$plan")
+    // the per-language top-k prunes to k rows per map task BEFORE the
+    // rank window's exchange (partial + final = 2 nodes)
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2,
+      s"rank filter lost its partial WindowGroupLimit in:\n$plan")
   }
 
   test("runtime bloom filter injects on a shuffled join under a selective dim filter") {

@@ -347,4 +347,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(updates.contains(("U1", 3L, 35L, false)))
     assert(updates.contains(("U2", 1L, 7L, false)))
   }
+
+  test("nearDupIndex: order-free pairing, band isolation, redelivery absorbed") {
+    import StreamOps.BandDoc
+    val base = (0 until 64).map(i => i * 1000L + 7)
+    val near = base.take(20) ++ (20 until 64).map(i => -i - 1L) // agree = 20
+    val far = (0 until 64).map(i => i * 31L + 900000)           // agree = 0
+    val input = MemoryStream[BandDoc](spark)
+    val q = StreamOps.nearDupHits(input.toDS(), minAgree = 16)
+      .toDF().writeStream.format("memory").queryName("neardup_stream")
+      .option("checkpointLocation", tmpDir("neardup"))
+      .outputMode("update").start()
+
+    // the LARGER id arrives FIRST: pairing must trigger when the smaller
+    // one shows up later (compare-vs-all = arrival-order independence)
+    input.addData(BandDoc(0, 100L, 9, near), BandDoc(0, 100L, 5, far))
+    q.processAllAvailable()
+    // same bucket VALUE in a different band must not pair with band 0's
+    // residents; doc 3 in band 0 pairs with the resident doc 9
+    input.addData(BandDoc(1, 100L, 8, base), BandDoc(0, 100L, 3, base))
+    q.processAllAvailable()
+    // redelivery of doc 3 (resident): skipped wholesale, no new hits
+    input.addData(BandDoc(0, 100L, 3, base))
+    q.processAllAvailable()
+    q.stop()
+
+    val hits = spark.table("neardup_stream")
+      .select($"docId", $"dupOf", $"agree")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(hits.sorted == Seq((9L, 3L, 20)),
+      s"expected exactly the (9 dup-of 3, agree 20) hit: $hits")
+  }
 }

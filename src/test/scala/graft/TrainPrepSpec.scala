@@ -175,4 +175,46 @@ class TrainPrepSpec extends SparkSpec {
       "cosine out of range")
     lc.unpersist()
   }
+
+  test("weightedSample: dense per-lang ranks, min-draw priority, determinism") {
+    val ws = TextSuite.weightedSample(spark, sf, k = 16).cache()
+    val langs = graft.model.Tables.documents(spark, sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // per-language: exactly min(k, |lang|) rows, ranks dense from 1
+    val perLang = ws.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("rnk")).as("lo"),
+        max(col("rnk")).as("hi"), countDistinct(col("rnk")).as("d"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, n, lo, hi, d) =>
+      assert(n == math.min(16L, langs(lang)), s"$lang sampled $n")
+      assert(lo == 1L && hi == n && d == n, s"$lang ranks not dense 1..$n")
+    }
+    // rank order IS min-chunk-draw order: recompute each sampled doc's
+    // priority with the same xxhash64 draws and check monotonicity in rnk
+    val docs = graft.model.Tables.documents(spark, sf)
+    val prios = docs.join(ws.select(col("doc_id"), col("lang"), col("rnk")),
+        Seq("doc_id", "lang"))
+      .select(col("doc_id"), col("lang"), col("rnk"),
+        tokenCount(col("text")).cast("long").as("tc"))
+      .select(col("doc_id"), col("lang"), col("rnk"),
+        explode(sequence(lit(0L),
+          greatest(lit(1L), expr("(tc + 31) div 32")) - 1)).as("i"))
+      .groupBy(col("lang"), col("rnk"), col("doc_id"))
+      .agg(min(xxhash64(col("doc_id"), col("i"))).as("p"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    prios.foreach { case (lang, rows) =>
+      val byRank = rows.sortBy(_._2).map(r => (r._4, r._3)) // (p, doc_id)
+      assert(byRank.sorted.sameElements(byRank),
+        s"$lang sample order disagrees with (min draw, doc_id) order")
+    }
+    // bit-reproducible run to run
+    val again = TextSuite.weightedSample(spark, sf, k = 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again == ws.as[(String, Long, Long, Long)].collect().toSet,
+      "weighted sample changed between runs")
+    ws.unpersist()
+  }
 }
