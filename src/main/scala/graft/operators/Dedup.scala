@@ -726,19 +726,33 @@ object Dedup {
     * bands > maxHamming (h differing bits cannot dirty every one of h+1
     * chunks); fewer bands = coarser buckets = cheaper but probabilistic.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    // recomputed subtrees dedupe via ReuseExchange
+    hammingPairs(simhash(docs), "simhash", maxHamming, bands)
+
+  /** Banded hamming-distance pairing over ANY (doc_id, 64-bit hash)
+    * table — the kernel simhashPairs applies to text fingerprints and
+    * Multimodal.imageHashes applies to perceptual image hashes: band the
+    * hash into 64/bands-bit chunks, self-join on (chunk index, chunk
+    * value), verify candidates by bit_count(xor). Pigeonhole: detection
+    * is GUARANTEED only when bands > maxHamming (h differing bits cannot
+    * dirty every one of h+1 chunks); fewer bands = coarser buckets =
+    * cheaper but probabilistic.
+    */
+  def hammingPairs(hashes: DataFrame, hashCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   idCol: String = "doc_id"): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val sh = simhash(docs) // recomputed subtrees dedupe via ReuseExchange
-    val chunks = sh.select(col("doc_id"), col("simhash"),
+    val chunks = hashes.select(col(idCol), col(hashCol),
       posexplode(array((0 until bands).map(c =>
-        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(mask)): _*)).as(Seq("chunk", "key")))
+        shiftrightunsigned(col(hashCol), c * width).bitwiseAND(mask)): _*)).as(Seq("chunk", "key")))
     val pairs = chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col(s"a.$hashCol").as("sh_a"), col(s"b.$hashCol").as("sh_b"))
       .distinct()
     pairs
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))

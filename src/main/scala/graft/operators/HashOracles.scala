@@ -209,6 +209,36 @@ private[operators] object HashOracles {
        |FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Image-fingerprint recompute (`image_fingerprint`): the decoded PNG
+    * pixel at (x, y) is the closed-form fill (doc_id + x + y) % 256, so
+    * the 8x8 point-sampled aHash — samples at (i*w/8, j*h/8), bit k set
+    * when sample > floor-mean — reproduces in pure SQL what the Spark
+    * side reads back out of the REAL encoded bytes: a broken encoder,
+    * decoder, sampler, or bit packer all fail the hash.
+    */
+  def imageFingerprintOracle: String =
+    s"""WITH im AS (
+       |  SELECT doc_id,
+       |         CAST(32 + doc_id % 97 AS BIGINT) AS w,
+       |         CAST(32 + (doc_id * 7) % 97 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |s AS (
+       |  SELECT doc_id, w, h, k.k,
+       |         (doc_id + ((k.k % 8) * w) // 8 + ((k.k // 8) * h) // 8) % 256
+       |           AS v
+       |  FROM im, LATERAL (SELECT unnest(range(64)) AS k) k),
+       |m AS (
+       |  SELECT doc_id, sum(v) // 64 AS mean FROM s GROUP BY doc_id),
+       |b AS (
+       |  SELECT s.doc_id, s.w, s.h,
+       |         bit_or(CASE WHEN s.v > m.mean THEN (1::UBIGINT << s.k)
+       |                ELSE 0::UBIGINT END) AS ub
+       |  FROM s JOIN m ON s.doc_id = m.doc_id
+       |  GROUP BY s.doc_id, s.w, s.h)
+       |SELECT doc_id, CAST(w AS INTEGER) AS width,
+       |       CAST(h AS INTEGER) AS height, ${toSigned("ub")} AS ahash
+       |FROM b""".stripMargin
+
   /** The shared CTE chain of the minhash oracles, ending in
     * `scored(doc_a, doc_b, agree, est_jaccard)` — candidate pairs from
     * band-bucket collisions with their integer signature agreement.

@@ -322,6 +322,56 @@ object Multimodal {
     }
   }
 
+  /** One image's perceptual fingerprint: a 64-bit point-sampled average
+    * hash over the DECODED pixels.
+    */
+  final case class ImageHash(doc_id: Long, width: Int, height: Int,
+                             ahash: Long)
+
+  /** Perceptual image fingerprinting (aHash, point-sampled variant) —
+    * the image-side analogue of the text corpus's simhash_sketch: decode
+    * each PNG, sample an 8x8 grid at (i*w/8, j*h/8) (integer division —
+    * portable to the SQL oracle bit-for-bit), and set bit j*8+i when the
+    * sample's gray value exceeds the integer mean of the 64 samples.
+    * Identical pixels hash identically; small global shifts flip few
+    * bits, so near-duplicate images pair under a banded hamming join —
+    * the same 16-bit-chunk banding kernel Dedup.simhashPairs uses on
+    * text, applied to these fingerprints downstream (MultimodalSpec
+    * exercises the pairing on crafted duplicates; the fixture's gradient
+    * fills make genuine near-dup images vanishingly rare, so the wired
+    * query ships the fingerprint table itself). Decode runs one codec
+    * per partition via mapPartitions — no shuffle, no driver bytes; at
+    * 100 TB the hash is 8 bytes per image against payloads of megabytes,
+    * exactly the reduction that makes image dedup tractable.
+    */
+  def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.kind != "image") Iterator.empty
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          val (w, h) = (img.getWidth, img.getHeight)
+          val samples = new Array[Long](64)
+          var k = 0
+          while (k < 64) {
+            samples(k) = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) & 0xFF
+            k += 1
+          }
+          val mean = samples.sum / 64
+          var bits = 0L
+          k = 0
+          while (k < 64) {
+            if (samples(k) > mean) bits |= (1L << k)
+            k += 1
+          }
+          Iterator.single(ImageHash(r.doc_id, w, h, bits))
+        }
+      }
+    }
+  }
+
   /** Decode + feature-extract, one decoder per partition, streamed. This is
     * the batch shape that matters at scale: no driver involvement, no
     * per-row decoder setup, output is a typed Dataset that joins back on

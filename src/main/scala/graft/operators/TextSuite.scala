@@ -228,6 +228,65 @@ object TextSuite {
     * 32-token bucket. Pure integer arithmetic — floor division portable to
     * any engine.
     */
+  /** Free-TEXT PII / sensitive-term redaction audit (the column-level
+    * anonymization sibling is RelationalSuite.piiScrub) — the pass every
+    * training-data pipeline runs before a corpus ships: match a pattern
+    * set per document, REDACT in place, and account for what was removed
+    * per source (how many documents were touched, how many spans, how
+    * many characters disappeared). The fixture corpus is synthetic word
+    * salad with no real emails/phones, so the wired set uses lexical
+    * stand-in patterns exercising the same machinery (word-boundary
+    * regex match + global replace); a production deployment swaps the
+    * pattern list for the usual email/phone/ip/ssn set — the plan shape
+    * is identical. Everything is one codegen'd scan: regexp_count +
+    * chained regexp_replace per row, then a per-source hash aggregate.
+    * Counts are pure integers, so the DuckDB recompute is exact (the
+    * patterns avoid every Java-vs-RE2 divergence: literal words + \b).
+    */
+  def textRedaction(spark: SparkSession, dir: String): DataFrame = {
+    // replacements chosen no longer than their match so chars_removed is
+    // a true removal count (a longer tag would make the column signed)
+    val patterns = Seq("\\bcustomer\\b" -> "<NAME>", "\\bkey\\b" -> "<K>")
+    val docs = Tables.documents(spark, dir)
+    val hits = patterns.map { case (p, _) =>
+      regexp_count(col("text"), lit(p))
+    }.reduce(_ + _)
+    val redacted = patterns.foldLeft(col("text")) { case (c, (p, tag)) =>
+      regexp_replace(c, p, tag)
+    }
+    docs.select(col("source"), hits.cast("long").as("h"),
+        (length(col("text")) - length(redacted)).cast("long").as("removed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("h")).as("total_hits"),
+        sum(col("removed")).as("chars_removed"))
+  }
+
+  /** One BPE-training merge iteration, distributed: corpus-wide counts of
+    * ADJACENT token pairs, top 20 — the statistic a byte-pair-encoding
+    * tokenizer fit computes every merge round (at word granularity here;
+    * byte granularity is the same plan over a different splitter). The
+    * pair explosion is zip_with over the token array against its own
+    * tail — O(corpus tokens) rows, no join — the count is a map-side-
+    * combined hash aggregate, and the top-20 runs as TakeOrderedAndProject
+    * (per-partition heaps, never a global sort). Ties break on the pair
+    * string so the cutoff is deterministic cross-engine.
+    */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val pairs = zip_with(
+      slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(spark, dir)
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   /** Deterministic token-mass-weighted sample, k docs per language —
     * "give me a 10 B-token slice whose documents are drawn proportional
     * to their token mass" without a global sort or an RNG whose replay
@@ -1055,6 +1114,8 @@ object TextSuite {
     "hash_split"      -> (hashSplit _),
     "stratified_split" -> (stratifiedSplit _),
     "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
+    "text_redaction"  -> (textRedaction _),
+    "bpe_pairs"       -> (bpePairs _),
     "token_histogram" -> (tokenHistogram _),
     "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
     "decontaminate"   -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -1145,6 +1206,30 @@ object TextSuite {
     // converges to this batch recompute's survivor set exactly
     "stream_neardup" -> HashOracles.streamNearDupOracle(minAgree = 16),
     "weighted_sample" -> HashOracles.weightedSampleOracle(),
+    "text_redaction" ->
+      """SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+        |       CAST(sum(h) AS BIGINT) AS total_hits,
+        |       CAST(sum(removed) AS BIGINT) AS chars_removed
+        |FROM (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '\bcustomer\b'))
+        |           + len(regexp_extract_all(text, '\bkey\b')) AS h,
+        |         length(text) - length(
+        |           regexp_replace(
+        |             regexp_replace(text, '\bcustomer\b', '<NAME>', 'g'),
+        |             '\bkey\b', '<K>', 'g')) AS removed
+        |  FROM documents)
+        |GROUP BY source""".stripMargin,
+    "bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (
+        |  SELECT t[i] || ' ' || t[i + 1] AS pair
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r)
+        |SELECT pair, count(*) AS n
+        |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "simhash_sketch" -> HashOracles.simhashSketchOracle,
     // same closure as dedup_clusters, then cluster-keyed fold arithmetic
     "cluster_split" ->

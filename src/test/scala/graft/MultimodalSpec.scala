@@ -155,4 +155,27 @@ class MultimodalSpec extends SparkSpec {
     val vidDec = Multimodal.GifCodec.decode(real(2L).payload)
     assert(vidDec.nFrames == Multimodal.GifCodec.nFrames(2L))
   }
+
+  test("image near-dup: identical pixels hash identically, banded pairing finds them") {
+    // three images: 7 and 1007 carry IDENTICAL pixel content (same fill
+    // constant mod 256: 1007 - 7 + 40x40 dims... use same fill id), 13 far
+    def png(fillId: Long, w: Int, h: Int) = Multimodal.pngPayload(fillId, w, h)
+    val rows = Seq(
+      MediaRow(7L, "image", png(7L, 40, 40), 40, 40),
+      MediaRow(1007L, "image", png(7L, 40, 40), 40, 40), // exact duplicate payload
+      MediaRow(13L, "image", png(200L, 40, 40), 40, 40), // different fill
+      MediaRow(2L, "audio", Multimodal.WavCodec.encode(2L), 0, 0)) // ignored
+    val hashes = Multimodal.imageHashes(rows.toDS()).toDF()
+    val byId = hashes.as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(byId.keySet == Set(7L, 1007L, 13L), "audio row must be skipped")
+    assert(byId(7L) == byId(1007L), "identical pixels must hash identically")
+    val pairs = graft.operators.Dedup
+      .hammingPairs(hashes, "ahash", maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((7L, 1007L, 0)),
+      s"banded pairing missed the duplicate: $pairs")
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L),
+      s"unrelated image paired: $pairs")
+  }
 }

@@ -176,6 +176,44 @@ class TrainPrepSpec extends SparkSpec {
     lc.unpersist()
   }
 
+  test("textRedaction: hit accounting equals token-level recount, removal exact") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    // independent recount at token granularity: the corpus is whitespace-
+    // separated words, so \b-regex hits == exact token matches
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+    val expected = tok.groupBy(col("source"))
+      .agg(sum(when(col("t") === "customer" || col("t") === "key", 1L)
+        .otherwise(0L)).as("hits"),
+        sum(when(col("t") === "customer", 2L).otherwise(0L)).as("removed"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, h, r) => s -> ((h, r)) }.toMap
+    val got = TextSuite.textRedaction(spark, sf)
+      .select(col("source"), col("total_hits"), col("chars_removed"))
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (s, h, r) =>
+      assert((h, r) == expected(s),
+        s"$s: scrub said ($h hits, $r removed), recount ${expected(s)}")
+    }
+  }
+
+  test("bpePairs: top-20 equals a brute-force adjacent-pair recount") {
+    val texts = graft.model.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val w = t.trim.split("\\s+").filter(_.nonEmpty)
+      w.iterator.zip(w.iterator.drop(1)).foreach { case (a, b) =>
+        val p = a + " " + b
+        counts(p) = counts.getOrElse(p, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TextSuite.bpePairs(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected, s"top-20 merge pairs diverge:\n$got\n$expected")
+  }
+
   test("weightedSample: dense per-lang ranks, min-draw priority, determinism") {
     val ws = TextSuite.weightedSample(spark, sf, k = 16).cache()
     val langs = graft.model.Tables.documents(spark, sf)
