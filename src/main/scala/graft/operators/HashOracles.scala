@@ -239,6 +239,34 @@ private[operators] object HashOracles {
        |       CAST(h AS INTEGER) AS height, ${toSigned("ub")} AS ahash
        |FROM b""".stripMargin
 
+  /** Audio-fingerprint recompute (`audio_fingerprint`): the decoded PCM
+    * sample i is the closed form ((doc_id*31 + i*17) % 65536) - 32768, so
+    * the 64-window energy-envelope hash — sample i in window i*64/n,
+    * bit w set when window energy > floor-mean — reproduces in SQL what
+    * the Spark side reads out of the REAL WAV bytes.
+    */
+  def audioFingerprintOracle: String =
+    s"""WITH au AS (
+       |  SELECT doc_id, CAST(400 + doc_id % 256 AS BIGINT) AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |s AS (
+       |  SELECT doc_id, n, (i.i * 64) // n AS w,
+       |         abs(((doc_id * 31 + i.i * 17) % 65536) - 32768) AS a
+       |  FROM au, LATERAL (SELECT unnest(range(n)) AS i) i),
+       |e AS (SELECT doc_id, n, w, sum(a) AS energy FROM s
+       |      GROUP BY doc_id, n, w),
+       |m AS (SELECT doc_id, sum(energy) // 64 AS mean FROM e
+       |      GROUP BY doc_id),
+       |b AS (
+       |  SELECT e.doc_id, e.n,
+       |         bit_or(CASE WHEN e.energy > m.mean THEN (1::UBIGINT << e.w)
+       |                ELSE 0::UBIGINT END) AS ub
+       |  FROM e JOIN m ON e.doc_id = m.doc_id
+       |  GROUP BY e.doc_id, e.n)
+       |SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+       |       ${toSigned("ub")} AS ehash
+       |FROM b""".stripMargin
+
   /** The shared CTE chain of the minhash oracles, ending in
     * `scored(doc_a, doc_b, agree, est_jaccard)` — candidate pairs from
     * band-bucket collisions with their integer signature agreement.

@@ -35,15 +35,24 @@ object MediaSuite {
     Multimodal.imageHashes(media).toDF()
   }
 
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir))
+    Multimodal.audioHashes(media).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "frame_sample"   -> (frameSample _),
-    "image_fingerprint" -> (imageFingerprint _))
+    "image_fingerprint" -> (imageFingerprint _),
+    "audio_fingerprint" -> (audioFingerprint _))
 
   val oracles: Map[String, String] = Map(
     // 8x8 point-sampled aHash over the closed-form pixel fill — see
     // HashOracles.imageFingerprintOracle
     "image_fingerprint" -> HashOracles.imageFingerprintOracle,
+    // 64-window energy-envelope hash over the closed-form PCM fill — see
+    // HashOracles.audioFingerprintOracle
+    "audio_fingerprint" -> HashOracles.audioFingerprintOracle,
     // px/asum/vsum recompute the decoded content digests in closed form:
     // the image fill is (doc_id + x + y) mod 256 over the (w, h) gradient,
     // the audio samples are ((doc_id*31 + i*17) mod 65536) - 32768, and

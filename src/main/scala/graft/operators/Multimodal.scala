@@ -372,6 +372,53 @@ object Multimodal {
     }
   }
 
+  /** One audio clip's energy fingerprint: a 64-bit hash over the decoded
+    * waveform's 64-window energy envelope.
+    */
+  final case class AudioHash(doc_id: Long, n_samples: Int, ehash: Long)
+
+  /** Acoustic energy fingerprinting — the audio cell of the dedup x
+    * modality matrix (images: [[imageHashes]]; text: Dedup.simhash):
+    * decode the WAV's PCM samples, partition them into 64 energy windows
+    * (sample i lands in window i*64/n — integer division, portable to the
+    * SQL oracle), sum |sample| per window, and set bit w when window w's
+    * energy exceeds the integer mean of the 64 window energies. The
+    * envelope shape — not the raw amplitude — carries the bits, so
+    * re-encoded or gain-scaled copies of a clip stay hamming-close while
+    * unrelated clips diverge; pairs come from the same banded
+    * [[Dedup.hammingPairs]] kernel text and image fingerprints use.
+    * mapPartitions decode, 8 bytes of fingerprint per clip, no shuffle.
+    */
+  def audioHashes(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.kind != "audio") Iterator.empty
+        else {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val n = ais.getFrameLength.toInt
+          val raw = ais.readAllBytes()
+          val win = new Array[Long](64)
+          var i = 0
+          while (i < n) {
+            val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+            win((i.toLong * 64 / n).toInt) += math.abs(s.toLong)
+            i += 1
+          }
+          val mean = win.sum / 64
+          var bits = 0L
+          var w = 0
+          while (w < 64) {
+            if (win(w) > mean) bits |= (1L << w)
+            w += 1
+          }
+          Iterator.single(AudioHash(r.doc_id, n, bits))
+        }
+      }
+    }
+  }
+
   /** Decode + feature-extract, one decoder per partition, streamed. This is
     * the batch shape that matters at scale: no driver involvement, no
     * per-row decoder setup, output is a typed Dataset that joins back on

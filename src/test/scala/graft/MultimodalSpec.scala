@@ -178,4 +178,45 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L),
       s"unrelated image paired: $pairs")
   }
+
+  test("audio fingerprint: envelope-shaped, gain-invariant, pairs duplicates") {
+    def wav(samples: Array[Int], rate: Int = 8000): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        raw(2 * i) = (s & 0xff).toByte
+        raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // a clip with a distinctive envelope (loud middle), its exact copy,
+    // a HALF-GAIN copy (same envelope shape), and an unrelated clip
+    val base = Array.tabulate(640)(i => if (i >= 256 && i < 384) 20000 else 100)
+    val half = base.map(_ / 2)
+    val other = Array.tabulate(640)(i => if (i < 128) 18000 else 50)
+    val rows = Seq(
+      MediaRow(1L, "audio", wav(base), 0, 0),
+      MediaRow(101L, "audio", wav(base), 0, 0),  // exact duplicate
+      MediaRow(201L, "audio", wav(half), 0, 0),  // gain-scaled duplicate
+      MediaRow(301L, "audio", wav(other), 0, 0), // different envelope
+      MediaRow(0L, "image", Multimodal.pngPayload(0L, 32, 32), 32, 32))
+    val hashes = Multimodal.audioHashes(rows.toDS()).toDF()
+    val byId = hashes.as[(Long, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(byId.keySet == Set(1L, 101L, 201L, 301L), "image row must be skipped")
+    assert(byId(1L) == byId(101L), "identical clips must hash identically")
+    // uniform gain scales every window energy AND the mean equally, so
+    // the envelope bits — the hash — are invariant
+    assert(byId(1L) == byId(201L), "half-gain copy must keep the envelope hash")
+    assert(byId(1L) != byId(301L), "different envelopes must differ")
+    val pairs = graft.operators.Dedup
+      .hammingPairs(hashes, "ehash", maxHamming = 3, bands = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 101L, 0)) && pairs.contains((1L, 201L, 0)),
+      s"banded pairing missed a duplicate: $pairs")
+  }
 }
