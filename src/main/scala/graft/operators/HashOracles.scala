@@ -267,6 +267,37 @@ private[operators] object HashOracles {
        |       ${toSigned("ub")} AS ehash
        |FROM b""".stripMargin
 
+  /** Video frame-fingerprint recompute (`video_fingerprint`): frame f's
+    * pixel (x, y) is the closed form (doc_id + 3f + x + y) % 256 over the
+    * (frameW, frameH) grid, so each frame's 8x8 point-sampled aHash
+    * reproduces in SQL what the Spark side reads out of the REAL GIF.
+    */
+  def videoFingerprintOracle: String =
+    s"""WITH vx AS (
+       |  SELECT doc_id,
+       |         CAST(2 + doc_id % 7 AS BIGINT) AS n,
+       |         CAST(16 + doc_id % 16 AS BIGINT) AS w,
+       |         CAST(16 + (doc_id * 5) % 16 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |s AS (
+       |  SELECT doc_id, f.f, k.k,
+       |         (doc_id + 3 * f.f + ((k.k % 8) * w) // 8
+       |            + ((k.k // 8) * h) // 8) % 256 AS v
+       |  FROM vx,
+       |       LATERAL (SELECT unnest(range(n)) AS f) f,
+       |       LATERAL (SELECT unnest(range(64)) AS k) k),
+       |m AS (SELECT doc_id, f, sum(v) // 64 AS mean FROM s
+       |      GROUP BY doc_id, f),
+       |b AS (
+       |  SELECT s.doc_id, s.f,
+       |         bit_or(CASE WHEN s.v > m.mean THEN (1::UBIGINT << s.k)
+       |                ELSE 0::UBIGINT END) AS ub
+       |  FROM s JOIN m ON s.doc_id = m.doc_id AND s.f = m.f
+       |  GROUP BY s.doc_id, s.f)
+       |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       |       ${toSigned("ub")} AS fhash
+       |FROM b""".stripMargin
+
   /** The shared CTE chain of the minhash oracles, ending in
     * `scored(doc_a, doc_b, agree, est_jaccard)` — candidate pairs from
     * band-bucket collisions with their integer signature agreement.

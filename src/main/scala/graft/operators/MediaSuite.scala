@@ -40,11 +40,17 @@ object MediaSuite {
     Multimodal.audioHashes(media).toDF()
   }
 
+  def videoFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir))
+    Multimodal.videoFrameHashes(media).toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeatures _),
     "frame_sample"   -> (frameSample _),
     "image_fingerprint" -> (imageFingerprint _),
-    "audio_fingerprint" -> (audioFingerprint _))
+    "audio_fingerprint" -> (audioFingerprint _),
+    "video_fingerprint" -> (videoFingerprint _))
 
   val oracles: Map[String, String] = Map(
     // 8x8 point-sampled aHash over the closed-form pixel fill — see
@@ -53,6 +59,9 @@ object MediaSuite {
     // 64-window energy-envelope hash over the closed-form PCM fill — see
     // HashOracles.audioFingerprintOracle
     "audio_fingerprint" -> HashOracles.audioFingerprintOracle,
+    // per-frame aHash over the closed-form GIF frame fill — see
+    // HashOracles.videoFingerprintOracle
+    "video_fingerprint" -> HashOracles.videoFingerprintOracle,
     // px/asum/vsum recompute the decoded content digests in closed form:
     // the image fill is (doc_id + x + y) mod 256 over the (w, h) gradient,
     // the audio samples are ((doc_id*31 + i*17) mod 65536) - 32768, and

@@ -179,6 +179,36 @@ object Multimodal {
         pick(n).map(idx => idx -> redSum(rd.read(idx)))
       } finally rd.dispose()
     }
+
+    /** Per-frame 8x8 point-sampled aHash (the [[Multimodal.imageHashes]]
+      * sampler applied to every decoded frame through one reader open) —
+      * the frame-level fingerprint video near-dup detection joins on.
+      */
+    def frameHashes(payload: Array[Byte]): Seq[(Int, Long)] = {
+      val rd = reader(payload)
+      try {
+        val n = rd.getNumImages(true)
+        require(n > 0, "payload is not a decodable GIF")
+        (0 until n).map { idx =>
+          val img = rd.read(idx)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val samples = new Array[Long](64)
+          var k = 0
+          while (k < 64) {
+            samples(k) = (img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) >> 16) & 0xFF
+            k += 1
+          }
+          val mean = samples.sum / 64
+          var bits = 0L
+          k = 0
+          while (k < 64) {
+            if (samples(k) > mean) bits |= (1L << k)
+            k += 1
+          }
+          idx -> bits
+        }
+      } finally rd.dispose()
+    }
   }
 
   /** REAL audio codec on the JDK's javax.sound.sampled: 16-bit PCM mono
@@ -415,6 +445,31 @@ object Multimodal {
           }
           Iterator.single(AudioHash(r.doc_id, n, bits))
         }
+      }
+    }
+  }
+
+  /** One video frame's perceptual fingerprint. */
+  final case class VideoFrameHash(doc_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Per-FRAME perceptual fingerprinting for video — the last cell of the
+    * dedup x modality matrix (text: simhash; image: [[imageHashes]];
+    * audio: [[audioHashes]]): decode every GIF frame through one reader
+    * open and hash it with the same 8x8 point-sampled aHash the image
+    * path uses. Frame granularity is what video dedup actually keys on —
+    * two clips sharing ANY frame fingerprint are near-dup candidates
+    * (re-cuts, trims, and re-encodes share frames; whole-clip hashes
+    * miss all of them), so the downstream join is frame-hash equality
+    * scored by shared-frame count, and [[Dedup.hammingPairs]] handles
+    * the tolerant variant. flatMap expansion (≤ nFrames rows per clip),
+    * one codec per partition, 8 bytes per frame against megabyte clips.
+    */
+  def videoFrameHashes(media: Dataset[MediaRow]): Dataset[VideoFrameHash] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      if (r.kind != "video") Iterator.empty
+      else GifCodec.frameHashes(r.payload).iterator.map {
+        case (idx, bits) => VideoFrameHash(r.doc_id, idx, bits)
       }
     }
   }

@@ -219,4 +219,29 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 101L, 0)) && pairs.contains((1L, 201L, 0)),
       s"banded pairing missed a duplicate: $pairs")
   }
+
+  test("video frame hashes: per-frame granularity, shared-frame pairing") {
+    val rows = Seq(
+      MediaRow(2L, "video", Multimodal.GifCodec.encode(2L), 0, 0),
+      MediaRow(102L, "video", Multimodal.GifCodec.encode(2L), 0, 0), // re-upload
+      MediaRow(5L, "video", Multimodal.GifCodec.encode(5L), 0, 0),   // unrelated
+      MediaRow(1L, "audio", Multimodal.WavCodec.encode(1L), 0, 0))   // ignored
+    val fh = Multimodal.videoFrameHashes(rows.toDS()).toDF()
+      .as[(Long, Int, Long)].collect()
+    val byDoc = fh.groupBy(_._1).map { case (d, fs) =>
+      d -> fs.sortBy(_._2).map(_._3).toSeq }
+    assert(byDoc.keySet == Set(2L, 102L, 5L), "audio row must be skipped")
+    // one row per frame, frame count from the codec
+    assert(byDoc(2L).size == Multimodal.GifCodec.nFrames(2L))
+    // the re-uploaded clip shares EVERY frame fingerprint
+    assert(byDoc(2L) == byDoc(102L), "identical clips must match frame-wise")
+    // shared-frame candidate join: clips pairing on >= 1 equal frame hash
+    val cand = fh.toSeq.flatMap { case (d, _, h) => Seq(h -> d) }
+      .groupBy(_._1).values.map(_.map(_._2).distinct.sorted)
+      .filter(_.size > 1).toSet
+    assert(cand.exists(g => g.contains(2L) && g.contains(102L)),
+      "shared-frame join missed the re-upload")
+    assert(!cand.exists(g => g.contains(5L)),
+      s"unrelated clip paired: $cand")
+  }
 }
