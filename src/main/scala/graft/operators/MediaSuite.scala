@@ -26,22 +26,22 @@ object MediaSuite {
   }
 
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir))
+    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir), "video")
     Multimodal.sampleFrames(media).toDF()
   }
 
   def imageFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir))
+    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir), "image")
     Multimodal.imageHashes(media).toDF()
   }
 
   def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir))
+    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir), "audio")
     Multimodal.audioHashes(media).toDF()
   }
 
   def videoFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir))
+    val media = Multimodal.mediaTableReal(Tables.documents(spark, dir), "video")
     Multimodal.videoFrameHashes(media).toDF()
   }
 

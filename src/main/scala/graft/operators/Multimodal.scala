@@ -302,9 +302,16 @@ object Multimodal {
     * multi-frame animated GIFs — all encoded right here on the executors
     * (a per-partition map, no shuffle, no driver bytes).
     */
-  def mediaTableReal(docs: DataFrame): Dataset[MediaRow] = {
+  def mediaTableReal(docs: DataFrame, onlyKind: String = null): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    mediaTable(docs).as[MediaRow].mapPartitions { rows =>
+    // push the kind filter BELOW the encode: a single-modality consumer
+    // (fingerprints, frame sampling) must never pay the other kinds'
+    // codec cost — the metadata predicate prunes before any payload
+    // work, the same shape as filtering on kind before decode at 100 TB
+    val base = mediaTable(docs)
+    val wanted = if (onlyKind == null) base
+      else base.filter(col("kind") === onlyKind)
+    wanted.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         r.kind match {
           case "image" =>
