@@ -267,6 +267,16 @@ private[operators] object HashOracles {
        |       ${toSigned("ub")} AS ehash
        |FROM b""".stripMargin
 
+  /** Streaming media-dedup recompute (`stream_media_dedup`): the stream
+    * publishes every image TWICE (original + mirror id), so each doc
+    * contributes exactly two distinct ids to its content-hash group —
+    * per-hash distinct-id counts are 2x the batch fingerprint groups.
+    */
+  def streamMediaDedupOracle: String =
+    s"""WITH fp AS ($imageFingerprintOracle)
+       |SELECT ahash, CAST(2 * count(*) AS BIGINT) AS n_images
+       |FROM fp GROUP BY ahash""".stripMargin
+
   /** Video frame-fingerprint recompute (`video_fingerprint`): frame f's
     * pixel (x, y) is the closed form (doc_id + 3f + x + y) % 256 over the
     * (frameW, frameH) grid, so each frame's 8x8 point-sampled aHash

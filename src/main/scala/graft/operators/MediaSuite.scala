@@ -50,7 +50,9 @@ object MediaSuite {
     "frame_sample"   -> (frameSample _),
     "image_fingerprint" -> (imageFingerprint _),
     "audio_fingerprint" -> (audioFingerprint _),
-    "video_fingerprint" -> (videoFingerprint _))
+    "video_fingerprint" -> (videoFingerprint _),
+    "stream_media_dedup" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedMediaDedup(s, d)))
 
   val oracles: Map[String, String] = Map(
     // 8x8 point-sampled aHash over the closed-form pixel fill — see
@@ -62,6 +64,9 @@ object MediaSuite {
     // per-frame aHash over the closed-form GIF frame fill — see
     // HashOracles.videoFingerprintOracle
     "video_fingerprint" -> HashOracles.videoFingerprintOracle,
+    // per-hash distinct-id counts under the doubled (original + mirror)
+    // publish — see HashOracles.streamMediaDedupOracle
+    "stream_media_dedup" -> HashOracles.streamMediaDedupOracle,
     // px/asum/vsum recompute the decoded content digests in closed form:
     // the image fill is (doc_id + x + y) mod 256 over the (w, h) gradient,
     // the audio samples are ((doc_id*31 + i*17) mod 65536) - 32768, and

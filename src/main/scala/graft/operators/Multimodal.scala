@@ -381,6 +381,27 @@ object Multimodal {
     * 100 TB the hash is 8 bytes per image against payloads of megabytes,
     * exactly the reduction that makes image dedup tractable.
     */
+  /** The 8x8 point-sampled aHash of one decoded image — the shared
+    * sampler behind [[imageHashes]] and the streaming media-dedup path.
+    */
+  private[graft] def ahashOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val samples = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      samples(k) = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) & 0xFF
+      k += 1
+    }
+    val mean = samples.sum / 64
+    var bits = 0L
+    k = 0
+    while (k < 64) {
+      if (samples(k) > mean) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
   def imageHashes(media: Dataset[MediaRow]): Dataset[ImageHash] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -389,21 +410,8 @@ object Multimodal {
         else {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload))
-          val (w, h) = (img.getWidth, img.getHeight)
-          val samples = new Array[Long](64)
-          var k = 0
-          while (k < 64) {
-            samples(k) = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) & 0xFF
-            k += 1
-          }
-          val mean = samples.sum / 64
-          var bits = 0L
-          k = 0
-          while (k < 64) {
-            if (samples(k) > mean) bits |= (1L << k)
-            k += 1
-          }
-          Iterator.single(ImageHash(r.doc_id, w, h, bits))
+          Iterator.single(
+            ImageHash(r.doc_id, img.getWidth, img.getHeight, ahashOf(img)))
         }
       }
     }

@@ -590,4 +590,42 @@ object StreamOps {
       .transformWithState(new NearDupIndex(minAgree), TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** One keyed id observation; [[DistinctPerKey]] counts distinct ids. */
+  final case class KeyedId(key: Long, id: Long)
+  final case class KeyCount(key: Long, n: Long)
+
+  /** EXACT distinct-id count per key with the id set AS state — the
+    * dedup-group shape: keys are content fingerprints, ids are the
+    * members that collide on them, so state per key is the dup-group
+    * size (tiny), not the stream. Re-delivered ids are absorbed by the
+    * set — the property that makes the count restart- and retry-exact,
+    * where a naive streaming count() would double on every redelivery.
+    * Counts are monotone, so max per key over the update changelog is
+    * the converged answer. (For UNBOUNDED id sets per key the exact set
+    * is the wrong state shape — that's approx_count_distinct's sketch,
+    * covered batch-side by sketch_accuracy.)
+    */
+  final class DistinctPerKey
+    extends StatefulProcessor[Long, KeyedId, KeyCount] {
+    @transient private var seen: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KeyedId],
+                                 timers: TimerValues): Iterator[KeyCount] = {
+      val resident = scala.collection.mutable.Set(seen.get().toSeq: _*)
+      val fresh = rows.map(_.id).filterNot(resident).toArray.distinct
+      if (fresh.nonEmpty) seen.appendList(fresh)
+      Iterator.single(KeyCount(key, resident.size + fresh.length))
+    }
+  }
+
+  /** Exact keyed distinct-count (set state): see [[DistinctPerKey]]. */
+  def distinctPerKey(rows: Dataset[KeyedId]): Dataset[KeyCount] = {
+    implicit val enc = Encoders.product[KeyCount]
+    rows.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new DistinctPerKey, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -2024,4 +2024,90 @@ object StreamReplay {
           StructField("n_kept", LongType, nullable = false))))
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
+
+  /** Streaming MULTIMODAL dedup — binary payloads over the wire: real
+    * PNG bytes ride the topic (base64 on the JSON wire, BinaryType on
+    * read), each micro-batch DECODES the image executor-side and reduces
+    * it to its 8-byte perceptual aHash (Multimodal.ahashOf — the same
+    * sampler the batch image_fingerprint pins against its closed-form
+    * oracle), and a fingerprint-keyed [[StreamOps.DistinctPerKey]]
+    * counts the distinct uploader ids per content hash. The stream
+    * carries a RE-UPLOAD STORM: every image is published twice — the
+    * original and a mirror under a fresh id (-doc_id - 1), the second
+    * copy arriving AFTER the mid-stream restart for the early quarters —
+    * and the whole second quarter of originals is REDELIVERED post-
+    * restart, absorbed only by the recovered per-hash id sets. Converged
+    * per-hash counts equal the batch recompute: every document
+    * contributes exactly two distinct ids to its hash group.
+    *
+    * The 100 TB shape this verifies: megabyte payloads enter, 8-byte
+    * fingerprints shuffle — decode-then-reduce INSIDE the stream, state
+    * bounded by dup-group sizes, never by content volume.
+    */
+  def streamedMediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.Multimodal
+    val wireSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val outSchema = StructType(Seq(
+      StructField("ahash", LongType), StructField("n_images", LongType)))
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val media = Multimodal
+      .mediaTableReal(Tables.documents(child, dir), "image")
+      .toDF().select(col("doc_id"), col("payload"))
+    val b = media.agg(min("doc_id"), max("doc_id")).head()
+    require(!b.isNullAt(0), s"$dir documents yields no image rows")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val root = java.nio.file.Files.createTempDirectory("graft_media_dedup")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_media_ckpt")
+    val in = new FileTopic("media_in", wireSchema, root.toString)
+    val out = new FileTopic("media_hash_counts", outSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = media
+      .filter(col("doc_id") >= from &&
+        (if (last) lit(true) else col("doc_id") < until)).coalesce(1)
+    // the re-upload: identical bytes under a fresh id
+    def mirror(df: org.apache.spark.sql.DataFrame) =
+      df.select((-col("doc_id") - 1).as("doc_id"), col("payload"))
+    def drain(): Unit = {
+      implicit val inEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY)
+      implicit val idEnc =
+        org.apache.spark.sql.Encoders.product[StreamOps.KeyedId]
+      val hashed = in.stream(child).as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          StreamOps.KeyedId(Multimodal.ahashOf(img), id)
+        }
+      val counts = StreamOps.distinctPerKey(hashed).toDF()
+        .select(col("key").as("ahash"), col("n").as("n_images"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + per-hash id sets checkpointed
+      // post-restart: redeliver q2's originals (absorbed by recovered
+      // state), mirrors of the early quarters, and the rest of the stream
+      in.append(range(q2lo, q2hi, last = false))
+      in.append(mirror(range(lo, q2hi, last = false)))
+      in.append(range(q2hi, Long.MaxValue, last = true))
+      in.append(mirror(range(q2hi, Long.MaxValue, last = true)))
+      drain() // incarnation 2
+      val rows = out.batch(child)
+        .groupBy(col("ahash"))
+        .agg(max(col("n_images")).as("n_images"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
 }

@@ -79,6 +79,10 @@ class CollectLintSpec extends SparkSpec {
       // construction publishes the signature stream, runs the consumer
       // with a mid-stream restart + redelivery, snapshots survivors
       "stream_neardup",
+      // stream_media_dedup: same replay posture — binary payloads over
+      // the wire, in-stream decode to aHash, fingerprint-keyed
+      // DistinctPerKey with restart + redelivery + re-upload mirrors
+      "stream_media_dedup",
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",

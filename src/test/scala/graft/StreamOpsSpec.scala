@@ -378,4 +378,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(hits.sorted == Seq((9L, 3L, 20)),
       s"expected exactly the (9 dup-of 3, agree 20) hit: $hits")
   }
+
+  test("distinctPerKey: exact set counts, redelivery and in-batch dups absorbed") {
+    import StreamOps.KeyedId
+    val input = MemoryStream[KeyedId](spark)
+    val q = StreamOps.distinctPerKey(input.toDS())
+      .toDF().writeStream.format("memory").queryName("distinct_stream")
+      .option("checkpointLocation", tmpDir("distinct"))
+      .outputMode("update").start()
+    // in-batch duplicate id (10,1) twice counts once
+    input.addData(KeyedId(10, 1), KeyedId(10, 1), KeyedId(10, 2), KeyedId(20, 5))
+    q.processAllAvailable()
+    // cross-batch redelivery of (10,1) changes nothing; a fresh id counts
+    input.addData(KeyedId(10, 1), KeyedId(10, 3), KeyedId(20, 5))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("distinct_stream")
+      .groupBy($"key").agg(max($"n").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 3L, 20L -> 1L), s"unexpected counts: $got")
+  }
 }
