@@ -125,11 +125,15 @@ object Bench {
       prev.get(n).collect { case (p, psf) if psf == sf => (n, p, sec) }
     }
     val skipped = cur.count { case (n, _, sf) => prev.get(n).exists(_._2 != sf) }
-    // p > 0: a previous min that rounded to 0.000 (sub-millisecond row)
-    // would pass both gates and serialize ratio as Infinity — invalid
-    // JSON in the drift section; such rows are incomparable noise
+    // A previous min that rounded to 0.000 (sub-millisecond row) would
+    // serialize ratio as Infinity — invalid JSON in the drift section —
+    // but the row must NOT be exempt from detection: a 0.000 -> 10 s
+    // regression is exactly what the gate exists for. Clamp the baseline
+    // to one rounding quantum for the ratio math; the absolute-delta
+    // gate (c - p > 0.5) still filters sub-millisecond noise.
     val flagged = comparable.collect {
-      case (n, p, c) if p > 0 && c > 1.5 * p && c - p > 0.5 => (n, p, c)
+      case (n, p, c) if c > 1.5 * math.max(p, 0.001) && c - p > 0.5 =>
+        (n, math.max(p, 0.001), c)
     }
     (flagged, comparable.size, skipped)
   }

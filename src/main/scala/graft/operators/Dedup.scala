@@ -342,6 +342,13 @@ object Dedup {
   // queries, and that re-JIT rode their warm-pass times (~3.3 s jit2
   // each, round-12 BENCH_DETAIL). The edge-cache registry is keyed by
   // the PARENT session, so release semantics are unchanged.
+  //
+  // CAVEAT the cache trades away: the child snapshots parent.conf at
+  // FIRST use — a caller that mutates the shared session's conf between
+  // runs (timezone, ANSI mode) gets rounds under the first snapshot.
+  // Every in-tree caller holds session conf fixed for the JVM lifetime
+  // (GraftSession.tune runs once); a conf-mutating caller must key a
+  // fresh parent session instead of mutating a cached one.
   private val roundSessionCache =
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, Int),

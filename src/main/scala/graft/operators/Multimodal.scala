@@ -189,24 +189,7 @@ object Multimodal {
       try {
         val n = rd.getNumImages(true)
         require(n > 0, "payload is not a decodable GIF")
-        (0 until n).map { idx =>
-          val img = rd.read(idx)
-          val (w, h) = (img.getWidth, img.getHeight)
-          val samples = new Array[Long](64)
-          var k = 0
-          while (k < 64) {
-            samples(k) = (img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) >> 16) & 0xFF
-            k += 1
-          }
-          val mean = samples.sum / 64
-          var bits = 0L
-          k = 0
-          while (k < 64) {
-            if (samples(k) > mean) bits |= (1L << k)
-            k += 1
-          }
-          idx -> bits
-        }
+        (0 until n).map(idx => idx -> ahashOf(rd.read(idx)))
       } finally rd.dispose()
     }
   }
@@ -381,15 +364,21 @@ object Multimodal {
     * 100 TB the hash is 8 bytes per image against payloads of megabytes,
     * exactly the reduction that makes image dedup tractable.
     */
-  /** The 8x8 point-sampled aHash of one decoded image — the shared
-    * sampler behind [[imageHashes]] and the streaming media-dedup path.
+  /** The 8x8 point-sampled aHash of one decoded image — the ONE sampler
+    * behind [[imageHashes]], [[GifCodec.frameHashes]], and the streaming
+    * media-dedup path, so image and video fingerprints stay comparable by
+    * construction. Samples the RED channel ((rgb >> 16) & 0xFF) — the
+    * same channel every decode digest in this file reads — which equals
+    * the gray value on grayscale content; a luminance blend would differ
+    * only on color payloads and must change HERE for every consumer at
+    * once, never in a private copy.
     */
   private[graft] def ahashOf(img: java.awt.image.BufferedImage): Long = {
     val (w, h) = (img.getWidth, img.getHeight)
     val samples = new Array[Long](64)
     var k = 0
     while (k < 64) {
-      samples(k) = img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) & 0xFF
+      samples(k) = (img.getRGB((k % 8) * w / 8, (k / 8) * h / 8) >> 16) & 0xFF
       k += 1
     }
     val mean = samples.sum / 64

@@ -467,21 +467,7 @@ object Similarity {
     pqTopKWith(corpus, queries, topK,
       pqCodebooksKmeans(corpus, dim, nSub, k, seed, maxIter), dim)
 
-  /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs.
-    * Candidate pairs are deduped on ids only (distinct over rows carrying
-    * the embedding arrays would shuffle and compare the vectors), then the
-    * vectors are joined back for the exact cosine check.
-    *
-    * Sizing at scale: expected bucket occupancy is N / 2^nBits, and
-    * within-bucket pair work grows with its SQUARE — so `nBits` must
-    * scale as ~log2(N / targetOccupancy), not stay a constant (the
-    * default 12 bits targets the fixture decades; SCALING.json's 20k-vec
-    * slice measured slope 0.8 there). At 10^9 vectors, ~24 bits keeps
-    * occupancy at the same tens-of-vectors the recall calibration
-    * assumed; `tables` is the recall knob and multiplies work linearly.
-    */
-  /** Occupancy-targeted LSH width — the sizing rule the scaladoc above
-    * states, as code: expected bucket occupancy is n / 2^nBits and
+  /** Occupancy-targeted LSH width: expected bucket occupancy is n / 2^nBits and
     * within-bucket candidate work grows with its SQUARE, so a CONSTANT
     * nBits makes total candidate volume quadratic in n (measured: the
     * 2k -> 20k embeddings decade at fixed 6 bits ran within-decade slope
@@ -500,6 +486,13 @@ object Similarity {
     math.max(floor, needed)
   }
 
+  /** LSH-bucketed near-dup pairs — the scale path for nearDupPairs:
+    * candidates from (table, bucket) collisions, verified by exact cosine
+    * INSIDE the bucket self-join (see the inline rationale). Size `nBits`
+    * with [[autoBits]] — at 10^9 vectors ~24 bits keeps occupancy at the
+    * tens-of-vectors the recall calibration assumed; `tables` is the
+    * recall knob and multiplies work linearly.
+    */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double, dim: Int = 64,
                       nBits: Int = 12, tables: Int = 4, seed: Long = 42L): DataFrame = {
     // Verify cosine INSIDE the bucket self-join: the embeddings ride the
@@ -525,7 +518,12 @@ object Similarity {
           (norm2Native(col("a.embedding")) * norm2Native(col("b.embedding"))))
           .as("cos"))
       .filter(col("cos") > threshold)
-      .distinct()
+      // dedupe cross-table collisions on the PAIR IDS, not the whole row:
+      // the duplicate scores are bit-identical today (same operand order
+      // per collision), but keying the dedup on (id_a, id_b) removes any
+      // dependence on floating-point bit-equality surviving future
+      // evaluation changes
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup:

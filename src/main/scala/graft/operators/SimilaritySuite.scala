@@ -82,17 +82,25 @@ object SimilaritySuite {
   private val footerRows =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  // Cache assumes a path's row count is immutable for the JVM lifetime —
+  // true for the driver fixtures and the _DONE-gated scaling slices; a
+  // path rewritten IN PLACE with different contents would serve stale
+  // counts (regenerating slices use fresh directories for this reason).
+  // Listing goes through the Hadoop FileSystem resolved from the path, so
+  // directory detection works on non-local roots (hdfs://, s3a://) where
+  // java.io.File would silently misread the layout.
   private def parquetRowCount(path: String): Long =
     footerRows.computeIfAbsent(path, p => {
-      val f = new java.io.File(p)
-      val parts: Seq[java.io.File] =
-        if (f.isDirectory)
-          f.listFiles.filter(_.getName.endsWith(".parquet")).toSeq
-        else Seq(f)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val root = new org.apache.hadoop.fs.Path(p)
+      val fs = root.getFileSystem(conf)
+      val parts: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(root)
       parts.map { pf =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(pf.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration())
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(pf, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum

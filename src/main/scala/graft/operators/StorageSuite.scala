@@ -398,17 +398,6 @@ object StorageSuite {
           .as("data_lost"))
   }
 
-  /** Parquet AGGREGATE pushdown — COUNT/MIN/MAX answered from row-group
-    * FOOTER STATISTICS without decoding a single data page: at 100 TB a
-    * table-stats query (row counts, value envelopes — the numbers every
-    * catalog/monitoring sweep collects per table per day) costs metadata
-    * reads instead of a full scan. Needs the DSv2 parquet reader
-    * (`useV1SourceList` minus parquet) + `parquet.aggregatePushdown`,
-    * both scoped to a child session so the engine default (v1 + the
-    * NANOS handling Tables depends on) is untouched. PlanSpec pins the
-    * `PushedAggregation` scan shape; the oracle recomputes the same
-    * stats by brute force, proving footer stats equal the data.
-    */
   /** Conf-scoped child session for [[aggPushdown]], cached per parent —
     * a fresh `newSession()` per call (twice per bench pass + spec runs)
     * reintroduces the per-call child-session codegen/JIT churn the
@@ -426,6 +415,17 @@ object StorageSuite {
       child
     })
 
+  /** Parquet AGGREGATE pushdown — COUNT/MIN/MAX answered from row-group
+    * FOOTER STATISTICS without decoding a single data page: at 100 TB a
+    * table-stats query (row counts, value envelopes — the numbers every
+    * catalog/monitoring sweep collects per table per day) costs metadata
+    * reads instead of a full scan. Needs the DSv2 parquet reader
+    * (`useV1SourceList` minus parquet) + `parquet.aggregatePushdown`,
+    * both scoped to a child session so the engine default (v1 + the
+    * NANOS handling Tables depends on) is untouched. PlanSpec pins the
+    * `PushedAggregation` scan shape; the oracle recomputes the same
+    * stats by brute force, proving footer stats equal the data.
+    */
   def aggPushdown(spark: SparkSession, dir: String): DataFrame = {
     val s2 = pushdownSession(spark)
     def stats(tab: String, priceCol: String): DataFrame =
@@ -439,21 +439,6 @@ object StorageSuite {
       .unionByName(stats("lineitem", "l_extendedprice"))
   }
 
-  /** Schema evolution across partition generations — the storage-drift
-    * reality of any table written for years: early partitions lack
-    * columns later ones carry. Generation v=1 writes a NARROW orders
-    * projection (key, custkey, totalprice; even order keys), v=2 writes
-    * the WIDENED schema adding o_orderpriority (odd keys); the read
-    * unifies them with `mergeSchema` — Parquet's column-by-name union,
-    * where v1 rows surface the missing column as NULL, no rewrite of old
-    * partitions. The aggregate proves all three properties at once: the
-    * unioned column exists (group key), v1 rows land in the NULL->legacy
-    * bucket exactly (counts), and every value survived both generations
-    * (exact-decimal total). Scale note: mergeSchema footers are read on
-    * the DRIVER per file — at 100 TB you set the union schema explicitly
-    * or keep it in a catalog; the per-file-footer path here is the
-    * semantics under test, not the recommended deployment.
-    */
   /** One layout write per (root) per JVM: the generations are a pure
     * deterministic function of the fixture, so re-writing them on every
     * construction (twice per bench pass + every spec) is churn, not
@@ -482,6 +467,21 @@ object StorageSuite {
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
           .as("total"))
 
+  /** Schema evolution across partition generations — the storage-drift
+    * reality of any table written for years: early partitions lack
+    * columns later ones carry. Generation v=1 writes a NARROW orders
+    * projection (key, custkey, totalprice; even order keys), v=2 writes
+    * the WIDENED schema adding o_orderpriority (odd keys); the read
+    * unifies them with `mergeSchema` — Parquet's column-by-name union,
+    * where v1 rows surface the missing column as NULL, no rewrite of old
+    * partitions. The aggregate proves all three properties at once: the
+    * unioned column exists (group key), v1 rows land in the NULL->legacy
+    * bucket exactly (counts), and every value survived both generations
+    * (exact-decimal total). Scale note: mergeSchema footers are read on
+    * the DRIVER per file — at 100 TB you set the union schema explicitly
+    * or keep it in a catalog; the per-file-footer path here is the
+    * semantics under test, not the recommended deployment.
+    */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val root = writeEvoGenerations(spark, dir)
     evoAggregate(spark.read.option("mergeSchema", "true")

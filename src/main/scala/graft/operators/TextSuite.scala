@@ -224,10 +224,6 @@ object TextSuite {
       .agg(count(lit(1)).as("n_docs"))
   }
 
-  /** Token-length histogram (curriculum / length-bucketing view): docs per
-    * 32-token bucket. Pure integer arithmetic — floor division portable to
-    * any engine.
-    */
   /** Free-TEXT PII / sensitive-term redaction audit (the column-level
     * anonymization sibling is RelationalSuite.piiScrub) — the pass every
     * training-data pipeline runs before a corpus ships: match a pattern
@@ -331,6 +327,10 @@ object TextSuite {
       .filter(col("rnk") <= k)
   }
 
+  /** Token-length histogram (curriculum / length-bucketing view): docs per
+    * 32-token bucket. Pure integer arithmetic — floor division portable to
+    * any engine.
+    */
   def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(floor(tokenCount(col("text")).cast("long") / 32).as("bucket"))

@@ -559,11 +559,18 @@ object StreamOps {
       // sorted for deterministic within-batch processing; correctness does
       // not depend on it (compare-vs-all makes the pair set order-free)
       rows.toArray.sortBy(_.docId).foreach { r =>
+        // fail loudly on a malformed/truncated wire signature — a silent
+        // shorter-length comparison would deflate `agree` and turn wire
+        // drift into unreproducible recall loss (same guard posture as
+        // lshBuckets' bands require)
+        require(r.sig.length == 64,
+          s"malformed wire signature for doc ${r.docId}: " +
+            s"${r.sig.length} longs (expected 64)")
         if (!seen(r.docId)) {
           (resident.iterator ++ added.iterator).foreach { o =>
             var agree = 0
             var i = 0
-            while (i < r.sig.length && i < o.sig.length) {
+            while (i < 64) {
               if (r.sig(i) == o.sig(i)) agree += 1
               i += 1
             }

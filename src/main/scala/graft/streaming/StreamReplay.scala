@@ -1973,7 +1973,11 @@ object StreamReplay {
     // the timer-session and suppress replays)
     val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
     val docs = Tables.documents(child, dir)
+    // persist: five publishes slice this by doc_id — without the cache
+    // each one re-runs the full shingle -> signature pipeline over the
+    // whole corpus just to keep a quarter of the rows
     val sigs = Dedup.minhashSignatures(docs).select(col("doc_id"), col("sig"))
+      .persist()
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
     require(!b.isNullAt(0), s"$dir documents is empty — nothing to replay")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
@@ -2022,7 +2026,7 @@ object StreamReplay {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*),
         StructType(Seq(StructField("lang", StringType),
           StructField("n_kept", LongType, nullable = false))))
-    } finally { deleteTree(ckpt); deleteTree(root) }
+    } finally { sigs.unpersist(); deleteTree(ckpt); deleteTree(root) }
   }
 
   /** Streaming MULTIMODAL dedup — binary payloads over the wire: real
@@ -2053,10 +2057,18 @@ object StreamReplay {
     val outSchema = StructType(Seq(
       StructField("ahash", LongType), StructField("n_images", LongType)))
     val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    // persist: the encode hides inside a typed mapPartitions, so Catalyst
+    // cannot prune it under the six publish filters — without the cache
+    // every publish (and the bounds agg) would re-encode the whole image
+    // subset executor-side
     val media = Multimodal
       .mediaTableReal(Tables.documents(child, dir), "image")
       .toDF().select(col("doc_id"), col("payload"))
-    val b = media.agg(min("doc_id"), max("doc_id")).head()
+      .persist()
+    // id bounds from the cheap metadata side — no encode needed
+    val b = Tables.documents(child, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .agg(min("doc_id"), max("doc_id")).head()
     require(!b.isNullAt(0), s"$dir documents yields no image rows")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val root = java.nio.file.Files.createTempDirectory("graft_media_dedup")
@@ -2108,6 +2120,6 @@ object StreamReplay {
         .agg(max(col("n_images")).as("n_images"))
         .collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
-    } finally { deleteTree(ckpt); deleteTree(root) }
+    } finally { media.unpersist(); deleteTree(ckpt); deleteTree(root) }
   }
 }

@@ -90,18 +90,22 @@ class BenchHealthSpec extends AnyFunSuite {
       "q_slow"   -> (2.0, "sf0.1"),   // 2.0 -> 5.0: >1.5x and >0.5s -> flagged
       "q_noise"  -> (0.1, "sf0.1"),   // 0.1 -> 0.3: 3x but only 0.2s -> not flagged
       "q_ok"     -> (3.0, "sf0.1"),   // 3.0 -> 3.2: fine
-      "q_zero"   -> (0.0, "sf0.1"),   // prev rounded to 0.000 -> never
-                                      // flagged (ratio would be Infinity
-                                      // -> invalid JSON in the record)
+      "q_zero"   -> (0.0, "sf0.1"),   // prev rounded to 0.000: a real
+                                      // regression STILL flags, with the
+                                      // baseline clamped to 0.001 so the
+                                      // recorded ratio stays finite
+      "q_zfast"  -> (0.0, "sf0.1"),   // 0.000 -> 0.3: under the 0.5s
+                                      // absolute gate -> noise, not drift
       "q_moved"  -> (4.0, "sf0.1"))   // sf changed -> skipped, never flagged
     val cur = Seq(
       ("q_slow", 5.0, "sf0.1"), ("q_noise", 0.3, "sf0.1"),
       ("q_ok", 3.2, "sf0.1"), ("q_zero", 0.9, "sf0.1"),
+      ("q_zfast", 0.3, "sf0.1"),
       ("q_moved", 0.4, "sf0.001"),
       ("q_new", 9.9, "sf0.1")) // absent from prev -> not comparable
     val (flagged, compared, skipped) = Bench.driftFlags(prev, cur)
-    assert(flagged == Seq(("q_slow", 2.0, 5.0)))
-    assert(compared == 4 && skipped == 1)
+    assert(flagged.toSet == Set(("q_slow", 2.0, 5.0), ("q_zero", 0.001, 0.9)))
+    assert(compared == 5 && skipped == 1)
   }
 
   test("readPrevDetail parses its own row format, qsf overrides record sf") {
