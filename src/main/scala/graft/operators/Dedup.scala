@@ -32,7 +32,7 @@ object Dedup {
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
         java.util.List[DataFrame]]())
 
-  private def registerComponentCache(
+  private[operators] def registerComponentCache(
       spark: org.apache.spark.sql.SparkSession, edges: DataFrame): Unit =
     componentEdgeCaches.synchronized {
       val list = componentEdgeCaches.computeIfAbsent(spark,

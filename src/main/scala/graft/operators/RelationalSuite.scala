@@ -1758,7 +1758,82 @@ object RelationalSuite {
           .as("closure"))
   }
 
+  /** Fixed-point PageRank over the customer↔supplier trade graph — link
+    * analysis (source authority for crawl prioritization, influence
+    * ranking) run the reproducible-distributed way. Graph: customers and
+    * suppliers are nodes (ids disjoint via even/odd encoding), an
+    * undirected edge joins a customer to every supplier that filled one
+    * of its orders (both directions materialized, so the walk is the
+    * symmetric bipartite one and no node dangles). Determinism: IEEE
+    * double power iteration is summation-order-dependent, so distributed
+    * re-runs (and the DuckDB oracle) would drift in the low bits; the
+    * kernel instead runs in FIXED-POINT — ranks are BIGINT multiples of
+    * 1e-12, shares use integer division, and the damped update is
+    * `3*SCALE div 20 + 17*sum(share) div 20` — every operation exact and
+    * associative, so any execution order (and any engine) produces the
+    * bit-identical ranking. Scale shape: the degree-annotated edge list
+    * is cached hash-partitioned on `src` (the per-round join key), so
+    * each of the 5 rounds shuffles only the N-row rank vector to the
+    * edges plus the E-row contributions to their `dst` aggregation — the
+    * minimum a power iteration can do; the plan grows linearly in rounds
+    * (rank referenced once per round, same discipline as
+    * [[Dedup.connectedComponents]]). Overflow headroom: ranks total
+    * ≈ N·SCALE, so the update's 17× product needs N·SCALE < 2^63/17 —
+    * at 10^9 nodes drop SCALE to 1e6 (same algorithm, coarser ulp).
+    * Output: top 20 nodes by rank (ties broken by node id), decoded back
+    * to (kind, key).
+    */
+  def pagerankTrade(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val directed = cs.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
+    val ranks = pagerankFixedPoint(directed, iters = 5)
+    val top = ranks.orderBy(col("r").desc, col("n").asc).limit(20)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("r").desc, col("n").asc)
+    top.select(
+        when(pmod(col("n"), lit(2)) === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_kind"),
+        expr("n div 2").as("node_key"),
+        col("r").as("rank_scaled"),
+        row_number().over(w).cast("int").as("pr_rank"))
+  }
+
+  /** The fixed-point power-iteration kernel over a directed edge list
+    * (`src`, `dst`) — split out so the randomized brute-force parity spec
+    * (GraphPropertySpec) can drive it on arbitrary graphs. Every node
+    * must have out-degree >= 1 (callers materialize both directions or
+    * add self-loops); returns (`n`, `r`) with r a BIGINT rank scaled by
+    * 1e12. See [[pagerankTrade]] for the determinism + scale argument.
+    */
+  def pagerankFixedPoint(directed: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val scale = 1000000000000L // 1e12; teleport (1-d)*SCALE with d = 17/20
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // (src, dst, outdeg(src)) cached already partitioned on the per-round
+    // join key; co-partitioned with the rank vector every round.
+    val edges = directed.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerComponentCache(directed.sparkSession, edges)
+    var r = edges.select(col("src").as("n")).distinct()
+      .select(col("n"), lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      r = edges.join(r, edges("src") === r("n"))
+        .groupBy(edges("dst").as("m"))
+        .agg(sum(expr("r div d")).as("inflow"))
+        .select(col("m").as("n"),
+          (lit(3 * (scale / 20)) + expr("(17 * inflow) div 20")).as("r"))
+    }
+    r
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank"           -> (pagerankTrade _),
     "triangle_coocc"     -> (triangleCoocc _),
     "nested_items"       -> (nestedItems _),
     "null_semantics"     -> (nullSemantics _),
@@ -1853,6 +1928,52 @@ object RelationalSuite {
         |  ON t.l_orderkey = top.l_orderkey
         | AND t.l_linenumber = top.l_linenumber
         |GROUP BY 1""".stripMargin,
+    // the same fixed-point update, unrolled: BIGINT ranks, integer
+    // division for shares and damping, so every intermediate is exact and
+    // the hash compare is bit-for-bit; sum() is cast back from HUGEINT
+    // before the 17x damping product (driver-dtype discipline)
+    "pagerank" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT c AS src, s AS dst FROM cs
+        |  UNION ALL SELECT s AS src, c AS dst FROM cs),
+        |deg AS (SELECT src AS n, count(*) AS d FROM e GROUP BY 1),
+        |r0 AS (SELECT n, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (
+        |  SELECT e.dst AS n,
+        |         150000000000 + (17 * CAST(sum(r0.r // deg.d) AS BIGINT)) // 20 AS r
+        |  FROM e JOIN deg ON e.src = deg.n JOIN r0 ON e.src = r0.n
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT e.dst AS n,
+        |         150000000000 + (17 * CAST(sum(r1.r // deg.d) AS BIGINT)) // 20 AS r
+        |  FROM e JOIN deg ON e.src = deg.n JOIN r1 ON e.src = r1.n
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT e.dst AS n,
+        |         150000000000 + (17 * CAST(sum(r2.r // deg.d) AS BIGINT)) // 20 AS r
+        |  FROM e JOIN deg ON e.src = deg.n JOIN r2 ON e.src = r2.n
+        |  GROUP BY 1),
+        |r4 AS (
+        |  SELECT e.dst AS n,
+        |         150000000000 + (17 * CAST(sum(r3.r // deg.d) AS BIGINT)) // 20 AS r
+        |  FROM e JOIN deg ON e.src = deg.n JOIN r3 ON e.src = r3.n
+        |  GROUP BY 1),
+        |r5 AS (
+        |  SELECT e.dst AS n,
+        |         150000000000 + (17 * CAST(sum(r4.r // deg.d) AS BIGINT)) // 20 AS r
+        |  FROM e JOIN deg ON e.src = deg.n JOIN r4 ON e.src = r4.n
+        |  GROUP BY 1)
+        |SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |         AS node_kind,
+        |       n // 2 AS node_key,
+        |       r AS rank_scaled,
+        |       CAST(row_number() OVER (ORDER BY r DESC, n ASC) AS INT)
+        |         AS pr_rank
+        |FROM r5
+        |QUALIFY pr_rank <= 20""".stripMargin,
     // same support-thresholded co-purchase graph, same (degree, id)
     // orientation via row-value comparison; all-integer counts, one
     // IEEE division for the closure rate

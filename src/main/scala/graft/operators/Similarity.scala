@@ -43,6 +43,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most-similar corpus vectors carrying a DIFFERENT
+    * label — the "looks alike, isn't" examples an embedding model trains
+    * against. A `maxCos` ceiling excludes near-duplicates (a
+    * label-conflicted near-copy is label noise, not a useful negative).
+    * Same bit-exact cosine as [[bruteForceTopK]] (sequential double
+    * accumulation over the float32 components, so Spark and the DuckDB
+    * oracle agree to the last bit). Scale shape: queries broadcast
+    * against a single corpus scan, per-query top-k via a rank window
+    * that WindowGroupLimit caps per partition; for corpus-sized query
+    * sets swap the broadcast scan for the IVF probed-cell path — the
+    * label filter composes with either.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+                    maxCos: Double = 0.95): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"),
+      col("embedding").as("q_emb"),
+      norm2Native(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id"), col("label"), col("embedding"),
+      norm2Native(col("embedding")).as("c_norm"))
+    val scored = c.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        (dotNative(col("embedding"), col("q_emb")) /
+          (col("c_norm") * col("q_norm"))).as("cos"))
+      .filter(col("cos") <= lit(maxCos))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Seeded hyperplane values — the ONE generator for the Spark plan
     * constants and the oracle-SQL literal embedding (SimilaritySuite): both
     * sides must see bit-identical doubles.

@@ -25,6 +25,15 @@ object SimilaritySuite {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** Top-3 different-label neighbors per query — contrastive hard-negative
+    * mining (see [[Similarity.hardNegatives]] for the semantics + scale
+    * argument).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 3)
+  }
+
   // ANN parameters shared by the wired queries and their generated oracles —
   // the oracle embeds the seeded hyperplanes/centroids as SQL literals, so
   // any drift between the two sides is a hash mismatch.
@@ -343,6 +352,7 @@ object SimilaritySuite {
     "semdedup"       -> (semDedupSurvivors _),
     "matryoshka_rerank" -> (matryoshkaRerank _),
     "embed_topk"    -> (embedTopK _),
+    "hard_negatives" -> (hardNegatives _),
     "embed_neardup" -> (embedNearDup _),
     "embed_neardup_lsh" -> (embedNearDupLsh _),
     "embed_ann"     -> (embedAnnTopK _),
@@ -688,6 +698,24 @@ object SimilaritySuite {
         |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
         |WHERE e.vec_id <> q.vec_id
         |QUALIFY rank <= 5""".stripMargin,
+    // same bit-exact cosine as embed_topk, plus the label-disagreement
+    // join predicate and the near-dup ceiling — both applied to the
+    // identical double, so the filtered set matches exactly
+    "hard_negatives" ->
+      """SELECT q.vec_id AS query_id, q.label AS q_label,
+        |       e.vec_id AS neighbor_id, e.label AS neg_label,
+        |       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                              CAST(q.embedding AS DOUBLE[])) AS cos,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY q.vec_id
+        |         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                         CAST(q.embedding AS DOUBLE[])) DESC,
+        |                  e.vec_id ASC) AS INT) AS rank
+        |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |WHERE e.label <> q.label
+        |  AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(q.embedding AS DOUBLE[])) <= 0.95
+        |QUALIFY rank <= 3""".stripMargin,
     "embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

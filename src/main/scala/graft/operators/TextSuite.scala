@@ -283,6 +283,63 @@ object TextSuite {
       .limit(20)
   }
 
+  /** The ordered merge vocabulary [[bpeEncode]] applies — one place so the
+    * Spark plan and the oracle-SQL generator cannot drift. Rank order
+    * matters: `t+h` must fire before `th+e`, `a+n` before `an+d`.
+    */
+  private[operators] val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("an", "d"), ("o", "n"), ("r", "e"))
+
+  /** BPE APPLY — the encode half of the tokenizer whose fit statistic
+    * [[bpePairs]] computes. Each word becomes a sequence of single-char
+    * tokens; the fixed merge vocabulary is applied in rank order, each
+    * merge replacing every (leftmost-non-overlapping) adjacent occurrence
+    * of its pair corpus-wide — the standard rank-sequential BPE encode.
+    * The token sequence is represented as a bracket-delimited string
+    * (`the` → `<t><h><e>`), which makes one merge ONE codegen'd
+    * `replace("<t><h>" → "<th>")`: the brackets anchor token boundaries,
+    * so a merge can neither match across tokens (`<at><h>` does not
+    * contain `<t><h>`) nor have overlapping matches (each char sits in
+    * exactly one bracket group) — string replace in Spark and DuckDB both
+    * scan leftmost-non-overlapping, so the two engines encode
+    * identically, and later merges see earlier merges' output exactly as
+    * BPE requires. Scale shape: the whole encode is a per-row projection
+    * chain (no UDF, no shuffle before the final histogram); token
+    * extraction is `regexp_extract_all`, and the corpus histogram is one
+    * map-side-combined hash aggregate. Output: top 30 vocabulary entries
+    * by occurrence (ties on token string), with document frequency.
+    */
+  /** One word ([a-z]+) → its BPE token sequence under [[bpeMerges]], as an
+    * ordered array column. Pure codegen'd string ops — see [[bpeEncode]]
+    * for the bracket-anchoring argument.
+    */
+  def bpeTokens(word: Column): Column = {
+    val wrapped = regexp_replace(word, "(.)", "<$1>")
+    val encoded = bpeMerges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    regexp_extract_all(encoded, lit("<([a-z]+)>"), lit(1))
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "),
+          " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    words
+      .select(col("doc_id"), explode(bpeTokens(col("word"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(30)
+      .withColumn("tok_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("token"))).cast("int"))
+  }
+
   /** Deterministic token-mass-weighted sample, k docs per language —
     * "give me a 10 B-token slice whose documents are drawn proportional
     * to their token mass" without a global sort or an RNG whose replay
@@ -1116,6 +1173,7 @@ object TextSuite {
     "weighted_sample" -> ((s: SparkSession, d: String) => weightedSample(s, d)),
     "text_redaction"  -> (textRedaction _),
     "bpe_pairs"       -> (bpePairs _),
+    "bpe_encode"      -> (bpeEncode _),
     "token_histogram" -> (tokenHistogram _),
     "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
     "decontaminate"   -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -1230,6 +1288,34 @@ object TextSuite {
         |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r)
         |SELECT pair, count(*) AS n
         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    // generated from the SAME bpeMerges list the Spark plan folds over —
+    // the nested replace() chain IS the rank-sequential encode, and the
+    // bracket delimiters carry the token-boundary anchoring cross-engine
+    "bpe_encode" -> {
+      val enc = bpeMerges.foldLeft("""regexp_replace(word, '(.)', '<\1>', 'g')""") {
+        case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+      }
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         unnest(string_split(
+         |           regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+         |           ' ')) AS word
+         |  FROM documents),
+         |enc AS (
+         |  SELECT doc_id, $enc AS s
+         |  FROM w WHERE word <> ''),
+         |tok AS (
+         |  SELECT doc_id,
+         |         unnest(regexp_extract_all(s, '<([a-z]+)>', 1)) AS token
+         |  FROM enc)
+         |SELECT token,
+         |       count(*) AS n_occurrences,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(row_number() OVER (ORDER BY count(*) DESC, token ASC)
+         |         AS INT) AS tok_rank
+         |FROM tok GROUP BY 1
+         |QUALIFY tok_rank <= 30""".stripMargin
+    },
     "simhash_sketch" -> HashOracles.simhashSketchOracle,
     // same closure as dedup_clusters, then cluster-keyed fold arithmetic
     "cluster_split" ->

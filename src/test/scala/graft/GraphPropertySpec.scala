@@ -68,6 +68,44 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  /** Independent fixed-point PageRank: plain Maps, same integer update.
+    * Because every operation is exact integer arithmetic, the kernel must
+    * match this reference EXACTLY — no tolerance.
+    */
+  private def brutePagerank(directed: Seq[(Long, Long)],
+                            iters: Int): Map[Long, Long] = {
+    val scale = 1000000000000L
+    val outdeg = directed.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var r: Map[Long, Long] = outdeg.keys.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      directed.foreach { case (s, d) => inflow(d) += r(s) / outdeg(s) }
+      r = inflow.map { case (n, m) => n -> (3 * (scale / 20) + 17 * m / 20) }.toMap
+    }
+    r
+  }
+
+  test("random graphs: fixed-point pagerank equals the in-memory reference exactly") {
+    (1 to 3).foreach { sample =>
+      val rnd = new scala.util.Random(443000L + sample)
+      val n = 10 + rnd.nextInt(8)
+      val und = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSet
+      // both directions, so every touched node has out-degree >= 1 (the
+      // kernel's contract, same construction as pagerankTrade)
+      val directed = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val want = brutePagerank(directed, iters = 5)
+      val got = RelationalSuite
+        .pagerankFixedPoint(directed.toDF("src", "dst"), iters = 5)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want,
+        s"sample $sample: ${got.toSeq.sorted.take(5)} vs ${want.toSeq.sorted.take(5)}")
+      graft.operators.Dedup.releaseComponentCache(spark)
+    }
+  }
+
   test("adversarial shapes: star (no triangles), clique (all wedges close)") {
     // star: hub 0 with 8 leaves — 28 oriented wedges at the hub IF the
     // orientation pointed outward; low-degree-first points every edge

@@ -171,4 +171,37 @@ class SimilaritySpec extends SparkSpec {
       assert(a < b); assert(c > 0.95 && c <= 1.0 + 1e-12)
     }
   }
+
+  test("hard negatives: different label, near-dup ceiling, top-k by cosine") {
+    // labeled clusters: label = cluster id (id % 10), so each query's
+    // same-cluster near-copies carry the SAME label and must never mine
+    val labeled = vectors.withColumn("label", (col("vec_id") % 10).cast("int"))
+    val queries = labeled.filter($"vec_id" < 3)
+    val got = Similarity.hardNegatives(labeled, queries, k = 3)
+      .select($"query_id", $"q_label", $"neighbor_id", $"neg_label", $"cos", $"rank")
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(got.length == 9, s"3 queries x k=3, got ${got.length}")
+    got.foreach { case (q, ql, n, nl, c, _) =>
+      assert(nl != ql, s"query $q mined same-label neighbor $n")
+      assert(ql == (q % 10) && nl == (n % 10))
+      assert(c <= 0.95 + 1e-12, s"near-dup ceiling violated: $c")
+    }
+    // parity with a local brute force under the same constraints
+    val all = labeled.select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val (_, ql, qv) = all.find(_._1 == qid).get
+      val want = all.filter(_._2 != ql)
+        .map { case (id, _, v) => (id, cos(qv, v)) }
+        .filter(_._2 <= 0.95)
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSeq
+      assert(rows.sortBy(_._6).map(_._3).toSeq == want, s"query $qid")
+    }
+  }
 }

@@ -169,4 +169,37 @@ class TextFunctionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("literal"), err.getMessage)
   }
+
+  private def enc(word: String): Seq[String] =
+    Seq(word).toDF("w")
+      .select(graft.operators.TextSuite.bpeTokens($"w").as("t"))
+      .as[Seq[String]].collect().head
+
+  test("bpe encode: rank-sequential merges, hand-verified sequences") {
+    // t+h then th+e: both fire, in order
+    assert(enc("the") == Seq("the"))
+    // th from rank 1, in from rank 3
+    assert(enc("thin") == Seq("th", "in"))
+    // a+n (rank 5) must fire before an+d (rank 6)
+    assert(enc("and") == Seq("and"))
+    // e+r fires; the spent 'r' cannot also serve r+e
+    assert(enc("hero") == Seq("h", "er", "o"))
+    // after t h e r e -> the r e, e+r finds no pair (order is r,e) but
+    // the later-rank r+e does: rank order is load-bearing
+    assert(enc("there") == Seq("the", "re"))
+    // leftmost-non-overlapping within one rank
+    assert(enc("ononon") == Seq("on", "on", "on"))
+    assert(enc("nono") == Seq("n", "on", "o"))
+    assert(enc("") == Seq.empty)
+  }
+
+  test("bpe encode: token concatenation reconstructs the word (random)") {
+    val rnd = new scala.util.Random(77001L)
+    val words = Seq.fill(60)(
+      (1 to (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val rows = words.toDF("w")
+      .select($"w", array_join(graft.operators.TextSuite.bpeTokens($"w"), "").as("j"))
+      .as[(String, String)].collect()
+    rows.foreach { case (w, j) => assert(j == w, s"$w -> $j") }
+  }
 }
