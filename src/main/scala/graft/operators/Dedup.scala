@@ -365,6 +365,20 @@ object Dedup {
       }
       child.conf.set("spark.sql.shuffle.partitions", partitions.toString)
       child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // The kernels persist their edge sets pre-partitioned on the round
+      // join key so rounds shuffle only the rank/label side. On Spark 4.1
+      // an UNmaterialized cache is AQE-wrapped and advertises Unknown
+      // partitioning at plan time (a conservative re-exchange gets
+      // planned), but once the TableCacheQueryStage materializes, AQE's
+      // runtime re-planning sees the cache's real hashpartitioning and
+      // ELIDES that exchange (measured: ProbeCacheVariants' final plans
+      // join SortMergeJoin directly over TableCacheQueryStage;
+      // GraphPropertySpec pins it). That elision needs the cached plan's
+      // final partition COUNT to stay put — this flag stops AQE's
+      // final-stage shuffle optimization from coalescing it away from the
+      // round partition count the rank side shuffles to.
+      child.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       child
     })
 

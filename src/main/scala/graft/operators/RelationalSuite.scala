@@ -1777,7 +1777,11 @@ object RelationalSuite {
     * edges plus the E-row contributions to their `dst` aggregation — the
     * minimum a power iteration can do; the plan grows linearly in rounds
     * (rank referenced once per round, same discipline as
-    * [[Dedup.connectedComponents]]). Overflow headroom: ranks total
+    * [[Dedup.connectedComponents]]). On Spark 4.1 the unmaterialized
+    * cache plans a conservative re-exchange (AQE-wrapped caches advertise
+    * Unknown partitioning), but runtime re-planning elides it once the
+    * cache stage materializes — GraphPropertySpec executes the
+    * no-broadcast path and pins that no round re-shuffles the cache. Overflow headroom: ranks total
     * ≈ N·SCALE, so the update's 17× product needs N·SCALE < 2^63/17 —
     * at 10^9 nodes drop SCALE to 1e6 (same algorithm, coarser ulp).
     * Output: top 20 nodes by rank (ties broken by node id), decoded back
@@ -1791,7 +1795,7 @@ object RelationalSuite {
       .distinct()
     val directed = cs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(cs.select(col("s").as("src"), col("c").as("dst")))
-    val ranks = pagerankFixedPoint(directed, iters = 5)
+    val ranks = pagerankFixedPoint(directed, iters = 5, roundPartitions = 8)
     val top = ranks.orderBy(col("r").desc, col("n").asc).limit(20)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("r").desc, col("n").asc)
@@ -1810,14 +1814,29 @@ object RelationalSuite {
     * add self-loops); returns (`n`, `r`) with r a BIGINT rank scaled by
     * 1e12. See [[pagerankTrade]] for the determinism + scale argument.
     */
-  def pagerankFixedPoint(directed: DataFrame, iters: Int): DataFrame = {
+  def pagerankFixedPoint(directed: DataFrame, iters: Int,
+                         roundPartitions: Int = 0): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val scale = 1000000000000L // 1e12; teleport (1-d)*SCALE with d = 17/20
-    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // Rounds move edge-sized data, so like connectedComponents they run in
+    // the conf-scoped child session: partition count sized to the edge
+    // volume, AQE coalescing off, and cached-plan output partitioning
+    // pinned (Spark 4's default would void the cache's hashpartitioning
+    // and re-exchange the edges every round — see roundScopedSession).
+    val spark = Dedup.roundScopedSession(directed.sparkSession, roundPartitions)
+    val directedLocal = if (spark eq directed.sparkSession) directed
+      else org.apache.spark.sql.GraftColumnBridge.ofRows(spark, directed)
     // (src, dst, outdeg(src)) cached already partitioned on the per-round
-    // join key; co-partitioned with the rank vector every round.
-    val edges = directed.join(deg, "src")
-      .repartition(col("src"))
+    // join key; co-partitioned with the rank vector every round. The
+    // out-degree is annotated by a count window over src — ONE shuffle
+    // builds the cache, and (unlike a join with a groupBy'd degree table,
+    // whose redundant final repartition the optimizer prunes away leaving
+    // a PartitioningCollection that dies in the cache's attribute remap)
+    // the window leaves a plain hashpartitioning(src) on top that
+    // InMemoryTableScan advertises to every round's join.
+    val edges = directedLocal.select(col("src"), col("dst"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src"))).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     Dedup.registerComponentCache(directed.sparkSession, edges)
     var r = edges.select(col("src").as("n")).distinct()

@@ -309,10 +309,9 @@ object TextSuite {
     * extraction is `regexp_extract_all`, and the corpus histogram is one
     * map-side-combined hash aggregate. Output: top 30 vocabulary entries
     * by occurrence (ties on token string), with document frequency.
-    */
-  /** One word ([a-z]+) → its BPE token sequence under [[bpeMerges]], as an
-    * ordered array column. Pure codegen'd string ops — see [[bpeEncode]]
-    * for the bracket-anchoring argument.
+    *
+    * [[bpeTokens]] is the per-word kernel (one word → ordered token
+    * array), split out for the hand-verified sequence spec.
     */
   def bpeTokens(word: Column): Column = {
     val wrapped = regexp_replace(word, "(.)", "<$1>")

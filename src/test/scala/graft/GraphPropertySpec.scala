@@ -106,6 +106,42 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("pagerank rounds reuse the edge cache's partitioning (no-broadcast path)") {
+    // the at-scale join shape: neither side broadcastable. The kernel's
+    // round-scoped child session copies this parent's conf, so the rounds
+    // run SortMergeJoin — the shape where a re-shuffle of the cached edges
+    // would actually cost an E-row exchange per round.
+    val parent = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try parent.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    parent.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val rnd = new scala.util.Random(443099L)
+    val und = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      if rnd.nextDouble() < 0.2
+    } yield (a, b)).toSet.toSeq
+    import parent.implicits._
+    val directed = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val ranks = RelationalSuite.pagerankFixedPoint(directed, iters = 3,
+      roundPartitions = 8)
+    ranks.collect()
+    val lines = ranks.queryExecution.executedPlan.toString.linesIterator.toSeq
+    assert(lines.exists(_.contains("SortMergeJoin")),
+      "pin requires the shuffled-join path; plan fell back to broadcast")
+    // an Exchange DIRECTLY above a TableCacheQueryStage = a round
+    // re-shuffled the cached edges; AQE must have elided all of them
+    val reShuffled = lines.zipWithIndex.filter { case (l, i) =>
+      l.contains("Exchange hashpartitioning") &&
+        lines.drop(i + 1).take(1).exists(_.contains("TableCacheQueryStage"))
+    }
+    assert(reShuffled.isEmpty,
+      s"rounds re-shuffled the edge cache:\n${reShuffled.map(_._1).mkString("\n")}")
+    graft.operators.Dedup.releaseComponentCache(parent)
+  }
+
   test("adversarial shapes: star (no triangles), clique (all wedges close)") {
     // star: hub 0 with 8 leaves — 28 oriented wedges at the hub IF the
     // orientation pointed outward; low-degree-first points every edge
