@@ -604,6 +604,50 @@ object RelationalSuite {
       (floor(col("c_acctbal") / 1000.0) * 1000.0).as("acctbal_band"),
       col("c_mktsegment"))
 
+  /** k-anonymity audit — the privacy gate on the OTHER side of
+    * [[piiScrub]]'s generalization: does the published quasi-identifier
+    * combination (nation, market segment, 1000-unit balance band — the
+    * same banding piiScrub emits) actually hide each person in a crowd?
+    * For each candidate k (2/5/10), counts the equivalence classes
+    * smaller than k and the rows inside them — the re-identifiable
+    * population if an adversary joins on the quasi-identifiers. A
+    * release gate reads risk_frac at its policy k and blocks the export
+    * when it exceeds budget.
+    *
+    * Scale shape: ONE scan + one hash aggregate to class sizes (bounded
+    * by the quasi-id cross product, not the row count), then a
+    * |classes| x |ks| explode over that bounded table — the audit costs
+    * one groupBy however large the customer table grows. All counts in
+    * exact integer arithmetic; the single terminal division to
+    * risk_frac is IEEE double, bit-equal cross-engine.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityOf(Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket")))
+
+  /** The audit over an arbitrary quasi-identifier projection (one row per
+    * individual, any columns) — split out so AuditSpec can drive it with
+    * crafted class sizes.
+    */
+  def kAnonymityOf(qids: DataFrame, ks: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    val classes = qids.groupBy(qids.columns.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("n"))
+    classes
+      .select(col("n"), explode(array(ks.map(lit(_)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(
+        coalesce(sum(when(col("n") < col("k"), 1L)), lit(0L))
+          .as("classes_below"),
+        coalesce(sum(when(col("n") < col("k"), col("n"))), lit(0L))
+          .as("rows_at_risk"),
+        sum(col("n")).as("total_rows"))
+      .select(col("k"), col("classes_below"), col("rows_at_risk"),
+        (col("rows_at_risk").cast("double") /
+          col("total_rows").cast("double")).as("risk_frac"))
+  }
+
   /** Robust outlier counts per group via MAD (median absolute deviation) —
     * the numeric-QA gate a pipeline runs over metric columns before
     * training on them; unlike mean/stddev, the median/MAD pair doesn't let
@@ -932,12 +976,18 @@ object RelationalSuite {
     * 3-decimal, so the DECIMAL(18,3) cast never rounds); one terminal
     * cast to DOUBLE is bit-equal cross-engine.
     */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The synthesized changelog itself — (k, status, seq, op, p) with p in
+    * exact DECIMAL(18,3). Factored out so the batch materialization
+    * ([[cdcApply]]) and the streamed twin
+    * ([[graft.streaming.StreamReplay.streamedCdc]], which ships these
+    * rows over the topic wire) synthesize the IDENTICAL feed and cannot
+    * drift.
+    */
+  def cdcChangelog(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
       col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
-    val log = base.select(col("k"), col("status"),
+    base.select(col("k"), col("status"),
       explode(expr(
         """filter(array(
           |  named_struct('seq', 1, 'op', 'I', 'p', CAST(p AS DECIMAL(18,3))),
@@ -949,6 +999,16 @@ object RelationalSuite {
           |x -> x IS NOT NULL)""".stripMargin)).as("e"))
       .select(col("k"), col("status"), col("e.seq").as("seq"),
         col("e.op").as("op"), col("e.p").as("p"))
+  }
+
+  /** Last-writer-wins compaction + per-status rollup over a changelog —
+    * the shared back half of both CDC twins: one row_number window keyed
+    * on k, tombstones dropped, then the live-snapshot rollup. Expects
+    * (k, status, seq, op, p DECIMAL(18,3)) as produced by
+    * [[cdcChangelog]] (batch) or read back off the out topic (stream).
+    */
+  def cdcMaterialize(log: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("k")).orderBy(col("seq").desc)
     val live = log.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D")
@@ -957,6 +1017,9 @@ object RelationalSuite {
         sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
         sum(col("p")).cast("double").as("total_price"))
   }
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame =
+    cdcMaterialize(cdcChangelog(spark, dir))
 
   /** SCD2 history build — turning an event-stamped fact into a
     * slowly-changing-dimension table with validity intervals: each
@@ -1918,10 +1981,44 @@ object RelationalSuite {
     "window_ranks"       -> (windowRanks _),
     "incr_agg"           -> (incrAgg _),
     "cdc_apply"          -> (cdcApply _),
+    "stream_cdc"         -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedCdc(s, d)),
+    "k_anonymity"        -> (kAnonymity _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
     "q7_nation_volume"   -> (q7NationVolume _),
     "drift_histogram"    -> (driftHistogram _))
+
+  /** The CDC live-snapshot recompute, shared verbatim by the batch
+    * (`cdc_apply`) and streamed (`stream_cdc`) twins — both materialize
+    * the same synthesized changelog, so one oracle pins both.
+    */
+  private val cdcOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |log AS (
+      |  SELECT k, status, 1 AS seq, 'I' AS op,
+      |         CAST(p AS DECIMAL(18,3)) AS p FROM base
+      |  UNION ALL
+      |  SELECT k, status, 2, 'U',
+      |         CAST(p * CAST('1.10' AS DECIMAL(3,2)) AS DECIMAL(18,3))
+      |  FROM base WHERE k % 7 = 0
+      |  UNION ALL
+      |  SELECT k, status, 3, 'D', CAST(NULL AS DECIMAL(18,3))
+      |  FROM base WHERE k % 5 = 0),
+      |live AS (
+      |  SELECT * FROM (
+      |    SELECT k, status, seq, op, p,
+      |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    FROM log) t
+      |  WHERE rn = 1 AND op <> 'D')
+      |SELECT status, count(*) AS n_live,
+      |       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_updated,
+      |       CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS total_price
+      |FROM live GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the flat-relational twin of the nested pipeline: per-position
@@ -2417,33 +2514,31 @@ object RelationalSuite {
         |FROM orders GROUP BY 1""".stripMargin,
     // CDC apply: same deterministic synthetic changelog (I seq 1 / U seq 2
     // on keys %7 / D seq 3 on keys %5), compacted last-writer-wins with
-    // delete tombstones winning; exact DECIMAL price arithmetic end-to-end
-    "cdc_apply" ->
-      """WITH base AS (
-        |  SELECT o_orderkey AS k, o_orderstatus AS status,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
-        |  FROM orders),
-        |log AS (
-        |  SELECT k, status, 1 AS seq, 'I' AS op,
-        |         CAST(p AS DECIMAL(18,3)) AS p FROM base
-        |  UNION ALL
-        |  SELECT k, status, 2, 'U',
-        |         CAST(p * CAST('1.10' AS DECIMAL(3,2)) AS DECIMAL(18,3))
-        |  FROM base WHERE k % 7 = 0
-        |  UNION ALL
-        |  SELECT k, status, 3, 'D', CAST(NULL AS DECIMAL(18,3))
-        |  FROM base WHERE k % 5 = 0),
-        |live AS (
-        |  SELECT * FROM (
-        |    SELECT k, status, seq, op, p,
-        |           row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
-        |    FROM log) t
-        |  WHERE rn = 1 AND op <> 'D')
-        |SELECT status, count(*) AS n_live,
-        |       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT)
-        |         AS n_updated,
-        |       CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS total_price
-        |FROM live GROUP BY 1""".stripMargin,
+    // delete tombstones winning; exact DECIMAL price arithmetic end-to-end.
+    // stream_cdc converges to the IDENTICAL live snapshot (same changelog
+    // rows over the wire, same cdcMaterialize back half), so both twins
+    // share cdcOracle verbatim.
+    "cdc_apply" -> cdcOracle,
+    "stream_cdc" -> cdcOracle,
+    // k-anonymity: same 1000-unit banding as pii_scrub; integer class
+    // sizes end-to-end, one IEEE division to risk_frac. floor runs on
+    // DOUBLE in both engines (c_acctbal is double), bit-equal buckets.
+    "k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |         CAST(floor(c_acctbal / 1000.0e0) AS BIGINT) AS bal_bucket,
+        |         count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |x AS (
+        |  SELECT t.k, cls.n FROM cls, (SELECT unnest([2, 5, 10]) AS k) t)
+        |SELECT k,
+        |       CAST(coalesce(sum(CASE WHEN n < k THEN 1 END), 0) AS BIGINT)
+        |         AS classes_below,
+        |       CAST(coalesce(sum(CASE WHEN n < k THEN n END), 0) AS BIGINT)
+        |         AS rows_at_risk,
+        |       CAST(coalesce(sum(CASE WHEN n < k THEN n END), 0) AS DOUBLE)
+        |         / CAST(sum(n) AS DOUBLE) AS risk_frac
+        |FROM x GROUP BY 1""".stripMargin,
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       epoch_us(o_orderdate) // 1000000 AS valid_from,

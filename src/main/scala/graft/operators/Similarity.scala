@@ -43,6 +43,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Late-interaction (MaxSim) retrieval — the multi-vector scoring rule
+    * of ColBERT-style retrievers: each embedding is treated as `nTokens`
+    * contiguous sub-vectors ("token" vectors), and score(q, d) =
+    * Σ over q's tokens of the MAX cosine against any of d's tokens.
+    * Token granularity is what late interaction buys: a doc matching two
+    * of a query's facets in different passages scores on both, where the
+    * pooled single-vector cosine averages them away.
+    *
+    * Deterministic to the bit: max is order-free, and the final score
+    * adds the `nTokens` per-token maxima in FIXED column order (m0+m1+…,
+    * left-to-right IEEE), never through an order-nondeterministic SUM
+    * aggregate — so the DuckDB oracle reproduces the doubles exactly.
+    *
+    * Scale shape: the query token set (|queries| x nTokens rows) is
+    * broadcast against ONE pass over the corpus token projection; the
+    * per-(query, doc) reduction is a single hash aggregate emitting the
+    * nTokens maxima as columns of one row, and per-query top-k is the
+    * WindowGroupLimit rank. For corpus-sized query sets, route candidate
+    * generation through the IVF probed-cell path over pooled vectors
+    * first and MaxSim-score only the survivors — the standard
+    * retrieve-then-rerank split.
+    */
+  def lateInteractionTopK(corpus: DataFrame, queries: DataFrame,
+                          k: Int = 3, nTokens: Int = 4,
+                          subDim: Int = 16): DataFrame = {
+    def tokens(df: DataFrame, idAs: String, subAs: String,
+               normAs: String): DataFrame = {
+      val subs = array((0 until nTokens).map(i =>
+        slice(col("embedding"), 1 + i * subDim, subDim)): _*)
+      df.select(col("vec_id").as(idAs), posexplode(subs))
+        .select(col(idAs), col("pos").as(s"${idAs}_tok"),
+          col("col").as(subAs), norm2Native(col("col")).as(normAs))
+    }
+    val q = tokens(queries, "query_id", "q_sub", "q_norm")
+    val c = tokens(corpus, "vec_id", "d_sub", "d_norm")
+    val cand = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("query_id_tok").as("qt"),
+        (dotNative(col("d_sub"), col("q_sub")) /
+          (col("d_norm") * col("q_norm"))).as("cos"))
+    val maxima = (0 until nTokens).map(i =>
+      max(when(col("qt") === i, col("cos"))).as(s"m$i"))
+    val score = (1 until nTokens).foldLeft(col("m0"): Column)(
+      (acc, i) => acc + col(s"m$i"))
+    val scored = cand.groupBy(col("query_id"), col("vec_id"))
+      .agg(maxima.head, maxima.tail: _*)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        score.as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the k most-similar corpus vectors carrying a DIFFERENT
     * label — the "looks alike, isn't" examples an embedding model trains
@@ -269,18 +322,29 @@ object Similarity {
     * query, exact re-rank within the probed inverted lists. Join is keyed
     * on cell — never a cross join.
     */
+  /** Top-`nProbe` IVF cells for a vector, best first — an array of
+    * (score, cell) structs; ties break to the HIGHER cell, matching
+    * [[cellAssign]] (the rank-1 entry IS the assigned cell). Shared by
+    * the batch probe join and the streaming cell router so the two
+    * paths cannot drift.
+    */
+  def probeCells(emb: Column, centroids: Seq[Seq[Double]],
+                 nProbe: Int): Column = {
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotNative(emb,
+        array(c.map(lit(_)): _*).cast("array<double>")).as("score"),
+        lit(i).as("cell"))
+    }: _*)
+    slice(reverse(array_sort(cellScores)), 1, nProbe)
+  }
+
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
                   centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     val idx = ivfIndexWith(corpus, centroids)
     // top-nProbe cells per query, exploded to (query, cell) probe pairs
-    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dotNative(col("embedding"),
-        array(c.map(lit(_)): _*).cast("array<double>")).as("score"),
-        lit(i).as("cell"))
-    }: _*)
     val qProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(slice(reverse(array_sort(cellScores)), 1, nProbe)).as("probe"))
+        explode(probeCells(col("embedding"), centroids, nProbe)).as("probe"))
       .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
     val cand = idx.join(broadcast(qProbes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

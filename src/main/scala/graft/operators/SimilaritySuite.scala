@@ -25,6 +25,20 @@ object SimilaritySuite {
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
 
+  /** Late-interaction (MaxSim) top-3 for the same 5-query set as
+    * embed_topk — see [[Similarity.lateInteractionTopK]] for the
+    * semantics + scale argument. 4 tokens x 16 dims over the 64-dim
+    * fixture vectors.
+    */
+  def lateInteraction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lateInteractionTopK(emb, emb.filter(col("vec_id") < 5),
+      k = 3, nTokens = liTokens, subDim = liSubDim)
+  }
+
+  private val liTokens = 4
+  private val liSubDim = 16
+
   /** Top-3 different-label neighbors per query — contrastive hard-negative
     * mining (see [[Similarity.hardNegatives]] for the semantics + scale
     * argument).
@@ -67,6 +81,15 @@ object SimilaritySuite {
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
       nCells = ivfCells, nProbe = ivfProbe, seed = seed)
   }
+
+  /** Streaming IVF ANN replay: online inverted index over the wire, with
+    * mid-stream restart + redelivery — see
+    * [[graft.streaming.StreamReplay.streamedAnn]]. Same seeded centroids
+    * and probe width as embed_ivf, so the oracle reuses its literals.
+    */
+  def streamAnn(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.streamedAnn(spark, dir,
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
 
   private val pqSub = 4
   private val pqK = 16
@@ -352,7 +375,9 @@ object SimilaritySuite {
     "semdedup"       -> (semDedupSurvivors _),
     "matryoshka_rerank" -> (matryoshkaRerank _),
     "embed_topk"    -> (embedTopK _),
+    "late_interaction" -> (lateInteraction _),
     "hard_negatives" -> (hardNegatives _),
+    "stream_ann"    -> (streamAnn _),
     "embed_neardup" -> (embedNearDup _),
     "embed_neardup_lsh" -> (embedNearDupLsh _),
     "embed_ann"     -> (embedAnnTopK _),
@@ -526,6 +551,72 @@ object SimilaritySuite {
        |WHERE list_cosine_similarity(ea.e, eb.e) > 0.4""".stripMargin
   }
 
+  /** Generated oracle for late_interaction: the same token slices
+    * (liTokens x liSubDim, shared constants), per-query-token max cosine
+    * over the candidate doc's tokens, and the FIXED-ORDER sum of the
+    * maxima — `m0 + m1 + …` left-to-right, exactly how the engine adds
+    * its aggregate columns, so the score doubles are bit-equal.
+    */
+  private def lateInteractionOracle: String = {
+    val toks = (0 until liTokens).mkString("[", ", ", "]")
+    val maxima = (0 until liTokens).map(i =>
+      s"max(CASE WHEN qt = $i THEN cos END)")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |tok AS (
+       |  SELECT vec_id, u.t AS t,
+       |         list_slice(e, 1 + $liSubDim * u.t, $liSubDim * (u.t + 1)) AS sub
+       |  FROM s, (SELECT unnest($toks) AS t) u),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, d.vec_id AS nid, q.t AS qt,
+       |         list_cosine_similarity(d.sub, q.sub) AS cos
+       |  FROM tok d JOIN tok q ON d.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, nid AS neighbor_id,
+       |         ${maxima.mkString("\n           + ")} AS score
+       |  FROM cand GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, score,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
+  /** Generated oracle for stream_ann: the ivfOracle cell-assign/probe
+    * pipeline with the ONLINE-retrieval predicate — every vector is a
+    * query, its candidates are the SMALLER-vec_id vectors sharing a
+    * probed cell (the index as of its arrival), top-3 by exact cosine.
+    * The streamed candidate emission is a pure function of the id order,
+    * so this batch recompute pins it bit-for-bit.
+    */
+  private def streamAnnOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, e, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) <= $ivfProbe)
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |       list_cosine_similarity(a.e, p.qe) AS cos,
+       |       CAST(row_number() OVER (PARTITION BY p.query_id
+       |         ORDER BY list_cosine_similarity(a.e, p.qe) DESC,
+       |                  a.vec_id ASC) AS INT) AS rank
+       |FROM assign a JOIN probes p ON a.cell = p.cell
+       |WHERE a.vec_id < p.query_id
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
   /** Generated oracle for embed_ivfpq: the ivfOracle cell-assign/probe
     * CTEs composed with the pqOracle reconstruction CTEs, all from the
     * same seeded literals; candidates come from probed cells, scores from
@@ -666,6 +757,8 @@ object SimilaritySuite {
     "matryoshka_rerank" -> matryoshkaOracle,
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
+    "stream_ann" -> streamAnnOracle,
+    "late_interaction" -> lateInteractionOracle,
     "embed_pq"  -> pqOracle,
     "embed_ivfpq" -> ivfPqOracle,
     "embed_neardup_lsh" -> nearDupLshOracle,

@@ -635,4 +635,143 @@ object StreamOps {
       .transformWithState(new DistinctPerKey, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** One cell-routed vector arrival: each wire vector fans out to its
+    * `nProbe` best IVF cells; `insert` is true only at its ASSIGNED
+    * (best) cell, where it joins the inverted list.
+    */
+  final case class CellQuery(cell: Int, vecId: Long, emb: Seq[Float],
+                             insert: Boolean)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class CellVec(vecId: Long, emb: Seq[Float])
+  /** One probed-cell ANN candidate for an arriving query vector. */
+  final case class AnnHit(queryId: Long, neighborId: Long, cos: Double)
+
+  /** Streaming IVF ANN — the online twin of Similarity.ivfTopK: each IVF
+    * cell keeps its inverted list as ListState, every arriving vector is
+    * scored against the resident vectors of its `nProbe` probed cells,
+    * and candidates stream out as (query, neighbor, cos) for a
+    * downstream exact top-k. The query semantics are ARRIVAL-ORDER
+    * ANN — "neighbors among vectors that arrived before me", the online
+    * retrieval contract (a vector can only match the index as of its
+    * arrival) — pinned deterministically to vec_id order: only residents
+    * with a SMALLER vec_id are candidates, and within a micro-batch rows
+    * are processed in ascending vec_id, so the emitted candidate set is
+    * a pure function of the id order however the stream is batched.
+    *
+    * Redelivery-safe two ways: a resident vec_id is never re-inserted,
+    * and a redelivered query re-emits exactly its original candidate
+    * rows (all smaller ids were already resident at first delivery — the
+    * id-ordered producer guarantees it — so the recomputation is
+    * identical and the downstream distinct absorbs it).
+    *
+    * Cosine is the engine's exact kernel arithmetic (sequential double
+    * accumulation over float32 components, dot / (norm·norm) — the same
+    * op order as DotProduct/norm2Native), so the streamed doubles
+    * hash-match the batch oracle bit-for-bit.
+    *
+    * Scale shape: state is the inverted index itself — |vectors| rows
+    * corpus-wide, partitioned by cell in the RocksDB store; work per
+    * arrival is probed-cell occupancy, the same candidate count the
+    * batch IVF join scans, and nothing ever rescans the corpus.
+    */
+  final class CellAnnIndex
+    extends StatefulProcessor[Int, CellQuery, AnnHit] {
+    @transient private var index: ListState[CellVec] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      index = getHandle.getListState[CellVec]("index",
+        Encoders.product[CellVec], TTLConfig.NONE)
+
+    private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      i = 0
+      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      i = 0
+      while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[CellQuery],
+                                 timers: TimerValues): Iterator[AnnHit] = {
+      val resident = index.get().toArray
+      val seen = scala.collection.mutable.Set(resident.map(_.vecId): _*)
+      val added = scala.collection.mutable.ArrayBuffer.empty[CellVec]
+      val hits = scala.collection.mutable.ArrayBuffer.empty[AnnHit]
+      // ascending vec_id: a same-batch earlier arrival must be visible to
+      // later queries, exactly as if it had arrived in its own batch
+      rows.toArray.sortBy(_.vecId).foreach { r =>
+        (resident.iterator ++ added.iterator)
+          .filter(_.vecId < r.vecId)
+          .foreach(o => hits += AnnHit(r.vecId, o.vecId, cos(r.emb, o.emb)))
+        if (r.insert && !seen(r.vecId)) {
+          added += CellVec(r.vecId, r.emb)
+          seen += r.vecId
+        }
+      }
+      if (added.nonEmpty) index.appendList(added.toArray)
+      hits.iterator
+    }
+  }
+
+  /** Streaming probed-cell ANN candidates: see [[CellAnnIndex]]. */
+  def annHits(rows: Dataset[CellQuery]): Dataset[AnnHit] = {
+    implicit val enc = Encoders.product[AnnHit]
+    rows.groupByKey(_.cell)(Encoders.scalaInt)
+      .transformWithState(new CellAnnIndex, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** One change-data row over the wire: op ∈ I/U/D, per-key monotone
+    * `seq`, price carried as a STRING so exact DECIMAL(18,3) survives
+    * the JSON transport byte-for-byte (null for delete tombstones).
+    */
+  final case class CdcOp(k: Long, status: String, seq: Int, op: String,
+                         p: String)
+
+  /** Changelog compaction as a stream — the KTable half of the
+    * table-stream duality the reference is built on: per key, a
+    * ValueState holds the highest `seq` applied so far, and an arriving
+    * op is emitted downstream ONLY when it advances that sequence. The
+    * out topic therefore carries the COMPACTED changelog: every stale
+    * delivery, duplicate, and post-restart redelivery is absorbed by the
+    * recovered state and emits nothing — so a redelivered wave after a
+    * checkpoint restart is provably a no-op at the sink, not merely
+    * deduplicated there. Within a micro-batch rows apply in ascending
+    * seq (a real feed can batch an insert with its revision).
+    *
+    * Scale shape: state is ONE int per live key — the smallest possible
+    * materialization footprint — and per-arrival work is O(1); nothing
+    * rescans the log, so a 100 TB feed streams through at wire rate with
+    * |keys|-bounded state in the RocksDB store.
+    */
+  final class ChangelogCompact
+    extends StatefulProcessor[Long, CdcOp, CdcOp] {
+    @transient private var applied: ValueState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      applied = getHandle.getValueState[Int]("applied", Encoders.scalaInt,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CdcOp],
+                                 timers: TimerValues): Iterator[CdcOp] = {
+      var cur = if (applied.exists()) applied.get() else 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[CdcOp]
+      rows.toArray.sortBy(_.seq).foreach { r =>
+        if (r.seq > cur) { out += r; cur = r.seq }
+      }
+      if (out.nonEmpty) applied.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Streaming changelog compaction: see [[ChangelogCompact]]. */
+  def compactChangelog(rows: Dataset[CdcOp]): Dataset[CdcOp] = {
+    implicit val enc = Encoders.product[CdcOp]
+    rows.groupByKey(_.k)(Encoders.scalaLong)
+      .transformWithState(new ChangelogCompact, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

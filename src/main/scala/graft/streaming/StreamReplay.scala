@@ -2122,4 +2122,173 @@ object StreamReplay {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { media.unpersist(); deleteTree(ckpt); deleteTree(root) }
   }
+
+  /** Streaming IVF ANN over the production source — the online twin of
+    * the batch embed_ivf path, run against the
+    * [[graft.streaming.StreamOps.CellAnnIndex]] cell-keyed inverted
+    * index: vectors arrive over the wire in vec_id order, fan out to
+    * their nProbe best cells (the SAME seeded-centroid probe expression
+    * as the batch path — Similarity.probeCells), and each cell's
+    * ListState index scores the arrival against its resident vectors,
+    * emitting probed-cell candidates for a downstream exact top-k. The
+    * retrieval contract is the ONLINE one — each vector's neighbors are
+    * drawn from the index as of its arrival (residents with smaller
+    * vec_id) — which is also exactly what makes the answer
+    * batch-recomputable: the oracle ranks, for every query, the
+    * smaller-id vectors sharing a probed cell. The consumer RESTARTS
+    * mid-stream from its checkpoint AND the second quarter is
+    * REDELIVERED after the restart: recovered cell indexes skip resident
+    * re-inserts wholesale and re-emit identical candidate rows, which
+    * the final distinct absorbs.
+    *
+    * Final answer: per-query exact top-`k` (cos desc, neighbor asc) over
+    * the converged distinct candidate set — hash-matched against the
+    * generated DuckDB oracle that recomputes cell assignment → probes →
+    * smaller-id candidates → cosine rank from the same centroid
+    * literals (SimilaritySuite.streamAnnOracle).
+    */
+  def streamedAnn(spark: SparkSession, dir: String,
+                  centroids: Seq[Seq[Double]], nProbe: Int,
+                  k: Int = 3): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.Similarity
+    val wireSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("cos", DoubleType), StructField("rank", IntegerType)))
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val emb = Tables.embeddings(child, dir)
+      .select(col("vec_id"), col("embedding"))
+    val b = emb.agg(min("vec_id"), max("vec_id")).head()
+    require(!b.isNullAt(0), s"$dir embeddings is empty — nothing to replay")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val root = java.nio.file.Files.createTempDirectory("graft_ann")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ckpt")
+    val in = new FileTopic("ann_in", wireSchema, root.toString)
+    val out = new FileTopic("ann_cand", outSchema.copy(
+      fields = outSchema.fields.take(3)), root.toString)
+    def range(from: Long, until: Long, last: Boolean) = emb
+      .filter(col("vec_id") >= from &&
+        (if (last) lit(true) else col("vec_id") < until)).coalesce(1)
+    def drain(): Unit = {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[StreamOps.CellQuery]
+      val routed = in.stream(child)
+        .select(col("vec_id"), col("embedding"),
+          posexplode(Similarity.probeCells(col("embedding"), centroids,
+            nProbe)))
+        .select(col("col.cell").as("cell"), col("vec_id").as("vecId"),
+          col("embedding").as("emb"), (col("pos") === 0).as("insert"))
+        .as[StreamOps.CellQuery]
+      val hits = StreamOps.annHits(routed).toDF()
+        .select(col("queryId").as("query_id"),
+          col("neighborId").as("neighbor_id"), col("cos"))
+      val q = hits.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + cell indexes checkpointed
+      // REDELIVERY ACROSS THE RESTART: the whole second quarter again —
+      // only the recovered cell indexes keep it from re-inserting
+      in.append(range(q2lo, q2hi, last = false))
+      in.append(range(q2hi, lo + 3 * quarter, last = false))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val rows = out.batch(child).distinct()
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= k)
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** Streaming CDC materialization — the batch `cdc_apply` run as a
+    * production change-data feed, completing the table-stream duality
+    * the reference is built on in the direction the other replays don't
+    * cover: stream → TABLE. The synthesized changelog (the IDENTICAL
+    * rows as the batch twin — both call
+    * [[graft.operators.RelationalSuite.cdcChangelog]]) ships over the
+    * topic wire in three seq-major waves (all inserts, then the +10%
+    * price revisions, then the delete tombstones), with the exact
+    * DECIMAL(18,3) price carried as a string so JSON transport never
+    * rounds it. The [[StreamOps.ChangelogCompact]] processor materializes
+    * per-key latest-sequence state and emits ONLY state-advancing ops —
+    * the out topic IS the compacted changelog (≙ the reference's KTable
+    * changelog topic).
+    *
+    * The consumer RESTARTS from its checkpoint between the revision and
+    * tombstone waves, and the ENTIRE revision wave is REDELIVERED after
+    * the restart: the recovered per-key seq state absorbs it wholesale
+    * (zero re-emissions — the post-restart tombstones are the proof the
+    * recovered state is live, since seq 3 must advance over the seq 2
+    * applied before the crash). Final answer: the shared
+    * [[graft.operators.RelationalSuite.cdcMaterialize]] rollup over the
+    * compacted out topic — hash-matched against the SAME DuckDB oracle
+    * as the batch twin.
+    */
+  def streamedCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.RelationalSuite
+    val wireSchema = StructType(Seq(
+      StructField("k", LongType), StructField("status", StringType),
+      StructField("seq", IntegerType), StructField("op", StringType),
+      StructField("p", StringType)))
+    val outSchema = StructType(Seq(
+      StructField("status", StringType), StructField("n_live", LongType),
+      StructField("n_updated", LongType),
+      StructField("total_price", DoubleType)))
+    // transformWithState requires the RocksDB provider
+    val child = replaySession(spark, shufflePartitions = 8,
+      keepRocksDb = true)
+    val log = RelationalSuite.cdcChangelog(child, dir)
+      .select(col("k"), col("status"), col("seq"), col("op"),
+        col("p").cast("string").as("p"))
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt")
+    val in = new FileTopic("cdc_in", wireSchema, root.toString)
+    val out = new FileTopic("cdc_compacted", wireSchema, root.toString)
+    def wave(seq: Int) = log.filter(col("seq") === seq).coalesce(1)
+    def drain(): Unit = {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[StreamOps.CdcOp]
+      val compacted = StreamOps.compactChangelog(
+        in.stream(child).as[StreamOps.CdcOp]).toDF()
+      val q = compacted.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      in.append(wave(1))
+      in.append(wave(2))
+      drain() // incarnation 1: inserts + revisions applied, state checkpointed
+      // REDELIVERY ACROSS THE RESTART: the whole revision wave again —
+      // only the recovered per-key seq state keeps it from re-emitting
+      in.append(wave(2))
+      in.append(wave(3))
+      drain() // incarnation 2: tombstones advance over recovered state
+      val rows = RelationalSuite.cdcMaterialize(
+        out.batch(child).select(col("k"), col("status"), col("seq"),
+          col("op"), col("p").cast(DecimalType(18, 3)).as("p")))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
 }

@@ -184,4 +184,27 @@ class AuditSpec extends SparkSpec {
       "a single-cell mutation must change the checksum")
     assert(changed._2 == base("orders")._2)
   }
+
+  test("kAnonymity: exact class accounting on crafted sizes, monotone in k") {
+    // classes of sizes 1, 1, 3, 5, 10 (20 rows):
+    //   k=2  -> below: {1,1}       = 2 classes,  2 rows, frac 0.10
+    //   k=5  -> below: {1,1,3}     = 3 classes,  5 rows, frac 0.25
+    //   k=10 -> below: {1,1,3,5}   = 4 classes, 10 rows, frac 0.50
+    val qids = Seq(1, 1, 3, 5, 10).zipWithIndex
+      .flatMap { case (sz, cls) => Seq.fill(sz)((s"c$cls", cls % 2)) }
+      .toDF("qa", "qb")
+    val got = RelationalSuite.kAnonymityOf(qids).orderBy($"k")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2, 2L, 2L, 0.10), (5, 3L, 5L, 0.25),
+      (10, 4L, 10L, 0.50)), s"audit rows: $got")
+    // monotone: growing k can only add at-risk classes/rows
+    assert(got.map(_._2) == got.map(_._2).sorted &&
+      got.map(_._3) == got.map(_._3).sorted)
+    // every-row-unique corner: everything below any k >= 2
+    val unique = (0 until 7).map(i => (s"u$i", i)).toDF("qa", "qb")
+    val all = RelationalSuite.kAnonymityOf(unique).orderBy($"k")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(all.forall { case (_, cb, rar, f) => cb == 7L && rar == 7L && f == 1.0 },
+      s"singleton classes must all be at risk: $all")
+  }
 }

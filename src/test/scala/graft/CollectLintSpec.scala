@@ -83,6 +83,15 @@ class CollectLintSpec extends SparkSpec {
       // the wire, in-stream decode to aHash, fingerprint-keyed
       // DistinctPerKey with restart + redelivery + re-upload mirrors
       "stream_media_dedup",
+      // stream_ann: same replay posture — vectors over the wire routed to
+      // their probed IVF cells, cell-keyed ListState inverted index
+      // (CellAnnIndex) with restart + whole-quarter redelivery
+      "stream_ann",
+      // stream_cdc: same replay posture — the synthesized changelog over
+      // the wire through ChangelogCompact (per-key ValueState seq guard),
+      // restart between the revision and tombstone waves + a redelivered
+      // revision wave absorbed by recovered state
+      "stream_cdc",
       // stream_timer_sessions: same replay posture through the
       // transformWithState event-time-timer processor (GapSessions)
       "stream_timer_sessions",

@@ -464,4 +464,33 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"wedge/closure joins degraded to a pair-explosion plan:\n$plan")
   }
+
+  test("late_interaction broadcasts the query tokens and rank-limits per group") {
+    val plan = executedPlan(
+      graft.operators.SimilaritySuite.queries("late_interaction")(spark, dir))
+    // the |queries| x nTokens side must broadcast against ONE corpus-token
+    // pass — a shuffled join would move the whole token projection
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"query tokens must broadcast in:\n$plan")
+    // per-query top-k caps partials before the final rank window
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must partial-limit per partition in:\n$plan")
+  }
+
+  test("k_anonymity explodes thresholds over the bounded class table only") {
+    val plan = executedPlan(
+      graft.operators.RelationalSuite.kAnonymity(spark, dir))
+    // ONE scan of customer; class sizes partially aggregate map-side
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"customer must be scanned exactly once:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"class sizes must map-side combine before their shuffle:\n$plan")
+    // the |ks| explode (Generate) must sit ABOVE the class aggregate —
+    // below it, every customer row would multiply by |ks| pre-shuffle
+    val genAt = plan.indexOf("Generate explode")
+    val aggAt = plan.indexOf("partial_count")
+    assert(genAt >= 0 && aggAt >= 0 && genAt < aggAt,
+      s"threshold explode must run over the bounded class table:\n$plan")
+  }
 }

@@ -204,4 +204,26 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.sortBy(_._6).map(_._3).toSeq == want, s"query $qid")
     }
   }
+
+  test("late interaction: MaxSim scores per-token maxima in fixed order") {
+    // 2 tokens x 2 dims; hand-computable. Query [1,0 | 0,1]:
+    //   doc 1 [1,0 | 0,1]  -> tok0 max 1, tok1 max 1        -> score 2
+    //   doc 3 [1,1 | 1,0]  -> tok0 max(1/sqrt2, 1) = 1,
+    //                         tok1 max(1/sqrt2, 0) = 1/sqrt2 -> 1 + 1/sqrt2
+    //   doc 2 [0,1 | 0,1]  -> tok0 max 0, tok1 max 1        -> score 1
+    // MaxSim credits doc 3's facet split; pooled 4-dim cosine would not.
+    val docs = Seq(
+      (1L, Array(1f, 0f, 0f, 1f)),
+      (2L, Array(0f, 1f, 0f, 1f)),
+      (3L, Array(1f, 1f, 1f, 0f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lateInteractionTopK(docs, queries, k = 3,
+      nTokens = 2, subDim = 2)
+      .orderBy($"rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L), s"MaxSim order wrong: $got")
+    assert(got(0)._3 == 2.0 && got(2)._3 == 1.0, s"exact scores: $got")
+    assert(math.abs(got(1)._3 - (1.0 + 1.0 / math.sqrt(2.0))) < 1e-15,
+      s"doc 3 must score 1 + 1/sqrt(2): ${got(1)._3}")
+  }
 }

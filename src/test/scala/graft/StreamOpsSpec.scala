@@ -398,4 +398,79 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(10L -> 3L, 20L -> 1L), s"unexpected counts: $got")
   }
+
+  test("annHits (CellAnnIndex): id-order candidates, insert-at-assigned only, redelivery-exact") {
+    import StreamOps.{AnnHit, CellQuery}
+    val input = MemoryStream[CellQuery](spark)
+    val q = StreamOps.annHits(input.toDS())
+      .toDF().writeStream.format("memory").queryName("ann_stream")
+      .option("checkpointLocation", tmpDir("ann"))
+      .outputMode("update").start()
+
+    val e1 = Seq(1f, 0f)
+    val e2 = Seq(1f, 1f)
+    val e3 = Seq(0f, 1f)
+    // vec 1 inserts at cell 0; vec 2 probes cells 0 and 1, inserting only
+    // at its assigned cell 0; vec 3 (same batch as 2, LARGER id) must see
+    // the same-batch insert of 2 in cell 0
+    input.addData(CellQuery(0, 1L, e1, insert = true))
+    q.processAllAvailable()
+    input.addData(
+      CellQuery(0, 2L, e2, insert = true),
+      CellQuery(1, 2L, e2, insert = false),
+      CellQuery(0, 3L, e3, insert = false),
+      CellQuery(1, 3L, e3, insert = true))
+    q.processAllAvailable()
+    // redelivery of vec 2's rows: no re-insert, identical re-emission
+    input.addData(
+      CellQuery(0, 2L, e2, insert = true),
+      CellQuery(1, 2L, e2, insert = false))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("ann_stream").as[AnnHit].collect().toSeq
+    val dedup = got.toSet
+    // 2 sees 1 (cell 0); 3 sees 1 and 2 (cell 0), nothing in cell 1 (2
+    // never joined it — probe rows don't insert)
+    assert(dedup.map(h => (h.queryId, h.neighborId)) ==
+      Set((2L, 1L), (3L, 1L), (3L, 2L)), s"unexpected candidate set: $dedup")
+    // redelivery re-emitted 2's candidate row identically (same cos bits)
+    assert(got.count(h => h.queryId == 2L && h.neighborId == 1L) == 2,
+      s"redelivered query must re-emit its original row: $got")
+    val c21 = dedup.find(h => h.queryId == 2L && h.neighborId == 1L).get.cos
+    assert(math.abs(c21 - 1.0 / math.sqrt(2.0)) < 1e-15, s"cos drifted: $c21")
+  }
+
+  test("compactChangelog (ChangelogCompact): state-advancing ops only, stale/dup absorbed, in-batch seq order") {
+    import StreamOps.CdcOp
+    val input = MemoryStream[CdcOp](spark)
+    val q = StreamOps.compactChangelog(input.toDS())
+      .toDF().writeStream.format("memory").queryName("cdc_stream")
+      .option("checkpointLocation", tmpDir("cdc"))
+      .outputMode("update").start()
+
+    // key 1: insert + revision batched TOGETHER, revision listed first —
+    // must apply in ascending seq and emit both
+    input.addData(
+      CdcOp(1L, "O", 2, "U", "11.000"),
+      CdcOp(1L, "O", 1, "I", "10.000"),
+      CdcOp(2L, "F", 1, "I", "20.000"))
+    q.processAllAvailable()
+    // redelivery of key 1's whole history + a STALE op for key 2 (seq 0):
+    // zero emissions — the recovered seq state absorbs all of it
+    input.addData(
+      CdcOp(1L, "O", 1, "I", "10.000"),
+      CdcOp(1L, "O", 2, "U", "11.000"),
+      CdcOp(2L, "F", 0, "I", "19.000"))
+    q.processAllAvailable()
+    // the tombstone still advances over the absorbed redelivery
+    input.addData(CdcOp(1L, "O", 3, "D", null))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("cdc_stream").as[CdcOp].collect().toSeq
+    assert(got.map(r => (r.k, r.seq, r.op)).sorted ==
+      Seq((1L, 1, "I"), (1L, 2, "U"), (1L, 3, "D"), (2L, 1, "I")),
+      s"compacted changelog must be exactly the advancing ops: $got")
+  }
 }
