@@ -339,6 +339,49 @@ object TextSuite {
           .orderBy(col("n_occurrences").desc, col("token"))).cast("int"))
   }
 
+  /** Tokenizer-coverage audit — the third leg of the BPE triad
+    * (fit = [[bpePairs]], apply = [[bpeEncode]], audit = this): before a
+    * pipeline commits to a tokenizer it measures, per source, how well
+    * the merge vocabulary compresses that source's text. Fertility
+    * (pieces per word) is THE tokenizer-quality number — a source whose
+    * words shatter into characters trains slower and truncates harder at
+    * a fixed context length — and frac_single (words that encode to ONE
+    * vocabulary piece) localizes whether coverage comes from whole-word
+    * hits or merge chains. Uses the IDENTICAL [[bpeTokens]] kernel and
+    * word normalization as the encode query, so the audit can never
+    * disagree with the tokenizer it audits.
+    *
+    * Scale shape: per-word piece counts are a pure projection (the
+    * bracket-replace chain, codegen'd, no UDF); ONE map-side-combined
+    * hash aggregate to the |sources|-row audit. The word explode is the
+    * same O(corpus tokens) row count every text query here carries.
+    * Integer counts end-to-end; two terminal IEEE divisions.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(Tables.documents(spark, dir))
+
+  /** The audit over any (source, text) table — split out so
+    * TextFunctionsSpec can drive it with hand-encodable words.
+    */
+  def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("source"),
+        explode(split(regexp_replace(lower(col("text")), "[^a-z]+", " "),
+          " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    words
+      .select(col("source"), size(bpeTokens(col("word"))).as("pieces"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("pieces").cast("long")).as("n_pieces"),
+        sum(when(col("pieces") === 1, 1L).otherwise(0L)).as("n_single"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_single").cast("double") / col("n_words").cast("double"))
+          .as("frac_single"))
+  }
+
   /** Deterministic token-mass-weighted sample, k docs per language —
     * "give me a 10 B-token slice whose documents are drawn proportional
     * to their token mass" without a global sort or an RNG whose replay
@@ -1173,6 +1216,7 @@ object TextSuite {
     "text_redaction"  -> (textRedaction _),
     "bpe_pairs"       -> (bpePairs _),
     "bpe_encode"      -> (bpeEncode _),
+    "vocab_coverage"  -> (vocabCoverage _),
     "token_histogram" -> (tokenHistogram _),
     "pack_bins"       -> ((s: SparkSession, d: String) => packBins(s, d)),
     "decontaminate"   -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -1314,6 +1358,32 @@ object TextSuite {
          |         AS INT) AS tok_rank
          |FROM tok GROUP BY 1
          |QUALIFY tok_rank <= 30""".stripMargin
+    },
+    // same generated replace-chain encode as bpe_encode (same bpeMerges
+    // fold), reduced to per-word piece counts instead of a token histogram
+    "vocab_coverage" -> {
+      val enc = bpeMerges.foldLeft("""regexp_replace(word, '(.)', '<\1>', 'g')""") {
+        case (acc, (a, b)) => s"replace($acc, '<$a><$b>', '<$a$b>')"
+      }
+      s"""WITH w AS (
+         |  SELECT source,
+         |         unnest(string_split(
+         |           regexp_replace(lower(text), '[^a-z]+', ' ', 'g'),
+         |           ' ')) AS word
+         |  FROM documents),
+         |pc AS (
+         |  SELECT source,
+         |         len(regexp_extract_all($enc, '<([a-z]+)>', 1)) AS pieces
+         |  FROM w WHERE word <> '')
+         |SELECT source,
+         |       count(*) AS n_words,
+         |       CAST(sum(pieces) AS BIGINT) AS n_pieces,
+         |       CAST(CAST(sum(pieces) AS BIGINT) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS fertility,
+         |       CAST(coalesce(sum(CASE WHEN pieces = 1 THEN 1 END), 0)
+         |           AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS frac_single
+         |FROM pc GROUP BY 1""".stripMargin
     },
     "simhash_sketch" -> HashOracles.simhashSketchOracle,
     // same closure as dedup_clusters, then cluster-keyed fold arithmetic

@@ -673,7 +673,12 @@ object StreamOps {
     * Scale shape: state is the inverted index itself — |vectors| rows
     * corpus-wide, partitioned by cell in the RocksDB store; work per
     * arrival is probed-cell occupancy, the same candidate count the
-    * batch IVF join scans, and nothing ever rescans the corpus.
+    * batch IVF join scans, and nothing ever rescans the corpus. That
+    * makes total work Θ(N × occupancy): at a growing corpus, nCells
+    * must scale with N to hold occupancy (and so per-arrival latency)
+    * constant — the same occupancy-bounding rule embed_neardup_lsh
+    * applies to its autoBits widths. The fixture run uses the batch
+    * twin's 8 cells so the two sides share oracle literals.
     */
   final class CellAnnIndex
     extends StatefulProcessor[Int, CellQuery, AnnHit] {

@@ -202,4 +202,20 @@ class TextFunctionsSpec extends SparkSpec {
       .as[(String, String)].collect()
     rows.foreach { case (w, j) => assert(j == w, s"$w -> $j") }
   }
+
+  test("vocab coverage: hand-encodable fertility and single-piece fraction") {
+    // under bpeMerges: "the"/"and"/"in" each encode to ONE piece;
+    // "cat" has no merges -> 3 pieces; "there" -> the|re = 2 pieces
+    //   src a: words the, and, cat          -> 5 pieces / 3 words,  2 single
+    //   src b: words there, in              -> 3 pieces / 2 words,  1 single
+    val docs = Seq(
+      ("a", "The and CAT"),
+      ("b", "there in")).toDF("source", "text")
+    val got = graft.operators.TextSuite.vocabCoverageOf(docs)
+      .orderBy($"source")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 5L, 5.0 / 3.0, 2.0 / 3.0),
+      ("b", 2L, 3L, 1.5, 0.5)), s"audit rows: $got")
+  }
 }
