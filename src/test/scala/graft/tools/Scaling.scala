@@ -42,6 +42,10 @@ object Scaling {
     "embed_ivf" -> "embeddings",
     "semdedup" -> "embeddings",
     "embed_topk" -> "embeddings",
+    // 16x token fan-out per pair (4x4 sub-vector cosines) is the
+    // quadratic-looking part; queries stay a fixed broadcast, so the
+    // corpus-token pass must measure linear in |embeddings|
+    "late_interaction" -> "embeddings",
     "train_corpus" -> "documents")
 
   final case class Point(sf: String, rows: Long, sec: Double)
