@@ -140,4 +140,107 @@ class ProcessorPropertySpec extends SparkSpec {
           s"only-in-batch ${want -- got}")
     }
   }
+
+  test("CellAnnIndex: candidate set is batching-invariant and redelivery-stable") {
+    // the scaladoc claim under test: with ids arriving in nondecreasing
+    // order ACROSS batches (the producer contract), the emitted candidate
+    // set — down to the cosine BITS — is a pure function of the id order,
+    // however the stream is chopped into micro-batches, and redelivering
+    // any prefix changes nothing
+    (1 to 3).foreach { sample =>
+      val rnd = rng(testId = 5, sample)
+      val nCells = 3
+      val vecs = (0L until 36L).map(id =>
+        id -> Array.fill(4)((rnd.nextInt(9) - 4).toFloat))
+      def assigned(id: Long) = (id % nCells).toInt
+      def probed(id: Long) = Seq(assigned(id), ((id + 1) % nCells).toInt)
+      def queriesOf(id: Long, emb: Array[Float]) = probed(id).map(c =>
+        StreamOps.CellQuery(c, id, emb.toSeq, insert = c == assigned(id)))
+      val name = s"annprop$sample"
+      val input = MemoryStream[StreamOps.CellQuery](spark)
+      val q = StreamOps.annHits(input.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir(name))
+        .outputMode("update").start()
+      try {
+        var i = 0
+        var chunks = List.empty[Seq[StreamOps.CellQuery]]
+        while (i < vecs.length) {
+          val n = 1 + rnd.nextInt(7) // random batch boundaries
+          val chunk = vecs.slice(i, i + n)
+            .flatMap { case (id, e) => queriesOf(id, e) }
+          chunks ::= chunk
+          // shuffle WITHIN the batch: the processor must re-sort by id
+          input.addData(rnd.shuffle(chunk))
+          q.processAllAvailable()
+          i += n
+        }
+        // redeliver a random earlier batch wholesale
+        input.addData(chunks(rnd.nextInt(chunks.length)))
+        q.processAllAvailable()
+      } finally q.stop()
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { j => s += a(j).toDouble * b(j)
+          na += a(j).toDouble * a(j); nb += b(j).toDouble * b(j) }
+        s / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val want = (for {
+        (qid, qe) <- vecs
+        c <- probed(qid)
+        (oid, oe) <- vecs
+        if oid < qid && assigned(oid) == c
+      } yield (qid, oid, cos(qe, oe)))
+        .filterNot(_._3.isNaN) // an all-zero draw has no defined cosine
+        .map { case (q, o, c) =>
+          (q, o, java.lang.Double.doubleToLongBits(c)) }.toSet
+      val got = spark.table(name).as[StreamOps.AnnHit].collect()
+        .filterNot(_.cos.isNaN)
+        .map(h => (h.queryId, h.neighborId,
+          java.lang.Double.doubleToLongBits(h.cos))).toSet
+      assert(got == want, s"sample $sample: only-streamed ${got -- want}, " +
+        s"only-sequential ${want -- got}")
+    }
+  }
+
+  test("ChangelogCompact: any delivery order/batching, dups absorbed, snapshot exact") {
+    (1 to 3).foreach { sample =>
+      val rnd = rng(testId = 6, sample)
+      val log = (1L to 12L).flatMap { k =>
+        val m = 1 + rnd.nextInt(4)
+        (1 to m).map(s => StreamOps.CdcOp(k, s"S${k % 3}", s,
+          if (s == 1) "I" else if (rnd.nextInt(4) == 0) "D" else "U",
+          s"$k.$s"))
+      }
+      // arbitrary global order + injected duplicates
+      val withDups = rnd.shuffle(log ++ Seq.fill(10)(log(rnd.nextInt(log.length))))
+      val name = s"cdcprop$sample"
+      val input = MemoryStream[StreamOps.CdcOp](spark)
+      val q = StreamOps.compactChangelog(input.toDS())
+        .toDF().writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", tmpDir(name))
+        .outputMode("update").start()
+      try {
+        withDups.grouped(1 + rnd.nextInt(9)).foreach { chunk =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val emitted = spark.table(name).as[StreamOps.CdcOp].collect().toSeq
+      // no (k, seq) ever emits twice, duplicates notwithstanding
+      assert(emitted.map(r => (r.k, r.seq)).distinct.size == emitted.size,
+        s"sample $sample: duplicate emission in $emitted")
+      // the latest op always emits (it advances past anything delivered
+      // before it), so compacting the OUT topic recovers the true snapshot
+      val maxSeq = log.groupBy(_.k).map { case (k, ops) =>
+        k -> ops.map(_.seq).max }
+      val snapshot = emitted.groupBy(_.k).map { case (k, rows) =>
+        k -> rows.maxBy(_.seq) }
+      maxSeq.foreach { case (k, s) =>
+        assert(snapshot(k).seq == s && snapshot(k).op ==
+          log.find(r => r.k == k && r.seq == s).get.op,
+          s"sample $sample key $k: ${snapshot(k)} is not the latest op")
+      }
+    }
+  }
 }
