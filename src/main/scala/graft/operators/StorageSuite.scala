@@ -306,14 +306,18 @@ object StorageSuite {
         sum(col("d").cast(DecimalType(38, 0))).cast("string").as("checksum"))
   }
 
-  /** Multi-format source/sink round-trip: nation goes out as JSON lines,
-    * supplier as headered CSV (both executor-side writes), both come back
-    * through the text readers with EXPLICIT schemas (schema inference is
-    * a correctness lottery and a second full scan at 100 TB), and the
+  /** Multi-format source/sink round-trip, FIVE formats wide: nation goes
+    * out as JSON lines, supplier as headered CSV, customer as native ORC,
+    * orders as Avro (the row/wire format — BIGINT, VARCHAR, DOUBLE, and
+    * TIMESTAMP through Avro's micros logical type), and region as XML
+    * (the legacy-feed format, native in Spark 4) — all executor-side
+    * writes, all read back with EXPLICIT schemas (schema inference is a
+    * correctness lottery and a second full scan at 100 TB), and the
     * joined aggregate must equal the parquet-based oracle — which it can
-    * only do if every value survived the text round-trip exactly
-    * (doubles print shortest-round-trip and reparse bit-equal; a lossy
-    * formatter or parser fails the hash).
+    * only do if every value survived its round-trip exactly (doubles
+    * print shortest-round-trip and reparse bit-equal, the Avro timestamp
+    * is pinned by max(unix_micros); a lossy formatter or parser in ANY of
+    * the five fails its columns of the hash).
     */
   def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     // stable per-sf root + overwrite, like every other layout here: reruns
@@ -322,16 +326,26 @@ object StorageSuite {
     val n = Tables.nation(spark, dir)
     val s = Tables.supplier(spark, dir)
     val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val r = Tables.region(spark, dir)
     n.write.mode("overwrite").json(s"$root/nation_json")
     s.write.mode("overwrite").option("header", "true").csv(s"$root/supplier_csv")
-    // third format, columnar this time: native ORC (orc-core ships in
-    // /opt/spark/jars), doubles included — a broken ORC round trip fails
-    // the customer columns of the hash
     c.write.mode("overwrite").orc(s"$root/customer_orc")
+    // the short name "avro" is rejected by a registration check that
+    // expects the external spark-avro module, but this build's spark-sql
+    // jar SHIPS the FileFormat — address it by class and it runs fine
+    val avroFmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    o.write.mode("overwrite").format(avroFmt).save(s"$root/orders_avro")
+    r.write.mode("overwrite").format("xml").option("rowTag", "region")
+      .save(s"$root/region_xml")
     val nj = spark.read.schema(n.schema).json(s"$root/nation_json")
     val sc = spark.read.schema(s.schema).option("header", "true")
       .csv(s"$root/supplier_csv")
     val co = spark.read.schema(c.schema).orc(s"$root/customer_orc")
+    val oa = spark.read.schema(o.schema).format(avroFmt)
+      .load(s"$root/orders_avro")
+    val rx = spark.read.schema(r.schema).format("xml")
+      .option("rowTag", "region").load(s"$root/region_xml")
     val sAgg = sc.groupBy(col("s_nationkey").as("nationkey"))
       .agg(count(lit(1)).as("n_suppliers"),
         sum(col("s_acctbal").cast(DecimalType(18, 2))).cast("double")
@@ -340,11 +354,24 @@ object StorageSuite {
       .agg(count(lit(1)).as("n_customers"),
         sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double")
           .as("cust_bal"))
+    // orders reach the nation grain through the ORC customers — two
+    // round-tripped formats compose in one join path
+    val oAgg = oa.join(co.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("o_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("orders_total"),
+        max(unix_micros(col("o_orderdate"))).as("last_order_us"))
     nj.join(sAgg, col("n_nationkey") === col("nationkey"))
       .drop("nationkey")
       .join(cAgg, col("n_nationkey") === col("nationkey"))
-      .select(col("n_name"), col("n_suppliers"), col("total_bal"),
-        col("n_customers"), col("cust_bal"))
+      .drop("nationkey")
+      .join(oAgg, col("n_nationkey") === col("o_nationkey"))
+      .join(broadcast(rx), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"), col("n_suppliers"),
+        col("total_bal"), col("n_customers"), col("cust_bal"),
+        col("n_orders"), col("orders_total"), col("last_order_us"))
   }
 
   /** Corrupt-file tolerance + the loss AUDIT that must accompany it: a
@@ -671,11 +698,21 @@ object StorageSuite {
         |  SELECT c_nationkey AS nationkey, count(*) AS n_customers,
         |         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
         |           AS cust_bal
-        |  FROM customer GROUP BY 1)
-        |SELECT n_name, n_suppliers, total_bal, n_customers, cust_bal
+        |  FROM customer GROUP BY 1),
+        |o AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS orders_total,
+        |         max(epoch_us(o_orderdate)) AS last_order_us
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT n_name, r_name, n_suppliers, total_bal,
+        |       n_customers, cust_bal, n_orders, orders_total, last_order_us
         |FROM nation
         |JOIN s ON n_nationkey = s.nationkey
-        |JOIN c ON n_nationkey = c.nationkey""".stripMargin,
+        |JOIN c ON n_nationkey = c.nationkey
+        |JOIN o ON n_nationkey = o.nationkey
+        |JOIN region ON n_regionkey = r_regionkey""".stripMargin,
     "bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
