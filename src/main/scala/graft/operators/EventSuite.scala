@@ -498,6 +498,8 @@ object EventSuite {
     // harness's own driver-checked unit anchor
     "stream_topic_counts"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicCounts(s, d)),
+    "stream_avro_wire"     -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedAvroWire(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_dynamic_sessions" -> ((s: SparkSession, d: String) =>
@@ -743,6 +745,13 @@ object EventSuite {
     // Topic.sinkBatch, with a mid-stream consumer restart) must converge
     // to the identical batch answer: same oracle as page_counts
     "stream_topic_counts" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
+        |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // identical topology over the binary Avro wire — transport must not
+    // change the answer, so the oracle is stream_topic_counts' verbatim
+    "stream_avro_wire" ->
       """SELECT event_type,
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt

@@ -36,13 +36,19 @@ trait Topic {
   def sinkBatch(df: DataFrame, batchId: Long): Unit
 }
 
-final class FileTopic(val name: String, val schema: StructType, root: String)
+/** @param wireFormat any file-based datasource name or FileFormat class —
+  *   "json" (default; the reference's human-readable wire) or e.g. the
+  *   Avro FileFormat for a compact binary wire. The operator layer is
+  *   identical either way; that indifference is the Topic contract.
+  */
+final class FileTopic(val name: String, val schema: StructType, root: String,
+                      wireFormat: String = "json")
     extends Topic {
   val dir = s"$root/$name"
   new java.io.File(dir).mkdirs()
 
   override def append(df: DataFrame): Unit =
-    df.write.mode("append").json(dir)
+    df.write.mode("append").format(wireFormat).save(dir)
 
   /** Exactly-once under foreachBatch replay: each micro-batch lands in a
     * batchId-named subpath. A replayed batchId whose _SUCCESS marker exists
@@ -58,7 +64,7 @@ final class FileTopic(val name: String, val schema: StructType, root: String)
     val fs = marker.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker))
-      df.write.mode("overwrite").json(path)
+      df.write.mode("overwrite").format(wireFormat).save(path)
   }
 
   override def stream(spark: SparkSession): DataFrame =
@@ -68,12 +74,12 @@ final class FileTopic(val name: String, val schema: StructType, root: String)
       .option("maxFilesPerTrigger", 64)
       // batch subpaths from sinkBatch live one level down
       .option("recursiveFileLookup", "true")
-      .json(dir)
+      .format(wireFormat).load(dir)
 
   override def batch(spark: SparkSession): DataFrame =
     spark.read.schema(schema)
       .option("recursiveFileLookup", "true")
-      .json(dir)
+      .format(wireFormat).load(dir)
 }
 
 object Topics {

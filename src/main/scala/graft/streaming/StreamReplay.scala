@@ -422,6 +422,18 @@ object StreamReplay {
   def streamedTopicCounts(spark: SparkSession, dir: String): DataFrame =
     streamedTopicWindows(spark, dir, slide = None)
 
+  /** The IDENTICAL tumbling-count replay over an AVRO wire — the Topic
+    * swap-point demonstration: only the transport encoding changes
+    * (binary Avro container files instead of JSON lines), the topology,
+    * checkpointing, restart, and converged answer do not, and the row
+    * hash-matches stream_topic_counts' own oracle. The short name "avro"
+    * is module-gated in this build, so the FileFormat is addressed by
+    * class (same note as StorageSuite.formatRoundtrip).
+    */
+  def streamedAvroWire(spark: SparkSession, dir: String): DataFrame =
+    streamedTopicWindows(spark, dir, slide = None,
+      wireFormat = "org.apache.spark.sql.avro.AvroFileFormat")
+
   /** Sliding windows over the production source — the overlapping-window
     * variant of [[streamedTopicCounts]] (each event lands in
     * windowLen/slide windows, so the stateful agg carries overlapping
@@ -445,7 +457,8 @@ object StreamReplay {
   }
 
   private def streamedTopicWindows(spark: SparkSession, dir: String,
-                                   slide: Option[(String, String)]): DataFrame = {
+                                   slide: Option[(String, String)],
+                                   wireFormat: String = "json"): DataFrame = {
     import graft.model.PageEventCodec
     import graft.sources.{FileTopic, Topics}
     import org.apache.spark.sql.types._
@@ -467,8 +480,8 @@ object StreamReplay {
     val child = replaySession(spark, shufflePartitions = 8)
     val root = java.nio.file.Files.createTempDirectory("graft_topic")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_topic_ckpt")
-    val t2 = new FileTopic(Topics.T2, wireSchema, root.toString)
-    val t4 = new FileTopic(Topics.T4, outSchema, root.toString)
+    val t2 = new FileTopic(Topics.T2, wireSchema, root.toString, wireFormat)
+    val t4 = new FileTopic(Topics.T4, outSchema, root.toString, wireFormat)
     // one consumer incarnation: resume from the checkpointed offsets,
     // drain everything published so far into T4, stop
     def drain(): Unit = {

@@ -61,6 +61,9 @@ class CollectLintSpec extends SparkSpec {
       // and snapshots the converged counts locally so the temp dirs can
       // be deleted
       "stream_topic_counts",
+      // stream_avro_wire: the same replay over a binary Avro wire — the
+      // Topic swap-point demonstration, identical posture
+      "stream_avro_wire",
       "stream_topic_sessions",
       // stream_dynamic_sessions: the dynamic-gap sibling of
       // stream_topic_sessions — identical replay posture
