@@ -128,6 +128,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** kNN label propagation — the auto-labeling / weak-supervision pass a
+    * curation pipeline runs to extend a labeled seed set: each unlabeled
+    * vector takes the MAJORITY label of its k exact nearest labeled
+    * neighbors (cosine; vote ties break to the SMALLER label, fully
+    * deterministic), and the held-out true labels score the propagation
+    * per label — the accuracy table that decides whether the auto-labels
+    * are trustworthy enough to train on.
+    *
+    * Exactness: the same bit-exact cosine kernel as [[bruteForceTopK]];
+    * the k-boundary breaks ties on neighbor_id, votes on (count desc,
+    * label asc) — every step reproducible cross-engine. Scale shape: the
+    * fixture run broadcasts the query set as the exactness baseline; for
+    * corpus-sized unlabeled sets route candidate generation through the
+    * IVF probed-cell path ([[ivfTopKWith]]) and vote over its survivors —
+    * the vote/score half composes with either retrieval.
+    */
+  def knnLabel(pool: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    val topk = bruteForceTopK(pool, queries, k)
+    val votes = topk
+      .join(pool.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), "neighbor_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("n_label").as("pred_label"))
+    pred
+      .join(queries.select(col("vec_id").as("query_id"), col("label")),
+        "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("pred_label") === col("label"), 1L)), lit(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_vecs").cast("double"))
+          .as("accuracy"))
+  }
+
   /** Seeded hyperplane values — the ONE generator for the Spark plan
     * constants and the oracle-SQL literal embedding (SimilaritySuite): both
     * sides must see bit-identical doubles.

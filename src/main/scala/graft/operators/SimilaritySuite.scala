@@ -39,6 +39,16 @@ object SimilaritySuite {
   private val liTokens = 4
   private val liSubDim = 16
 
+  /** kNN label propagation scored on a held-out fifth of the corpus —
+    * see [[Similarity.knnLabel]]. vec_id % 5 == 0 plays the "unlabeled"
+    * set; the rest is the labeled pool.
+    */
+  def knnLabel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.knnLabel(emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      emb.filter(pmod(col("vec_id"), lit(5)) === 0), k = 5)
+  }
+
   /** Top-3 different-label neighbors per query — contrastive hard-negative
     * mining (see [[Similarity.hardNegatives]] for the semantics + scale
     * argument).
@@ -376,6 +386,7 @@ object SimilaritySuite {
     "matryoshka_rerank" -> (matryoshkaRerank _),
     "embed_topk"    -> (embedTopK _),
     "late_interaction" -> (lateInteraction _),
+    "knn_label"     -> (knnLabel _),
     "hard_negatives" -> (hardNegatives _),
     "stream_ann"    -> (streamAnn _),
     "embed_neardup" -> (embedNearDup _),
@@ -759,6 +770,36 @@ object SimilaritySuite {
     "embed_ivf" -> ivfOracle,
     "stream_ann" -> streamAnnOracle,
     "late_interaction" -> lateInteractionOracle,
+    // same bit-exact cosine + rank tie-breaks as embed_topk; vote ties
+    // break to the smaller label in both engines
+    "knn_label" ->
+      """WITH s AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |q AS (SELECT * FROM s WHERE vec_id % 5 = 0),
+        |p AS (SELECT * FROM s WHERE vec_id % 5 <> 0),
+        |topk AS (
+        |  SELECT q.vec_id AS query_id, q.label AS true_label,
+        |         p.label AS n_label,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(p.e, q.e) DESC,
+        |                    p.vec_id ASC) AS rnk
+        |  FROM p, q
+        |  QUALIFY rnk <= 5),
+        |votes AS (
+        |  SELECT query_id, true_label, n_label, count(*) AS votes
+        |  FROM topk GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT query_id, true_label, n_label AS pred_label FROM votes
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, n_label ASC) = 1)
+        |SELECT true_label AS label, count(*) AS n_vecs,
+        |       CAST(coalesce(sum(CASE WHEN pred_label = true_label
+        |         THEN 1 END), 0) AS BIGINT) AS n_correct,
+        |       CAST(coalesce(sum(CASE WHEN pred_label = true_label
+        |           THEN 1 END), 0) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM pred GROUP BY 1""".stripMargin,
     "embed_pq"  -> pqOracle,
     "embed_ivfpq" -> ivfPqOracle,
     "embed_neardup_lsh" -> nearDupLshOracle,

@@ -205,6 +205,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn label propagation: cluster-mates vote, ties break to smaller label") {
+    // labeled pool: two tight clusters around orthogonal axes
+    val pool = Seq(
+      (10L, Array(1f, 0f, 0.1f), 0), (11L, Array(1f, 0.1f, 0f), 0),
+      (12L, Array(0.9f, 0f, 0f), 0),
+      (20L, Array(0f, 1f, 0.1f), 7), (21L, Array(0.1f, 1f, 0f), 7),
+      (22L, Array(0f, 0.9f, 0f), 7)).toDF("vec_id", "embedding", "label")
+    // queries: one per cluster (true labels held out for scoring) and one
+    // equidistant tie case whose 2-2 vote must break to the SMALLER label
+    val queries = Seq(
+      (1L, Array(1f, 0.05f, 0f), 0),     // cluster-0 query, correct
+      (2L, Array(0.05f, 1f, 0f), 0),     // nearest cluster 7 -> wrong
+      (3L, Array(1f, 1f, 0f), 7)         // symmetric tie -> pred 0, wrong
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabel(pool, queries, k = 4)
+      .orderBy($"label").as[(Int, Long, Long, Double)].collect().toSeq
+    // true-label 0 queries: q1 right, q2 wrong -> 1/2; true-label 7: q3
+    // votes 2-2 between labels 0 and 7 (k=4 takes two per cluster), the
+    // tie breaks to label 0 -> wrong -> 0/1
+    assert(got == Seq((0, 2L, 1L, 0.5), (7, 1L, 0L, 0.0)),
+      s"accuracy table: $got")
+  }
+
   test("late interaction: MaxSim scores per-token maxima in fixed order") {
     // 2 tokens x 2 dims; hand-computable. Query [1,0 | 0,1]:
     //   doc 1 [1,0 | 0,1]  -> tok0 max 1, tok1 max 1        -> score 2
