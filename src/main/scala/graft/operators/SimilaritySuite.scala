@@ -379,9 +379,60 @@ object SimilaritySuite {
         (col("dot") / (col("norm_a") * col("norm_b"))).as("cosine"))
   }
 
+  /** Per-label representation-drift monitor — [[labelCentroids]]' kernel
+    * pointed at TIME instead of at label pairs: the corpus splits into an
+    * "old" and a "new" half (vec_id parity stands in for the snapshot
+    * boundary), and for every label present in both, the cosine between
+    * its two half-centroids says how far that label's representation
+    * moved between snapshots — the alarm a pipeline reads after an
+    * embedding-model upgrade or a source-mix shift (drift_cos ~1: stable;
+    * falling: that label's region of the space moved and downstream
+    * ANN/semdedup thresholds need recalibration). Same integer-domain
+    * exactness as labelCentroids: components lift to the 2^14-scaled long
+    * domain, sums are order-free, and the one cosine division is IEEE —
+    * bit-equal cross-engine. Same scale shape too: one posexplode scan to
+    * a (label, half, dim) aggregate, then arithmetic on a
+    * |labels| x 2 x dim table that fits anywhere.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables.embeddings(spark, dir))
+
+  /** The drift kernel over any (vec_id, embedding, label) frame — split
+    * out so SimilaritySpec can pin the exact-1.0 / exact-0.0 corners on
+    * crafted halves.
+    */
+  def embeddingDriftOf(emb: DataFrame): DataFrame = {
+    val comp = emb
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("half"), col("pos"),
+        round(col("v").cast("double") * lit(16384L)).cast("long").as("lv"))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(sum(col("lv")).as("s"))
+    val counts = emb.groupBy(col("label"))
+      .agg(coalesce(sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L)),
+          lit(0L)).as("n_old"),
+        coalesce(sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L)),
+          lit(0L)).as("n_new"))
+    val a = comp.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("s").as("sa"))
+    val b = comp.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("s").as("sb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum(col("sa") * col("sb")).cast("double").as("dot"),
+        sum(col("sa") * col("sa")).cast("double").as("na"),
+        sum(col("sb") * col("sb")).cast("double").as("nb"))
+      .join(counts, "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+          .as("drift_cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
     "label_centroids" -> (labelCentroids _),
+    "embedding_drift" -> (embeddingDrift _),
     "semdedup"       -> (semDedupSurvivors _),
     "matryoshka_rerank" -> (matryoshkaRerank _),
     "embed_topk"    -> (embedTopK _),
@@ -764,6 +815,36 @@ object SimilaritySuite {
         |JOIN norms na ON na.l = d.la
         |JOIN norms nb ON nb.l = d.lb
         |WHERE d.la < d.lb""".stripMargin,
+    // labelCentroids' integer-domain kernel split by vec_id parity; the
+    // inner join drops labels missing a half, exactly like the engine's
+    "embedding_drift" ->
+      """WITH comp AS (
+        |  SELECT label, vec_id % 2 AS half, i AS pos,
+        |         CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 16384e0)
+        |                  AS BIGINT)) AS BIGINT) AS s
+        |  FROM embeddings,
+        |       (SELECT unnest(range(1, (SELECT max(len(embedding))
+        |                                FROM embeddings) + 1)) AS i)
+        |  WHERE i <= len(embedding)
+        |  GROUP BY 1, 2, 3),
+        |cnt AS (
+        |  SELECT label,
+        |         CAST(coalesce(sum(CASE WHEN vec_id % 2 = 0 THEN 1 END), 0)
+        |           AS BIGINT) AS n_old,
+        |         CAST(coalesce(sum(CASE WHEN vec_id % 2 = 1 THEN 1 END), 0)
+        |           AS BIGINT) AS n_new
+        |  FROM embeddings GROUP BY 1),
+        |d AS (
+        |  SELECT a.label,
+        |         CAST(sum(a.s * b.s) AS DOUBLE) AS dot,
+        |         CAST(sum(a.s * a.s) AS DOUBLE) AS na,
+        |         CAST(sum(b.s * b.s) AS DOUBLE) AS nb
+        |  FROM comp a JOIN comp b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.half = 0 AND b.half = 1
+        |  GROUP BY 1)
+        |SELECT d.label, n_old, n_new,
+        |       dot / (sqrt(na) * sqrt(nb)) AS drift_cos
+        |FROM d JOIN cnt ON d.label = cnt.label""".stripMargin,
     "semdedup" -> semdedupOracle,
     "matryoshka_rerank" -> matryoshkaOracle,
     "embed_ann" -> annOracle,

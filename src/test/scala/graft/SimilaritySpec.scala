@@ -205,6 +205,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding drift: identical halves score 1, orthogonal halves 0") {
+    // label 1: both halves on the x-axis -> drift_cos exactly 1.0
+    // label 2: old half on x, new half on y -> exactly 0.0
+    // label 3: only an even (old) vec -> dropped (no new half to compare)
+    val emb = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(2f, 0f), 1),
+      (2L, Array(1f, 0f), 1), (3L, Array(1f, 0f), 1),
+      (4L, Array(1f, 0f), 2), (5L, Array(0f, 1f), 2),
+      (6L, Array(1f, 1f), 3)).toDF("vec_id", "embedding", "label")
+    val rows = graft.operators.SimilaritySuite.embeddingDriftOf(emb)
+      .orderBy($"label")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq((1, 2L, 2L, 1.0), (2, 1L, 1L, 0.0)),
+      s"drift table: $rows")
+  }
+
   test("knn label propagation: cluster-mates vote, ties break to smaller label") {
     // labeled pool: two tight clusters around orthogonal axes
     val pool = Seq(
