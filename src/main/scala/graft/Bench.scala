@@ -103,8 +103,11 @@ object Bench {
     * whose sf changed between records are incomparable and skipped.
     */
   def readPrevDetail(text: String, recordSf: String): Map[String, (Double, String)] = {
-    val row = """"([a-z0-9_]+)":\{"sec":([0-9.]+)([^}]*)\}""".r
-    val qsf = """"qsf":"([^"]+)"""".r
+    // whitespace-tolerant: a round-13 tooling pass committed a PRETTIFIED
+    // record and the strict regex silently parsed zero rows — drift gate
+    // vacuous for one run. Never let formatting disable the gate again.
+    val row = """"([a-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.]+)([^}]*)\}""".r
+    val qsf = """"qsf":\s*"([^"]+)"""".r
     row.findAllMatchIn(text).map { m =>
       val sf = qsf.findFirstMatchIn(m.group(3)).map(_.group(1)).getOrElse(recordSf)
       m.group(1) -> (m.group(2).toDouble, sf)

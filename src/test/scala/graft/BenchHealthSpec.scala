@@ -124,4 +124,27 @@ class BenchHealthSpec extends AnyFunSuite {
     // the jit "pass1"/"pass2" objects never match (they lack a "sec" key)
     assert(!m.contains("pass1"))
   }
+
+  test("readPrevDetail survives a prettified committed record") {
+    // round 13: a tooling pass committed an indent-formatted record and
+    // the strict regex parsed ZERO rows — the drift gate went vacuous for
+    // one run (drift.compared: 0). The parser must be whitespace-tolerant.
+    val pretty =
+      """{
+        | "sf": "sf0.1",
+        | "queries": {
+        |  "q_engine": {
+        |   "sec": 2.3,
+        |   "p1": 2.4
+        |  },
+        |  "stream_x": {
+        |   "sec": 1.1,
+        |   "qsf": "sf0.001"
+        |  }
+        | }
+        |}""".stripMargin
+    val m = Bench.readPrevDetail(pretty, "sf0.1")
+    assert(m("q_engine") == (2.3, "sf0.1"), s"parsed: $m")
+    assert(m("stream_x") == (1.1, "sf0.001"), s"parsed: $m")
+  }
 }
