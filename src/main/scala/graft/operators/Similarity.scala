@@ -68,6 +68,31 @@ object Similarity {
   def lateInteractionTopK(corpus: DataFrame, queries: DataFrame,
                           k: Int = 3, nTokens: Int = 4,
                           subDim: Int = 16): DataFrame = {
+    // the whole MaxSim score is ONE codegen'd projection per pair
+    // (graft.functions.MaxSim — see its scaladoc for the 16x-row /
+    // extra-aggregate cost of the exploded form it replaces, and
+    // MaxSimSpec for the bit-parity proof against that form)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.MaxSim.maxSim(col("embedding"), col("q_emb"),
+          nTokens, subDim).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The exploded/composed MaxSim — slice to token sub-vectors,
+    * 16x pair join, per-token max aggregate, fixed-order column sum.
+    * Kept as the independent reference implementation the native
+    * expression is bit-parity-tested against (MaxSimSpec); the shipped
+    * path is [[lateInteractionTopK]].
+    */
+  private[graft] def lateInteractionComposed(corpus: DataFrame,
+      queries: DataFrame, k: Int = 3, nTokens: Int = 4,
+      subDim: Int = 16): DataFrame = {
     def tokens(df: DataFrame, idAs: String, subAs: String,
                normAs: String): DataFrame = {
       val subs = array((0 until nTokens).map(i =>

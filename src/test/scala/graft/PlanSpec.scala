@@ -465,17 +465,22 @@ class PlanSpec extends SparkSpec {
       s"wedge/closure joins degraded to a pair-explosion plan:\n$plan")
   }
 
-  test("late_interaction broadcasts the query tokens and rank-limits per group") {
+  test("late_interaction: native MaxSim projection — no explode, no aggregate") {
     val plan = executedPlan(
       graft.operators.SimilaritySuite.queries("late_interaction")(spark, dir))
-    // the |queries| x nTokens side must broadcast against ONE corpus-token
-    // pass — a shuffled join would move the whole token projection
+    // the query side must broadcast against ONE corpus pass
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"),
-      s"query tokens must broadcast in:\n$plan")
+      s"query vectors must broadcast in:\n$plan")
     // per-query top-k caps partials before the final rank window
     assert(plan.contains("WindowGroupLimit"),
       s"top-k must partial-limit per partition in:\n$plan")
+    // the native expression computes the WHOLE score in the pair
+    // projection: any Generate (token explode) or HashAggregate (per-pair
+    // maxima reassembly) means the plan regressed to the 16x-row
+    // composed form (kept only as MaxSimSpec's parity reference)
+    assert(!plan.contains("Generate") && !plan.contains("HashAggregate"),
+      s"MaxSim must be one projection, not explode+aggregate:\n$plan")
   }
 
   test("k_anonymity explodes thresholds over the bounded class table only") {
