@@ -54,6 +54,7 @@ object GraftSession {
     // engine-native SQL functions (also injectable via GraftExtensions)
     graft.functions.DotProduct.register(spark)
     graft.functions.ShingleHash.register(spark)
+    graft.functions.MaxSim.register(spark)
     // engine optimizer rules (idempotent). ORDER MATTERS: the length guard
     // must be in place before SingleEval hoists the kernel out of the
     // filter/join condition — once hoisted, the filter references an

@@ -122,6 +122,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(ShingleHash.functionName),
       new ExpressionInfo(classOf[ShingleHash].getName, ShingleHash.functionName),
       ShingleHash.sqlBuilder))
+    e.injectFunction((FunctionIdentifier(MaxSim.functionName),
+      new ExpressionInfo(classOf[MaxSim].getName, MaxSim.functionName),
+      MaxSim.sqlBuilder))
     e.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
   }
 }

@@ -166,4 +166,26 @@ object MaxSim {
   def maxSim(d: Column, q: Column, nTokens: Int, subDim: Int): Column =
     GraftColumnBridge.column(MaxSim(GraftColumnBridge.expression(d),
       GraftColumnBridge.expression(q), nTokens, subDim))
+
+  val functionName = "max_sim"
+
+  /** SQL surface: `max_sim(d, q, nTokens, subDim)` — the token geometry
+    * must be INT literals (it is burned into the generated code, exactly
+    * like shingle width in `shingle_hashes`).
+    */
+  val sqlBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 4,
+      s"$functionName takes exactly 4 arguments (d, q, nTokens, subDim)")
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$functionName: $name must be an INT literal, got $other")
+    }
+    MaxSim(exprs(0), exprs(1), intLit(exprs(2), "nTokens"),
+      intLit(exprs(3), "subDim"))
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      functionName, sqlBuilder, "built-in")
 }

@@ -73,4 +73,31 @@ class MaxSimSpec extends SparkSpec {
     assert(java.lang.Double.longBitsToDouble(gen(4L)) == 2.0,
       "self MaxSim must be exactly nTokens")
   }
+
+  test("max_sim is SQL-callable, matches the Column API, rejects non-literal geometry") {
+    randomVecs(0xBEEFL, 8, 16).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("ms_vecs")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |       max_sim(b.embedding, a.embedding, 2, 8) AS s
+        |FROM ms_vecs a JOIN ms_vecs b ON a.vec_id <> b.vec_id""".stripMargin)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) =>
+        (a, b) -> java.lang.Double.doubleToLongBits(s) }.toMap
+    val df = spark.table("ms_vecs")
+    val viaCol = df.as("a")
+      .join(df.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("qa"), $"b.vec_id".as("qb"),
+        graft.functions.MaxSim.maxSim($"b.embedding", $"a.embedding", 2, 8)
+          .as("s"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) =>
+        (a, b) -> java.lang.Double.doubleToLongBits(s) }.toMap
+    assert(viaSql == viaCol, "SQL and Column APIs must agree to the bit")
+    // geometry must be literal — it is burned into the generated code
+    intercept[Exception] {
+      spark.sql("SELECT max_sim(embedding, embedding, CAST(rand()*2 AS INT), 8) FROM ms_vecs")
+        .collect()
+    }
+  }
 }
