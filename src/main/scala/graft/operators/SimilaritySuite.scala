@@ -101,6 +101,17 @@ object SimilaritySuite {
     graft.streaming.StreamReplay.streamedAnn(spark, dir,
       Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
 
+  /** Streaming retrieve-then-rerank: stream_ann's online retrieval with
+    * the native MaxSim late-interaction rerank in the SAME streaming
+    * query — see [[graft.streaming.StreamReplay.streamedRerank]]. Same
+    * seeded centroids as embed_ivf, same token geometry as
+    * late_interaction, so the oracle composes both literal sets.
+    */
+  def streamRerank(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.streamedRerank(spark, dir,
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe,
+      liTokens, liSubDim)
+
   private val pqSub = 4
   private val pqK = 16
 
@@ -440,6 +451,7 @@ object SimilaritySuite {
     "knn_label"     -> (knnLabel _),
     "hard_negatives" -> (hardNegatives _),
     "stream_ann"    -> (streamAnn _),
+    "stream_rerank" -> (streamRerank _),
     "embed_neardup" -> (embedNearDup _),
     "embed_neardup_lsh" -> (embedNearDupLsh _),
     "embed_ann"     -> (embedAnnTopK _),
@@ -679,6 +691,50 @@ object SimilaritySuite {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** Generated oracle for stream_rerank: streamAnnOracle's candidate CTEs
+    * (assign → probes → smaller-id candidates, same centroid literals)
+    * with the rank taken over the RERANK score — MaxSim rebuilt from
+    * token-slice cosines: per query token, greatest() of the `liTokens`
+    * doc-token cosines; the per-token maxima added in ascending token
+    * order, matching the native expression's `score += best` loop.
+    */
+  private def streamRerankOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    def slc(v: String, t: Int) =
+      s"list_slice($v, ${1 + liSubDim * t}, ${liSubDim * (t + 1)})"
+    val msim = (0 until liTokens).map { qt =>
+      val cands = (0 until liTokens).map(dt =>
+        s"list_cosine_similarity(${slc("a.e", dt)}, ${slc("p.qe", qt)})")
+      s"greatest(${cands.mkString(",\n                ")})"
+    }.mkString("\n           + ")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, e, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) <= $ivfProbe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         $msim AS score
+       |  FROM assign a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.vec_id < p.query_id)
+       |SELECT query_id, neighbor_id, score,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+       |FROM scored
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
   /** Generated oracle for embed_ivfpq: the ivfOracle cell-assign/probe
     * CTEs composed with the pqOracle reconstruction CTEs, all from the
     * same seeded literals; candidates come from probed cells, scores from
@@ -850,6 +906,7 @@ object SimilaritySuite {
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
     "stream_ann" -> streamAnnOracle,
+    "stream_rerank" -> streamRerankOracle,
     "late_interaction" -> lateInteractionOracle,
     // same bit-exact cosine + rank tie-breaks as embed_topk; vote ties
     // break to the smaller label in both engines

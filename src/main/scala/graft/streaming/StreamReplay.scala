@@ -2162,16 +2162,42 @@ object StreamReplay {
     */
   def streamedAnn(spark: SparkSession, dir: String,
                   centroids: Seq[Seq[Double]], nProbe: Int,
-                  k: Int = 3): DataFrame = {
+                  k: Int = 3): DataFrame =
+    streamedAnnCore(spark, dir, centroids, nProbe, k, rerank = None)
+
+  /** Streaming retrieve-then-rerank — [[streamedAnn]]'s online retrieval
+    * composed with the late-interaction SECOND stage, all inside the one
+    * streaming query: the cell-keyed index emits probed-cell candidates,
+    * two stream-STATIC joins attach both vectors from the embeddings
+    * table (the standard serving split — the index streams, the payload
+    * store is static), and the native codegen'd MaxSim expression scores
+    * each candidate pair in the streaming projection. Same restart +
+    * whole-quarter redelivery as the retrieval twin; the converged
+    * per-query top-k is ranked by the RERANK score, hash-matched against
+    * the generated oracle that recomputes candidates from the centroid
+    * literals and MaxSim from the token-slice cosines
+    * (SimilaritySuite.streamRerankOracle).
+    */
+  def streamedRerank(spark: SparkSession, dir: String,
+                     centroids: Seq[Seq[Double]], nProbe: Int,
+                     nTokens: Int, subDim: Int, k: Int = 3): DataFrame =
+    streamedAnnCore(spark, dir, centroids, nProbe, k,
+      rerank = Some((nTokens, subDim)))
+
+  private def streamedAnnCore(spark: SparkSession, dir: String,
+                              centroids: Seq[Seq[Double]], nProbe: Int,
+                              k: Int,
+                              rerank: Option[(Int, Int)]): DataFrame = {
     import graft.sources.FileTopic
     import org.apache.spark.sql.types._
     import graft.operators.Similarity
+    val scoreCol = if (rerank.isDefined) "score" else "cos"
     val wireSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
-      StructField("cos", DoubleType), StructField("rank", IntegerType)))
+      StructField(scoreCol, DoubleType), StructField("rank", IntegerType)))
     val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
     val emb = Tables.embeddings(child, dir)
       .select(col("vec_id"), col("embedding"))
@@ -2196,9 +2222,23 @@ object StreamReplay {
         .select(col("col.cell").as("cell"), col("vec_id").as("vecId"),
           col("embedding").as("emb"), (col("pos") === 0).as("insert"))
         .as[StreamOps.CellQuery]
-      val hits = StreamOps.annHits(routed).toDF()
+      val raw = StreamOps.annHits(routed).toDF()
         .select(col("queryId").as("query_id"),
           col("neighborId").as("neighbor_id"), col("cos"))
+      val hits = rerank match {
+        case Some((nt, sd)) =>
+          // in-stream rerank: stream-static joins attach the vectors,
+          // the native MaxSim expression scores inside the projection
+          raw.drop("cos")
+            .join(emb.select(col("vec_id").as("query_id"),
+              col("embedding").as("q_emb")), "query_id")
+            .join(emb.select(col("vec_id").as("neighbor_id"),
+              col("embedding").as("n_emb")), "neighbor_id")
+            .select(col("query_id"), col("neighbor_id"),
+              graft.functions.MaxSim.maxSim(col("n_emb"), col("q_emb"),
+                nt, sd).as(scoreCol))
+        case None => raw
+      }
       val q = hits.writeStream.outputMode("update")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
           out.sinkBatch(df, id))
@@ -2220,7 +2260,7 @@ object StreamReplay {
       drain() // incarnation 2
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
+        .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
       val rows = out.batch(child).distinct()
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= k)

@@ -90,6 +90,9 @@ class CollectLintSpec extends SparkSpec {
       // their probed IVF cells, cell-keyed ListState inverted index
       // (CellAnnIndex) with restart + whole-quarter redelivery
       "stream_ann",
+      // stream_rerank: stream_ann's retrieval composed with stream-static
+      // vector joins + the native MaxSim rerank projection, same posture
+      "stream_rerank",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered
