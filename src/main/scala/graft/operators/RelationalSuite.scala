@@ -1775,16 +1775,50 @@ object RelationalSuite {
     * broadcast. Output: one audit row (edges, oriented wedges,
     * triangles, closure rate).
     */
-  def triangleCoocc(spark: SparkSession, dir: String): DataFrame = {
+  /** Co-purchase edge list (pa < pb, co-occurring in >= 2 orders) —
+    * shared by [[triangleCoocc]] and [[graphReachability]] so the two
+    * graph queries provably analyze the same graph.
+    */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val lp = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val e = lp.as("a").join(lp.as("b"),
+    lp.as("a").join(lp.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select(col("pa"), col("pb"))
-    triangleCount(e)
+  }
+
+  def triangleCoocc(spark: SparkSession, dir: String): DataFrame =
+    triangleCount(copurchaseEdges(spark, dir))
+
+  /** Bounded-hop reachability over the co-purchase graph via Spark 4's
+    * RECURSIVE CTE (UnionLoopExec) — the SQL-surface recursion the
+    * engine's iterate-to-fixpoint kernels (Dedup.connectedComponents*)
+    * implement in the DataFrame API: BFS from the smallest node, every
+    * node's minimum hop count within 3 hops. The hop cap is what makes
+    * UNION ALL recursion terminate on a CYCLIC graph (and the honest
+    * scale note: path enumeration grows with degree^hops, so a 100 TB
+    * graph uses the label-flooding CC kernel — rounds shuffle a label
+    * per NODE, not a row per PATH; this query is the SQL-dialect surface
+    * over the bounded fixture graph, exactly like its recursive-CTE
+    * DuckDB oracle).
+    */
+  def graphReachability(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+    e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .createOrReplaceTempView("graft_reach_edges")
+    spark.sql(
+      """WITH RECURSIVE walk(node, hops) AS (
+        |  SELECT min(src) AS node, 0 AS hops FROM graft_reach_edges
+        |  UNION ALL
+        |  SELECT e.dst, w.hops + 1
+        |  FROM walk w JOIN graft_reach_edges e ON e.src = w.node
+        |  WHERE w.hops < 3)
+        |SELECT node, CAST(min(hops) AS INT) AS hops
+        |FROM walk GROUP BY node""".stripMargin)
   }
 
   /** Degree-oriented triangle kernel over an undirected edge list
@@ -1984,6 +2018,7 @@ object RelationalSuite {
     "stream_cdc"         -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedCdc(s, d)),
     "k_anonymity"        -> (kAnonymity _),
+    "graph_reachability" -> (graphReachability _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
     "q7_nation_volume"   -> (q7NationVolume _),
@@ -2093,6 +2128,26 @@ object RelationalSuite {
     // same support-thresholded co-purchase graph, same (degree, id)
     // orientation via row-value comparison; all-integer counts, one
     // IEEE division for the closure rate
+    // the same co-purchase edge CTE as triangle_coocc (shared engine
+    // kernel: copurchaseEdges), then the IDENTICAL bounded recursion
+    "graph_reachability" ->
+      """WITH RECURSIVE lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT a.p AS pa, b.p AS pb
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (
+        |  SELECT pa AS src, pb AS dst FROM e
+        |  UNION ALL SELECT pb, pa FROM e),
+        |walk(node, hops) AS (
+        |  SELECT min(src) AS node, 0 AS hops FROM und
+        |  UNION ALL
+        |  SELECT u.dst, w.hops + 1
+        |  FROM walk w JOIN und u ON u.src = w.node
+        |  WHERE w.hops < 3)
+        |SELECT node, CAST(min(hops) AS INT) AS hops
+        |FROM walk GROUP BY node""".stripMargin,
     "triangle_coocc" ->
       """WITH lp AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
