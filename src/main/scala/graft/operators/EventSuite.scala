@@ -500,6 +500,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicCounts(s, d)),
     "stream_avro_wire"     -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedAvroWire(s, d)),
+    "state_inspect"        -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspect(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_dynamic_sessions" -> ((s: SparkSession, d: String) =>
@@ -752,6 +754,14 @@ object EventSuite {
     // identical topology over the binary Avro wire — transport must not
     // change the answer, so the oracle is stream_topic_counts' verbatim
     "stream_avro_wire" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
+        |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // the checkpoint's RocksDB state read OFFLINE via format("statestore")
+    // must hold exactly the batch windowed counts (no watermark -> no
+    // eviction), so the oracle is again stream_topic_counts' verbatim
+    "state_inspect" ->
       """SELECT event_type,
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt

@@ -2269,6 +2269,68 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Offline checkpoint-state audit via Spark 4's STATE DATA SOURCE —
+    * the ops surface every production streaming deployment eventually
+    * needs: read a stopped (or live) query's checkpointed state store as
+    * a batch DataFrame, without the query. The reference topology's
+    * windowed count runs over the wire with NO watermark (update mode
+    * retains every window in state — deliberately, because here the
+    * checkpoint itself is the product under audit; the production
+    * posture keeps the watermark and audits only the live tail), the
+    * consumer RESTARTS mid-stream, and the final answer is read from
+    * `format("statestore")` — key.window/key.name/value.count decoded
+    * straight out of RocksDB files. It must equal the batch windowed
+    * count of the whole fixture (the page_counts/stream_topic_counts
+    * oracle verbatim): any row the state lost, duplicated, or
+    * mis-recovered across the restart is a hash mismatch.
+    */
+  def stateInspect(spark: SparkSession, dir: String): DataFrame = {
+    import graft.model.PageEventCodec
+    import graft.sources.{FileTopic, Topics}
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("name", StringType), StructField("user", StringType),
+      StructField("date", LongType), StructField("duration", DoubleType)))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("window_start", LongType),
+      StructField("cnt", LongType)))
+    val events = PageEventCodec.toWire(
+      Tables.events(spark, dir)
+        .select(col("event_type").as("name"),
+          concat(lit("U"), col("user_id")).as("user"),
+          col("ts").as("date"), col("value").as("duration")))
+    val (lo, hi) = timeBounds(events, s"$dir events (state audit wire)")
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_state")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_ckpt")
+    val t2 = new FileTopic(Topics.T2, wireSchema, root.toString)
+    def drain(): Unit = {
+      val keyed = PageViews.rekey(
+        PageViews.filterValid(PageEventCodec.fromWire(t2.stream(child)),
+          "duration"), "name", "date")
+      // no watermark, noop sink: nothing leaves the query — the
+      // checkpointed store IS the materialization being audited
+      val counts = keyed
+        .groupBy(window(col("date"), "5 seconds"), col("name"))
+        .agg(count(lit(1)).as("cnt"))
+      val q = counts.writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    try {
+      runQuartered(events, lo, hi, t2.append, () => drain())
+      val rows = child.read.format("statestore")
+        .option("path", ckpt.toString).load()
+        .select(col("key.name").as("event_type"),
+          col("key.window.start").cast("long").as("window_start"),
+          col("value.count").as("cnt"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Streaming CDC materialization — the batch `cdc_apply` run as a
     * production change-data feed, completing the table-stream duality
     * the reference is built on in the direction the other replays don't

@@ -64,6 +64,9 @@ class CollectLintSpec extends SparkSpec {
       // stream_avro_wire: the same replay over a binary Avro wire — the
       // Topic swap-point demonstration, identical posture
       "stream_avro_wire",
+      // state_inspect: replay posture, then the state-data-source batch
+      // read of the checkpoint (the audit is the whole point)
+      "state_inspect",
       "stream_topic_sessions",
       // stream_dynamic_sessions: the dynamic-gap sibling of
       // stream_topic_sessions — identical replay posture
