@@ -502,6 +502,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedAvroWire(s, d)),
     "state_inspect"        -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.stateInspect(s, d)),
+    "state_changelog"      -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateChangelog(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_dynamic_sessions" -> ((s: SparkSession, d: String) =>
@@ -762,6 +764,13 @@ object EventSuite {
     // must hold exactly the batch windowed counts (no watermark -> no
     // eviction), so the oracle is again stream_topic_counts' verbatim
     "state_inspect" ->
+      """SELECT event_type,
+        |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
+        |       count(*) AS cnt
+        |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // the store REBUILT from its own change feed (last update per key)
+    // must equal the store — and both equal the batch count
+    "state_changelog" ->
       """SELECT event_type,
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt

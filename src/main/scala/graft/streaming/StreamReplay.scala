@@ -2284,7 +2284,25 @@ object StreamReplay {
     * oracle verbatim): any row the state lost, duplicated, or
     * mis-recovered across the restart is a hash mismatch.
     */
-  def stateInspect(spark: SparkSession, dir: String): DataFrame = {
+  def stateInspect(spark: SparkSession, dir: String): DataFrame =
+    stateAuditCore(spark, dir, changeFeed = false)
+
+  /** The state CHANGE FEED as the audit surface — [[stateInspect]]'s
+    * sibling reading `readChangeFeed=true` from batch 0: every
+    * (batch_id, change_type, key, value) the store ever committed
+    * (changelog checkpointing is on, so this is the store's own
+    * replication log). The final state is RECONSTRUCTED from the feed —
+    * per key, the last committed update — and must hash-match the same
+    * batch oracle: a missing, duplicated, or mis-ordered changelog entry
+    * surfaces as a wrong reconstructed count. This is the primitive
+    * behind checkpoint replication/migration tooling: if the change feed
+    * can rebuild the store, it can ship it anywhere.
+    */
+  def stateChangelog(spark: SparkSession, dir: String): DataFrame =
+    stateAuditCore(spark, dir, changeFeed = true)
+
+  private def stateAuditCore(spark: SparkSession, dir: String,
+                             changeFeed: Boolean): DataFrame = {
     import graft.model.PageEventCodec
     import graft.sources.{FileTopic, Topics}
     import org.apache.spark.sql.types._
@@ -2321,8 +2339,25 @@ object StreamReplay {
     }
     try {
       runQuartered(events, lo, hi, t2.append, () => drain())
-      val rows = child.read.format("statestore")
-        .option("path", ckpt.toString).load()
+      val stateRows =
+        if (changeFeed) {
+          // rebuild the final store from its own changelog: per key, the
+          // LAST committed update wins (no deletes here — no watermark)
+          val feed = child.read.format("statestore")
+            .option("path", ckpt.toString)
+            .option("readChangeFeed", "true")
+            .option("changeStartBatchId", "0").load()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("key"))
+            .orderBy(col("batch_id").desc)
+          feed.filter(col("change_type") === "update")
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+        } else {
+          child.read.format("statestore")
+            .option("path", ckpt.toString).load()
+        }
+      val rows = stateRows
         .select(col("key.name").as("event_type"),
           col("key.window.start").cast("long").as("window_start"),
           col("value.count").as("cnt"))

@@ -67,6 +67,8 @@ class CollectLintSpec extends SparkSpec {
       // state_inspect: replay posture, then the state-data-source batch
       // read of the checkpoint (the audit is the whole point)
       "state_inspect",
+      // state_changelog: same posture, reading the change feed instead
+      "state_changelog",
       "stream_topic_sessions",
       // stream_dynamic_sessions: the dynamic-gap sibling of
       // stream_topic_sessions — identical replay posture

@@ -33,6 +33,20 @@ object ProbeState {
     val st = spark.read.format("statestore").option("path", ckpt.toString).load()
     st.printSchema()
     st.show(20, truncate = false)
+    // second batch so the change feed has more than one batch id
+    in.append(Seq(("a", 2500L), ("c", 1000L)).toDF("name", "date"))
+    val q2 = in.stream(spark)
+      .withColumn("ts", timestamp_millis(col("date")))
+      .groupBy(window(col("ts"), "5 seconds"), col("name"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", ckpt.toString).start()
+    q2.processAllAvailable(); q2.stop()
+    val cf = spark.read.format("statestore").option("path", ckpt.toString)
+      .option("readChangeFeed", "true").option("changeStartBatchId", "0")
+      .load()
+    cf.printSchema()
+    cf.show(30, truncate = false)
     spark.stop()
   }
 }
