@@ -1807,8 +1807,16 @@ object RelationalSuite {
     */
   def graphReachability(spark: SparkSession, dir: String): DataFrame = {
     val e = copurchaseEdges(spark, dir)
+    // CACHE the edge list: every UnionLoop iteration re-executes the
+    // recursive step's subtree, and without the cache that is the whole
+    // lineitem self-join edge derivation PER HOP (measured 13.0 s at
+    // sf0.1 vs ~3.5 s for triangle_coocc over the same edges). The cache
+    // is lazy (no job at construction — CollectLintSpec holds) and tiny
+    // (the support>=2 edge list), so it stays resident like the CC
+    // kernels' edge caches.
     e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+      .cache()
       .createOrReplaceTempView("graft_reach_edges")
     spark.sql(
       """WITH RECURSIVE walk(node, hops) AS (
