@@ -1805,8 +1805,14 @@ object RelationalSuite {
     * over the bounded fixture graph, exactly like its recursive-CTE
     * DuckDB oracle).
     */
-  def graphReachability(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdges(spark, dir)
+  def graphReachability(spark: SparkSession, dir: String): DataFrame =
+    graphReachabilityOf(spark, copurchaseEdges(spark, dir))
+
+  /** The bounded recursion over any (pa < pb) edge list — split out so
+    * GraphPropertySpec can parity-check it against an in-memory BFS on
+    * randomized graphs.
+    */
+  def graphReachabilityOf(spark: SparkSession, e: DataFrame): DataFrame = {
     // CACHE the edge list: every UnionLoop iteration re-executes the
     // recursive step's subtree, and without the cache that is the whole
     // lineitem self-join edge derivation PER HOP (measured 13.0 s at

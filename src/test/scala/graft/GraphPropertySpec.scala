@@ -158,4 +158,33 @@ class GraphPropertySpec extends SparkSpec {
     assert(kw == bruteTriangles(k5)._1 && kw == kt,
       s"K5 wedges must all close: $kw vs $kt")
   }
+
+  test("recursive-CTE reachability equals in-memory BFS on random graphs") {
+    (1 to 3).foreach { sample =>
+      val rnd = new scala.util.Random(0xB13F5L + sample)
+      val n = 10 + rnd.nextInt(6)
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextInt(5) == 0 // sparse: multiple components + cycles
+      } yield (a, b)).toSet
+      if (edges.nonEmpty) {
+        // reference BFS: min hops from the smallest endpoint, capped at 3
+        val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val seed = edges.flatMap(e => Seq(e._1, e._2)).min
+        val want = scala.collection.mutable.Map(seed -> 0)
+        var frontier = Seq(seed)
+        (1 to 3).foreach { h =>
+          frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+            .filterNot(want.contains).distinct
+          frontier.foreach(v => want(v) = h)
+        }
+        val got = RelationalSuite.graphReachabilityOf(spark,
+            edges.toSeq.toDF("pa", "pb"))
+          .as[(Long, Int)].collect().toMap
+        assert(got == want.toMap,
+          s"sample $sample (n=$n, |E|=${edges.size}): $got vs $want")
+      }
+    }
+  }
 }
