@@ -167,6 +167,72 @@ object EventSuite {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Cross-series co-movement — z-normalized Pearson correlation of every
+    * event-type PAIR over every aligned 24-hour window, top-20: the
+    * matrix-profile-family primitive ("which series move together, and
+    * when") that turns an event log into correlated-incident leads. Runs
+    * over the [[gapFill]] grid (correlation over a gappy series without
+    * the zero-filled buckets is a different, wrong statistic).
+    *
+    * Bit-exact by construction: every sufficient statistic
+    * (Σx, Σy, Σx², Σy², Σxy over the 24-hour frame) is an integer sum of
+    * integer counts — order-free — and r's numerator/denominator pieces
+    * (w·Σxy − Σx·Σy etc.) stay in exact long arithmetic well under 2^53
+    * before ONE double division over correctly-rounded sqrts, so both
+    * engines produce the identical double. Constant windows (zero
+    * variance) are excluded in the exact integer domain, never by an
+    * epsilon.
+    *
+    * Scale shape: the pair join is on the hour key (co-partitioned,
+    * |types|²/2 × |hours| rows — linear in the time span, never in the
+    * event count); ONE window pass computes all five frame sums; top-k is
+    * the WindowGroupLimit rank. At 100 TB the event scan dominates and
+    * happens once, in gapFill's hourly aggregate.
+    */
+  def tsComovement(spark: SparkSession, dir: String, w: Int = 24,
+                   k: Int = 20): DataFrame =
+    tsComovementOf(gapFill(spark, dir), w, k)
+
+  /** The correlation kernel over any gap-filled (event_type, hour_s, cnt)
+    * grid — split out so AuditSpec can pin the exact ±1.0 corners on
+    * crafted series.
+    */
+  def tsComovementOf(g: DataFrame, w: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = g.select(col("event_type").as("ta"), col("hour_s"),
+        col("cnt").as("x"))
+      .join(g.select(col("event_type").as("tb"), col("hour_s"),
+        col("cnt").as("y")), "hour_s")
+      .filter(col("ta") < col("tb"))
+    val series = Window.partitionBy(col("ta"), col("tb"))
+      .orderBy(col("hour_s"))
+    val frame = series.rowsBetween(-(w - 1), 0)
+    val stats = pairs
+      .withColumn("n", row_number().over(series))
+      .withColumn("sx", sum(col("x")).over(frame))
+      .withColumn("sy", sum(col("y")).over(frame))
+      .withColumn("sxx", sum(col("x") * col("x")).over(frame))
+      .withColumn("syy", sum(col("y") * col("y")).over(frame))
+      .withColumn("sxy", sum(col("x") * col("y")).over(frame))
+      .filter(col("n") >= w)
+      // zero-variance exclusion in the exact integer domain
+      .filter(lit(w.toLong) * col("sxx") =!= col("sx") * col("sx"))
+      .filter(lit(w.toLong) * col("syy") =!= col("sy") * col("sy"))
+    val num = (lit(w.toLong) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val vx = (lit(w.toLong) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val vy = (lit(w.toLong) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val scored = stats.select(col("ta"), col("tb"),
+      (col("hour_s") - lit(3600L * (w - 1))).as("window_start"),
+      (num / (sqrt(vx) * sqrt(vy))).as("corr"))
+    val rank = Window.orderBy(col("corr").desc, col("ta"), col("tb"),
+      col("window_start"))
+    scored.withColumn("rnk", row_number().over(rank).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Mergeable distinct-count rollup — the pre-aggregated cube pattern
     * that makes distinct counting tractable at 100 TB: the expensive scan
     * happens ONCE at the daily grain, producing per-(type, day) summaries
@@ -486,6 +552,8 @@ object EventSuite {
     "event_transitions"    -> (eventTransitions _),
     "mergeable_rollup"     -> (mergeableRollup _),
     "gap_fill"             -> (gapFill _),
+    "ts_comovement"        -> ((s: SparkSession, d: String) =>
+      tsComovement(s, d)),
     "retention_daily"      -> (retentionDaily _),
     "page_counts"          -> (pageCounts _),
     "stream_page_counts"   -> ((s: SparkSession, d: String) =>
@@ -703,6 +771,56 @@ object EventSuite {
         |FROM grid LEFT JOIN hourly
         |  ON grid.event_type = hourly.event_type
         | AND grid.hour_ts = hourly.hour_ts""".stripMargin,
+    // cross-series co-movement: integer sufficient statistics over the
+    // gap-filled grid, exact-integer zero-variance exclusion, ONE double
+    // division over correctly-rounded sqrts — bit-equal cross-engine
+    "ts_comovement" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT t.event_type, g.hour_ts
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       r, LATERAL (SELECT unnest(generate_series(r.lo, r.hi,
+        |                     INTERVAL 1 HOUR)) AS hour_ts) g),
+        |s AS (
+        |  SELECT grid.event_type,
+        |         CAST(epoch_us(grid.hour_ts) // 1000000 AS BIGINT) AS hour_s,
+        |         coalesce(cnt, 0) AS cnt
+        |  FROM grid LEFT JOIN hourly
+        |    ON grid.event_type = hourly.event_type
+        |   AND grid.hour_ts = hourly.hour_ts),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, a.hour_s,
+        |         a.cnt AS x, b.cnt AS y
+        |  FROM s a JOIN s b ON a.hour_s = b.hour_s
+        |   AND a.event_type < b.event_type),
+        |st AS (
+        |  SELECT ta, tb, hour_s,
+        |         row_number() OVER w2 AS n,
+        |         sum(x) OVER w1 AS sx, sum(y) OVER w1 AS sy,
+        |         sum(x * x) OVER w1 AS sxx, sum(y * y) OVER w1 AS syy,
+        |         sum(x * y) OVER w1 AS sxy
+        |  FROM p
+        |  WINDOW w1 AS (PARTITION BY ta, tb ORDER BY hour_s
+        |                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+        |         w2 AS (PARTITION BY ta, tb ORDER BY hour_s)),
+        |scored AS (
+        |  SELECT ta, tb, hour_s - 3600 * 23 AS window_start,
+        |         CAST(24 * sxy - sx * sy AS DOUBLE)
+        |           / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
+        |              * sqrt(CAST(24 * syy - sy * sy AS DOUBLE))) AS corr
+        |  FROM st
+        |  WHERE n >= 24
+        |    AND 24 * sxx <> sx * sx AND 24 * syy <> sy * sy)
+        |SELECT ta, tb, window_start, corr,
+        |       CAST(row_number() OVER (ORDER BY corr DESC, ta, tb,
+        |         window_start) AS INT) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 20""".stripMargin,
     // trailing-24h z-score: baseline sums are integer-exact; variance,
     // mean, z are the SAME IEEE expression tree on both engines
     // (BIGINT -> DOUBLE casts, one division each, correctly-rounded

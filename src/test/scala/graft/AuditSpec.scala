@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{RelationalSuite, TextSuite}
+import graft.operators.{EventSuite, RelationalSuite, TextSuite}
 
 /** Structural guarantees of the round-5 QA/governance operators
   * (passage_dedup, pii_scrub, price_outliers, table_profile). Cross-engine
@@ -183,6 +183,34 @@ class AuditSpec extends SparkSpec {
     assert(changed._3 != base("orders")._3,
       "a single-cell mutation must change the checksum")
     assert(changed._2 == base("orders")._2)
+  }
+
+  test("tsComovement: crafted series hit +1/-1 to the ulp, constants excluded") {
+    // a and b identical up to affine scale (corr +1); c is a's mirror
+    // (corr -1); d is constant (zero variance — excluded). The integer
+    // statistics are exact, but corr passes through sqrt(v)^2 which can
+    // land an ulp off v — so the corners are pinned to a 2-ulp band, not
+    // bitwise (cross-engine bitwise equality is the ORACLE's job: both
+    // engines run the identical expression)
+    val hours = (0L until 8L).map(_ * 3600L)
+    val base = Seq(1L, 5L, 2L, 7L, 3L, 9L, 4L, 6L)
+    val grid = hours.zip(base).flatMap { case (h, v) =>
+      Seq(("a", h, v), ("b", h, 2 * v + 10), ("c", h, 20 - v), ("d", h, 4L))
+    }.toDF("event_type", "hour_s", "cnt")
+    val got = EventSuite.tsComovementOf(grid, w = 4, k = 100)
+      .select($"ta", $"tb", $"corr")
+      .as[(String, String, Double)].collect().toSeq
+    assert(got.nonEmpty && !got.exists(r => r._1 == "d" || r._2 == "d"),
+      s"constant series must be excluded: $got")
+    got.filter(r => r._1 == "a" && r._2 == "b").foreach { r =>
+      assert(math.abs(r._3 - 1.0) <= 5e-16,
+        s"affine twin must correlate 1.0 to the ulp: $r") }
+    got.filter(r => r._1 == "a" && r._2 == "c").foreach { r =>
+      assert(math.abs(r._3 + 1.0) <= 5e-16,
+        s"mirror must correlate -1.0 to the ulp: $r") }
+    assert(got.exists(r => r._1 == "a" && r._2 == "b") &&
+      got.exists(r => r._1 == "a" && r._2 == "c"),
+      s"expected a-b and a-c windows present: $got")
   }
 
   test("kAnonymity: exact class accounting on crafted sizes, monotone in k") {
