@@ -19,32 +19,57 @@ object Bench {
   final case class QStat(sec: Double, gc: Double, jit: Double, cls: Long,
                          startMs: Long, load: Double, ok: Boolean = true)
 
-  /** One anomaly's attribution after the isolated p3 re-run (round-10
-    * verdict ask #1): `transient` when the re-run lands back at pass-1
-    * level under the same thresholds that flagged it.
+  /** One elevated row's attribution after the isolated p3 re-run
+    * (round-10 verdict ask #1, widened by round-13 ask #2): `transient`
+    * when the re-run lands back at pass-1 level under the ELEVATED
+    * thresholds; `severe` marks the strict-anomaly tier (the only tier
+    * that can flip the record unhealthy on its own).
     */
   final case class Verdict(name: String, idx: Int, p1: Double, p2: Double,
-                           p3: Option[Double], transient: Boolean)
+                           p3: Option[Double], transient: Boolean,
+                           severe: Boolean)
 
-  /** Tri-state record health (ADVICE r10): "ok" (clean, or every anomaly
-    * attributed transient by its p3 re-run), "external" (contiguous
-    * contention band — the machine, not the engine), "unhealthy"
-    * (reproducible warm regression or an unexplained pass-2 blowup).
-    * `headlinePass` is the pass the published headline binds to — pass 2
-    * only when pass 2 is clean, else the cold-but-uncontaminated pass 1 —
-    * so ok:true never accompanies a knowingly contaminated headline.
+  /** Tri-state record health (ADVICE r10): "ok" (clean, or every flagged
+    * row attributed by its p3 re-run), "external" (contiguous contention
+    * band — the machine, not the engine), "unhealthy" (reproducible
+    * severe warm regression or an unexplained pass-2 blowup).
+    *
+    * HEADLINE METRIC IS PINNED TO PASS 2 (round-13 verdict ask #3): the
+    * r13 record silently switched the headline pass1↔pass2 via the old
+    * fallback, breaking the cross-round series. The warm pass is the
+    * plan-quality signal and stays the headline unconditionally; both
+    * raw pass walls are always published top-level, contamination is
+    * expressed via `status` + `pass2_adjusted_sec` instead of a metric
+    * switch, and BenchHealthSpec pins the constant.
     */
   final case class Health(verdicts: Seq[Verdict], band: Boolean,
                           status: String, headlinePass: Int, pass2Adj: Double) {
     def ok: Boolean = status != "unhealthy"
-    def reproducible: Seq[Verdict] = if (band) Nil else verdicts.filterNot(_.transient)
+    def reproducible: Seq[Verdict] =
+      if (band) Nil else verdicts.filterNot(_.transient)
   }
 
-  /** A pass-2 anomaly: >3x its own pass-1 time, >1 s absolute excess, and
-    * near-zero pass-2 JIT/class-load so codegen-cache misses are ruled out.
+  /** The pinned headline pass — see [[Health]]. */
+  val headlineMetric: String = "pass2"
+
+  /** A SEVERE pass-2 anomaly: >3x its own pass-1 time, >1 s absolute
+    * excess, and near-zero pass-2 JIT/class-load so codegen-cache misses
+    * are ruled out.
     */
   def anomalous(s1: QStat, s2: QStat): Boolean =
     s2.sec > 3 * s1.sec && s2.sec - s1.sec > 1.0 && s2.jit < 0.5 && s2.cls < 500
+
+  /** An ELEVATED pass-2 row (round-13 verdict ask #2): >1.5x its pass-1
+    * time with >1 s absolute excess. EVERY such row gets an isolated p3
+    * re-run and a recorded transient/reproducible verdict — r13 shipped
+    * stream_zscore/fk_audit/stream_backfill_union inflated pass-2 with no
+    * attribution because only the severe tier triggered re-runs. No
+    * jit/cls exemption: a codegen-cache miss explains the slowness, but
+    * the re-run (which hits the now-warm cache) attributes it measurably
+    * instead of by inference.
+    */
+  def elevated(s1: QStat, s2: QStat): Boolean =
+    s2.sec > 1.5 * s1.sec && s2.sec - s1.sec > 1.0
 
   /** Pure health classification over both passes + the isolated p3 re-runs
     * (seconds, keyed by query name). Kept free of measurement side effects
@@ -52,27 +77,29 @@ object Bench {
     */
   def classify(stats: Seq[(String, QStat, QStat)],
                p3: Map[String, Double]): Health = {
-    val anomalies = stats.zipWithIndex.collect {
-      case (((n, s1, s2)), i) if anomalous(s1, s2) => (n, i)
+    val flagged = stats.zipWithIndex.collect {
+      case (((n, s1, s2)), i) if elevated(s1, s2) => (n, i)
     }
     // external CPU contention hits whichever queries run during its
-    // wall-clock window, so >=3 anomalies packed into one run-order band
-    // classify as external; scattered anomalies are the engine's problem
-    val band = anomalies.size >= 3 && {
-      val idx = anomalies.map(_._2)
-      (idx.max - idx.min + 1) <= math.ceil(1.5 * anomalies.size).toInt
+    // wall-clock window, so >=3 elevated rows packed into one run-order
+    // band classify as external; scattered rows are the engine's problem
+    val band = flagged.size >= 3 && {
+      val idx = flagged.map(_._2)
+      (idx.max - idx.min + 1) <= math.ceil(1.5 * flagged.size).toInt
     }
-    val verdicts = anomalies.map { case (n, i) =>
-      val s1 = stats(i)._2.sec
-      val s2 = stats(i)._3.sec
+    val verdicts = flagged.map { case (n, i) =>
+      val s1 = stats(i)._2
+      val s2 = stats(i)._3
       val t3 = p3.get(n)
-      // same thresholds as detection: the re-run is "back at pass-1 level"
-      // iff it would NOT have been flagged against p1
-      val transient = t3.exists(t => t <= 3 * s1 || t - s1 <= 1.0)
-      Verdict(n, i, s1, s2, t3, transient)
+      // elevated thresholds for exoneration: the re-run is "back at
+      // pass-1 level" iff it would NOT have been flagged against p1
+      val transient = t3.exists(t => t <= 1.5 * s1.sec || t - s1.sec <= 1.0)
+      Verdict(n, i, s1.sec, s2.sec, t3, transient,
+        severe = anomalous(s1, s2))
     }
-    val reproducible = if (band) Nil else verdicts.filterNot(_.transient)
-    // Pass-ratio check on the EXONERATED pass-2 total: transient anomalies'
+    val reproducibleSevere =
+      if (band) Nil else verdicts.filter(v => !v.transient && v.severe)
+    // Pass-ratio check on the EXONERATED pass-2 total: transient rows'
     // p2 contributions are replaced by their isolated p3 re-measurements,
     // so a single 18 s one-off can't fail the ratio gate on its own — but
     // a broad un-attributed slowdown still does.
@@ -83,17 +110,14 @@ object Bench {
     }.sum
     val pass2Adj = pass2Total - exoneratedExcess
     val status =
-      if (reproducible.nonEmpty) "unhealthy"
+      if (reproducibleSevere.nonEmpty) "unhealthy"
       else if (band) "external"
       else if (pass2Adj > 1.2 * pass1Total) "unhealthy"
       else "ok"
-    // HEADLINE FALLBACK (ADVICE r10): a banded or anomalous pass 2 is a
-    // real wall some run produced, but not a number that describes the
-    // ENGINE — the headline falls back to the pass-1 wall and the record
-    // says so via "queries_metric"/"headline_pass", closing the round-9/10
-    // trap of cross-round tooling silently mis-joining different metrics.
-    val headlinePass = if (anomalies.isEmpty && !band) 2 else 1
-    Health(verdicts, band, status, headlinePass, pass2Adj)
+    // headlinePass is CONSTANT 2 (pinned metric — see Health's scaladoc);
+    // kept as a field so the record keeps publishing which pass the
+    // numbers bind to.
+    Health(verdicts, band, status, headlinePass = 2, pass2Adj)
   }
 
   /** Cross-round drift baseline (round-11 verdict ask #6): the per-query
@@ -345,10 +369,13 @@ object Bench {
     // contaminated walls (review finding, round 11). Only re-runs that
     // actually COMPLETED feed classification: a crashed re-run's wall is
     // not evidence the query recovered.
+    // round-13 verdict ask #2: EVERY elevated row (p2 > 1.5x p1, >1 s
+    // excess) re-runs, not just the severe tier; cap raised 8 -> 12 to
+    // cover the widened detector (a >12-row storm is a band or collapse)
     val preBand = classify(stats, Map.empty).band
     val p3 = if (preBand) Map.empty[String, QStat] else stats.zipWithIndex
-      .collect { case ((n, s1, s2), _) if anomalous(s1, s2) => n }
-      .take(8)
+      .collect { case ((n, s1, s2), _) if elevated(s1, s2) => n }
+      .take(12)
       .map(n => n -> measure("3", n, selected(n)))
       .toMap
     val hc = classify(stats,
@@ -394,6 +421,7 @@ object Bench {
         if (band) "external_band"
         else if (v.transient) "transient"
         else "reproducible"
+      def severeOf(v: Verdict): String = if (v.severe) "true" else "false"
       val byName = verdicts.map(v => v.name -> v).toMap
       val detail = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
         val extra = (byName.get(n), p3.get(n)) match {
@@ -424,26 +452,21 @@ object Bench {
       val anomalyJson = verdicts.map { v =>
         f"""{"name":"${v.name}","p1":${v.p1}%.3f,"p2":${v.p2}%.3f""" +
           v.p3.map(t => f""","p3":$t%.3f""").getOrElse("") +
-          s""","verdict":"${verdictOf(v)}"}"""
+          s""","severe":${severeOf(v)},"verdict":"${verdictOf(v)}"}"""
       }.mkString("[", ",", "]")
       val health = s"""{"status":"$status","ok":$healthOk,""" +
         f""""pass_ratio":${passTotals.last / passTotals.head}%.2f,""" +
+        f""""pass_ratio_adjusted":${pass2Adj / passTotals.head}%.2f,""" +
         f""""pass2_adjusted_sec":$pass2Adj%.1f,""" +
         s""""anomalies":$anomalyJson,"contiguous_band":$band,""" +
         s""""headline_pass":$headlinePass}"""
-      // round-12 attribution of the round-11 1.22x shared-query drift
-      // (verdict ask #1), carried in the record so cross-round readers
-      // see the cause next to the numbers it explains
-      val note = "round-13 drift attribution: q18_large_orders flagged " +
-        "1.87x vs the early-round-13 record (0.677 -> 1.27 s in-suite); " +
-        "isolated SPARK_GRAFT_ONLY re-runs at BOTH the record commit " +
-        "(3f8e942: 1.11 s) and HEAD (1.14 s) agree within 2% — the " +
-        "committed 0.677 was a favorable-conditions in-suite min, not a " +
-        "baseline this code ever beat in isolation; no code change. " +
-        "(round-11 precedent: the same isolated-A/B recipe attributed " +
-        "that round's 1.22x shared-query drift to replay-row JIT/class " +
-        "churn, fixed via replay_sf.)"
+      // per-round attribution notes, carried in the record so cross-round
+      // readers see the cause next to the numbers it explains
+      val note = "round-14 attributions pending isolated A/B re-runs " +
+        "(embed_ivfpq drift flag, embed_pq/embed_neardup_lsh LSH-reshape " +
+        "cost) — updated in this field before the round-14 bench lands."
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
+        s""""headline":"$headlineMetric",""" +
         f""""queries_metric":"pass$headlinePass",""" +
         s""""note":"$note",""" +
         s""""replay_sf":"${new java.io.File(replaySfDir).getName}",""" +
@@ -482,12 +505,14 @@ object Bench {
       val jitSec = passJit.map(j => f"${j._1}%.1f").mkString("[", ",", "]")
       val health = s"""{"status":"$status","ok":$healthOk,""" +
         f""""pass_ratio":${passTotals.last / passTotals.head}%.2f,""" +
+        f""""pass_ratio_adjusted":${pass2Adj / passTotals.head}%.2f,""" +
         s""""anomalies":${verdicts.size},""" +
         s""""transient":${verdicts.count(_.transient)},""" +
         s""""reproducible":${reproducible.size},"contiguous_band":$band,""" +
         s""""drift_flagged":$driftFlagged}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
         s""""replay_sf":"${new java.io.File(replaySfDir).getName}",""" +
+        s""""headline":"$headlineMetric",""" +
         s""""queries_metric":"pass$headlinePass","queries":$qs$omitted,""" +
         s""""gc_sec":${f"$gcTotal%.2f"},"pass_sec":[${f"${passTotals.head}%.1f"},""" +
         s"""${f"${passTotals.last}%.1f"}],"jit_sec":$jitSec,""" +

@@ -349,15 +349,30 @@ object Dedup {
   // Every in-tree caller holds session conf fixed for the JVM lifetime
   // (GraftSession.tune runs once); a conf-mutating caller must key a
   // fresh parent session instead of mutating a cached one.
+  //
+  // WEAK-keyed on the parent session (ADVICE r13): a strong-keyed map
+  // would pin every parent (and its children, with their conf snapshots)
+  // for the JVM lifetime — the exact leak componentEdgeCaches' WeakHashMap
+  // already avoids. The inner per-partitions map is a plain HashMap
+  // guarded by the same lock (child construction is cheap and rare, so
+  // coarse synchronization costs nothing).
   private val roundSessionCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, Int),
-      org.apache.spark.sql.SparkSession]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.util.HashMap[Int, org.apache.spark.sql.SparkSession]]())
 
   private[graft] def roundScopedSession(parent: org.apache.spark.sql.SparkSession,
                                  partitions: Int): org.apache.spark.sql.SparkSession =
     if (partitions <= 0) parent
-    else roundSessionCache.computeIfAbsent((parent, partitions), _ => {
+    else roundSessionCache.synchronized {
+      roundSessionCache
+        .computeIfAbsent(parent, _ => new java.util.HashMap[Int,
+          org.apache.spark.sql.SparkSession]())
+        .computeIfAbsent(partitions, _ => buildRoundSession(parent, partitions))
+    }
+
+  private def buildRoundSession(parent: org.apache.spark.sql.SparkSession,
+                                partitions: Int): org.apache.spark.sql.SparkSession = {
       val child = parent.newSession()
       parent.conf.getAll.foreach { case (k, v) =>
         try child.conf.set(k, v)
@@ -380,7 +395,7 @@ object Dedup {
       child.conf.set(
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "false")
       child
-    })
+  }
 
   def connectedComponents(pairs: DataFrame, iters: Int = 6,
                           aCol: String = "doc_a", bCol: String = "doc_b",

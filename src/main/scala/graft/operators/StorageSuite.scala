@@ -430,17 +430,23 @@ object StorageSuite {
     * reintroduces the per-call child-session codegen/JIT churn the
     * replay harness already eliminated (StreamReplay.replaySession).
     */
+  // WEAK-keyed on the parent (ADVICE r13): a strong key would pin parent
+  // and child sessions for the JVM lifetime — same pattern as
+  // Dedup.componentEdgeCaches / roundSessionCache.
   private val pushdownSessionCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   private def pushdownSession(spark: SparkSession): SparkSession =
-    pushdownSessionCache.computeIfAbsent(spark, parent => {
-      val child = parent.newSession()
-      child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-      child.conf.set("spark.sql.sources.useV1SourceList",
-        "avro,csv,json,kafka,orc,text")
-      child
-    })
+    pushdownSessionCache.synchronized {
+      pushdownSessionCache.computeIfAbsent(spark, parent => {
+        val child = parent.newSession()
+        child.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        child.conf.set("spark.sql.sources.useV1SourceList",
+          "avro,csv,json,kafka,orc,text")
+        child
+      })
+    }
 
   /** Parquet AGGREGATE pushdown — COUNT/MIN/MAX answered from row-group
     * FOOTER STATISTICS without decoding a single data page: at 100 TB a

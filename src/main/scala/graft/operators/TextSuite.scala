@@ -915,6 +915,60 @@ object TextSuite {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Inverted-index lexical retrieval — the query→document search half of
+    * a retrieval pipeline (tfidf_top_terms ranks terms WITHIN a doc; this
+    * ranks DOCS for a query): each query's terms probe the postings list
+    * and documents score by Σ tf(doc,t)·idf(t), top-k per query. Docs 0-4
+    * stand in for the query set (the hard_negatives convention). Terms
+    * are word 3-GRAM SHINGLES, not unigrams: the fixture vocabulary is
+    * ~31 words with df near N (and natural-language unigrams are mostly
+    * stopwords), so unigram scoring carries no signal — shingles are the
+    * unit lexical near-dup retrieval actually keys on (same unit as the
+    * decontamination family; its oracle's injectivity note applies: the
+    * shingle → 64-bit-hash map is injective at fixture scale, so hash-
+    * shingle counts equal the oracle's string-shingle counts).
+    *
+    * Determinism: idf is FIXED-POINT — w(t) = (1e6 · N) div df(t), exact
+    * integer division — so the document score is an associative BIGINT
+    * sum, bit-identical on any engine and any execution order (a
+    * floating log-idf would make the sum order-dependent; at this grain
+    * the linear-inverse-df quantization ranks equivalently and every
+    * engine agrees bitwise). Headroom: score ≤ Σtf · 1e6·N, inside int64
+    * for any df ≥ 1 corpus up to ~10^9 docs × 10^3-shingle queries; a
+    * larger deployment drops SCALE (coarser idf ulp, same algorithm).
+    *
+    * Scale shape: postings build is the one corpus scan + two map-side-
+    * combined aggs (shuffles carry (doc_id, hash) pairs, never text);
+    * the query shingle set broadcasts (queries are human-sized, the
+    * corpus is not); shingles with df·4 > N are DROPPED — the stopword
+    * cap that bounds how much of the postings one query term can touch
+    * (a boilerplate shingle's posting list is corpus-sized; no relevance
+    * signal lives there). Final per-query top-k is a per-partition-
+    * limited rank, never a global sort.
+    */
+  def lexicalRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(shingleHashes(col("text"), 3)).as("h"))
+    val tf = sh.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val queries = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("h")).distinct()
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "h")
+      .join(broadcast(queries), "h")
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 4 <= col("n_docs"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("tf * ((1000000 * n_docs) div df)")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Graded n-gram decontamination — the overlap-FRACTION variant of
     * `decontaminate`. Absolute hit counts (n_hits >= 8) treat a 40-word
     * doc and a 4000-word doc alike; real benchmark-contamination audits
@@ -1198,6 +1252,7 @@ object TextSuite {
     "edit_distance_near" -> (editDistanceNear _),
     "ngram_novelty"   -> (ngramNovelty _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "lexical_retrieval" -> ((s: SparkSession, d: String) => lexicalRetrieval(s, d)),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1450,6 +1505,35 @@ object TextSuite {
         |           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    // query→document retrieval over word-3-gram shingle postings:
+    // fixed-point idf w = (1e6·N) div df (exact integer division),
+    // boilerplate cap df·4 <= N, score = BIGINT sum — both engines
+    // bit-identical; string shingles here equal the engine's hashed
+    // shingles by the decontaminate oracle's injectivity note
+    "lexical_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(t)) FROM toks) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
+        |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |q AS (SELECT DISTINCT doc_id AS query_id, s FROM sh WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST(sum(tf.tf * ((1000000 * n.n_docs) // df.df)) AS BIGINT)
+        |           AS score
+        |  FROM q JOIN tf USING (s) JOIN df USING (s) CROSS JOIN n
+        |  WHERE df.df * 4 <= n.n_docs
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
     "text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

@@ -762,9 +762,15 @@ object StreamOps {
         TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[CdcOp],
                                  timers: TimerValues): Iterator[CdcOp] = {
+      // CONTRACT: sequences are per-key monotone and START AT 1 — the
+      // no-state sentinel below is 0, so a seq <= 0 op would be silently
+      // dropped as stale instead of applied (ADVICE r13). Enforced, not
+      // just documented: a feed violating it fails loudly here.
       var cur = if (applied.exists()) applied.get() else 0
       val out = scala.collection.mutable.ArrayBuffer.empty[CdcOp]
       rows.toArray.sortBy(_.seq).foreach { r =>
+        require(r.seq > 0,
+          s"ChangelogCompact requires seq >= 1 (key=$key got ${r.seq})")
         if (r.seq > cur) { out += r; cur = r.seq }
       }
       if (out.nonEmpty) applied.update(cur)

@@ -26,22 +26,23 @@ class BenchHealthSpec extends AnyFunSuite {
     assert(h.verdicts.isEmpty && !h.band)
   }
 
-  test("single anomaly exonerated by p3: ok, but headline falls back to pass 1") {
+  test("single anomaly exonerated by p3: ok; headline metric stays pinned to pass 2") {
     // the unpivot_metrics shape: 1 s -> 18.7 s with jit/cls ~ 0
     val h = classify(stats(10, Map(4 -> 18.7)), Map("q04" -> 1.1))
-    assert(h.verdicts.size == 1 && h.verdicts.head.transient)
+    assert(h.verdicts.size == 1 && h.verdicts.head.transient &&
+      h.verdicts.head.severe)
     assert(h.status == "ok" && h.ok)
-    // pass 2 contained a (cleared) anomaly: its wall is still contaminated,
-    // so the published headline must NOT bind to it
-    assert(h.headlinePass == 1)
+    // headline is PINNED (round-13 verdict ask #3): contamination is
+    // expressed via pass2Adj/status, never by switching the metric
+    assert(h.headlinePass == 2)
     // exonerated ratio: 9x1 + 1.1 vs 10 -> no blowup
     assert(math.abs(h.pass2Adj - 10.1) < 1e-9)
   }
 
-  test("anomaly reproduced by p3: unhealthy") {
+  test("severe anomaly reproduced by p3: unhealthy") {
     val h = classify(stats(10, Map(4 -> 18.7)), Map("q04" -> 17.9))
     assert(h.verdicts.size == 1 && !h.verdicts.head.transient)
-    assert(h.status == "unhealthy" && !h.ok && h.headlinePass == 1)
+    assert(h.status == "unhealthy" && !h.ok && h.headlinePass == 2)
   }
 
   test("anomaly with NO p3 measurement stays unattributed = unhealthy") {
@@ -49,10 +50,43 @@ class BenchHealthSpec extends AnyFunSuite {
     assert(h.status == "unhealthy" && !h.ok)
   }
 
-  test("contiguous band of anomalies: external, headline falls back") {
+  test("contiguous band of anomalies: external; headline metric still pinned") {
     val h = classify(stats(12, Map(3 -> 9.0, 4 -> 8.0, 5 -> 7.5)), Map.empty)
-    assert(h.band && h.status == "external" && h.ok && h.headlinePass == 1)
+    assert(h.band && h.status == "external" && h.ok && h.headlinePass == 2)
     assert(h.reproducible.isEmpty)
+  }
+
+  test("headline metric constant is pass2 and matches any committed record") {
+    // the r13 record switched pass2 -> pass1 silently; the metric is now
+    // a pinned constant, and any future BENCH_DETAIL carrying the
+    // explicit "headline" field must agree with it
+    assert(Bench.headlineMetric == "pass2")
+    val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    if (java.nio.file.Files.exists(p)) {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      """"headline":"([a-z0-9]+)"""".r.findFirstMatchIn(text).foreach { m =>
+        assert(m.group(1) == Bench.headlineMetric,
+          s"committed BENCH_DETAIL headline ${m.group(1)} != pinned constant")
+      }
+    }
+  }
+
+  test("elevated tier (round-13 ask #2): 1.5x-3x rows get verdicts, not unhealthy alone") {
+    // embed_ivfpq's r13 shape: 1.67 -> 3.14 s (1.9x, non-severe). With a
+    // p3 that reproduces the elevation, the row is recorded reproducible
+    // but only the SEVERE tier can flip the record unhealthy by itself.
+    val h = classify(
+      Seq(("ivfpq", q(1.67), q(3.14))) ++ stats(9),
+      Map("ivfpq" -> 3.0))
+    assert(h.verdicts.size == 1 && !h.verdicts.head.severe)
+    assert(!h.verdicts.head.transient)
+    assert(h.status == "ok", s"mild reproducible row must not flip status: $h")
+    // and the same row exonerated by p3 subtracts its excess from pass2Adj
+    val h2 = classify(
+      Seq(("ivfpq", q(1.67), q(3.14))) ++ stats(9),
+      Map("ivfpq" -> 1.7))
+    assert(h2.verdicts.head.transient)
+    assert(math.abs(h2.pass2Adj - (9.0 + 1.7)) < 1e-9)
   }
 
   test("scattered anomalies (no band): unhealthy even when >=3") {
@@ -66,23 +100,28 @@ class BenchHealthSpec extends AnyFunSuite {
     assert(h.verdicts.isEmpty && h.status == "unhealthy" && h.headlinePass == 2)
   }
 
-  test("sub-3x or sub-1s-excess pass-2 slowdowns are not anomalies") {
-    // 2.9x but also: 0.2 -> 0.9 s is >3x yet under the 1 s absolute floor
+  test("tier boundaries: 2.9x is elevated-not-severe; sub-1s excess flags nothing") {
+    // "a" 1.0 -> 2.9 s: elevated (gets a verdict) but below the severe 3x;
+    // "b" 0.2 -> 0.9 s: >3x ratio yet under the 1 s absolute floor of BOTH
+    // tiers — never flagged
     val h = classify(
       Seq(("a", q(1.0), q(2.9)), ("b", q(0.2), q(0.9))) ++
         stats(8).map { case (n, s1, s2) => (n + "x", s1, s2) },
-      Map.empty)
-    assert(h.verdicts.isEmpty)
+      Map("a" -> 1.1))
+    assert(h.verdicts.map(_.name) == Seq("a"))
+    assert(!h.verdicts.head.severe && h.verdicts.head.transient)
+    assert(h.status == "ok")
   }
 
-  test("pass-2 jit/class loads disqualify the anomaly flag (codegen miss, not mystery)") {
-    // not flagged as an anomaly (jit/cls attribute it), so no p3 re-run is
-    // owed — but the excess still counts un-exonerated toward the ratio
-    // gate, which correctly marks the codegen-cache collapse unhealthy
+  test("pass-2 jit/class loads disqualify the SEVERE flag but not the elevated verdict") {
+    // jit/cls attribute the slowness to a codegen-cache miss, so the row
+    // is never severe — but the widened elevated tier still owes it a p3
+    // verdict; absent one, the un-exonerated excess fails the ratio gate
     val h = classify(
       Seq(("a", q(1.0), q(9.0, jit = 2.0, cls = 1000))) ++ stats(9),
       Map.empty)
-    assert(h.verdicts.isEmpty && h.status == "unhealthy")
+    assert(h.verdicts.size == 1 && !h.verdicts.head.severe)
+    assert(h.status == "unhealthy")
   }
 
   test("driftFlags: ratio+absolute gate, sf-changed rows skipped, new rows ignored") {

@@ -64,6 +64,13 @@ class CollectLintSpec extends SparkSpec {
       // stream_avro_wire: the same replay over a binary Avro wire — the
       // Topic swap-point demonstration, identical posture
       "stream_avro_wire",
+      // state_inspect_tws: the CDC replay posture (waves + restart +
+      // redelivery), then the transformWithState store read offline —
+      // the driver collect is of the bounded per-key state rows
+      "state_inspect_tws",
+      // state_inspect_ann: the stream_ann replay posture, then the
+      // CellAnnIndex ListState read offline, rolled to per-cell occupancy
+      "state_inspect_ann",
       // state_inspect: replay posture, then the state-data-source batch
       // read of the checkpoint (the audit is the whole point)
       "state_inspect",

@@ -483,6 +483,21 @@ class PlanSpec extends SparkSpec {
       s"MaxSim must be one projection, not explode+aggregate:\n$plan")
   }
 
+  test("ts_comovement global top-k never funnels pair-window rows through one sort") {
+    val plan = executedPlan(graft.operators.EventSuite.tsComovement(spark, dir))
+    // LimitPushDownThroughWindow must rewrite the rank filter into a
+    // limit BELOW the final Window, which compiles to
+    // TakeOrderedAndProject: per-partition top-20, then a 20×partitions
+    // merge. Without it, |types|²/2 × |hours| scored rows all sort in a
+    // single partition under the global rank window.
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"global top-k lost its per-partition limit:\n$plan")
+    // the only single-partition exchanges are gapFill's one-row time-range
+    // aggregate (computed once, broadcast) — never the scored pair table
+    assert("Exchange SinglePartition".r.findAllIn(plan).size <= 2,
+      s"more than the bounded range aggregates run single-partition:\n$plan")
+  }
+
   test("k_anonymity explodes thresholds over the bounded class table only") {
     val plan = executedPlan(
       graft.operators.RelationalSuite.kAnonymity(spark, dir))

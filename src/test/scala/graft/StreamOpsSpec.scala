@@ -456,12 +456,14 @@ class StreamOpsSpec extends SparkSpec {
       CdcOp(1L, "O", 1, "I", "10.000"),
       CdcOp(2L, "F", 1, "I", "20.000"))
     q.processAllAvailable()
-    // redelivery of key 1's whole history + a STALE op for key 2 (seq 0):
-    // zero emissions — the recovered seq state absorbs all of it
+    // redelivery of key 1's whole history + a STALE redelivery for key 2
+    // (seq 1 again, different payload — sequences start at 1 by contract,
+    // enforced with require): zero emissions — the recovered seq state
+    // absorbs all of it
     input.addData(
       CdcOp(1L, "O", 1, "I", "10.000"),
       CdcOp(1L, "O", 2, "U", "11.000"),
-      CdcOp(2L, "F", 0, "I", "19.000"))
+      CdcOp(2L, "F", 1, "I", "19.000"))
     q.processAllAvailable()
     // the tombstone still advances over the absorbed redelivery
     input.addData(CdcOp(1L, "O", 3, "D", null))
