@@ -41,6 +41,29 @@ object Dedup {
       list.add(edges)
     }
 
+  /** Temp views whose lifecycle is tied to the component caches (the
+    * recursive-CTE surface needs a NAMED relation over its cached edge
+    * list). Dropped at releaseComponentCache time — dropping EAGERLY
+    * after spark.sql would work for name scoping but
+    * `catalog.dropTempView` also UNCACHES the plan the view wraps, and
+    * the query hasn't executed yet: round-14's first bench measured the
+    * resulting regression at 13.9x (every UnionLoop hop re-deriving the
+    * edge join) before this registry-tied drop replaced it.
+    */
+  private val componentViews =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.util.List[String]]())
+
+  private[operators] def registerComponentView(
+      spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    componentViews.synchronized {
+      val list = componentViews.computeIfAbsent(spark,
+        _ => java.util.Collections.synchronizedList(
+          new java.util.ArrayList[String]()))
+      list.add(name)
+    }
+
   /** Caller-visible release of this session's connectedComponents edge
     * caches. A cache must outlive the RETURNED labels' execution (the
     * flooding rounds read it), so connectedComponents cannot unpersist it
@@ -52,10 +75,19 @@ object Dedup {
     * cache this session registered (all invocations since the last
     * release).
     */
-  def releaseComponentCache(spark: org.apache.spark.sql.SparkSession): Unit =
+  def releaseComponentCache(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // drop registered views FIRST (dropTempView uncaches the wrapped
+    // plan — harmless here, the unpersist below covers the same cache)
+    Option(componentViews.remove(spark)).foreach { names =>
+      names.forEach { n =>
+        try spark.catalog.dropTempView(n)
+        catch { case _: Throwable => () }
+      }
+    }
     Option(componentEdgeCaches.remove(spark)).foreach { list =>
       list.forEach(_.unpersist(blocking = false))
     }
+  }
 
   /** Exact dedup: group by normalized-content fingerprint. Output one row
     * per distinct content: canonical (minimum) doc id and the duplicate

@@ -648,6 +648,51 @@ object RelationalSuite {
           col("total_rows").cast("double")).as("risk_frac"))
   }
 
+  /** l-diversity — the release gate k-anonymity alone can't close: a
+    * class can be k-anonymous (many individuals share the published
+    * quasi-identifiers) while every one of them shares the SAME sensitive
+    * value, so membership still discloses it. Per candidate l, the
+    * classes whose sensitive attribute takes fewer than l distinct
+    * values, the rows inside them, and the disclosure-risk fraction.
+    * Here the quasi-identifiers are (nation, segment) and the sensitive
+    * attribute is the 1000-unit balance band — the same banding the
+    * k_anonymity audit publishes as a QID, which is exactly the pairing
+    * a real release reviews from both directions.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityOf(Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("sensitive")))
+
+  /** The audit over an arbitrary projection whose LAST column is the
+    * sensitive attribute (all preceding columns are quasi-identifiers) —
+    * split out so AuditSpec can drive it with crafted classes. Scale
+    * shape mirrors [[kAnonymityOf]]: one scan, one hash aggregate to the
+    * bounded class table (count-distinct partially aggregates map-side),
+    * and the |ls| explode runs over that bounded table, never the rows.
+    */
+  def lDiversityOf(rows: DataFrame, ls: Seq[Int] = Seq(2, 4, 12)): DataFrame = {
+    val qids = rows.columns.dropRight(1)
+    val sensitive = rows.columns.last
+    val classes = rows.groupBy(qids.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+    classes
+      .select(col("n"), col("n_sensitive"),
+        explode(array(ls.map(lit(_)): _*)).as("l"))
+      .groupBy(col("l"))
+      .agg(
+        coalesce(sum(when(col("n_sensitive") < col("l"), 1L)), lit(0L))
+          .as("classes_below"),
+        coalesce(sum(when(col("n_sensitive") < col("l"), col("n"))), lit(0L))
+          .as("rows_at_risk"),
+        sum(col("n")).as("total_rows"))
+      .select(col("l"), col("classes_below"), col("rows_at_risk"),
+        (col("rows_at_risk").cast("double") /
+          col("total_rows").cast("double")).as("risk_frac"))
+  }
+
   /** Robust outlier counts per group via MAD (median absolute deviation) —
     * the numeric-QA gate a pipeline runs over metric columns before
     * training on them; unlike mean/stddev, the median/MAD pair doesn't let
@@ -1829,13 +1874,17 @@ object RelationalSuite {
     Dedup.registerComponentCache(spark, edges)
     // Recursive-CTE SQL needs a view name; scope it per-invocation (two
     // concurrent sessions or interleaved calls on one session no longer
-    // collide on a fixed name) and DROP it right after spark.sql —
-    // analysis is eager, so the returned plan holds the resolved
-    // relation, not the name.
+    // collide on a fixed name) and register it with the SAME release
+    // registry as the cache. NOT dropped eagerly: `dropTempView` also
+    // UNCACHES the plan the view wraps while the returned query is still
+    // unexecuted — the round-14 drift gate measured that mistake at
+    // 13.9x (0.79 -> 11.1 s, every UnionLoop hop re-deriving the edge
+    // join) before the registry-tied drop replaced it.
     val view = s"graft_reach_edges_${java.util.UUID.randomUUID()
       .toString.replace("-", "")}"
     edges.createOrReplaceTempView(view)
-    try spark.sql(
+    Dedup.registerComponentView(spark, view)
+    spark.sql(
       s"""WITH RECURSIVE walk(node, hops) AS (
         |  SELECT min(src) AS node, 0 AS hops FROM $view
         |  UNION ALL
@@ -1844,7 +1893,6 @@ object RelationalSuite {
         |  WHERE w.hops < 3)
         |SELECT node, CAST(min(hops) AS INT) AS hops
         |FROM walk GROUP BY node""".stripMargin)
-    finally spark.catalog.dropTempView(view)
   }
 
   /** Degree-oriented triangle kernel over an undirected edge list
@@ -2106,6 +2154,7 @@ object RelationalSuite {
     "stream_cdc"         -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedCdc(s, d)),
     "k_anonymity"        -> (kAnonymity _),
+    "l_diversity"        -> (lDiversity _),
     "graph_reachability" -> (graphReachability _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
@@ -2734,6 +2783,27 @@ object RelationalSuite {
         |         AS rows_at_risk,
         |       CAST(coalesce(sum(CASE WHEN n < k THEN n END), 0) AS DOUBLE)
         |         / CAST(sum(n) AS DOUBLE) AS risk_frac
+        |FROM x GROUP BY 1""".stripMargin,
+    // l-diversity: same (nation, segment) classes, sensitive = the
+    // 1000-unit balance band; exact distinct counts end-to-end, one IEEE
+    // division to risk_frac — floor on DOUBLE like k_anonymity
+    "l_diversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |         count(*) AS n,
+        |         count(DISTINCT CAST(floor(c_acctbal / 1000.0e0) AS BIGINT))
+        |           AS n_sensitive
+        |  FROM customer GROUP BY 1, 2),
+        |x AS (
+        |  SELECT t.l, cls.n, cls.n_sensitive
+        |  FROM cls, (SELECT unnest([2, 4, 12]) AS l) t)
+        |SELECT l,
+        |       CAST(coalesce(sum(CASE WHEN n_sensitive < l THEN 1 END), 0)
+        |         AS BIGINT) AS classes_below,
+        |       CAST(coalesce(sum(CASE WHEN n_sensitive < l THEN n END), 0)
+        |         AS BIGINT) AS rows_at_risk,
+        |       CAST(coalesce(sum(CASE WHEN n_sensitive < l THEN n END), 0)
+        |         AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS risk_frac
         |FROM x GROUP BY 1""".stripMargin,
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

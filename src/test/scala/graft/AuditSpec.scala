@@ -235,4 +235,26 @@ class AuditSpec extends SparkSpec {
     assert(all.forall { case (_, cb, rar, f) => cb == 7L && rar == 7L && f == 1.0 },
       s"singleton classes must all be at risk: $all")
   }
+
+  test("l_diversity: crafted per-class distinct-sensitive accounting") {
+    // class A: 4 rows, sensitive all identical (1 distinct) — below every l
+    // class B: 6 rows, 2 distinct sensitive values — below l=4 but not l=2
+    // class C: 10 rows, 5 distinct — below neither candidate
+    val rows = (Seq.fill(4)(("A", 9L)) ++
+        (0 until 6).map(i => ("B", (i % 2).toLong)) ++
+        (0 until 10).map(i => ("C", (i % 5).toLong)))
+      .toDF("qa", "sensitive")
+    val got = RelationalSuite.lDiversityOf(rows, ls = Seq(2, 4))
+      .orderBy($"l").as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((2, 1L, 4L, 0.20), (4, 2L, 10L, 0.50)),
+      s"audit rows: $got")
+    // a class where EVERY row shares one sensitive value is the exact
+    // disclosure k-anonymity misses: k_anonymity at k=4 sees class A as
+    // safe (size 4 >= 4) while l_diversity at l=2 flags all 4 rows
+    val kview = RelationalSuite.kAnonymityOf(
+        rows.select($"qa"), ks = Seq(4))
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(kview == Seq((4, 0L, 0L, 0.0)),
+      s"classes are all k-anonymous at k=4: $kview")
+  }
 }

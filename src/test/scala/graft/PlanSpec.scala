@@ -483,6 +483,24 @@ class PlanSpec extends SparkSpec {
       s"MaxSim must be one projection, not explode+aggregate:\n$plan")
   }
 
+  test("lexical_retrieval: broadcast query probes, pushed query filter, capped rank") {
+    val plan = executedPlan(
+      graft.operators.TextSuite.lexicalRetrieval(spark, dir))
+    // the query-side scan must push doc_id < 5 to parquet — the corpus
+    // never re-scans to build the 5-doc query shingle set at 100 TB
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,5)]"),
+      s"query-doc filter not pushed to the scan:\n$plan")
+    // the query set and the one-row corpus count reach the postings by
+    // broadcast, never by shuffling the postings to them
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query shingle set must broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the one-row count must broadcast, not cartesian:\n$plan")
+    // per-query top-k caps partials before the rank window
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must partial-limit per partition in:\n$plan")
+  }
+
   test("ts_comovement global top-k never funnels pair-window rows through one sort") {
     val plan = executedPlan(graft.operators.EventSuite.tsComovement(spark, dir))
     // LimitPushDownThroughWindow must rewrite the rank filter into a

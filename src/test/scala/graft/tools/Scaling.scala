@@ -46,6 +46,10 @@ object Scaling {
     // quadratic-looking part; queries stay a fixed broadcast, so the
     // corpus-token pass must measure linear in |embeddings|
     "late_interaction" -> "embeddings",
+    // shingle-postings retrieval: the quadratic failure mode is a
+    // stopword/boilerplate posting list joined against broad queries —
+    // the df-cap + broadcast query set must hold the corpus pass linear
+    "lexical_retrieval" -> "documents",
     "train_corpus" -> "documents")
 
   final case class Point(sf: String, rows: Long, sec: Double)
