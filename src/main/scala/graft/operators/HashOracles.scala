@@ -209,6 +209,78 @@ private[operators] object HashOracles {
        |FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Cumulative Poisson(1) CDF cutoffs scaled to 2^64 — the resample-
+    * weight table for the deterministic bootstrap (`bootstrap_ci`): a
+    * uniform 64-bit hash draw u maps to weight k when
+    * T_{k-1} <= u < T_k, i.e. the standard Poisson bootstrap with the
+    * randomness replaced by XXH64(row, resample). ONE generator feeds
+    * both engines (the Spark Column literals and the oracle SQL
+    * literals), so the cutoffs cannot drift even though they come from
+    * double-precision exp/factorial math. Weights truncate at `maxW`
+    * (P(w > 5) ~ 6e-4 for Poisson(1)) — identically on both sides.
+    */
+  def poissonThresholdsUnsigned(maxW: Int = 5): Seq[BigInt] = {
+    val e = math.exp(-1.0)
+    val probs = (0 until maxW).map { k =>
+      var f = 1.0
+      var j = 1
+      while (j <= k) { f *= j; j += 1 }
+      e / f
+    }
+    val cum = probs.scanLeft(0.0)(_ + _).drop(1)
+    cum.map(c => (BigDecimal(c) * BigDecimal(BigInt(1) << 64)).toBigInt)
+  }
+
+  /** The same cutoffs in Spark's SIGNED-long domain: comparing
+    * `xxhash64(...) XOR Long.MinValue` (the sign-bit flip that makes
+    * signed order match unsigned order) against `T_k - 2^63`.
+    */
+  def poissonThresholdsSigned(maxW: Int = 5): Seq[Long] =
+    poissonThresholdsUnsigned(maxW).map(t => (t - (BigInt(1) << 63)).toLong)
+
+  /** Bootstrap-CI recompute (`bootstrap_ci`): the full deterministic
+    * pipeline — per (order, resample) XXH64 draw → truncated-Poisson
+    * weight → weighted per-resample mean (exact DECIMAL sum, VARCHAR-
+    * routed to a correctly-rounded DOUBLE, one IEEE division) → order-
+    * statistic CI over the `b` resample means. Hash model: `xxhash64(
+    * o_orderkey, b)` = hashLong(b, hashLong(o_orderkey, 42)), the same
+    * two-fold chain weightedSampleOracle proved out.
+    */
+  def bootstrapCiOracle(b: Int = 40, maxW: Int = 5): String = {
+    val t = poissonThresholdsUnsigned(maxW)
+    val steps = hashLongSteps("o_orderkey::UBIGINT", "42::UBIGINT", "hbase", "x") ++
+      hashLongSteps("b::UBIGINT", "hbase", "h1", "y")
+    val (ctes, last) = chained("SELECT * FROM d", "d0", steps, "dx")
+    val wcase = t.zipWithIndex
+      .map { case (tk, k) => s"WHEN h1 < $tk::UBIGINT THEN $k" }
+      .mkString("CASE ", " ", s" ELSE $maxW END")
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_orderpriority AS priority,
+       |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+       |  FROM orders),
+       |d AS (SELECT *, unnest(range($b)) AS b FROM o),
+       |${ctes.mkString(",\n")},
+       |w AS (SELECT priority, b, p, $wcase AS w FROM $last),
+       |m AS (SELECT priority, b,
+       |        CAST(CAST(sum(w * p) AS VARCHAR) AS DOUBLE)
+       |          / CAST(sum(w) AS DOUBLE) AS mean_b
+       |      FROM w GROUP BY 1, 2),
+       |r AS (SELECT priority, mean_b,
+       |        row_number() OVER (PARTITION BY priority
+       |          ORDER BY mean_b, b) AS rk
+       |      FROM m),
+       |ci AS (SELECT priority,
+       |         min(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
+       |         min(CASE WHEN rk = ${b - 1} THEN mean_b END) AS ci_hi
+       |       FROM r GROUP BY 1),
+       |f AS (SELECT priority,
+       |        CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE)
+       |          / CAST(count(*) AS DOUBLE) AS mean_full
+       |      FROM o GROUP BY 1)
+       |SELECT f.priority, f.mean_full, ci.ci_lo, ci.ci_hi
+       |FROM f JOIN ci USING (priority)""".stripMargin
+  }
+
   /** Image-fingerprint recompute (`image_fingerprint`): the decoded PNG
     * pixel at (x, y) is the closed-form fill (doc_id + x + y) % 256, so
     * the 8x8 point-sampled aHash — samples at (i*w/8, j*h/8), bit k set

@@ -693,6 +693,67 @@ object RelationalSuite {
           col("total_rows").cast("double")).as("risk_frac"))
   }
 
+  /** Deterministic bootstrap confidence intervals — uncertainty
+    * quantification for pipeline metrics (is this week's quality score
+    * really below last week's, or is the difference inside the metric's
+    * own noise?): the Poisson bootstrap with its randomness replaced by
+    * `xxhash64(row_key, resample_index)`, so a 1000-executor cluster and
+    * a laptop compute the IDENTICAL error bars — resampling is a pure
+    * function of the data, not of an RNG stream whose draws depend on
+    * partitioning. Per (row, b < B): weight ~ truncated Poisson(1) via
+    * cumulative-CDF cutoffs on the hash draw (ONE Scala generator emits
+    * the cutoffs to both engines — [[HashOracles.poissonThresholdsSigned]]);
+    * per (group, b): weighted mean from an exact DECIMAL sum and ONE
+    * IEEE division; the 95% CI is the (2nd, B-1th) order statistics of
+    * the B resample means — exact rank selection, no interpolation.
+    *
+    * Scale shape: the B-way explode multiplies rows inside the codegen
+    * pipeline only — partial aggregation combines map-side, so the
+    * shuffle carries |groups|·B partial sums per task, never B copies of
+    * the data; the rank window runs over the bounded |groups|·B means
+    * table. Truncation at w=5 (P ~ 6e-4) is identical on both sides.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiOf(Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("p")))
+
+  /** The kernel over any (k BIGINT, priority, p DECIMAL(18,2)) rows —
+    * split out so AuditSpec can pin the constant-metric collapse (every
+    * resample of a constant column has the same mean, so the CI
+    * degenerates to the point estimate exactly).
+    */
+  def bootstrapCiOf(rows: DataFrame, b: Int = 40, maxW: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = HashOracles.poissonThresholdsSigned(maxW)
+    val d = rows.select(col("*"),
+      explode(sequence(lit(0L), lit((b - 1).toLong))).as("b"))
+    // sign-bit flip: signed order of (hash XOR Long.MinValue) equals
+    // unsigned order of the raw hash, matching the oracle's UBIGINT
+    // comparisons against the same cutoffs shifted by 2^63
+    val u = xxhash64(col("k"), col("b")).bitwiseXOR(lit(Long.MinValue))
+    val w = ts.zipWithIndex.tail
+      .foldLeft(when(u < lit(ts.head), lit(0))) {
+        case (acc, (t, i)) => acc.when(u < lit(t), lit(i))
+      }.otherwise(lit(maxW))
+    val means = d.withColumn("w", w)
+      .groupBy(col("priority"), col("b"))
+      .agg((sum(col("w") * col("p")).cast("double") /
+        sum(col("w")).cast("double")).as("mean_b"))
+    val rk = Window.partitionBy(col("priority"))
+      .orderBy(col("mean_b"), col("b"))
+    val ci = means.withColumn("rk", row_number().over(rk))
+      .groupBy(col("priority"))
+      .agg(min(when(col("rk") === 2, col("mean_b"))).as("ci_lo"),
+        min(when(col("rk") === b - 1, col("mean_b"))).as("ci_hi"))
+    val full = rows.groupBy(col("priority"))
+      .agg((sum(col("p")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_full"))
+    full.join(ci, "priority")
+      .select(col("priority"), col("mean_full"), col("ci_lo"), col("ci_hi"))
+  }
+
   /** Robust outlier counts per group via MAD (median absolute deviation) —
     * the numeric-QA gate a pipeline runs over metric columns before
     * training on them; unlike mean/stddev, the median/MAD pair doesn't let
@@ -2155,6 +2216,7 @@ object RelationalSuite {
       graft.streaming.StreamReplay.streamedCdc(s, d)),
     "k_anonymity"        -> (kAnonymity _),
     "l_diversity"        -> (lDiversity _),
+    "bootstrap_ci"       -> (bootstrapCi _),
     "graph_reachability" -> (graphReachability _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
@@ -2805,6 +2867,10 @@ object RelationalSuite {
         |       CAST(coalesce(sum(CASE WHEN n_sensitive < l THEN n END), 0)
         |         AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS risk_frac
         |FROM x GROUP BY 1""".stripMargin,
+    // deterministic Poisson bootstrap: the oracle recomputes the whole
+    // pipeline — XXH64 draw, CDF-cutoff weight, exact-DECIMAL weighted
+    // means, order-statistic CI — from the same generated cutoffs
+    "bootstrap_ci" -> HashOracles.bootstrapCiOracle(),
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       epoch_us(o_orderdate) // 1000000 AS valid_from,

@@ -257,4 +257,29 @@ class AuditSpec extends SparkSpec {
     assert(kview == Seq((4, 0L, 0L, 0.0)),
       s"classes are all k-anonymous at k=4: $kview")
   }
+
+  test("bootstrap_ci: constant metric collapses the CI to the point estimate") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DecimalType
+    // 60 rows, every p identical: every resample's weighted mean equals
+    // the constant exactly (sum(w*c)/sum(w) = c in exact decimal), so
+    // ci_lo = mean_full = ci_hi bit-for-bit
+    val const = spark.range(60).select(
+      col("id").as("k"), lit("G").as("priority"),
+      lit("42.50").cast(DecimalType(18, 2)).as("p"))
+    val c = RelationalSuite.bootstrapCiOf(const)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(c == Seq(("G", 42.50, 42.50, 42.50)), s"constant collapse: $c")
+    // and a varied metric: CI must bracket, lo < hi strictly (resample
+    // means of non-constant data differ), everything deterministic so
+    // this is a fixed property of the fixture, not a flaky sample
+    val varied = spark.range(200).select(
+      col("id").as("k"), lit("G").as("priority"),
+      (col("id") % 37).cast(DecimalType(18, 2)).as("p"))
+    val v = RelationalSuite.bootstrapCiOf(varied)
+      .as[(String, Double, Double, Double)].collect().head
+    assert(v._3 < v._4, s"degenerate CI on varied data: $v")
+    assert(v._3 <= v._2 && v._2 <= v._4,
+      s"CI must bracket the point estimate: $v")
+  }
 }
