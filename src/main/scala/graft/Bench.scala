@@ -97,8 +97,18 @@ object Bench {
       Verdict(n, i, s1.sec, s2.sec, t3, transient,
         severe = anomalous(s1, s2))
     }
+    // A severe flag flips the record unhealthy only when its p3 re-run
+    // ITSELF lands at severe level against p1 (or never ran): a severe
+    // 4.5x flag whose isolated re-run comes back at 2.6x reproduced the
+    // mild elevation, not the severe anomaly that triggered the flag —
+    // it stays a recorded non-transient verdict (and counts un-exonerated
+    // toward the ratio gate) without alone declaring the engine broken
+    // (round-14 self-review: the elevated-tier exoneration thresholds had
+    // silently tightened the unhealthy trigger for severe rows).
     val reproducibleSevere =
-      if (band) Nil else verdicts.filter(v => !v.transient && v.severe)
+      if (band) Nil else verdicts.filter { v =>
+        v.severe && v.p3.forall(t => t > 3 * v.p1 && t - v.p1 > 1.0)
+      }
     // Pass-ratio check on the EXONERATED pass-2 total: transient rows'
     // p2 contributions are replaced by their isolated p3 re-measurements,
     // so a single 18 s one-off can't fail the ratio gate on its own — but

@@ -949,8 +949,13 @@ object TextSuite {
   def lexicalRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
+    // MULTISET shingles (shingleHashesAll, every position) — tf must
+    // count repeated shingles within a doc; the set form would pin every
+    // tf to 1 and silently drop the frequency half of tf·idf (caught in
+    // round-14 self-review: the fixture masked it because its repeated
+    // shingles all happen to be df-capped)
     val sh = docs.select(col("doc_id"),
-      explode(shingleHashes(col("text"), 3)).as("h"))
+      explode(shingleHashesAll(col("text"), 3)).as("h"))
     val tf = sh.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -2234,8 +2234,14 @@ object StreamReplay {
     val root = java.nio.file.Files.createTempDirectory("graft_ann")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ckpt")
     val in = new FileTopic("ann_in", wireSchema, root.toString)
-    val out = new FileTopic("ann_cand", outSchema.copy(
-      fields = outSchema.fields.take(3)), root.toString)
+    // the out topic ALWAYS carries candidate hits — its schema must not
+    // follow the stateAudit return shape (the audit path doesn't read the
+    // topic back, but a schema-enforcing Topic implementation behind the
+    // swap point would reject the sinked rows; round-14 self-review)
+    val hitsSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField(scoreCol, DoubleType)))
+    val out = new FileTopic("ann_cand", hitsSchema, root.toString)
     def range(from: Long, until: Long, last: Boolean) = emb
       .filter(col("vec_id") >= from &&
         (if (last) lit(true) else col("vec_id") < until)).coalesce(1)

@@ -71,6 +71,22 @@ class BenchHealthSpec extends AnyFunSuite {
     }
   }
 
+  test("severe flag whose p3 reproduces only the MILD tier does not flip unhealthy") {
+    // p1=1.0, p2=4.5 (severe), isolated p3=2.6: the severe anomaly did
+    // NOT reproduce (2.6 < 3x), only an elevation did — recorded as a
+    // non-transient verdict (counts un-exonerated toward the ratio gate)
+    // but the record stays ok; p3 at severe level (3.5) still flips it
+    // 20 queries so the un-exonerated 3.5 s excess stays under the 1.2x
+    // ratio gate — the boundary under test is the severe trigger alone
+    val h = classify(stats(20, Map(4 -> 4.5)), Map("q04" -> 2.6))
+    assert(h.verdicts.size == 1 && h.verdicts.head.severe &&
+      !h.verdicts.head.transient)
+    assert(h.status == "ok", s"mild-reproduced severe flag must stay ok: $h")
+    val h2 = classify(stats(20, Map(4 -> 4.5)), Map("q04" -> 3.5))
+    assert(h2.status == "unhealthy",
+      s"severe-reproduced flag must stay unhealthy: $h2")
+  }
+
   test("elevated tier (round-13 ask #2): 1.5x-3x rows get verdicts, not unhealthy alone") {
     // embed_ivfpq's r13 shape: 1.67 -> 3.14 s (1.9x, non-severe). With a
     // p3 that reproduces the elevation, the row is recorded reproducible
