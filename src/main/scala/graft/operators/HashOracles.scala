@@ -281,6 +281,52 @@ private[operators] object HashOracles {
        |FROM f JOIN ci USING (priority)""".stripMargin
   }
 
+  /** Two-sample bootstrap recompute (`bootstrap_diff`): bootstrapCiOracle's
+    * hash→weight→resample-mean pipeline run over the before/after-fence
+    * periods, finished by the order-statistic CI over per-resample mean
+    * DIFFERENCES and the excludes-zero significance predicate.
+    */
+  def bootstrapDiffOracle(b: Int = 40, maxW: Int = 5): String = {
+    val t = poissonThresholdsUnsigned(maxW)
+    val steps = hashLongSteps("o_orderkey::UBIGINT", "42::UBIGINT", "hbase", "x") ++
+      hashLongSteps("b::UBIGINT", "hbase", "h1", "y")
+    val (ctes, last) = chained("SELECT * FROM d", "d0", steps, "dx")
+    val wcase = t.zipWithIndex
+      .map { case (tk, k) => s"WHEN h1 < $tk::UBIGINT THEN $k" }
+      .mkString("CASE ", " ", s" ELSE $maxW END")
+    s"""WITH o AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_orderdate < TIMESTAMP '1997-06-01'
+       |              THEN 'base' ELSE 'new' END AS period,
+       |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+       |  FROM orders),
+       |d AS (SELECT *, unnest(range($b)) AS b FROM o),
+       |${ctes.mkString(",\n")},
+       |w AS (SELECT period, b, p, $wcase AS w FROM $last),
+       |m AS (SELECT period, b,
+       |        CAST(CAST(sum(w * p) AS VARCHAR) AS DOUBLE)
+       |          / CAST(sum(w) AS DOUBLE) AS mean_b
+       |      FROM w GROUP BY 1, 2),
+       |df AS (SELECT n.b, n.mean_b - bb.mean_b AS diff_b
+       |       FROM (SELECT b, mean_b FROM m WHERE period = 'new') n
+       |       JOIN (SELECT b, mean_b FROM m WHERE period = 'base') bb
+       |         USING (b)),
+       |r AS (SELECT b, diff_b,
+       |        row_number() OVER (ORDER BY diff_b, b) AS rk FROM df),
+       |ci AS (SELECT min(CASE WHEN rk = 2 THEN diff_b END) AS ci_lo,
+       |              min(CASE WHEN rk = ${b - 1} THEN diff_b END) AS ci_hi
+       |       FROM r),
+       |f AS (SELECT period,
+       |        CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE)
+       |          / CAST(count(*) AS DOUBLE) AS m
+       |      FROM o GROUP BY 1)
+       |SELECT fb.m AS mean_base, fn.m AS mean_new, fn.m - fb.m AS diff,
+       |       ci.ci_lo, ci.ci_hi,
+       |       (ci.ci_lo > 0.0 OR ci.ci_hi < 0.0) AS significant
+       |FROM (SELECT m FROM f WHERE period = 'base') fb,
+       |     (SELECT m FROM f WHERE period = 'new') fn, ci""".stripMargin
+  }
+
   /** Image-fingerprint recompute (`image_fingerprint`): the decoded PNG
     * pixel at (x, y) is the closed-form fill (doc_id + x + y) % 256, so
     * the 8x8 point-sampled aHash — samples at (i*w/8, j*h/8), bit k set

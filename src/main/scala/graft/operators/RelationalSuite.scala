@@ -754,6 +754,70 @@ object RelationalSuite {
       .select(col("priority"), col("mean_full"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Two-sample bootstrap significance test — the question
+    * [[bootstrapCi]] sets up, answered pairwise: did the metric MOVE
+    * between two periods, or is the difference inside the metric's own
+    * resampling noise? Periods are the drift_histogram fence (orders
+    * before vs after 1997-06-01); per resample b the SAME deterministic
+    * Poisson weights as bootstrap_ci reweight BOTH sides independently
+    * (the hash is keyed on (order, b), so a row's weight doesn't depend
+    * on which side it landed), diff_b = mean_new,b − mean_base,b, and
+    * the 95% CI over the B diffs is exact order statistics. `significant`
+    * is then a pure predicate: the CI excludes zero. Same scale shape as
+    * bootstrap_ci (map-side combined fan-out, bounded means table), same
+    * bit-exact story (exact DECIMAL sums, one IEEE division per mean,
+    * double subtraction — identical on both engines).
+    */
+  def bootstrapDiff(spark: SparkSession, dir: String): DataFrame =
+    bootstrapDiffOf(Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      when(col("o_orderdate") < lit("1997-06-01").cast("timestamp"),
+        lit("base")).otherwise(lit("new")).as("period"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("p")))
+
+  /** The kernel over any (k BIGINT, period 'base'|'new', p DECIMAL(18,2))
+    * rows — split out so AuditSpec can pin the null case (identical
+    * populations ⇒ CI straddles zero) and the separated case (disjoint
+    * value ranges ⇒ significant).
+    */
+  def bootstrapDiffOf(rows: DataFrame, b: Int = 40,
+                      maxW: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ts = HashOracles.poissonThresholdsSigned(maxW)
+    val d = rows.select(col("*"),
+      explode(sequence(lit(0L), lit((b - 1).toLong))).as("b"))
+    val u = xxhash64(col("k"), col("b")).bitwiseXOR(lit(Long.MinValue))
+    val w = ts.zipWithIndex.tail
+      .foldLeft(when(u < lit(ts.head), lit(0))) {
+        case (acc, (t, i)) => acc.when(u < lit(t), lit(i))
+      }.otherwise(lit(maxW))
+    val means = d.withColumn("w", w)
+      .groupBy(col("period"), col("b"))
+      .agg((sum(col("w") * col("p")).cast("double") /
+        sum(col("w")).cast("double")).as("mean_b"))
+    val diffs = means.filter(col("period") === "new")
+      .select(col("b"), col("mean_b").as("mn"))
+      .join(means.filter(col("period") === "base")
+        .select(col("b"), col("mean_b").as("mb")), "b")
+      .select(col("b"), (col("mn") - col("mb")).as("diff_b"))
+    val rk = Window.orderBy(col("diff_b"), col("b"))
+    val ci = diffs.withColumn("rk", row_number().over(rk))
+      .agg(min(when(col("rk") === 2, col("diff_b"))).as("ci_lo"),
+        min(when(col("rk") === b - 1, col("diff_b"))).as("ci_hi"))
+    val full = rows.groupBy(col("period"))
+      .agg((sum(col("p")).cast("double") / count(lit(1)).cast("double"))
+        .as("m"))
+    val base = full.filter(col("period") === "base")
+      .select(col("m").as("mean_base"))
+    val nw = full.filter(col("period") === "new")
+      .select(col("m").as("mean_new"))
+    base.crossJoin(nw).crossJoin(ci)
+      .select(col("mean_base"), col("mean_new"),
+        (col("mean_new") - col("mean_base")).as("diff"),
+        col("ci_lo"), col("ci_hi"),
+        (col("ci_lo") > 0.0 || col("ci_hi") < 0.0).as("significant"))
+  }
+
   /** Robust outlier counts per group via MAD (median absolute deviation) —
     * the numeric-QA gate a pipeline runs over metric columns before
     * training on them; unlike mean/stddev, the median/MAD pair doesn't let
@@ -2237,6 +2301,7 @@ object RelationalSuite {
     "k_anonymity"        -> (kAnonymity _),
     "l_diversity"        -> (lDiversity _),
     "bootstrap_ci"       -> (bootstrapCi _),
+    "bootstrap_diff"     -> (bootstrapDiff _),
     "graph_reachability" -> (graphReachability _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
@@ -2891,6 +2956,7 @@ object RelationalSuite {
     // pipeline — XXH64 draw, CDF-cutoff weight, exact-DECIMAL weighted
     // means, order-statistic CI — from the same generated cutoffs
     "bootstrap_ci" -> HashOracles.bootstrapCiOracle(),
+    "bootstrap_diff" -> HashOracles.bootstrapDiffOracle(),
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       epoch_us(o_orderdate) // 1000000 AS valid_from,

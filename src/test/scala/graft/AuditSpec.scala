@@ -282,4 +282,37 @@ class AuditSpec extends SparkSpec {
     assert(v._3 <= v._2 && v._2 <= v._4,
       s"CI must bracket the point estimate: $v")
   }
+
+  test("bootstrap_diff: exact null and separated corners, varied null straddles zero") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
+    import org.apache.spark.sql.types.DecimalType
+    def two(baseP: org.apache.spark.sql.Column,
+            newP: org.apache.spark.sql.Column) =
+      spark.range(120).select(
+        col("id").as("k"),
+        when(col("id") < 60, lit("base")).otherwise(lit("new")).as("period"),
+        when(col("id") < 60, baseP).otherwise(newP)
+          .cast(DecimalType(18, 2)).as("p"))
+    // both sides constant AND equal: every resample mean is the constant,
+    // every diff is 0.0 exactly — CI [0, 0], not significant
+    val nullCase = RelationalSuite.bootstrapDiffOf(
+        two(lit("5.00"), lit("5.00")))
+      .as[(Double, Double, Double, Double, Double, Boolean)].collect().head
+    assert(nullCase == ((5.0, 5.0, 0.0, 0.0, 0.0, false)), s"null: $nullCase")
+    // disjoint constants: every diff is exactly +10 — CI [10, 10],
+    // significant
+    val sep = RelationalSuite.bootstrapDiffOf(two(lit("10.00"), lit("20.00")))
+      .as[(Double, Double, Double, Double, Double, Boolean)].collect().head
+    assert(sep == ((10.0, 20.0, 10.0, 10.0, 10.0, true)), s"separated: $sep")
+    // identical VARIED distributions on both sides: resample means jitter
+    // independently per side, so the diff CI must straddle zero (a fixed,
+    // deterministic property of the crafted data — not a flaky sample)
+    val varied = RelationalSuite.bootstrapDiffOf(
+        two(concat_ws("", lit(""), (col("id") % 7).cast("string")),
+          concat_ws("", lit(""), ((col("id") - 60) % 7).cast("string"))))
+      .as[(Double, Double, Double, Double, Double, Boolean)].collect().head
+    assert(varied._1 == varied._2, s"sides must be identical: $varied")
+    assert(varied._4 <= 0.0 && 0.0 <= varied._5 && !varied._6,
+      s"identical populations must not test significant: $varied")
+  }
 }
