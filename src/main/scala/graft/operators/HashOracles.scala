@@ -264,14 +264,16 @@ private[operators] object HashOracles {
        |m AS (SELECT priority, b,
        |        CAST(CAST(sum(w * p) AS VARCHAR) AS DOUBLE)
        |          / CAST(sum(w) AS DOUBLE) AS mean_b
-       |      FROM w GROUP BY 1, 2),
+       |      FROM w GROUP BY 1, 2
+       |      HAVING sum(w) > 0),
        |r AS (SELECT priority, mean_b,
        |        row_number() OVER (PARTITION BY priority
-       |          ORDER BY mean_b, b) AS rk
+       |          ORDER BY mean_b, b) AS rk,
+       |        count(*) OVER (PARTITION BY priority) AS nb
        |      FROM m),
        |ci AS (SELECT priority,
        |         min(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
-       |         min(CASE WHEN rk = ${b - 1} THEN mean_b END) AS ci_hi
+       |         min(CASE WHEN rk = nb - 1 THEN mean_b END) AS ci_hi
        |       FROM r GROUP BY 1),
        |f AS (SELECT priority,
        |        CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE)
@@ -306,15 +308,17 @@ private[operators] object HashOracles {
        |m AS (SELECT period, b,
        |        CAST(CAST(sum(w * p) AS VARCHAR) AS DOUBLE)
        |          / CAST(sum(w) AS DOUBLE) AS mean_b
-       |      FROM w GROUP BY 1, 2),
+       |      FROM w GROUP BY 1, 2
+       |      HAVING sum(w) > 0),
        |df AS (SELECT n.b, n.mean_b - bb.mean_b AS diff_b
        |       FROM (SELECT b, mean_b FROM m WHERE period = 'new') n
        |       JOIN (SELECT b, mean_b FROM m WHERE period = 'base') bb
        |         USING (b)),
        |r AS (SELECT b, diff_b,
-       |        row_number() OVER (ORDER BY diff_b, b) AS rk FROM df),
+       |        row_number() OVER (ORDER BY diff_b, b) AS rk,
+       |        count(*) OVER () AS nb FROM df),
        |ci AS (SELECT min(CASE WHEN rk = 2 THEN diff_b END) AS ci_lo,
-       |              min(CASE WHEN rk = ${b - 1} THEN diff_b END) AS ci_hi
+       |              min(CASE WHEN rk = nb - 1 THEN diff_b END) AS ci_hi
        |       FROM r),
        |f AS (SELECT period,
        |        CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE)

@@ -704,8 +704,10 @@ object RelationalSuite {
     * cumulative-CDF cutoffs on the hash draw (ONE Scala generator emits
     * the cutoffs to both engines — [[HashOracles.poissonThresholdsSigned]]);
     * per (group, b): weighted mean from an exact DECIMAL sum and ONE
-    * IEEE division; the 95% CI is the (2nd, B-1th) order statistics of
-    * the B resample means — exact rank selection, no interpolation.
+    * IEEE division; the 95% CI is the (2nd, nb-1th) order statistics of
+    * the nb surviving resample means (= B for any group big enough to
+    * bootstrap — see the degenerate-resample guard on [[bootstrapCiOf]])
+    * — exact rank selection, no interpolation.
     *
     * Scale shape: the B-way explode multiplies rows inside the codegen
     * pipeline only — partial aggregation combines map-side, so the
@@ -722,7 +724,24 @@ object RelationalSuite {
   /** The kernel over any (k BIGINT, priority, p DECIMAL(18,2)) rows —
     * split out so AuditSpec can pin the constant-metric collapse (every
     * resample of a constant column has the same mean, so the CI
-    * degenerates to the point estimate exactly).
+    * degenerates to the point estimate exactly) and the degenerate-
+    * resample guard (a singleton group, where some resamples draw total
+    * weight 0, still collapses to the point estimate instead of emitting
+    * NULL means).
+    *
+    * DEGENERATE RESAMPLES (ADVICE r14): when every row of a (group,
+    * resample) draws Poisson weight 0 — P ≈ e^-n per resample, so only
+    * near-singleton groups ever hit it — sum(w) = 0 makes the mean NULL,
+    * and Spark sorts NULLs first ascending while DuckDB sorts them last,
+    * silently diverging the order-statistic selection. Both engines
+    * therefore drop zero-weight resamples (`sum(w) > 0`, an identical
+    * exact-integer predicate) and select the CI order statistics against
+    * the SURVIVOR count: rank 2 and rank nb-1 of the nb surviving means.
+    * For any group where all B resamples survive (every real fixture
+    * group; P(loss) ≈ B·e^-n) this is bit-identical to the fixed (2, B-1)
+    * selection; a group with nb < 3 survivors yields NULL bounds — the
+    * honest answer for a group too small to bootstrap — identically on
+    * both engines.
     */
   def bootstrapCiOf(rows: DataFrame, b: Int = 40, maxW: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -739,14 +758,18 @@ object RelationalSuite {
       }.otherwise(lit(maxW))
     val means = d.withColumn("w", w)
       .groupBy(col("priority"), col("b"))
-      .agg((sum(col("w") * col("p")).cast("double") /
-        sum(col("w")).cast("double")).as("mean_b"))
+      .agg(sum(col("w") * col("p")).as("swp"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("priority"), col("b"),
+        (col("swp").cast("double") / col("sw").cast("double")).as("mean_b"))
     val rk = Window.partitionBy(col("priority"))
       .orderBy(col("mean_b"), col("b"))
+    val cw = Window.partitionBy(col("priority"))
     val ci = means.withColumn("rk", row_number().over(rk))
+      .withColumn("nb", count(lit(1)).over(cw))
       .groupBy(col("priority"))
       .agg(min(when(col("rk") === 2, col("mean_b"))).as("ci_lo"),
-        min(when(col("rk") === b - 1, col("mean_b"))).as("ci_hi"))
+        min(when(col("rk") === col("nb") - 1, col("mean_b"))).as("ci_hi"))
     val full = rows.groupBy(col("priority"))
       .agg((sum(col("p")).cast("double") / count(lit(1)).cast("double"))
         .as("mean_full"))
@@ -791,19 +814,26 @@ object RelationalSuite {
       .foldLeft(when(u < lit(ts.head), lit(0))) {
         case (acc, (t, i)) => acc.when(u < lit(t), lit(i))
       }.otherwise(lit(maxW))
+    // same degenerate-resample guard as bootstrapCiOf (ADVICE r14): drop
+    // zero-weight resamples on BOTH engines and rank against the survivor
+    // count — a diff survives only when both periods' resamples did
     val means = d.withColumn("w", w)
       .groupBy(col("period"), col("b"))
-      .agg((sum(col("w") * col("p")).cast("double") /
-        sum(col("w")).cast("double")).as("mean_b"))
+      .agg(sum(col("w") * col("p")).as("swp"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("period"), col("b"),
+        (col("swp").cast("double") / col("sw").cast("double")).as("mean_b"))
     val diffs = means.filter(col("period") === "new")
       .select(col("b"), col("mean_b").as("mn"))
       .join(means.filter(col("period") === "base")
         .select(col("b"), col("mean_b").as("mb")), "b")
       .select(col("b"), (col("mn") - col("mb")).as("diff_b"))
     val rk = Window.orderBy(col("diff_b"), col("b"))
+    val cw = Window.partitionBy(lit(1))
     val ci = diffs.withColumn("rk", row_number().over(rk))
+      .withColumn("nb", count(lit(1)).over(cw))
       .agg(min(when(col("rk") === 2, col("diff_b"))).as("ci_lo"),
-        min(when(col("rk") === b - 1, col("diff_b"))).as("ci_hi"))
+        min(when(col("rk") === col("nb") - 1, col("diff_b"))).as("ci_hi"))
     val full = rows.groupBy(col("period"))
       .agg((sum(col("p")).cast("double") / count(lit(1)).cast("double"))
         .as("m"))

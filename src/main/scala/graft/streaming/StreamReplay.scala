@@ -40,6 +40,37 @@ object StreamReplay {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     } catch { case _: java.io.IOException => () }
 
+  /** Harness-vs-engine wall split (round-14 verdict ask #4): a replay
+    * row's wall time is mostly CHOREOGRAPHY — fixture collects, quartered
+    * topic publishes, checkpoint setup, restarts — not query execution,
+    * and stream_zscore spent three rounds as the suite's slowest/flagged
+    * row on exactly that. Every drain accumulates its
+    * `processAllAvailable` wall (the micro-batch execution the engine
+    * actually owns) here; Bench resets the counter per measured query and
+    * records `engine_sec` (this) and `harness_sec` (wall minus this) per
+    * stream_ / state_ row, so the bench ledger attributes replay seconds
+    * to the right owner. Accumulation is atomic — a replay may drain
+    * several incarnations per query — and reset/read happen on the
+    * driver's measurement thread.
+    */
+  object EngineTimer {
+    private val nanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = nanos.set(0L)
+    def engineSec: Double = nanos.get / 1e9
+    private[streaming] def timed[T](f: => T): T = {
+      val t0 = System.nanoTime()
+      try f finally nanos.addAndGet(System.nanoTime() - t0)
+    }
+  }
+
+  /** The one blocking drain every replay funnels through: engine-owned
+    * micro-batch execution, timed into [[EngineTimer]].
+    */
+  private def drainQuery(q: org.apache.spark.sql.streaming.StreamingQuery,
+                         stopAfter: Boolean = true): Unit =
+    try EngineTimer.timed(q.processAllAvailable())
+    finally if (stopAfter) q.stop()
+
   /** Conf-scoped child session every replay harness runs under (same
     * pattern as Dedup's round-scoped flooding sessions): parent conf
     * copied, HEAP state store — replay state is ~|keys x live windows|
@@ -163,7 +194,7 @@ object StreamReplay {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
       rows.grouped(per).foreach { chunk =>
         input.addData(chunk.toSeq)
-        q.processAllAvailable()
+        drainQuery(q, stopAfter = false)
       }
     } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
@@ -221,7 +252,7 @@ object StreamReplay {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
       rows.grouped(per).foreach { chunk =>
         input.addData(chunk.toSeq)
-        q.processAllAvailable()
+        drainQuery(q, stopAfter = false)
       }
     } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
@@ -272,17 +303,17 @@ object StreamReplay {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
       rows.grouped(per).foreach { chunk =>
         input.addData(chunk.toSeq)
-        q.processAllAvailable()
+        drainQuery(q, stopAfter = false)
       }
       // two sentinel batches: the first advances the watermark (updated at
       // batch END), the second's processing acts on it and emits every
       // closed real session
       val flush = new Timestamp(rows.last.ts.getTime + 2L * 86400 * 1000)
       input.addData(ReplaySession(-1L, flush))
-      q.processAllAvailable()
+      drainQuery(q, stopAfter = false)
       input.addData(ReplaySession(-1L,
         new Timestamp(flush.getTime + 1000)))
-      q.processAllAvailable()
+      drainQuery(q, stopAfter = false)
     } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink).filter(col("user_id") =!= -1L)
   }
@@ -333,7 +364,7 @@ object StreamReplay {
         val dupes = chunks(i).take(25) ++
           (if (i > 0) chunks(i - 1) else Array.empty[ReplayTyped])
         input.addData((chunks(i) ++ dupes).toSeq)
-        q.processAllAvailable()
+        drainQuery(q, stopAfter = false)
       }
     } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
@@ -392,7 +423,7 @@ object StreamReplay {
       val per = math.max(1, math.ceil(rows.length.toDouble / numBatches).toInt)
       rows.grouped(per).foreach { chunk =>
         input.addData(chunk.toSeq)
-        q.processAllAvailable()
+        drainQuery(q, stopAfter = false)
       }
     } finally { q.stop(); deleteTree(ckpt) }
     child.table(sink)
@@ -502,7 +533,7 @@ object StreamReplay {
           t4.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // event-time-ordered quarters so the 10 s watermark never drops a row
@@ -611,7 +642,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
       // converged update-mode fixpoint, snapshotted (bounded: names x
       // windows, the same envelope every topic replay collects) so the
       // temp topic dirs can be deleted and the merge plans on the
@@ -691,7 +722,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // TWO sentinel batches, not one (same workaround the MemoryStream
@@ -766,7 +797,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // sentinels ride reserved user -1 with a NON-purchase type (the
@@ -849,7 +880,7 @@ object StreamReplay {
         }
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       runQuartered(events, lo, hi, in.append, () => drain())
@@ -926,7 +957,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       runQuartered(events, lo, hi, in.append, () => drain())
@@ -999,7 +1030,7 @@ object StreamReplay {
           mid.sinkBatch(df, id))
         .option("checkpointLocation", ckptP.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     def drainConsumer(): Unit = {
       implicit val enc = org.apache.spark.sql.Encoders
@@ -1011,7 +1042,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckptC.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // construction requires the restart to be LOAD-BEARING: rows scored
@@ -1085,7 +1116,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       val quarter = math.max(1L, (hi - lo) / 4)
@@ -1218,7 +1249,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       val quarter = math.max(1L, (hi - lo) / 4)
@@ -1358,7 +1389,7 @@ object StreamReplay {
           changelog.sinkBatch(df, id))
         .option("checkpointLocation", ckptP.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     def drainConsumer(): Unit = {
       implicit val enc = org.apache.spark.sql.Encoders
@@ -1370,7 +1401,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckptC.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       val quarter = math.max(1L, (hi - lo) / 4)
@@ -1481,7 +1512,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // incarnation 1 checkpoints open sessions + ARMED TIMERS; the
@@ -1545,7 +1576,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // incarnation 1 checkpoints the k-capped lists; incarnation 2's
@@ -1624,7 +1655,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // TWO sentinels suffice even with two stateful operators: in
@@ -1708,7 +1739,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // ONLY the tail ever reaches the topic: history exists solely as
@@ -1793,7 +1824,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       runQuartered(events, lo, hi, in.append, () => drain())
@@ -1853,7 +1884,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // incarnation 1 checkpoints last-event + count-map state;
@@ -1934,7 +1965,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       // incarnation 1 commits offsets + window state; incarnation 2
@@ -2016,7 +2047,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       val quarter = math.max(1L, (hi - lo) / 4)
@@ -2113,7 +2144,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       val quarter = math.max(1L, (hi - lo) / 4)
@@ -2277,7 +2308,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       val quarter = math.max(1L, (hi - lo) / 4)
@@ -2382,7 +2413,7 @@ object StreamReplay {
       val q = counts.writeStream.outputMode("update").format("noop")
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       runQuartered(events, lo, hi, t2.append, () => drain())
@@ -2523,7 +2554,7 @@ object StreamReplay {
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
         .start()
-      try { q.processAllAvailable() } finally q.stop()
+      drainQuery(q)
     }
     try {
       in.append(wave(1))

@@ -283,6 +283,25 @@ class AuditSpec extends SparkSpec {
       s"CI must bracket the point estimate: $v")
   }
 
+  test("bootstrap_ci: singleton group survives its zero-weight resamples") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DecimalType
+    // ONE row: P(w=0) = e^-1 per resample, so several of the 40 resamples
+    // deterministically draw total weight 0 (pure hash function of (k, b)).
+    // Before the ADVICE-r14 guard their NULL means entered the rank window
+    // (Spark NULLs-first vs DuckDB NULLs-last — silent cross-engine
+    // divergence); with the sum(w) > 0 filter every SURVIVING resample's
+    // mean is exactly p (sum(w*p)/sum(w) = p), so the CI collapses to the
+    // point estimate — a fixed property of the hash, not a flaky sample.
+    val one = spark.range(1).select(
+      lit(7L).as("k"), lit("G").as("priority"),
+      lit("13.25").cast(DecimalType(18, 2)).as("p"))
+    val c = RelationalSuite.bootstrapCiOf(one)
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(c == Seq(("G", 13.25, 13.25, 13.25)),
+      s"singleton-group collapse through the zero-weight guard: $c")
+  }
+
   test("bootstrap_diff: exact null and separated corners, varied null straddles zero") {
     import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
     import org.apache.spark.sql.types.DecimalType

