@@ -583,6 +583,8 @@ object EventSuite {
       graft.streaming.StreamReplay.stateChangelog(s, d)),
     "state_inspect_tws"    -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.stateInspectTws(s, d)),
+    "state_inspect_map"    -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectMap(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_dynamic_sessions" -> ((s: SparkSession, d: String) =>
@@ -916,6 +918,21 @@ object EventSuite {
         |                 WHEN o_orderkey % 7 = 0 THEN 2
         |                 ELSE 1 END AS INT) AS applied_seq
         |FROM orders""".stripMargin,
+    // the transformWithState MAP state (TransitionCounts' per-user
+    // `counts` MapState) read offline after the quartered replay +
+    // restart must hold exactly the per-user (from|to) transition counts
+    // of the batch lead() window — the per-user form of the
+    // event_transitions oracle (round-14 verdict ask #2: the last cell of
+    // the state-type × offline-audit matrix)
+    "state_inspect_map" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT user_id, from_type || '|' || to_type AS pair,
+        |       count(*) AS n
+        |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // changelog compaction (emitOnChange / transformWithState): the
     // suppressed changelog's converged snapshot must equal the batch
     // windowed max; construction separately REQUIRES strictly fewer

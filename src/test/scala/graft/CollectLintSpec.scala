@@ -71,6 +71,10 @@ class CollectLintSpec extends SparkSpec {
       // state_inspect_ann: the stream_ann replay posture, then the
       // CellAnnIndex ListState read offline, rolled to per-cell occupancy
       "state_inspect_ann",
+      // state_inspect_map: the stream_transitions replay posture, then
+      // TransitionCounts' per-user MapState read offline — the driver
+      // collect is of the bounded |users| x |types|^2 state rows
+      "state_inspect_map",
       // state_inspect: replay posture, then the state-data-source batch
       // read of the checkpoint (the audit is the whole point)
       "state_inspect",

@@ -496,6 +496,14 @@ class PlanSpec extends SparkSpec {
       s"query shingle set must broadcast in:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"the one-row count must broadcast, not cartesian:\n$plan")
+    // round-14 verdict ask #7: the broadcast query pruning sits BELOW the
+    // tf⋈df join, so NO join in the plan moves postings-sized data — a
+    // sort-merge or shuffled-hash join here means the corpus-wide tf⋈df
+    // join came back and its output is being built just to be discarded
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"tf and df must be query-pruned before they join (broadcast-only " +
+        s"joins expected) in:\n$plan")
     // per-query top-k caps partials before the rank window
     assert(plan.contains("WindowGroupLimit"),
       s"top-k must partial-limit per partition in:\n$plan")
