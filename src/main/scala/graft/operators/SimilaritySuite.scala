@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.{dotNative, norm2Native}
@@ -463,7 +464,49 @@ object SimilaritySuite {
           .as("drift_cos"))
   }
 
+  /** Hybrid retrieval fusion (round-14 verdict ask #6) — the standard
+    * production retrieval stack: the LEXICAL ranker
+    * ([[TextSuite.lexicalRetrieval]]'s shingle-postings top-k) and the
+    * SEMANTIC ranker ([[embedTopK]]'s brute-force cosine top-k) fused by
+    * reciprocal-rank fusion, under the fixture convention that embeddings
+    * row i embeds document i (the ids are the join key, exactly how a
+    * real corpus carries doc_id through both indexes). RRF is computed in
+    * EXACT INTEGER arithmetic — contribution = 1e6 div (60 + rank), the
+    * same fixed-point discipline as the lexical idf — so the fused score
+    * is an associative BIGINT sum, bit-identical on any engine and any
+    * execution order (the float 1/(60+r) would make ties engine-
+    * dependent). A candidate surfaced by only one ranker scores only
+    * that ranker's term (union-groupBy semantics, no outer-join nulls);
+    * n_sources records how many rankers surfaced it.
+    *
+    * Scale shape: both rankers cap to top-k per query BEFORE fusion
+    * (WindowGroupLimit on each branch — PlanSpec-pinned), so the fusion
+    * input is |queries| × 2k rows regardless of corpus size; the fusion
+    * itself is a union + one hash aggregate + a bounded rank window. At
+    * 100 TB the expensive halves are the rankers themselves (each
+    * already measured/pinned); fusion cost never grows past the rank
+    * lists it joins.
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val lex = TextSuite.lexicalRetrieval(spark, dir, k)
+      .select(col("query_id"), col("doc_id").as("cand_id"),
+        col("rnk").as("rank"))
+    val sem = embedTopK(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank"))
+    val fused = lex.unionAll(sem)
+      .select(col("query_id"), col("cand_id"),
+        expr("1000000 div (60 + rank)").as("contrib"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_sources"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("cand_id").asc)
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_retrieval" -> ((s: SparkSession, d: String) =>
+      hybridRetrieval(s, d)),
     "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
     "label_centroids" -> (labelCentroids _),
     "embedding_drift" -> (embeddingDrift _),
@@ -893,7 +936,41 @@ object SimilaritySuite {
       |JOIN q qe ON qe.query_id = co.query_id
       |QUALIFY rank <= 5""".stripMargin
 
+  /** Generated oracle for hybrid_retrieval: the lexical ranker's oracle
+    * is embedded VERBATIM as a CTE (one definition, zero drift between
+    * the standalone and fused checks), the semantic ranker is
+    * embed_topk's brute-force cosine rank, and the fusion is the same
+    * exact-integer RRF sum — `1000000 // (60 + rank)` — the engine
+    * computes, so the hash pins every fused score and tiebreak.
+    */
+  private def hybridRetrievalOracle: String =
+    s"""WITH lex AS (
+       |${TextSuite.oracles("lexical_retrieval")}),
+       |sem AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+       |         CAST(row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |                                           CAST(q.embedding AS DOUBLE[])) DESC,
+       |                    e.vec_id ASC) AS INT) AS rank
+       |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+       |  WHERE e.vec_id <> q.vec_id
+       |  QUALIFY rank <= 5),
+       |u AS (
+       |  SELECT query_id, doc_id AS cand_id, rnk AS rank FROM lex
+       |  UNION ALL
+       |  SELECT query_id, cand_id, rank FROM sem),
+       |f AS (
+       |  SELECT query_id, cand_id,
+       |         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf,
+       |         count(*) AS n_sources
+       |  FROM u GROUP BY 1, 2)
+       |SELECT query_id, cand_id, rrf, n_sources,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY rrf DESC, cand_id ASC) AS INT) AS rnk
+       |FROM f QUALIFY rnk <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "hybrid_retrieval" -> hybridRetrievalOracle,
     // float components are lifted to exact scaled longs (x 2^14, rounded
     // half-away-from-zero — DuckDB round() and Spark round() agree); all
     // aggregates below stay under 2^53, so the long -> double conversions
