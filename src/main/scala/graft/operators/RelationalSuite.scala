@@ -693,6 +693,89 @@ object RelationalSuite {
           col("total_rows").cast("double")).as("risk_frac"))
   }
 
+  /** t-closeness — the release gate NEITHER k-anonymity nor l-diversity
+    * closes (round-14 verdict ask #8): a class can hold many individuals
+    * (k passes) across several distinct sensitive values (l passes) while
+    * its sensitive-value DISTRIBUTION still leaks — e.g. a class whose
+    * balances cluster at the bottom bands when the population spreads
+    * evenly discloses "probably poor" to anyone who joins on the
+    * quasi-identifiers. Per class, the Earth Mover's Distance between the
+    * class's sensitive distribution and the global one over the ORDERED
+    * bands — for 1-D ordered categories, EMD = (1/(m-1)) · Σ_i |P_i − Q_i|
+    * over the m prefix sums. Computed EXACTLY in integers on the common
+    * denominator n_c·N: numerator Σ_i |N·cumc_i − n_c·cumg_i| is a BIGINT
+    * sum, and ONE IEEE division by n_c·N·(m−1) lands the same double on
+    * both engines. Per candidate t, the classes whose EMD exceeds t, the
+    * rows inside them, and the disclosure-risk fraction — the same output
+    * shape as [[kAnonymityOf]]/[[lDiversityOf]], so a release review
+    * reads all three gates side by side.
+    *
+    * Scale shape: one scan + one hash aggregate to the bounded
+    * (class × band) cell table; everything after — the class×band grid,
+    * the prefix windows, the |ts| explode — runs over tables bounded by
+    * the quasi-id cross product times the band count, never the rows.
+    * Overflow headroom: the numerator terms are ≤ N·n_c ≤ N², so BIGINT
+    * holds to N ~ 3·10^9 individuals; past that, lift the two products
+    * to DECIMAL(38,0) (same algorithm, wider lane).
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessOf(Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("sensitive")))
+
+  /** The audit over an arbitrary projection whose LAST column is the
+    * ORDERED sensitive attribute (all preceding columns are
+    * quasi-identifiers) — split out so AuditSpec can craft a class that
+    * passes k-anonymity AND l-diversity yet fails t-closeness (the three
+    * gates provably non-redundant). A single-band corpus (m = 1) defines
+    * EMD = 0 — every class trivially matches a point distribution.
+    */
+  def tClosenessOf(rows: DataFrame,
+                   ts: Seq[Double] = Seq(0.15, 0.3, 0.5)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qids = rows.columns.dropRight(1)
+    val s = rows.columns.last
+    val cells = rows.groupBy((qids :+ s).map(col).toSeq: _*)
+      .agg(count(lit(1)).as("cnt"))
+    val bands = cells.groupBy(col(s)).agg(sum(col("cnt")).as("gcnt"))
+    val classes = cells.groupBy(qids.map(col).toSeq: _*)
+      .agg(sum(col("cnt")).as("n_c"))
+    val tot = bands.agg(sum(col("gcnt")).as("nn"), count(lit(1)).as("m"))
+    // full class × band grid: a band a class never hits still contributes
+    // |0 − n_c·cumg| to its EMD — the LEFT join + coalesce keeps those
+    // zero cells; all four inputs are bounded, the grid is too
+    val grid = classes.crossJoin(broadcast(bands))
+      .join(cells, (qids :+ s).toSeq, "left")
+      .select((qids :+ s).map(col) ++ Seq(col("n_c"), col("gcnt"),
+        coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
+    val wc = Window.partitionBy(qids.map(col).toSeq: _*).orderBy(col(s))
+    val cum = grid
+      .withColumn("cum_c", sum(col("cnt")).over(wc))
+      .withColumn("cum_g", sum(col("gcnt")).over(wc))
+    val emd = cum.crossJoin(broadcast(tot))
+      .groupBy(qids.map(col).toSeq: _*)
+      .agg(max(col("n_c")).as("n_c"),
+        when(max(col("m")) === 1, lit(0.0)).otherwise(
+          sum(abs(col("nn") * col("cum_c") - col("n_c") * col("cum_g")))
+            .cast("double") /
+            (max(col("n_c")) * max(col("nn")) * (max(col("m")) - 1))
+              .cast("double")).as("emd"))
+    emd
+      .select(col("n_c"), col("emd"),
+        explode(array(ts.map(lit(_)): _*)).as("t"))
+      .groupBy(col("t"))
+      .agg(
+        coalesce(sum(when(col("emd") > col("t"), 1L)), lit(0L))
+          .as("classes_above"),
+        coalesce(sum(when(col("emd") > col("t"), col("n_c"))), lit(0L))
+          .as("rows_at_risk"),
+        sum(col("n_c")).as("total_rows"))
+      .select(col("t"), col("classes_above"), col("rows_at_risk"),
+        (col("rows_at_risk").cast("double") /
+          col("total_rows").cast("double")).as("risk_frac"))
+  }
+
   /** Deterministic bootstrap confidence intervals — uncertainty
     * quantification for pipeline metrics (is this week's quality score
     * really below last week's, or is the difference inside the metric's
@@ -2330,6 +2413,7 @@ object RelationalSuite {
       graft.streaming.StreamReplay.streamedCdc(s, d)),
     "k_anonymity"        -> (kAnonymity _),
     "l_diversity"        -> (lDiversity _),
+    "t_closeness"        -> (tCloseness _),
     "bootstrap_ci"       -> (bootstrapCi _),
     "bootstrap_diff"     -> (bootstrapDiff _),
     "graph_reachability" -> (graphReachability _),
@@ -2981,6 +3065,55 @@ object RelationalSuite {
         |         AS BIGINT) AS rows_at_risk,
         |       CAST(coalesce(sum(CASE WHEN n_sensitive < l THEN n END), 0)
         |         AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS risk_frac
+        |FROM x GROUP BY 1""".stripMargin,
+    // t-closeness: same (nation, segment) classes and 1000-unit bands as
+    // the k/l gates; exact-integer prefix-sum EMD on the common
+    // denominator n_c·N, ONE IEEE division per class, threshold explode
+    // over the bounded class table — cumulative sums ride HUGEINT in
+    // DuckDB but stay far under 2^53, so the DOUBLE casts are exact on
+    // both engines
+    "t_closeness" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |         CAST(floor(c_acctbal / 1000.0e0) AS BIGINT) AS s,
+        |         count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2, 3),
+        |bands AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS gcnt
+        |          FROM cells GROUP BY 1),
+        |classes AS (SELECT nation, segment, CAST(sum(cnt) AS BIGINT) AS n_c
+        |            FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(gcnt) AS BIGINT) AS nn, count(*) AS m
+        |        FROM bands),
+        |grid AS (
+        |  SELECT c.nation, c.segment, b.s, c.n_c, b.gcnt,
+        |         coalesce(cl.cnt, 0) AS cnt
+        |  FROM classes c CROSS JOIN bands b
+        |  LEFT JOIN cells cl ON cl.nation = c.nation
+        |    AND cl.segment = c.segment AND cl.s = b.s),
+        |cum AS (
+        |  SELECT nation, segment, n_c, s,
+        |         sum(cnt) OVER (PARTITION BY nation, segment
+        |           ORDER BY s) AS cum_c,
+        |         sum(gcnt) OVER (PARTITION BY nation, segment
+        |           ORDER BY s) AS cum_g
+        |  FROM grid),
+        |emd AS (
+        |  SELECT nation, segment, max(n_c) AS n_c,
+        |         CASE WHEN max(tot.m) = 1 THEN 0.0e0
+        |              ELSE CAST(sum(abs(tot.nn * cum_c - n_c * cum_g))
+        |                     AS DOUBLE)
+        |                   / CAST(max(n_c) * max(tot.nn) * (max(tot.m) - 1)
+        |                       AS DOUBLE) END AS emd
+        |  FROM cum CROSS JOIN tot GROUP BY 1, 2),
+        |x AS (SELECT tt.t, emd.n_c, emd.emd
+        |      FROM emd, (SELECT unnest([0.15e0, 0.3e0, 0.5e0]) AS t) tt)
+        |SELECT t,
+        |       CAST(coalesce(sum(CASE WHEN emd > t THEN 1 END), 0)
+        |         AS BIGINT) AS classes_above,
+        |       CAST(coalesce(sum(CASE WHEN emd > t THEN n_c END), 0)
+        |         AS BIGINT) AS rows_at_risk,
+        |       CAST(coalesce(sum(CASE WHEN emd > t THEN n_c END), 0)
+        |         AS DOUBLE) / CAST(sum(n_c) AS DOUBLE) AS risk_frac
         |FROM x GROUP BY 1""".stripMargin,
     // deterministic Poisson bootstrap: the oracle recomputes the whole
     // pipeline — XXH64 draw, CDF-cutoff weight, exact-DECIMAL weighted

@@ -258,6 +258,37 @@ class AuditSpec extends SparkSpec {
       s"classes are all k-anonymous at k=4: $kview")
   }
 
+  test("t_closeness: a class passing k AND l still fails t (the gates are non-redundant)") {
+    // class A: 4 rows on bands {0,0,0,1} — k=4 passes (size 4), l=2
+    // passes (2 distinct values), but its distribution piles onto the
+    // low bands while the population is spread: hand-computed EMD.
+    // class B: 16 rows, 4 each on {6,7,8,9} — the population bulk.
+    // Bands [0,1,6,7,8,9], m=6, N=20; global cum [3,4,8,12,16,20].
+    //   A (n_c=4):  cum [3,4,4,4,4,4]; Σ|20·cumA − 4·cumG|
+    //     = 48+64+48+32+16+0 = 208 → emd = 208/(4·20·5)  = 0.52
+    //   B (n_c=16): cum [0,0,4,8,12,16]; same Σ = 208
+    //     → emd = 208/(16·20·5) = 0.13
+    // t=0.3 flags exactly A: 1 class, 4 rows, frac 0.2.
+    val rows = (Seq(("A", 0L), ("A", 0L), ("A", 0L), ("A", 1L)) ++
+        (0 until 16).map(i => ("B", (6 + i % 4).toLong)))
+      .toDF("qa", "sensitive")
+    val t = RelationalSuite.tClosenessOf(rows, ts = Seq(0.3))
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    assert(t == Seq((0.3, 1L, 4L, 0.2)), s"t-closeness audit rows: $t")
+    // the same class is INVISIBLE to the other two gates:
+    val kview = RelationalSuite.kAnonymityOf(rows.select($"qa"), ks = Seq(4))
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(kview == Seq((4, 0L, 0L, 0.0)), s"k=4 sees nothing: $kview")
+    val lview = RelationalSuite.lDiversityOf(rows, ls = Seq(2))
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(lview == Seq((2, 0L, 0L, 0.0)), s"l=2 sees nothing: $lview")
+    // single-band corner: EMD is defined 0 — no class can fail any t
+    val oneBand = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("qa", "sensitive")
+    val ob = RelationalSuite.tClosenessOf(oneBand, ts = Seq(0.3))
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    assert(ob == Seq((0.3, 0L, 0L, 0.0)), s"single-band corner: $ob")
+  }
+
   test("bootstrap_ci: constant metric collapses the CI to the point estimate") {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types.DecimalType
