@@ -747,7 +747,7 @@ object RelationalSuite {
     // zero cells; all four inputs are bounded, the grid is too
     val grid = classes.crossJoin(broadcast(bands))
       .join(cells, (qids :+ s).toSeq, "left")
-      .select((qids :+ s).map(col) ++ Seq(col("n_c"), col("gcnt"),
+      .select((qids :+ s).map(col).toSeq ++ Seq(col("n_c"), col("gcnt"),
         coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
     val wc = Window.partitionBy(qids.map(col).toSeq: _*).orderBy(col(s))
     val cum = grid
@@ -826,19 +826,29 @@ object RelationalSuite {
     * honest answer for a group too small to bootstrap — identically on
     * both engines.
     */
-  def bootstrapCiOf(rows: DataFrame, b: Int = 40, maxW: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The hash→truncated-Poisson weight column — ONE definition shared by
+    * the batch kernels and the streaming twin
+    * ([[graft.streaming.StreamReplay.streamedBootstrapCi]]), so the
+    * streamed resample can never weight a row differently than the batch
+    * answer it must hash-match. Sign-bit flip: signed order of
+    * (hash XOR Long.MinValue) equals unsigned order of the raw hash,
+    * matching the oracle's UBIGINT comparisons against the same cutoffs
+    * shifted by 2^63.
+    */
+  def bootstrapWeight(k: Column, b: Column, maxW: Int = 5): Column = {
     val ts = HashOracles.poissonThresholdsSigned(maxW)
-    val d = rows.select(col("*"),
-      explode(sequence(lit(0L), lit((b - 1).toLong))).as("b"))
-    // sign-bit flip: signed order of (hash XOR Long.MinValue) equals
-    // unsigned order of the raw hash, matching the oracle's UBIGINT
-    // comparisons against the same cutoffs shifted by 2^63
-    val u = xxhash64(col("k"), col("b")).bitwiseXOR(lit(Long.MinValue))
-    val w = ts.zipWithIndex.tail
+    val u = xxhash64(k, b).bitwiseXOR(lit(Long.MinValue))
+    ts.zipWithIndex.tail
       .foldLeft(when(u < lit(ts.head), lit(0))) {
         case (acc, (t, i)) => acc.when(u < lit(t), lit(i))
       }.otherwise(lit(maxW))
+  }
+
+  def bootstrapCiOf(rows: DataFrame, b: Int = 40, maxW: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rows.select(col("*"),
+      explode(sequence(lit(0L), lit((b - 1).toLong))).as("b"))
+    val w = bootstrapWeight(col("k"), col("b"), maxW)
     val means = d.withColumn("w", w)
       .groupBy(col("priority"), col("b"))
       .agg(sum(col("w") * col("p")).as("swp"), sum(col("w")).as("sw"))
@@ -889,14 +899,9 @@ object RelationalSuite {
   def bootstrapDiffOf(rows: DataFrame, b: Int = 40,
                       maxW: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ts = HashOracles.poissonThresholdsSigned(maxW)
     val d = rows.select(col("*"),
       explode(sequence(lit(0L), lit((b - 1).toLong))).as("b"))
-    val u = xxhash64(col("k"), col("b")).bitwiseXOR(lit(Long.MinValue))
-    val w = ts.zipWithIndex.tail
-      .foldLeft(when(u < lit(ts.head), lit(0))) {
-        case (acc, (t, i)) => acc.when(u < lit(t), lit(i))
-      }.otherwise(lit(maxW))
+    val w = bootstrapWeight(col("k"), col("b"), maxW)
     // same degenerate-resample guard as bootstrapCiOf (ADVICE r14): drop
     // zero-weight resamples on BOTH engines and rank against the survivor
     // count — a diff survives only when both periods' resamples did
@@ -2416,6 +2421,8 @@ object RelationalSuite {
     "t_closeness"        -> (tCloseness _),
     "bootstrap_ci"       -> (bootstrapCi _),
     "bootstrap_diff"     -> (bootstrapDiff _),
+    "stream_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedBootstrapCi(s, d)),
     "graph_reachability" -> (graphReachability _),
     "scd2_history"       -> (scd2History _),
     "fk_audit"           -> (fkAudit _),
@@ -3120,6 +3127,11 @@ object RelationalSuite {
     // means, order-statistic CI — from the same generated cutoffs
     "bootstrap_ci" -> HashOracles.bootstrapCiOracle(),
     "bootstrap_diff" -> HashOracles.bootstrapDiffOracle(),
+    // the streaming twin must converge to the IDENTICAL error bars — the
+    // batch oracle verbatim is the whole point (hash-seeded weights are
+    // partitioning/restart-independent, so online accumulation changes
+    // nothing)
+    "stream_bootstrap_ci" -> HashOracles.bootstrapCiOracle(),
     "scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       epoch_us(o_orderdate) // 1000000 AS valid_from,

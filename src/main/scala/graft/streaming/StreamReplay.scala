@@ -1961,6 +1961,119 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Streaming deterministic bootstrap (round-14 verdict ask #9 —
+    * stretch): the uncertainty monitor [[graft.operators.RelationalSuite
+    * .bootstrapCi]] computes in batch, run ONLINE beside stream_zscore.
+    * It works precisely BECAUSE the bootstrap's randomness is
+    * `xxhash64(row, resample)` — a pure function of the data, so the
+    * incremental weighted sums in streaming state are partitioning-,
+    * batch-boundary-, and restart-independent, and the converged CI
+    * equals the batch answer bit-for-bit (the SAME
+    * [[graft.operators.RelationalSuite.bootstrapWeight]] column and the
+    * same oracle SQL check both).
+    *
+    * Topology: orders stream in over the topic wire (price as a STRING so
+    * JSON transport never rounds the DECIMAL), each row fans out to B+1
+    * resamples in the streaming projection — b = -1 is the UNWEIGHTED
+    * pass (w pinned 1) that accumulates the full-population mean, so one
+    * stateful aggregate carries both halves of the answer. The update-
+    * mode agg keeps |priorities|·(B+1) keys of (Σw·p DECIMAL, Σw) state —
+    * bounded however long the stream runs — and the consumer RESTARTS
+    * from its checkpoint mid-stream (recovered partial sums must keep
+    * accumulating; the file-source offset log owns exactly-once delivery
+    * — redelivery absorption is the keyed-state processors' scenario, a
+    * plain sum would double-count by construction). Emissions per key are
+    * monotone (w ≥ 0, p > 0), so the converged sums are the per-key max
+    * over the out topic; the finish recomputes means, the degenerate-
+    * resample guard, and the survivor-rank CI exactly as the batch
+    * kernel does, and the row hash-matches bootstrap_ci's own oracle.
+    */
+  def streamedBootstrapCi(spark: SparkSession, dir: String,
+                          b: Int = 40): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.RelationalSuite
+    val wireSchema = StructType(Seq(
+      StructField("k", LongType), StructField("priority", StringType),
+      StructField("p", StringType)))
+    val sumsSchema = StructType(Seq(
+      StructField("priority", StringType), StructField("b", LongType),
+      StructField("swp", StringType), StructField("sw", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("priority", StringType),
+      StructField("mean_full", DoubleType),
+      StructField("ci_lo", DoubleType), StructField("ci_hi", DoubleType)))
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_orderpriority").as("priority"),
+      col("o_totalprice").cast(DecimalType(18, 2)).cast("string").as("p"))
+    val bd = orders.agg(min("k"), max("k")).head()
+    require(!bd.isNullAt(0), s"$dir orders is empty — nothing to replay")
+    val (lo, hi) = (bd.getLong(0), bd.getLong(1))
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_boot")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_boot_ckpt")
+    val in = new FileTopic("boot_in", wireSchema, root.toString)
+    val out = new FileTopic("boot_sums", sumsSchema, root.toString)
+    def wave(from: Long, until: Long, last: Boolean) = orders
+      .filter(col("k") >= from &&
+        (if (last) lit(true) else col("k") < until)).coalesce(1)
+    def drain(): Unit = {
+      val fanned = in.stream(child)
+        .select(col("k"), col("priority"),
+          col("p").cast(DecimalType(18, 2)).as("p"),
+          explode(sequence(lit(-1L), lit((b - 1).toLong))).as("b"))
+        .withColumn("w", when(col("b") === -1L, lit(1))
+          .otherwise(RelationalSuite.bootstrapWeight(col("k"), col("b"))))
+      val sums = fanned.groupBy(col("priority"), col("b"))
+        .agg(sum(col("w") * col("p")).cast("string").as("swp"),
+          sum(col("w")).as("sw"))
+      val q = sums.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      in.append(wave(lo, lo + quarter, last = false))
+      in.append(wave(lo + quarter, lo + 2 * quarter, last = false))
+      drain() // incarnation 1: offsets + partial sums checkpointed
+      in.append(wave(lo + 2 * quarter, lo + 3 * quarter, last = false))
+      in.append(wave(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2: recovered sums keep accumulating
+      // converged per-key sums (monotone -> max), then the batch kernel's
+      // own finish: degenerate guard, survivor-rank CI, full-mean join
+      import org.apache.spark.sql.expressions.Window
+      val conv = out.batch(child)
+        .select(col("priority"), col("b"),
+          col("swp").cast(DecimalType(38, 2)).as("swp"), col("sw"))
+        .groupBy(col("priority"), col("b"))
+        .agg(max(col("swp")).as("swp"), max(col("sw")).as("sw"))
+      val means = conv.filter(col("b") >= 0 && col("sw") > 0)
+        .select(col("priority"), col("b"),
+          (col("swp").cast("double") / col("sw").cast("double"))
+            .as("mean_b"))
+      val rk = Window.partitionBy(col("priority"))
+        .orderBy(col("mean_b"), col("b"))
+      val cw = Window.partitionBy(col("priority"))
+      val ci = means.withColumn("rk", row_number().over(rk))
+        .withColumn("nb", count(lit(1)).over(cw))
+        .groupBy(col("priority"))
+        .agg(min(when(col("rk") === 2, col("mean_b"))).as("ci_lo"),
+          min(when(col("rk") === col("nb") - 1, col("mean_b"))).as("ci_hi"))
+      val full = conv.filter(col("b") === -1L)
+        .select(col("priority"),
+          (col("swp").cast("double") / col("sw").cast("double"))
+            .as("mean_full"))
+      val rows = full.join(ci, "priority")
+        .select(col("priority"), col("mean_full"), col("ci_lo"),
+          col("ci_hi"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Stream-STATIC enrichment join over the production source — the one
     * join mode the stream-stream replays don't cover: each micro-batch of
     * the event stream joins a STATIC dimension table (customer, broadcast

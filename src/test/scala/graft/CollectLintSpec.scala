@@ -130,6 +130,10 @@ class CollectLintSpec extends SparkSpec {
       // runs the bounded batch seed job (|keys| x k rows) and the
       // vacuousness check (one-row limit count)
       "stream_bootstrap_topk",
+      // stream_bootstrap_ci: same replay posture — quartered publishes
+      // with a mid-stream restart through the resample-fanout stateful
+      // agg; the finish collects the bounded |priorities| CI rows
+      "stream_bootstrap_ci",
       // observed_metrics: the Dataset.observe surface — construction RUNS
       // the observed pipeline to a noop sink (executor-side action);
       // driver-visible output is the ONE accumulated metrics row, which
