@@ -550,26 +550,32 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-14 attributions (isolated SPARK_GRAFT_ONLY A/B, " +
-        "2 runs per commit, warm pass, load ~3): embed_ivfpq r12-commit " +
-        "1.07/1.50 s vs HEAD 1.29/1.47 s — the r13 drift flag " +
-        "(1.038 -> 1.671) compared a favorable-conditions in-suite min " +
-        "never reproduced in isolation at EITHER commit; no code change, " +
-        "suite crowding (same verdict as r13's q18 flag). " +
-        "embed_neardup_lsh 1.85/2.32 vs 1.93/2.55 and embed_pq 2.31/2.06 " +
-        "vs 1.95/1.66 (HEAD faster): the r13 verify-in-join + autoBits " +
-        "reshape carries NO measurable isolated wall cost at sf0.1 — its " +
-        "r13 in-suite inflation was the same crowding; what it bought is " +
-        "the measured 200k-vector decade at slope 0.80 (SCALING.json). " +
-        "graph_reachability drift vs r13 is REAL and accepted: the r13 " +
-        "0.79 s warm row was leak-assisted — its edge cache was never " +
-        "released, so later runs reused an earlier run's materialized " +
-        "cache (the exact defect r13's verdict ask #6 ordered fixed). " +
-        "With correct query-scoped lifecycle each run honestly rebuilds " +
-        "its cache once (isolated A/B: r13-leaky 1.26/1.59 s warm vs " +
-        "HEAD-fixed 3.02/3.04 s); the UnionLoop still reuses the cache " +
-        "across its hops — the 13.9x eager-dropTempView regression this " +
-        "round's first record caught was fixed by registry-tied view drop."
+      val note = "round-15 record context. SURFACE: 212 queries (r14: " +
+        "208) — hybrid_retrieval and t_closeness join the sf0.1 batch " +
+        "surface; stream_bootstrap_ci and state_inspect_map join the " +
+        "sf0.001 replay surface. STATE-ROW SCALE MOVE, quantified " +
+        "(r14 verdict ask #5): the r13 committed sf0.1 surface carried " +
+        "state_inspect 1.96 s + state_changelog 2.33 s = 4.29 s of " +
+        "per-query-min wall that r14 moved to sf0.001 (now ~3.7 s there), " +
+        "and the rows ADDED at the replay scale were never on the sf0.1 " +
+        "surface at all (state_inspect_ann alone measured 13.9 s warm at " +
+        "sf0.1 during r14 development before the move) — so r13-to-r14+ " +
+        "cross-round sf0.1 totals compare a surface that shed 4.29 s of " +
+        "committed rows; per-query mins with matching qsf remain the " +
+        "honest comparison and the drift gate already skips qsf moves. " +
+        "HARNESS/ENGINE SPLIT (r14 verdict ask #4): every stream_/state_ " +
+        "row now carries engine_sec (accumulated processAllAvailable " +
+        "wall: micro-batch execution incl. per-batch state-store commits) " +
+        "and harness_sec (publish waves, checkpoint setup, restarts). " +
+        "stream_zscore — slowest or flagged three rounds running — " +
+        "measures ~75-80% engine_sec: its wall is many tiny micro-batches " +
+        "through two chained jobs x per-batch store commits at sf0.001, " +
+        "a fixed per-batch cost profile, not a data-scaling plan defect " +
+        "(its batch twin rolling_zscore runs ~1 s at 100x the rows). " +
+        "DRIFT baseline is the committed round-14 record " +
+        "(baselines/BENCH_DETAIL_r14.json, snapshotted by this round's " +
+        "first run; baseline_round in the drift section — r14 verdict " +
+        "'wrong' #1 closed)."
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
         s""""headline":"$headlineMetric",""" +
         f""""queries_metric":"pass$headlinePass",""" +
