@@ -49,11 +49,18 @@ object Bench {
     * expressed via `status` + `pass2_adjusted_sec` instead of a metric
     * switch, and BenchHealthSpec pins the constant.
     */
+  /** `reproducible` is the attribution ledger the status rests on: out of
+    * a band it is every non-transient verdict; inside a band it is
+    * exactly the severe rows whose ISOLATED p3 reproduced severe (or
+    * whose p3 re-run crashed — no attribution), so an "unhealthy" banded
+    * record always NAMES the rows that flipped it (round-15 self-review:
+    * the old derived Nil-when-band contradicted the new band-severe
+    * unhealthy trigger).
+    */
   final case class Health(verdicts: Seq[Verdict], band: Boolean,
-                          status: String, headlinePass: Int, pass2Adj: Double) {
+                          status: String, headlinePass: Int, pass2Adj: Double,
+                          reproducible: Seq[Verdict]) {
     def ok: Boolean = status != "unhealthy"
-    def reproducible: Seq[Verdict] =
-      if (band) Nil else verdicts.filterNot(_.transient)
   }
 
   /** The pinned headline pass — see [[Health]]. */
@@ -82,8 +89,15 @@ object Bench {
     * (seconds, keyed by query name). Kept free of measurement side effects
     * so BenchHealthSpec can drive every branch with synthetic stats.
     */
+  /** `p3Failed` names flagged rows whose isolated re-run THREW (their
+    * wall is not evidence of anything): inside a band, a severe row with
+    * a crashed re-run keeps NO attribution and must not hide behind the
+    * band — it classifies reproducible/unhealthy exactly like the
+    * missing-p3 severe row does outside one.
+    */
   def classify(stats: Seq[(String, QStat, QStat)],
-               p3: Map[String, Double]): Health = {
+               p3: Map[String, Double],
+               p3Failed: Set[String] = Set.empty): Health = {
     val flagged = stats.zipWithIndex.collect {
       case (((n, s1, s2)), i) if elevated(s1, s2) => (n, i)
     }
@@ -118,13 +132,17 @@ object Bench {
     // whose ISOLATED p3 re-run still lands at severe level reproduced a
     // real regression the band cannot explain away, so it flips the
     // record unhealthy even when it sits inside a mild band. A banded
-    // severe row with NO p3 stays external (the band is the default
-    // attribution; the driver of the p3 schedule guarantees severe rows
-    // get their re-run even when the band fires).
+    // severe row whose re-run CRASHED (p3Failed) kept no attribution and
+    // classifies the same way; one that was never SCHEDULED stays
+    // external — the severe-first p3 ordering makes that reachable only
+    // past a >12-severe storm, which is a collapse with or without this
+    // row's verdict.
+    def severeReproduces(v: Verdict, t: Double): Boolean =
+      t > 3 * v.p1 && t - v.p1 > 1.0
     val reproducibleSevere = verdicts.filter { v =>
       v.severe && (
-        if (band) v.p3.exists(t => t > 3 * v.p1 && t - v.p1 > 1.0)
-        else v.p3.forall(t => t > 3 * v.p1 && t - v.p1 > 1.0))
+        if (band) v.p3.exists(severeReproduces(v, _)) || p3Failed(v.name)
+        else v.p3.forall(severeReproduces(v, _)))
     }
     // Pass-ratio check on the EXONERATED pass-2 total: transient rows'
     // p2 contributions are replaced by their isolated p3 re-measurements,
@@ -144,7 +162,9 @@ object Bench {
     // headlinePass is CONSTANT 2 (pinned metric — see Health's scaladoc);
     // kept as a field so the record keeps publishing which pass the
     // numbers bind to.
-    Health(verdicts, band, status, headlinePass = 2, pass2Adj)
+    val reproducible =
+      if (band) reproducibleSevere else verdicts.filterNot(_.transient)
+    Health(verdicts, band, status, headlinePass = 2, pass2Adj, reproducible)
   }
 
   /** Cross-round drift baseline (round-11 verdict ask #6): the per-query
@@ -241,7 +261,14 @@ object Bench {
       if (java.nio.file.Files.exists(live) &&
           !java.nio.file.Files.exists(baselinePath)) {
         java.nio.file.Files.createDirectories(baselinePath.getParent)
-        java.nio.file.Files.copy(live, baselinePath)
+        // copy-then-ATOMIC_MOVE: a crash mid-copy must never leave a
+        // truncated baseline that silently shrinks every drift compare
+        // for the rest of the round (round-15 self-review)
+        val tmp = baselinePath.resolveSibling(baselinePath.getFileName + ".tmp")
+        java.nio.file.Files.copy(live, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp, baselinePath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] baseline snapshot failed: $e")
@@ -458,7 +485,8 @@ object Bench {
       .map { case (n, _, _) => n -> measure("3", n, selected(n)) }
       .toMap
     val hc = classify(stats,
-      p3.collect { case (n, s) if s.ok => n -> s.sec })
+      p3.collect { case (n, s) if s.ok => n -> s.sec },
+      p3.collect { case (n, s) if !s.ok => n }.toSet)
     val verdicts = hc.verdicts
     val band = hc.band
     val status = hc.status
@@ -497,8 +525,14 @@ object Bench {
     // never from a SPARK_GRAFT_ONLY run: a filtered local iteration must
     // not clobber the committed full-suite record
     if (only.isEmpty) locally {
+      // a banded row that still classified reproducible (severe, isolated
+      // re-run reproduced or crashed) must be LABELED reproducible — an
+      // unhealthy record whose every verdict reads "external_band" would
+      // never name the row that flipped it (round-15 self-review)
+      val reproNames = reproducible.map(_.name).toSet
       def verdictOf(v: Verdict): String =
-        if (band) "external_band"
+        if (reproNames(v.name)) "reproducible"
+        else if (band) "external_band"
         else if (v.transient) "transient"
         else "reproducible"
       def severeOf(v: Verdict): String = if (v.severe) "true" else "false"

@@ -272,8 +272,9 @@ private[operators] object HashOracles {
        |        count(*) OVER (PARTITION BY priority) AS nb
        |      FROM m),
        |ci AS (SELECT priority,
-       |         min(CASE WHEN rk = 2 THEN mean_b END) AS ci_lo,
-       |         min(CASE WHEN rk = nb - 1 THEN mean_b END) AS ci_hi
+       |         min(CASE WHEN rk = 2 AND nb >= 3 THEN mean_b END) AS ci_lo,
+       |         min(CASE WHEN rk = nb - 1 AND nb >= 3 THEN mean_b END)
+       |           AS ci_hi
        |       FROM r GROUP BY 1),
        |f AS (SELECT priority,
        |        CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE)
@@ -317,8 +318,10 @@ private[operators] object HashOracles {
        |r AS (SELECT b, diff_b,
        |        row_number() OVER (ORDER BY diff_b, b) AS rk,
        |        count(*) OVER () AS nb FROM df),
-       |ci AS (SELECT min(CASE WHEN rk = 2 THEN diff_b END) AS ci_lo,
-       |              min(CASE WHEN rk = nb - 1 THEN diff_b END) AS ci_hi
+       |ci AS (SELECT min(CASE WHEN rk = 2 AND nb >= 3 THEN diff_b END)
+       |                AS ci_lo,
+       |              min(CASE WHEN rk = nb - 1 AND nb >= 3 THEN diff_b END)
+       |                AS ci_hi
        |       FROM r),
        |f AS (SELECT period,
        |        CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE)

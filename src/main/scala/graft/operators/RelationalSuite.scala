@@ -823,8 +823,10 @@ object RelationalSuite {
     * For any group where all B resamples survive (every real fixture
     * group; P(loss) ≈ B·e^-n) this is bit-identical to the fixed (2, B-1)
     * selection; a group with nb < 3 survivors yields NULL bounds — the
-    * honest answer for a group too small to bootstrap — identically on
-    * both engines.
+    * honest answer for a group too small to bootstrap (at nb = 2 the two
+    * ranks would otherwise INVERT: rank 2 is the larger mean, rank
+    * nb-1 = 1 the smaller) — identically on both engines, enforced by
+    * the explicit nb >= 3 predicate in [[survivorRankCi]].
     */
   /** The hash→truncated-Poisson weight column — ONE definition shared by
     * the batch kernels and the streaming twin
@@ -844,8 +846,38 @@ object RelationalSuite {
       }.otherwise(lit(maxW))
   }
 
-  def bootstrapCiOf(rows: DataFrame, b: Int = 40, maxW: Int = 5): DataFrame = {
+  /** The survivor-rank CI selection — ONE definition for all three Spark
+    * surfaces (bootstrapCiOf, bootstrapDiffOf, and the streaming finish
+    * in [[graft.streaming.StreamReplay.streamedBootstrapCi]]), mirroring
+    * the shared CTE shape in both HashOracles oracles: rank the
+    * surviving per-resample values with a deterministic tiebreak, take
+    * (rank 2, rank nb-1) as the 95% bounds, and NULL both when fewer
+    * than 3 resamples survived (at nb = 2 the two ranks coincide
+    * INVERTED — rank 2 is the larger value; at nb <= 1 they don't
+    * exist). Empty `partitionCols` = one global interval.
+    */
+  def survivorRankCi(means: DataFrame, valueCol: String, tieCol: String,
+                     partitionCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (rk, cw) =
+      if (partitionCols.isEmpty)
+        (Window.orderBy(col(valueCol), col(tieCol)),
+          Window.partitionBy(lit(1)))
+      else
+        (Window.partitionBy(partitionCols.map(col): _*)
+          .orderBy(col(valueCol), col(tieCol)),
+          Window.partitionBy(partitionCols.map(col): _*))
+    val ranked = means.withColumn("rk", row_number().over(rk))
+      .withColumn("nb", count(lit(1)).over(cw))
+    val lo = min(when(col("rk") === 2 && col("nb") >= 3, col(valueCol)))
+      .as("ci_lo")
+    val hi = min(when(col("rk") === col("nb") - 1 && col("nb") >= 3,
+      col(valueCol))).as("ci_hi")
+    if (partitionCols.isEmpty) ranked.agg(lo, hi)
+    else ranked.groupBy(partitionCols.map(col): _*).agg(lo, hi)
+  }
+
+  def bootstrapCiOf(rows: DataFrame, b: Int = 40, maxW: Int = 5): DataFrame = {
     val d = rows.select(col("*"),
       explode(sequence(lit(0L), lit((b - 1).toLong))).as("b"))
     val w = bootstrapWeight(col("k"), col("b"), maxW)
@@ -855,14 +887,7 @@ object RelationalSuite {
       .filter(col("sw") > 0)
       .select(col("priority"), col("b"),
         (col("swp").cast("double") / col("sw").cast("double")).as("mean_b"))
-    val rk = Window.partitionBy(col("priority"))
-      .orderBy(col("mean_b"), col("b"))
-    val cw = Window.partitionBy(col("priority"))
-    val ci = means.withColumn("rk", row_number().over(rk))
-      .withColumn("nb", count(lit(1)).over(cw))
-      .groupBy(col("priority"))
-      .agg(min(when(col("rk") === 2, col("mean_b"))).as("ci_lo"),
-        min(when(col("rk") === col("nb") - 1, col("mean_b"))).as("ci_hi"))
+    val ci = survivorRankCi(means, "mean_b", "b", Seq("priority"))
     val full = rows.groupBy(col("priority"))
       .agg((sum(col("p")).cast("double") / count(lit(1)).cast("double"))
         .as("mean_full"))
@@ -898,7 +923,6 @@ object RelationalSuite {
     */
   def bootstrapDiffOf(rows: DataFrame, b: Int = 40,
                       maxW: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = rows.select(col("*"),
       explode(sequence(lit(0L), lit((b - 1).toLong))).as("b"))
     val w = bootstrapWeight(col("k"), col("b"), maxW)
@@ -916,12 +940,7 @@ object RelationalSuite {
       .join(means.filter(col("period") === "base")
         .select(col("b"), col("mean_b").as("mb")), "b")
       .select(col("b"), (col("mn") - col("mb")).as("diff_b"))
-    val rk = Window.orderBy(col("diff_b"), col("b"))
-    val cw = Window.partitionBy(lit(1))
-    val ci = diffs.withColumn("rk", row_number().over(rk))
-      .withColumn("nb", count(lit(1)).over(cw))
-      .agg(min(when(col("rk") === 2, col("diff_b"))).as("ci_lo"),
-        min(when(col("rk") === col("nb") - 1, col("diff_b"))).as("ci_hi"))
+    val ci = survivorRankCi(diffs, "diff_b", "b", Nil)
     val full = rows.groupBy(col("period"))
       .agg((sum(col("p")).cast("double") / count(lit(1)).cast("double"))
         .as("m"))

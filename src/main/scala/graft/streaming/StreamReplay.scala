@@ -2043,8 +2043,9 @@ object StreamReplay {
       in.append(wave(lo + 3 * quarter, Long.MaxValue, last = true))
       drain() // incarnation 2: recovered sums keep accumulating
       // converged per-key sums (monotone -> max), then the batch kernel's
-      // own finish: degenerate guard, survivor-rank CI, full-mean join
-      import org.apache.spark.sql.expressions.Window
+      // own finish: degenerate guard + the SHARED survivor-rank CI
+      // (RelationalSuite.survivorRankCi — one definition, zero drift
+      // between the batch and streaming selections), full-mean join
       val conv = out.batch(child)
         .select(col("priority"), col("b"),
           col("swp").cast(DecimalType(38, 2)).as("swp"), col("sw"))
@@ -2054,14 +2055,8 @@ object StreamReplay {
         .select(col("priority"), col("b"),
           (col("swp").cast("double") / col("sw").cast("double"))
             .as("mean_b"))
-      val rk = Window.partitionBy(col("priority"))
-        .orderBy(col("mean_b"), col("b"))
-      val cw = Window.partitionBy(col("priority"))
-      val ci = means.withColumn("rk", row_number().over(rk))
-        .withColumn("nb", count(lit(1)).over(cw))
-        .groupBy(col("priority"))
-        .agg(min(when(col("rk") === 2, col("mean_b"))).as("ci_lo"),
-          min(when(col("rk") === col("nb") - 1, col("mean_b"))).as("ci_hi"))
+      val ci = RelationalSuite.survivorRankCi(means, "mean_b", "b",
+        Seq("priority"))
       val full = conv.filter(col("b") === -1L)
         .select(col("priority"),
           (col("swp").cast("double") / col("sw").cast("double"))

@@ -289,6 +289,29 @@ class AuditSpec extends SparkSpec {
     assert(ob == Seq((0.3, 0L, 0L, 0.0)), s"single-band corner: $ob")
   }
 
+  test("survivorRankCi: fewer than 3 survivors yields NULL bounds, never an inverted interval") {
+    import org.apache.spark.sql.functions.col
+    // nb = 2: rank 2 is the LARGER value and rank nb-1 = 1 the smaller —
+    // selecting them would emit ci_lo > ci_hi (identically on both
+    // engines, so the hash gate can't catch it); the nb >= 3 predicate
+    // must NULL both instead (round-15 self-review finding)
+    val two = Seq(("G", 0L, 1.0), ("G", 1L, 2.0)).toDF("priority", "b", "mean_b")
+    val got2 = RelationalSuite.survivorRankCi(two, "mean_b", "b", Seq("priority"))
+      .collect().head
+    assert(got2.isNullAt(1) && got2.isNullAt(2), s"nb=2 must NULL: $got2")
+    // nb = 3: the bounds exist and are ordered (both equal the median)
+    val three = Seq(("G", 0L, 1.0), ("G", 1L, 2.0), ("G", 2L, 3.0))
+      .toDF("priority", "b", "mean_b")
+    val got3 = RelationalSuite.survivorRankCi(three, "mean_b", "b", Seq("priority"))
+      .as[(String, Double, Double)].collect().head
+    assert(got3 == (("G", 2.0, 2.0)), s"nb=3 bounds: $got3")
+    // global (no partition) form used by bootstrap_diff
+    val g = RelationalSuite.survivorRankCi(
+        three.select(col("b"), col("mean_b").as("diff_b")), "diff_b", "b", Nil)
+      .as[(Double, Double)].collect().head
+    assert(g == ((2.0, 2.0)), s"global nb=3 bounds: $g")
+  }
+
   test("bootstrap_ci: constant metric collapses the CI to the point estimate") {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types.DecimalType

@@ -94,10 +94,24 @@ class BenchHealthSpec extends AnyFunSuite {
     // ...a p3 back at pass-1 level stays external (band took the blame)...
     val h2 = classify(banded, Map("q04" -> 1.1))
     assert(h2.band && h2.status == "external", s"exonerated in-band: $h2")
-    // ...and a banded severe row with NO p3 keeps the band's external
-    // verdict (the re-run schedule guarantees severe rows get one)
+    // ...a banded severe row with NO p3 SCHEDULED keeps the band's
+    // external verdict (reachable only past a >12-severe storm under the
+    // severe-first ordering)...
     val h3 = classify(banded, Map.empty)
     assert(h3.band && h3.status == "external", s"no-p3 in-band default: $h3")
+    // ...but a banded severe row whose re-run CRASHED kept no attribution
+    // and must classify unhealthy, not hide behind the band — and the
+    // reproducible ledger must NAME it (round-15 self-review findings)
+    val h4 = classify(banded, Map.empty, p3Failed = Set("q04"))
+    assert(h4.status == "unhealthy",
+      s"crashed re-run of a banded severe row must not exonerate: $h4")
+    assert(h4.reproducible.map(_.name) == Seq("q04"),
+      s"the ledger must name the row that flipped the record: $h4")
+    // the reproduced-severe case (h above) names its row too
+    assert(h.reproducible.map(_.name) == Seq("q04"),
+      s"banded reproduced-severe must be in the ledger: $h")
+    // and the clean-band case keeps an empty ledger
+    assert(h2.reproducible.isEmpty && h3.reproducible.isEmpty)
   }
 
   test("headline metric constant is pass2 and matches any committed record") {

@@ -260,9 +260,15 @@ object Scaling {
       // the generated sf1x/sf3x slices hold documents/embeddings only,
       // while the lineitem-driven graph family uses the three fixture
       // scales (which all grow for lineitem)
-      val pts = (dirs ++ extraDirs.getOrElse(name, Nil))
+      val measurable = (dirs ++ extraDirs.getOrElse(name, Nil))
         .filter(d => new java.io.File(s"$d/$table.parquet").exists)
-        .map { d =>
+      // a family silently reduced to <2 points would fit slope NaN and
+      // write invalid JSON — fail loudly instead: the dirs list is
+      // missing the family's driving table
+      require(measurable.size >= 2,
+        s"$name: driving table '$table' present at only " +
+          s"${measurable.size} of the given scales — cannot fit a slope")
+      val pts = measurable.map { d =>
         Point(new java.io.File(d).getName, rowCount(spark, d, table),
           time(spark, d, name))
       }
