@@ -602,7 +602,7 @@ object Bench {
         "wall: micro-batch execution incl. per-batch state-store commits) " +
         "and harness_sec (publish waves, checkpoint setup, restarts). " +
         "stream_zscore — slowest or flagged three rounds running — " +
-        "measures ~75-80% engine_sec: its wall is many tiny micro-batches " +
+        "measures ~84% engine_sec: its wall is many tiny micro-batches " +
         "through two chained jobs x per-batch store commits at sf0.001, " +
         "a fixed per-batch cost profile, not a data-scaling plan defect " +
         "(its batch twin rolling_zscore runs ~1 s at 100x the rows). " +
