@@ -2352,7 +2352,8 @@ object StreamReplay {
   def streamedAnn(spark: SparkSession, dir: String,
                   centroids: Seq[Seq[Double]], nProbe: Int,
                   k: Int = 3): DataFrame =
-    streamedAnnCore(spark, dir, centroids, nProbe, k, rerank = None)
+    streamedAnnCore(spark, dir, centroids, nProbe, rerank = None,
+      annRankSchema("cos"))(annTopKFinish("cos", k))
 
   /** Streaming retrieve-then-rerank — [[streamedAnn]]'s online retrieval
     * composed with the late-interaction SECOND stage, all inside the one
@@ -2370,8 +2371,9 @@ object StreamReplay {
   def streamedRerank(spark: SparkSession, dir: String,
                      centroids: Seq[Seq[Double]], nProbe: Int,
                      nTokens: Int, subDim: Int, k: Int = 3): DataFrame =
-    streamedAnnCore(spark, dir, centroids, nProbe, k,
-      rerank = Some((nTokens, subDim)))
+    streamedAnnCore(spark, dir, centroids, nProbe,
+      rerank = Some((nTokens, subDim)),
+      annRankSchema("score"))(annTopKFinish("score", k))
 
   /** Offline audit of [[StreamOps.CellAnnIndex]]'s ListState — the
     * inverted index ITSELF read out of the checkpoint (round-13 verdict:
@@ -2390,15 +2392,67 @@ object StreamReplay {
     * when to re-shard the index.
     */
   def stateInspectAnn(spark: SparkSession, dir: String,
-                      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame =
-    streamedAnnCore(spark, dir, centroids, nProbe, k = 3, rerank = None,
-      stateAudit = true)
+                      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val auditSchema = StructType(Seq(
+      StructField("cell", IntegerType),
+      StructField("n_vectors", LongType),
+      StructField("id_sum", LongType)))
+    streamedAnnCore(spark, dir, centroids, nProbe, rerank = None,
+      auditSchema) { (child, ckpt, _) =>
+      // the inverted index out of RocksDB: one row per resident
+      // (cell, CellVec) list element, rolled to per-cell occupancy
+      child.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "index")
+        .load()
+        .select(col("key.value").as("cell"),
+          col("list_element.vecId").as("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("id_sum"))
+        .collect()
+    }
+  }
 
+  /** The retrieval twins' shared finish: per-query exact top-`k` over the
+    * out topic's converged distinct candidate set.
+    */
+  private def annTopKFinish(scoreCol: String, k: Int)
+      : (SparkSession, String, graft.sources.FileTopic)
+        => Array[org.apache.spark.sql.Row] = (child, _, out) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    out.batch(child).distinct()
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .collect()
+  }
+
+  private def annRankSchema(scoreCol: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField(scoreCol, DoubleType), StructField("rank", IntegerType)))
+  }
+
+  /** The shared streaming-ANN replay run — vec_id-ordered waves through
+    * the cell-keyed index with a mid-stream restart and a whole-quarter
+    * redelivery; `rerank` optionally composes the in-stream MaxSim second
+    * stage (it changes the TOPOLOGY, not the return shape). `finish`
+    * reads the answer from the stopped pipeline (the out topic, or the
+    * checkpoint's ListState) BEFORE the temp dirs are deleted — the same
+    * callback seam as [[cdcReplayCore]]/[[transitionsReplayCore]]
+    * (round-14 verdict flagged the old boolean return-schema switch as
+    * the seam that would grow a third mode badly).
+    */
   private def streamedAnnCore(spark: SparkSession, dir: String,
                               centroids: Seq[Seq[Double]], nProbe: Int,
-                              k: Int,
                               rerank: Option[(Int, Int)],
-                              stateAudit: Boolean = false): DataFrame = {
+                              outSchema: org.apache.spark.sql.types.StructType)(
+                              finish: (SparkSession, String, graft.sources.FileTopic)
+                                => Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.sources.FileTopic
     import org.apache.spark.sql.types._
     import graft.operators.Similarity
@@ -2406,14 +2460,6 @@ object StreamReplay {
     val wireSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
-    val outSchema =
-      if (stateAudit) StructType(Seq(
-        StructField("cell", IntegerType),
-        StructField("n_vectors", LongType),
-        StructField("id_sum", LongType)))
-      else StructType(Seq(
-        StructField("query_id", LongType), StructField("neighbor_id", LongType),
-        StructField(scoreCol, DoubleType), StructField("rank", IntegerType)))
     val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
     val emb = Tables.embeddings(child, dir)
       .select(col("vec_id"), col("embedding"))
@@ -2424,7 +2470,7 @@ object StreamReplay {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ckpt")
     val in = new FileTopic("ann_in", wireSchema, root.toString)
     // the out topic ALWAYS carries candidate hits — its schema must not
-    // follow the stateAudit return shape (the audit path doesn't read the
+    // follow the caller's return shape (the audit finish doesn't read the
     // topic back, but a schema-enforcing Topic implementation behind the
     // swap point would reject the sinked rows; round-14 self-review)
     val hitsSchema = StructType(Seq(
@@ -2480,27 +2526,7 @@ object StreamReplay {
       in.append(range(q2hi, lo + 3 * quarter, last = false))
       in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
       drain() // incarnation 2
-      val rows = if (stateAudit) {
-        // the inverted index out of RocksDB: one row per resident
-        // (cell, CellVec) list element, rolled to per-cell occupancy
-        child.read.format("statestore")
-          .option("path", ckpt.toString)
-          .option("stateVarName", "index")
-          .load()
-          .select(col("key.value").as("cell"),
-            col("list_element.vecId").as("vec_id"))
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("id_sum"))
-          .collect()
-      } else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
-        out.batch(child).distinct()
-          .withColumn("rank", row_number().over(w).cast("int"))
-          .filter(col("rank") <= k)
-          .collect()
-      }
+      val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
