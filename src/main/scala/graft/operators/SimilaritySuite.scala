@@ -487,13 +487,33 @@ object SimilaritySuite {
     * already measured/pinned); fusion cost never grows past the rank
     * lists it joins.
     */
-  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val lex = TextSuite.lexicalRetrieval(spark, dir, k)
-      .select(col("query_id"), col("doc_id").as("cand_id"),
-        col("rnk").as("rank"))
-    val sem = embedTopK(spark, dir)
-      .select(col("query_id"), col("neighbor_id").as("cand_id"), col("rank"))
-    val fused = lex.unionAll(sem)
+  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    hybridFusionOf(TextSuite.lexicalRetrieval(spark, dir, k),
+      embedTopK(spark, dir), k)
+
+  /** The fusion composed with the SCALE-path semantic ranker: the same
+    * exact-integer RRF over [[embedIvfTopK]]'s probed-cell candidates
+    * instead of the brute-force scan — what a production deployment
+    * actually fuses at corpus scale (the exact ranker stays as the
+    * recall calibration, the ivf_kmeans_recall pairing). One fusion
+    * kernel ([[hybridFusionOf]]), two semantic backends, both
+    * oracle-checked from their own rankers' oracles verbatim.
+    */
+  def hybridRetrievalIvf(spark: SparkSession, dir: String,
+                         k: Int = 5): DataFrame =
+    hybridFusionOf(TextSuite.lexicalRetrieval(spark, dir, k),
+      embedIvfTopK(spark, dir), k)
+
+  /** The RRF fusion kernel over any two top-k rank lists: `lex` carries
+    * (query_id, doc_id, rnk), `sem` carries (query_id, neighbor_id,
+    * rank) — the contract both rankers' public outputs already satisfy.
+    */
+  def hybridFusionOf(lex: DataFrame, sem: DataFrame, k: Int): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id").as("cand_id"),
+      col("rnk").as("rank"))
+    val s = sem.select(col("query_id"), col("neighbor_id").as("cand_id"),
+      col("rank"))
+    val fused = l.unionAll(s)
       .select(col("query_id"), col("cand_id"),
         expr("1000000 div (60 + rank)").as("contrib"))
       .groupBy(col("query_id"), col("cand_id"))
@@ -507,6 +527,8 @@ object SimilaritySuite {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_retrieval" -> ((s: SparkSession, d: String) =>
       hybridRetrieval(s, d)),
+    "hybrid_retrieval_ivf" -> ((s: SparkSession, d: String) =>
+      hybridRetrievalIvf(s, d)),
     "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
     "label_centroids" -> (labelCentroids _),
     "embedding_drift" -> (embeddingDrift _),
@@ -936,29 +958,23 @@ object SimilaritySuite {
       |JOIN q qe ON qe.query_id = co.query_id
       |QUALIFY rank <= 5""".stripMargin
 
-  /** Generated oracle for hybrid_retrieval: the lexical ranker's oracle
-    * is embedded VERBATIM as a CTE (one definition, zero drift between
-    * the standalone and fused checks), the semantic ranker is
-    * embed_topk's brute-force cosine rank, and the fusion is the same
-    * exact-integer RRF sum — `1000000 // (60 + rank)` — the engine
+  /** Generated oracle for the hybrid fusions: BOTH rankers' oracles are
+    * embedded VERBATIM as CTEs (one definition each, zero drift between
+    * the standalone and fused checks — `semSql` is embedTopkOracle for
+    * hybrid_retrieval and ivfOracle for hybrid_retrieval_ivf, each
+    * yielding (query_id, neighbor_id, ..., rank)), and the fusion is the
+    * same exact-integer RRF sum — `1000000 // (60 + rank)` — the engine
     * computes, so the hash pins every fused score and tiebreak.
     */
-  private def hybridRetrievalOracle: String =
+  private def hybridOracleOver(semSql: String): String =
     s"""WITH lex AS (
        |${TextSuite.oracles("lexical_retrieval")}),
        |sem AS (
-       |  SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
-       |         CAST(row_number() OVER (PARTITION BY q.vec_id
-       |           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-       |                                           CAST(q.embedding AS DOUBLE[])) DESC,
-       |                    e.vec_id ASC) AS INT) AS rank
-       |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
-       |  WHERE e.vec_id <> q.vec_id
-       |  QUALIFY rank <= 5),
+       |$semSql),
        |u AS (
        |  SELECT query_id, doc_id AS cand_id, rnk AS rank FROM lex
        |  UNION ALL
-       |  SELECT query_id, cand_id, rank FROM sem),
+       |  SELECT query_id, neighbor_id AS cand_id, rank FROM sem),
        |f AS (
        |  SELECT query_id, cand_id,
        |         CAST(sum(1000000 // (60 + rank)) AS BIGINT) AS rrf,
@@ -969,8 +985,26 @@ object SimilaritySuite {
        |         ORDER BY rrf DESC, cand_id ASC) AS INT) AS rnk
        |FROM f QUALIFY rnk <= 5""".stripMargin
 
+  /** embed_topk's oracle as a named val so the hybrid fusion can embed
+    * it verbatim (an entry cannot reference the oracles map during its
+    * own construction).
+    */
+  private val embedTopkOracle: String =
+    """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                              CAST(q.embedding AS DOUBLE[])) AS cos,
+      |       CAST(row_number() OVER (
+      |         PARTITION BY q.vec_id
+      |         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                         CAST(q.embedding AS DOUBLE[])) DESC,
+      |                  e.vec_id ASC) AS INT) AS rank
+      |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+      |WHERE e.vec_id <> q.vec_id
+      |QUALIFY rank <= 5""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "hybrid_retrieval" -> hybridRetrievalOracle,
+    "hybrid_retrieval" -> hybridOracleOver(embedTopkOracle),
+    "hybrid_retrieval_ivf" -> hybridOracleOver(ivfOracle),
     // float components are lifted to exact scaled longs (x 2^14, rounded
     // half-away-from-zero — DuckDB round() and Spark round() agree); all
     // aggregates below stay under 2^53, so the long -> double conversions
@@ -1085,18 +1119,7 @@ object SimilaritySuite {
     "pq_kmeans_gain" ->
       """SELECT count(*) AS n_vectors, TRUE AS trained_better
         |FROM embeddings""".stripMargin,
-    "embed_topk" ->
-      """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                              CAST(q.embedding AS DOUBLE[])) AS cos,
-        |       CAST(row_number() OVER (
-        |         PARTITION BY q.vec_id
-        |         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |                                         CAST(q.embedding AS DOUBLE[])) DESC,
-        |                  e.vec_id ASC) AS INT) AS rank
-        |FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
-        |WHERE e.vec_id <> q.vec_id
-        |QUALIFY rank <= 5""".stripMargin,
+    "embed_topk" -> embedTopkOracle,
     // same bit-exact cosine as embed_topk, plus the label-disagreement
     // join predicate and the near-dup ceiling — both applied to the
     // identical double, so the filtered set matches exactly

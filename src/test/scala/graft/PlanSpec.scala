@@ -509,27 +509,29 @@ class PlanSpec extends SparkSpec {
       s"top-k must partial-limit per partition in:\n$plan")
   }
 
-  test("hybrid_retrieval: both rankers top-k capped BEFORE the fusion aggregate") {
-    val plan = executedPlan(
-      graft.operators.SimilaritySuite.queries("hybrid_retrieval")(spark, dir))
-    // three rank windows — lexical branch, semantic branch, fused rank —
-    // and every one must partial-limit per partition: an uncapped branch
-    // would feed corpus-sized candidates into the fusion aggregate
-    val wgl = "WindowGroupLimit".r.findAllIn(plan).size
-    assert(wgl >= 3,
-      s"expected 3 capped rank windows (2 branches + fusion), saw $wgl in:\n$plan")
-    // the semantic branch's query vectors broadcast against one corpus
-    // pass, and nothing in the composed plan degenerates to a cartesian
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"),
-      s"query vectors must broadcast in:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"no cartesian anywhere in the fused plan:\n$plan")
-    // the lexical branch's pruning survives composition: no join moves
-    // postings-sized data (same pin as the standalone lexical test)
-    assert(!plan.contains("SortMergeJoin") &&
-      !plan.contains("ShuffledHashJoin"),
-      s"postings-sized shuffle join regressed into the fused plan:\n$plan")
+  test("hybrid_retrieval(+_ivf): both rankers top-k capped BEFORE the fusion aggregate") {
+    for (q <- Seq("hybrid_retrieval", "hybrid_retrieval_ivf")) {
+      val plan = executedPlan(
+        graft.operators.SimilaritySuite.queries(q)(spark, dir))
+      // three rank windows — lexical branch, semantic branch, fused rank —
+      // and every one must partial-limit per partition: an uncapped branch
+      // would feed corpus-sized candidates into the fusion aggregate
+      val wgl = "WindowGroupLimit".r.findAllIn(plan).size
+      assert(wgl >= 3,
+        s"$q: expected 3 capped rank windows (2 branches + fusion), saw $wgl in:\n$plan")
+      // the semantic branch's query vectors (or probe pairs) broadcast
+      // against one corpus pass, and nothing degenerates to a cartesian
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"),
+        s"$q: query vectors must broadcast in:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: no cartesian anywhere in the fused plan:\n$plan")
+      // the lexical branch's pruning survives composition: no join moves
+      // postings-sized data (same pin as the standalone lexical test)
+      assert(!plan.contains("SortMergeJoin") &&
+        !plan.contains("ShuffledHashJoin"),
+        s"$q: postings-sized shuffle join regressed into the fused plan:\n$plan")
+    }
   }
 
   test("ts_comovement global top-k never funnels pair-window rows through one sort") {
