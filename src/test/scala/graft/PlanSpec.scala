@@ -549,6 +549,24 @@ class PlanSpec extends SparkSpec {
       s"more than the bounded range aggregates run single-partition:\n$plan")
   }
 
+  test("t_closeness: threshold explode and EMD windows run over bounded tables only") {
+    val plan = executedPlan(
+      graft.operators.RelationalSuite.tCloseness(spark, dir))
+    // cell counts partially aggregate map-side before any shuffle
+    assert(plan.contains("partial_count"),
+      s"cell counts must map-side combine before their shuffle:\n$plan")
+    // the |ts| explode (Generate) sits ABOVE the per-class EMD aggregate —
+    // below it, every grid row would multiply by |ts| pre-aggregation
+    val genAt = plan.indexOf("Generate explode")
+    val aggAt = plan.lastIndexOf("partial_count")
+    assert(genAt >= 0 && aggAt >= 0 && genAt < aggAt,
+      s"threshold explode must run over the bounded class table:\n$plan")
+    // the class x band grid is built by BROADCAST joins (bands and the
+    // one-row totals are tiny), never a shuffle or cartesian of the rows
+    assert(!plan.contains("CartesianProduct"),
+      s"grid must broadcast, not cartesian:\n$plan")
+  }
+
   test("k_anonymity explodes thresholds over the bounded class table only") {
     val plan = executedPlan(
       graft.operators.RelationalSuite.kAnonymity(spark, dir))

@@ -265,4 +265,26 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got(1)._3 - (1.0 + 1.0 / math.sqrt(2.0))) < 1e-15,
       s"doc 3 must score 1 + 1/sqrt(2): ${got(1)._3}")
   }
+
+  test("hybrid IVF fusion keeps >=60% recall of the exact fusion (the calibration pairing)") {
+    // hybrid_retrieval (exact brute-force semantic side) is the recall
+    // calibration for hybrid_retrieval_ivf (probed-cell semantic side) —
+    // the same pairing embed_topk/embed_ivf carry. Deterministic fixture,
+    // so the recall is a fixed property, not a flaky sample.
+    val dir = "/root/testdata/sf0.01"
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"cand_id")
+      .as[(Long, Long)].collect().toSet
+    val exact = top(graft.operators.SimilaritySuite.hybridRetrieval(spark, dir))
+    val ivf = top(graft.operators.SimilaritySuite.hybridRetrievalIvf(spark, dir))
+    assert(exact.nonEmpty, "exact fusion returned no rows")
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"fused IVF recall $recall too low vs exact fusion")
+    // the lexical half is common to both fusions, so every query's OWN
+    // doc (lexical rank 1, RRF-dominant) must survive in both top-5 sets
+    for (q <- 0L until 5L) {
+      assert(exact.contains((q, q)) && ivf.contains((q, q)),
+        s"query $q must retrieve itself through both fusions")
+    }
+  }
 }
