@@ -248,16 +248,39 @@ object Bench {
     // (the driver writes one per completed round). The record publishes
     // "baseline_round" so the judge sees WHICH round it compared against,
     // and BenchHealthSpec asserts it is the previous round.
+    // ROUND FILES RESOLVE AGAINST THE REPO ROOT, not the process CWD
+    // (ADVICE r15): a Bench launched from elsewhere used to find no
+    // BENCH_r*.json, snapshot baselines/ into the wrong directory, and
+    // leave the drift gate silently vacuous — the exact
+    // formatting-disables-the-gate failure mode the round-13 note guards
+    // against. Walk up from CWD to the first directory holding build.sbt
+    // (the sbt launch root); if none is in reach, keep CWD but FAIL
+    // LOUDLY when the directory carries a BENCH_DETAIL.json with no
+    // BENCH_r*.json beside it — that combination only happens when the
+    // round files live somewhere this process can't see.
+    val repoRoot: java.nio.file.Path = {
+      def up(p: java.nio.file.Path): Option[java.nio.file.Path] =
+        if (p == null) None
+        else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) Some(p)
+        else up(p.getParent)
+      up(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)
+        .getOrElse(java.nio.file.Paths.get(".").toAbsolutePath.getParent)
+    }
     val prevRound: Int = locally {
       val rx = """BENCH_r(\d+)\.json""".r
-      Option(new java.io.File(".").listFiles()).toSeq.flatten
+      Option(repoRoot.toFile.listFiles()).toSeq.flatten
         .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
         .sorted.lastOption.getOrElse(0)
     }
+    require(prevRound > 0 ||
+        !java.nio.file.Files.exists(repoRoot.resolve("BENCH_DETAIL.json")),
+      s"no BENCH_r*.json under $repoRoot but BENCH_DETAIL.json exists — " +
+        "the round files are elsewhere and every drift compare would be " +
+        "silently vacuous; launch Bench from the repo root")
     val baselinePath =
-      java.nio.file.Paths.get(s"baselines/BENCH_DETAIL_r$prevRound.json")
+      repoRoot.resolve(s"baselines/BENCH_DETAIL_r$prevRound.json")
     try {
-      val live = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      val live = repoRoot.resolve("BENCH_DETAIL.json")
       if (java.nio.file.Files.exists(live) &&
           !java.nio.file.Files.exists(baselinePath)) {
         java.nio.file.Files.createDirectories(baselinePath.getParent)
@@ -620,7 +643,7 @@ object Bench {
         f"""${passTotals.last}%.1f],"jit":$jit,"health":$health,""" +
         f""""drift":$driftJson,""" +
         f""""queries":{\n$detail\n}}\n"""
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      try java.nio.file.Files.write(repoRoot.resolve("BENCH_DETAIL.json"),
         body.getBytes("UTF-8"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")

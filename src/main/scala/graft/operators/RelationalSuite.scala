@@ -714,9 +714,18 @@ object RelationalSuite {
     * (class × band) cell table; everything after — the class×band grid,
     * the prefix windows, the |ts| explode — runs over tables bounded by
     * the quasi-id cross product times the band count, never the rows.
-    * Overflow headroom: the numerator terms are ≤ N·n_c ≤ N², so BIGINT
-    * holds to N ~ 3·10^9 individuals; past that, lift the two products
-    * to DECIMAL(38,0) (same algorithm, wider lane).
+    * Overflow headroom: each numerator TERM is ≤ N·n_c ≤ N², and the
+    * aggregated numerator is an m-term sum bounded by m·N·n_c — in
+    * LongType that caps N at ~10^9/√m and, worse, Spark's non-ANSI
+    * LongType WRAPS silently past it while the DuckDB oracle promotes
+    * window sums to HUGEINT, so the engines would silently diverge
+    * instead of erroring (ADVICE r15). Both products therefore compute
+    * in DECIMAL(38,0) — numerator and the n_c·N·(m−1) denominator —
+    * which holds exactly to m·N² < 10^38 (N ~ 10^18 at m = 100, i.e.
+    * past any conceivable release), and a true decimal overflow yields
+    * NULL rather than a wrong sign. The final DECIMAL→DOUBLE casts are
+    * correctly rounded in both engines, so the one IEEE division still
+    * lands the identical double.
     */
   def tCloseness(spark: SparkSession, dir: String): DataFrame =
     tClosenessOf(Tables.customer(spark, dir)
@@ -753,13 +762,18 @@ object RelationalSuite {
     val cum = grid
       .withColumn("cum_c", sum(col("cnt")).over(wc))
       .withColumn("cum_g", sum(col("gcnt")).over(wc))
+    // DECIMAL(38,0) lane for the m-term numerator sum and the
+    // denominator product — see the headroom note in the scaladoc
+    val wide = DecimalType(38, 0)
     val emd = cum.crossJoin(broadcast(tot))
       .groupBy(qids.map(col).toSeq: _*)
       .agg(max(col("n_c")).as("n_c"),
         when(max(col("m")) === 1, lit(0.0)).otherwise(
-          sum(abs(col("nn") * col("cum_c") - col("n_c") * col("cum_g")))
+          sum(abs(col("nn").cast(wide) * col("cum_c") -
+              col("n_c").cast(wide) * col("cum_g")))
             .cast("double") /
-            (max(col("n_c")) * max(col("nn")) * (max(col("m")) - 1))
+            (max(col("n_c")).cast(wide) * max(col("nn")) *
+              (max(col("m")) - 1))
               .cast("double")).as("emd"))
     emd
       .select(col("n_c"), col("emd"),

@@ -487,9 +487,18 @@ object SimilaritySuite {
     * already measured/pinned); fusion cost never grows past the rank
     * lists it joins.
     */
-  def hybridRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    hybridFusionOf(TextSuite.lexicalRetrieval(spark, dir, k),
-      embedTopK(spark, dir), k)
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame =
+    hybridFusionOf(TextSuite.lexicalRetrieval(spark, dir, fusedK),
+      embedTopK(spark, dir), fusedK)
+
+  /** The one fused depth: [[embedTopK]]/[[embedIvfTopK]] pin top-5
+    * internally and the generated oracles hardcode `QUALIFY rnk <= 5`,
+    * so a caller-supplied k ≠ 5 would silently fuse a truncated semantic
+    * list and diverge from the oracle (ADVICE r15) — the parameter is
+    * gone rather than latent. A deployment wanting another depth threads
+    * it through BOTH rankers and [[hybridFusionOf]] together.
+    */
+  private val fusedK = 5
 
   /** The fusion composed with the SCALE-path semantic ranker: the same
     * exact-integer RRF over [[embedIvfTopK]]'s probed-cell candidates
@@ -499,10 +508,9 @@ object SimilaritySuite {
     * kernel ([[hybridFusionOf]]), two semantic backends, both
     * oracle-checked from their own rankers' oracles verbatim.
     */
-  def hybridRetrievalIvf(spark: SparkSession, dir: String,
-                         k: Int = 5): DataFrame =
-    hybridFusionOf(TextSuite.lexicalRetrieval(spark, dir, k),
-      embedIvfTopK(spark, dir), k)
+  def hybridRetrievalIvf(spark: SparkSession, dir: String): DataFrame =
+    hybridFusionOf(TextSuite.lexicalRetrieval(spark, dir, fusedK),
+      embedIvfTopK(spark, dir), fusedK)
 
   /** The RRF fusion kernel over any two top-k rank lists: `lex` carries
     * (query_id, doc_id, rnk), `sem` carries (query_id, neighbor_id,
