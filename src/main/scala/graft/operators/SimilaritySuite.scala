@@ -512,6 +512,18 @@ object SimilaritySuite {
     hybridFusionOf(TextSuite.lexicalRetrieval(spark, dir, fusedK),
       embedIvfTopK(spark, dir), fusedK)
 
+  /** The production pairing (round-15 verdict ask #3): BM25 as the
+    * lexical side — [[TextSuite.bm25Retrieval]]'s saturated,
+    * length-normalized ranking — fused with the scale-path IVF semantic
+    * ranker through the SAME [[hybridFusionOf]] kernel. BM25's output
+    * satisfies the fusion's (query_id, doc_id, rnk) contract unchanged,
+    * which is the point: the fusion is ranker-agnostic, and its oracle
+    * embeds bm25_retrieval's own oracle verbatim as the lex CTE.
+    */
+  def hybridRetrievalBm25(spark: SparkSession, dir: String): DataFrame =
+    hybridFusionOf(TextSuite.bm25Retrieval(spark, dir, fusedK),
+      embedIvfTopK(spark, dir), fusedK)
+
   /** The RRF fusion kernel over any two top-k rank lists: `lex` carries
     * (query_id, doc_id, rnk), `sem` carries (query_id, neighbor_id,
     * rank) — the contract both rankers' public outputs already satisfy.
@@ -537,6 +549,8 @@ object SimilaritySuite {
       hybridRetrieval(s, d)),
     "hybrid_retrieval_ivf" -> ((s: SparkSession, d: String) =>
       hybridRetrievalIvf(s, d)),
+    "hybrid_bm25" -> ((s: SparkSession, d: String) =>
+      hybridRetrievalBm25(s, d)),
     "embed_decontam" -> ((s: SparkSession, d: String) => embedDecontam(s, d)),
     "label_centroids" -> (labelCentroids _),
     "embedding_drift" -> (embeddingDrift _),
@@ -974,9 +988,10 @@ object SimilaritySuite {
     * same exact-integer RRF sum — `1000000 // (60 + rank)` — the engine
     * computes, so the hash pins every fused score and tiebreak.
     */
-  private def hybridOracleOver(semSql: String): String =
+  private def hybridOracleOver(semSql: String,
+      lexName: String = "lexical_retrieval"): String =
     s"""WITH lex AS (
-       |${TextSuite.oracles("lexical_retrieval")}),
+       |${TextSuite.oracles(lexName)}),
        |sem AS (
        |$semSql),
        |u AS (
@@ -1013,6 +1028,7 @@ object SimilaritySuite {
   val oracles: Map[String, String] = Map(
     "hybrid_retrieval" -> hybridOracleOver(embedTopkOracle),
     "hybrid_retrieval_ivf" -> hybridOracleOver(ivfOracle),
+    "hybrid_bm25" -> hybridOracleOver(ivfOracle, "bm25_retrieval"),
     // float components are lifted to exact scaled longs (x 2^14, rounded
     // half-away-from-zero — DuckDB round() and Spark round() agree); all
     // aggregates below stay under 2^53, so the long -> double conversions

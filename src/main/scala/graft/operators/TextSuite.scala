@@ -986,6 +986,79 @@ object TextSuite {
       .filter(col("rnk") <= k)
   }
 
+  /** BM25 lexical ranking (round-15 verdict ask #3) — the production
+    * form of [[lexicalRetrieval]]'s raw tf·idf: Okapi BM25's tf
+    * SATURATION (a term appearing 50× is not 50× as relevant as once)
+    * and LENGTH NORMALIZATION (a hit in a short doc outranks the same
+    * hit buried in a long one), over the SAME word-3-gram shingle
+    * postings, query set, and df·4 ≤ N stopword cap.
+    *
+    * Determinism: k1 = 1.2 and b = 0.75 are EXACT RATIONALS (6/5, 3/4),
+    * and avgdl = A/N (A = total corpus shingles, N = docs) stays a
+    * rational too, so the per-term saturation
+    *   tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    * clears denominators to the all-integer form
+    *   22000·tf·A div (10·tf·A + 3·A + 9·dl·N)
+    * — one exact integer division per (term, doc), quantized at 1/1000
+    * of the saturation range (SAT ∈ [0, 2200]). The idf keeps the
+    * fixed-point linear-inverse form ((1e6·N) div df) the lexical kernel
+    * established — Robertson's ln((N−df+.5)/(df+.5)) is transcendental
+    * and would break cross-engine bit-identity; what BM25 needs from idf
+    * (monotone decreasing in df) the fixed-point form preserves. The
+    * document score Σ idf_fp·SAT is then an associative BIGINT sum —
+    * bit-identical on any engine and any execution order.
+    *
+    * Headroom: SAT's numerator 22000·tf·A reaches ~10^19 already at a
+    * 10^12-shingle corpus (and non-ANSI LongType would WRAP silently —
+    * the t_closeness lesson), so the SAT division runs in DECIMAL(38,0)
+    * on the Spark side and HUGEINT in the oracle: exact to A ~ 10^15.
+    * The outer sum: idf_fp·SAT ≤ 2.2·10^9·N per term, inside int64 to
+    * N·m ~ 4·10^9 (m = query shingles); a larger deployment drops the
+    * two SCALE constants (coarser ulp, same algorithm).
+    *
+    * Scale shape: identical to [[lexicalRetrieval]] (broadcast query
+    * probes below the tf⋈df join, postings never shuffle for a join)
+    * plus ONE extra map-side-combined aggregate (dl: postings → |docs|
+    * rows) — and the dl join streams the corpus-sized length table
+    * against the BROADCAST query-candidate side, so the new table never
+    * shuffles either. avgdl's (N, A) pair is a one-row broadcast.
+    */
+  def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+      explode(shingleHashesAll(col("text"), 3)).as("h"))
+    val tf = sh.groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // doc length = TOTAL shingles (before any df cap: length is length),
+    // and A = Σ dl rides the same one-row broadcast as N
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val queries = sh.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("h")).distinct()
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sh.agg(count(lit(1)).as("tot_len")))
+    val dfQ = df.join(broadcast(queries.select(col("h"))), Seq("h"),
+      "left_semi")
+    val scored = tf.join(broadcast(queries), "h")
+      .join(broadcast(dfQ), "h")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 4 <= col("n_docs"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(
+        expr("(1000000 * n_docs) div df") *
+          expr("""(22000 * CAST(tf AS DECIMAL(38,0)) * tot_len) div
+                 |(10 * CAST(tf AS DECIMAL(38,0)) * tot_len
+                 |  + 3 * CAST(tot_len AS DECIMAL(38,0))
+                 |  + 9 * CAST(dl AS DECIMAL(38,0)) * n_docs)""".stripMargin))
+        .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Graded n-gram decontamination — the overlap-FRACTION variant of
     * `decontaminate`. Absolute hit counts (n_hits >= 8) treat a 40-word
     * doc and a 4000-word doc alike; real benchmark-contamination audits
@@ -1270,6 +1343,7 @@ object TextSuite {
     "ngram_novelty"   -> (ngramNovelty _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "lexical_retrieval" -> ((s: SparkSession, d: String) => lexicalRetrieval(s, d)),
+    "bm25_retrieval" -> ((s: SparkSession, d: String) => bm25Retrieval(s, d)),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1545,6 +1619,43 @@ object TextSuite {
         |         CAST(sum(tf.tf * ((1000000 * n.n_docs) // df.df)) AS BIGINT)
         |           AS score
         |  FROM q JOIN tf USING (s) JOIN df USING (s) CROSS JOIN n
+        |  WHERE df.df * 4 <= n.n_docs
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+    // BM25 over the same postings: saturation cleared to the all-integer
+    // form 22000·tf·A // (10·tf·A + 3·A + 9·dl·N) in HUGEINT (the Spark
+    // side runs DECIMAL(38,0) — same exact values), fixed-point idf and
+    // the df·4 <= N cap verbatim from lexical_retrieval; score = BIGINT
+    // sum of exact products, bit-identical across engines
+    "bm25_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(t)) FROM toks) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
+        |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |             (SELECT count(*) FROM sh) AS tot_len),
+        |q AS (SELECT DISTINCT doc_id AS query_id, s FROM sh WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST(sum(((1000000 * n.n_docs) // df.df) *
+        |           CAST((22000::HUGEINT * tf.tf * n.tot_len) //
+        |                (10::HUGEINT * tf.tf * n.tot_len
+        |                 + 3::HUGEINT * n.tot_len
+        |                 + 9::HUGEINT * dl.dl * n.n_docs) AS BIGINT))
+        |           AS BIGINT) AS score
+        |  FROM q JOIN tf USING (s) JOIN df USING (s)
+        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
         |  WHERE df.df * 4 <= n.n_docs
         |  GROUP BY 1, 2)
         |SELECT query_id, doc_id, score,

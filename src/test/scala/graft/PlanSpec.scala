@@ -483,6 +483,26 @@ class PlanSpec extends SparkSpec {
       s"MaxSim must be one projection, not explode+aggregate:\n$plan")
   }
 
+  test("bm25_retrieval: dl table never shuffles for its join, same pruning as lexical") {
+    val plan = executedPlan(
+      graft.operators.TextSuite.bm25Retrieval(spark, dir))
+    // same pins as lexical_retrieval: pushed query filter, broadcast
+    // probes, no postings-sized shuffle join, capped rank
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,5)]"),
+      s"query-doc filter not pushed to the scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query shingle set must broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the (N, A) pair must broadcast, not cartesian:\n$plan")
+    // the NEW table bm25 adds — per-doc lengths — joins the broadcast
+    // query-candidate side, so neither postings NOR dl move for a join
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"bm25's dl join must stream dl against broadcast candidates:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must partial-limit per partition in:\n$plan")
+  }
+
   test("lexical_retrieval: broadcast query probes, pushed query filter, capped rank") {
     val plan = executedPlan(
       graft.operators.TextSuite.lexicalRetrieval(spark, dir))
@@ -510,7 +530,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("hybrid_retrieval(+_ivf): both rankers top-k capped BEFORE the fusion aggregate") {
-    for (q <- Seq("hybrid_retrieval", "hybrid_retrieval_ivf")) {
+    for (q <- Seq("hybrid_retrieval", "hybrid_retrieval_ivf", "hybrid_bm25")) {
       val plan = executedPlan(
         graft.operators.SimilaritySuite.queries(q)(spark, dir))
       // three rank windows — lexical branch, semantic branch, fused rank —

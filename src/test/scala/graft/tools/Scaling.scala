@@ -50,6 +50,11 @@ object Scaling {
     // stopword/boilerplate posting list joined against broad queries —
     // the df-cap + broadcast query set must hold the corpus pass linear
     "lexical_retrieval" -> "documents",
+    // same postings + one extra skinny aggregate (dl); the quadratic
+    // failure mode is identical to lexical_retrieval's and the dl join
+    // adds a second one (corpus-length table shuffled for the join) —
+    // both must hold the corpus pass linear
+    "bm25_retrieval" -> "documents",
     "train_corpus" -> "documents",
     // graph kernels (round-14 verdict ask #1): the last pair-risk shapes
     // without a measured slope. triangle_coocc's wedge self-join is
