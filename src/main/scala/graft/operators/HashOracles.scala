@@ -31,7 +31,7 @@ package graft.operators
   * appears exactly once per wrap step before the duplicating tail runs on
   * column references in follow-up CTEs).
   */
-private[operators] object HashOracles {
+private[graft] object HashOracles {
 
   private val M64 = "18446744073709551616" // 2^64
   // XXH64 primes (public constants of the XXH64 algorithm)
@@ -332,6 +332,79 @@ private[operators] object HashOracles {
        |       (ci.ci_lo > 0.0 OR ci.ci_hi < 0.0) AS significant
        |FROM (SELECT m FROM f WHERE period = 'base') fb,
        |     (SELECT m FROM f WHERE period = 'new') fn, ci""".stripMargin
+  }
+
+  /** Truncated discrete-Laplace (two-sided-geometric) CDF cutoffs scaled
+    * to 2^64 — the noise table for the deterministic differential-privacy
+    * release (`dp_release`): a uniform 64-bit hash draw u maps to noise
+    * k − maxK when T_{k-1} <= u < T_k over the renormalized support
+    * [−maxK, maxK]. P(X = k) ∝ α^|k| with α = exp(−ε/Δ), Δ = 1 (count
+    * sensitivity); truncation at maxK = 16 clips ≤ 2.5·10⁻⁴ of the mass
+    * at the loosest ladder ε (0.5) and the renormalization keeps the
+    * table a proper distribution. ONE generator feeds both engines (the
+    * Spark literals and the oracle SQL), so the cutoffs cannot drift
+    * even though they come from double exp math — the bootstrap-cutoff
+    * discipline applied to the privacy mechanism.
+    */
+  def dLaplaceThresholdsUnsigned(epsilon: Double, maxK: Int = 16): Seq[BigInt] = {
+    val a = math.exp(-epsilon)
+    val raw = (-maxK to maxK).map(k => math.pow(a, math.abs(k).toDouble))
+    val z = raw.sum
+    // 2*maxK cutoffs: cumulative mass up to each support point except the
+    // last (everything above the final cutoff is +maxK). Only the LOWER
+    // half comes from the cumulative double sum; the upper half is its
+    // exact mirror (cutoff_{2K-1-i} = 2^64 − cutoff_i), so the table is
+    // symmetric about zero BY CONSTRUCTION — the noise is exactly
+    // zero-mean, not zero-mean-up-to-float-rounding (AuditSpec pins the
+    // BigInt-exact symmetry).
+    val lower = raw.take(maxK).map(_ / z).scanLeft(0.0)(_ + _).drop(1)
+      .map(c => (BigDecimal(c) * BigDecimal(BigInt(1) << 64)).toBigInt)
+    lower ++ lower.reverse.map((BigInt(1) << 64) - _)
+  }
+
+  /** The same cutoffs in Spark's signed-long domain (the
+    * [[poissonThresholdsSigned]] sign-bit-flip convention). */
+  def dLaplaceThresholdsSigned(epsilon: Double, maxK: Int = 16): Seq[Long] =
+    dLaplaceThresholdsUnsigned(epsilon, maxK)
+      .map(t => (t - (BigInt(1) << 63)).toLong)
+
+  /** DuckDB CASE expression mapping the unsigned hash column `h` to the
+    * truncated discrete-Laplace noise for `epsilon` — the exact mirror of
+    * RelationalSuite.dpNoise's Spark fold over the same generated
+    * cutoffs. */
+  private def dLaplaceCase(h: String, epsilon: Double, maxK: Int): String =
+    dLaplaceThresholdsUnsigned(epsilon, maxK).zipWithIndex
+      .map { case (tk, i) => s"WHEN $h < $tk::UBIGINT THEN ${i - maxK}" }
+      .mkString("CASE ", " ", s" ELSE $maxK END")
+
+  /** dp_release recompute: per (nation, balance-band) counts, the
+    * two-fold XXH64 chain xxhash64(nation, band) = hashLong(band,
+    * hashLong(nation, 42)), and the per-epsilon noise CASE from the same
+    * cutoffs. `band` can be negative (acctbal floors below zero), so it
+    * reinterprets to UBIGINT via two's complement before hashing —
+    * matching Spark's bit-level long hash.
+    */
+  def dpReleaseOracle(epsilons: Seq[Double], maxK: Int = 16): String = {
+    val bandU = s"CAST((CASE WHEN band < 0 THEN band::HUGEINT + $M64::HUGEINT " +
+      "ELSE band::HUGEINT END) AS UBIGINT)"
+    val steps = hashLongSteps("nation::UBIGINT", "42::UBIGINT", "hbase", "x") ++
+      hashLongSteps(bandU, "hbase", "h1", "y")
+    val (ctes, last) = chained("SELECT * FROM c", "c0", steps, "cx")
+    val epsList = epsilons.map(e => s"${e}e0").mkString("[", ", ", "]")
+    val dispatch = epsilons.init.map(e =>
+        s"WHEN epsilon = ${e}e0 THEN ${dLaplaceCase("h1", e, maxK)}")
+      .mkString("CASE ", " ", s" ELSE ${dLaplaceCase("h1", epsilons.last, maxK)} END")
+    s"""WITH c AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |         CAST(floor(c_acctbal / 1000.0e0) AS BIGINT) AS band,
+       |         count(*) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |${ctes.mkString(",\n")},
+       |x AS (SELECT nation, band, n, h1, unnest($epsList) AS epsilon
+       |      FROM $last)
+       |SELECT nation, band, epsilon,
+       |       CAST(n + ($dispatch) AS BIGINT) AS released
+       |FROM x""".stripMargin
   }
 
   /** Image-fingerprint recompute (`image_fingerprint`): the decoded PNG

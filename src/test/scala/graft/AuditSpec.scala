@@ -289,6 +289,58 @@ class AuditSpec extends SparkSpec {
     assert(ob == Seq((0.3, 0L, 0L, 0.0)), s"single-band corner: $ob")
   }
 
+  test("dp_release: epsilon ladder pointwise monotone, zero-mean cutoffs, bit-reproducible") {
+    import graft.operators.HashOracles
+    // (a) THRESHOLD-LEVEL ladder property, engine-free: one shared
+    // uniform u drives the whole ladder, so for every u the noise
+    // magnitude must never GROW as epsilon does (the quantile map of a
+    // symmetric family ordered by dispersion). Sweep a dense signed-
+    // domain grid plus the exact cutpoints of every ladder member.
+    val ladder = Seq(0.5, 1.0, 2.0)
+    val maxK = 16
+    def noiseOf(u: Long, eps: Double): Int = {
+      val ts = HashOracles.dLaplaceThresholdsSigned(eps, maxK)
+      val i = ts.indexWhere(u < _)
+      (if (i < 0) ts.size else i) - maxK
+    }
+    val sweep = (-5000 to 5000).map(i => (i.toDouble / 5000 * 9.1e18).toLong) ++
+      ladder.flatMap(e => HashOracles.dLaplaceThresholdsSigned(e, maxK)
+        .flatMap(t => Seq(t - 1, t)))
+    for (u <- sweep; Seq(e1, e2) <- ladder.sliding(2)) {
+      val (n1, n2) = (noiseOf(u, e1), noiseOf(u, e2))
+      assert(math.abs(n1) >= math.abs(n2),
+        s"ladder inversion at u=$u: |noise($e1)|=$n1 < |noise($e2)|=$n2")
+      // same draw, same side: tightening epsilon must never flip sign
+      assert(n1.sign * n2.sign >= 0, s"sign flip at u=$u: $n1 vs $n2")
+    }
+    // (b) cutoff symmetry: the renormalized table is symmetric about 0,
+    // so cutoff_i + cutoff_{2K-1-i} = 2^64 exactly (BigInt domain)
+    for (e <- ladder) {
+      val ts = HashOracles.dLaplaceThresholdsUnsigned(e, maxK)
+      for (i <- ts.indices)
+        assert(ts(i) + ts(ts.size - 1 - i) == (BigInt(1) << 64),
+          s"asymmetric cutoffs for eps=$e at $i")
+    }
+    // (c) ENGINE-LEVEL: crafted cells — the ladder rows for one cell
+    // share the draw (monotone |released - n|), and a re-run is
+    // bit-identical (determinism is the mechanism's whole claim)
+    val rows = ((0 until 40).map(i => (i.toLong % 4, 0L)) ++
+      (0 until 12).map(i => (9L, -1L))).toDF("nation", "band")
+    def run() = RelationalSuite.dpReleaseOf(rows, ladder, maxK)
+      .as[(Long, Long, Double, Long)].collect().toSeq.sorted
+    val a = run()
+    assert(a == run(), "dp release not bit-reproducible across runs")
+    val trueN = Map((0L, 0L) -> 10L, (1L, 0L) -> 10L, (2L, 0L) -> 10L,
+      (3L, 0L) -> 10L, (9L, -1L) -> 12L)
+    a.groupBy(r => (r._1, r._2)).foreach { case (cell, rs) =>
+      val byEps = rs.sortBy(_._3).map(r => math.abs(r._4 - trueN(cell)))
+      assert(byEps == byEps.sorted.reverse,
+        s"cell $cell ladder not monotone: $byEps")
+    }
+    // negative band exercised the two's-complement hash lane; the
+    // oracle-side twin of that lane is covered by the driver hash gate
+  }
+
   test("survivorRankCi: fewer than 3 survivors yields NULL bounds, never an inverted interval") {
     import org.apache.spark.sql.functions.col
     // nb = 2: rank 2 is the LARGER value and rank nb-1 = 1 the smaller —
