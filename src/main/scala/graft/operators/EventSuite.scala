@@ -585,6 +585,8 @@ object EventSuite {
       graft.streaming.StreamReplay.stateInspectTws(s, d)),
     "state_inspect_map"    -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.stateInspectMap(s, d)),
+    "state_inspect_join"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectJoin(s, d)),
     "stream_topic_sessions" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicSessions(s, d)),
     "stream_dynamic_sessions" -> ((s: SparkSession, d: String) =>
@@ -933,6 +935,33 @@ object EventSuite {
         |SELECT user_id, from_type || '|' || to_type AS pair,
         |       count(*) AS n
         |FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the built-in stream-stream JOIN state (round-15 verdict ask #1 —
+    // the last unread checkpoint surface) read offline via
+    // storeName={left,right}-keyWithIndexToValue after the quartered
+    // replay + restart, under a no-eviction watermark so the buffered
+    // set is batch-boundary-independent: every view/click row with its
+    // MATCHED flag = the batch exists-a-partner predicate (the full
+    // outer join's null-emission bit). A row the restart lost, a
+    // redelivery double-buffered, or a flag recovery dropped/fabricated
+    // is a cell-level mismatch (StreamReplay.stateInspectJoin)
+    "state_inspect_join" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS date FROM events
+        |           WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS date FROM events
+        |      WHERE event_type = 'click'),
+        |lv AS (SELECT 'left' AS side, v.user_id, v.date,
+        |         EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id
+        |                 AND c.date >= v.date
+        |                 AND c.date <= v.date + 86400000000) AS matched
+        |       FROM v),
+        |rv AS (SELECT 'right' AS side, c.user_id, c.date,
+        |         EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id
+        |                 AND c.date >= v.date
+        |                 AND c.date <= v.date + 86400000000) AS matched
+        |       FROM c)
+        |SELECT side, user_id, date, matched, count(*) AS n
+        |FROM (SELECT * FROM lv UNION ALL SELECT * FROM rv)
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     // changelog compaction (emitOnChange / transformWithState): the
     // suppressed changelog's converged snapshot must equal the batch
     // windowed max; construction separately REQUIRES strictly fewer

@@ -78,6 +78,11 @@ class CollectLintSpec extends SparkSpec {
       // state_inspect: replay posture, then the state-data-source batch
       // read of the checkpoint (the audit is the whole point)
       "state_inspect",
+      // state_inspect_join: the attrib replay posture (two topics,
+      // quartered publishes, restart) under a no-eviction watermark,
+      // then both join-side keyWithIndexToValue stores read offline —
+      // the driver collect is of the bounded replay-scale state rows
+      "state_inspect_join",
       // state_changelog: same posture, reading the change feed instead
       "state_changelog",
       "stream_topic_sessions",
