@@ -111,6 +111,17 @@ object SimilaritySuite {
     graft.streaming.StreamReplay.stateInspectAnn(spark, dir,
       Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
 
+  /** Streaming hybrid retrieval: the online cell-keyed index + the
+    * static lexical top-k fused through the one RRF kernel, converging
+    * to hybrid_retrieval_ivf's own oracle across a mid-stream restart —
+    * see [[graft.streaming.StreamReplay.streamedHybrid]]. Same seeded
+    * centroids and probe width as embed_ivf, so the oracle IS
+    * hybrid_retrieval_ivf's, verbatim.
+    */
+  def streamHybrid(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.streamedHybrid(spark, dir,
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
+
   /** Streaming retrieve-then-rerank: stream_ann's online retrieval with
     * the native MaxSim late-interaction rerank in the SAME streaming
     * query — see [[graft.streaming.StreamReplay.streamedRerank]]. Same
@@ -562,6 +573,7 @@ object SimilaritySuite {
     "hard_negatives" -> (hardNegatives _),
     "stream_ann"    -> (streamAnn _),
     "stream_rerank" -> (streamRerank _),
+    "stream_hybrid" -> (streamHybrid _),
     "state_inspect_ann" -> (stateInspectAnn _),
     "embed_neardup" -> (embedNearDup _),
     "embed_neardup_lsh" -> (embedNearDupLsh _),
@@ -1029,6 +1041,11 @@ object SimilaritySuite {
     "hybrid_retrieval" -> hybridOracleOver(embedTopkOracle),
     "hybrid_retrieval_ivf" -> hybridOracleOver(ivfOracle),
     "hybrid_bm25" -> hybridOracleOver(ivfOracle, "bm25_retrieval"),
+    // the streaming twin must converge to the identical fused ranking —
+    // hybrid_retrieval_ivf's oracle verbatim is the whole point (the
+    // probes retrieve the complete recovered index, so the online answer
+    // equals the batch one)
+    "stream_hybrid" -> hybridOracleOver(ivfOracle),
     // float components are lifted to exact scaled longs (x 2^14, rounded
     // half-away-from-zero — DuckDB round() and Spark round() agree); all
     // aggregates below stay under 2^53, so the long -> double conversions

@@ -114,6 +114,10 @@ class CollectLintSpec extends SparkSpec {
       // stream_rerank: stream_ann's retrieval composed with stream-static
       // vector joins + the native MaxSim rerank projection, same posture
       "stream_rerank",
+      // stream_hybrid: the stream_ann posture plus a third incarnation of
+      // aliased probe rows, finished by the bounded rank-list fusion —
+      // the driver collect is of the |queries| x k fused rows
+      "stream_hybrid",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered
