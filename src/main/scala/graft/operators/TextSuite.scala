@@ -953,7 +953,6 @@ object TextSuite {
     * never a global sort.
     */
   def lexicalRetrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     // MULTISET shingles (shingleHashesAll, every position) — tf must
     // count repeated shingles within a doc; the set form would pin every
@@ -964,9 +963,23 @@ object TextSuite {
       explode(shingleHashesAll(col("text"), 3)).as("h"))
     val tf = sh.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("tf"))
+    lexicalTopKOf(docs, tf, k)
+  }
+
+  /** The scoring tail over ANY (doc_id, h, tf) postings table — ONE
+    * definition shared by the batch build above and the streaming
+    * postings index ([[graft.streaming.StreamReplay.streamedLexical]]),
+    * so the online index can never score a posting differently than the
+    * batch answer it must hash-match. Queries, df, N, the stopword cap,
+    * and the fixed-point idf all derive from the postings/docs exactly
+    * as documented on [[lexicalRetrieval]].
+    */
+  def lexicalTopKOf(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val df = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val queries = sh.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("h")).distinct()
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(shingleHashesAll(col("text"), 3)).as("h")).distinct()
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // query-term pruning below the tf⋈df join: df shrinks to the query
     // hash set via a broadcast semi-join (then broadcasts itself — it is
@@ -1344,6 +1357,8 @@ object TextSuite {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "lexical_retrieval" -> ((s: SparkSession, d: String) => lexicalRetrieval(s, d)),
     "bm25_retrieval" -> ((s: SparkSession, d: String) => bm25Retrieval(s, d)),
+    "stream_lexical" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedLexical(s, d)),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1444,6 +1459,36 @@ object TextSuite {
       |  UNION
       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v)
       |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY v""".stripMargin
+
+  /** lexical_retrieval's oracle as a named val: the ONLINE postings
+    * build (stream_lexical) must hash-match the identical ranking, so
+    * both map entries bind to the one SQL string — the same
+    * one-definition discipline as the engine-side lexicalTopKOf.
+    */
+  private val lexicalRetrievalOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |sh AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks,
+      |       (SELECT unnest(range(1, (SELECT max(len(t)) FROM toks) + 1)) AS i)
+      |  WHERE i + 2 <= len(t)),
+      |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
+      |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |q AS (SELECT DISTINCT doc_id AS query_id, s FROM sh WHERE doc_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         CAST(sum(tf.tf * ((1000000 * n.n_docs) // df.df)) AS BIGINT)
+      |           AS score
+      |  FROM q JOIN tf USING (s) JOIN df USING (s) CROSS JOIN n
+      |  WHERE df.df * 4 <= n.n_docs
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+      |FROM scored QUALIFY rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // full in-DuckDB recompute of the seeded MinHash/SimHash pipelines
@@ -1601,30 +1646,11 @@ object TextSuite {
     // boilerplate cap df·4 <= N, score = BIGINT sum — both engines
     // bit-identical; string shingles here equal the engine's hashed
     // shingles by the decontaminate oracle's injectivity note
-    "lexical_retrieval" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |sh AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks,
-        |       (SELECT unnest(range(1, (SELECT max(len(t)) FROM toks) + 1)) AS i)
-        |  WHERE i + 2 <= len(t)),
-        |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
-        |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |q AS (SELECT DISTINCT doc_id AS query_id, s FROM sh WHERE doc_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |         CAST(sum(tf.tf * ((1000000 * n.n_docs) // df.df)) AS BIGINT)
-        |           AS score
-        |  FROM q JOIN tf USING (s) JOIN df USING (s) CROSS JOIN n
-        |  WHERE df.df * 4 <= n.n_docs
-        |  GROUP BY 1, 2)
-        |SELECT query_id, doc_id, score,
-        |       CAST(row_number() OVER (PARTITION BY query_id
-        |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
-        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+    "lexical_retrieval" -> lexicalRetrievalOracle,
+    // the ONLINE postings build must converge to the identical ranking —
+    // the batch oracle verbatim (the streamed index and the batch tf
+    // table feed the same shared scoring tail)
+    "stream_lexical" -> lexicalRetrievalOracle,
     // BM25 over the same postings: saturation cleared to the all-integer
     // form 22000·tf·A // (10·tf·A + 3·A + 9·dl·N) in HUGEINT (the Spark
     // side runs DECIMAL(38,0) — same exact values), fixed-point idf and

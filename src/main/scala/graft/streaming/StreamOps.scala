@@ -212,6 +212,61 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One document's term-frequency contribution to one shingle hash's
+    * posting list — computed ROW-LOCALLY from the wire document (a doc's
+    * tf vector is a fact about that doc alone), so the postings build
+    * needs no pre-index aggregation.
+    */
+  final case class DocTerm(h: Long, docId: Long, tf: Long)
+  /** One committed posting: doc `docId` carries shingle `h` `tf` times. */
+  final case class PostingRow(h: Long, docId: Long, tf: Long)
+
+  /** Online inverted postings index (round-15 verdict ask #8 — the
+    * lexical twin of [[CellAnnIndex]]): per shingle hash, a
+    * MapState[doc_id → tf] IS the posting list — df is the map's size,
+    * tf its entries — updated as documents stream in. FIRST DELIVERY
+    * WINS: a redelivered document's terms find their doc_id already
+    * present and change nothing (a doc's tf is immutable once written —
+    * re-adding it would double df and corrupt every score downstream),
+    * which is exactly the redelivery-absorption contract the replay
+    * proves across its restart. Emits each posting ONCE, at insert
+    * (update semantics; the out-topic converged set IS the postings
+    * table).
+    *
+    * Scale shape: state is the postings list itself — Σ|doc terms| rows
+    * corpus-wide, partitioned by hash in the RocksDB store (the hottest
+    * stopword shingle is one key's map, bounded by the df cap the
+    * scoring applies anyway); work per arrival is |doc terms| keyed
+    * point-lookups. The index is offline-auditable through the same
+    * `format("statestore")` MapState surface state_inspect_map reads.
+    */
+  final class PostingsIndex
+    extends StatefulProcessor[Long, DocTerm, PostingRow] {
+    @transient private var tfs: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tfs = getHandle.getMapState[Long, Long]("postings",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[DocTerm],
+                                 timers: TimerValues): Iterator[PostingRow] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
+      rows.foreach { r =>
+        if (!tfs.containsKey(r.docId)) {
+          tfs.updateValue(r.docId, r.tf)
+          out += PostingRow(key, r.docId, r.tf)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming postings build via MapState: see [[PostingsIndex]]. */
+  def postingsIndex(rows: Dataset[DocTerm]): Dataset[PostingRow] = {
+    implicit val enc = Encoders.product[PostingRow]
+    rows.groupByKey(_.h)(Encoders.scalaLong)
+      .transformWithState(new PostingsIndex, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Input row for [[gapSessions]]: one keyed event-time stamp. */
   final case class Stamp(user: Long, ts: Timestamp)
   /** One closed gap-session: [startUs, lastUs] in epoch MICROS (exact —

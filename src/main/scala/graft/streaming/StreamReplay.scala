@@ -2617,6 +2617,99 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Streaming lexical retrieval (round-15 verdict ask #8 — the
+    * stretch): the ONLINE POSTINGS INDEX — [[StreamOps.PostingsIndex]]'s
+    * per-hash MapState[doc_id → tf] — built as documents stream over the
+    * production wire, the way [[streamedAnn]] builds the vector index
+    * online. Quartered doc_id waves with a mid-stream checkpoint restart
+    * AND a whole-quarter redelivery after it: a redelivered document's
+    * terms are absorbed ONLY by the recovered map entries (first
+    * delivery wins — re-inserting would double df and corrupt every
+    * downstream score). Each document's tf vector is computed ROW-
+    * LOCALLY in the streaming projection (a doc's term counts are a fact
+    * about that doc alone — the SAME ShingleHash.compute multiset the
+    * batch explode produces), so the stream shuffles (hash, doc, tf)
+    * triples, never text.
+    *
+    * At convergence the out topic's emitted postings ARE the index
+    * (each posting emitted once, at insert), and the answer is the
+    * SHARED scoring tail [[graft.operators.TextSuite.lexicalTopKOf]] —
+    * one definition for the batch and online builds, zero drift — so the
+    * row hash-matches lexical_retrieval's own oracle verbatim: a lost
+    * posting, a doubled tf, or a redelivery-inflated df is a score/rank
+    * mismatch.
+    */
+  def streamedLexical(spark: SparkSession, dir: String,
+                      k: Int = 5): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.TextSuite
+    val wireSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val postSchema = StructType(Seq(
+      StructField("h", LongType), StructField("doc_id", LongType),
+      StructField("tf", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("doc_id", LongType),
+      StructField("score", LongType), StructField("rnk", IntegerType)))
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val docs = Tables.documents(child, dir).select(col("doc_id"), col("text"))
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    require(!b.isNullAt(0), s"$dir documents is empty — nothing to replay")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val root = java.nio.file.Files.createTempDirectory("graft_lex")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lex_ckpt")
+    val in = new FileTopic("lex_in", wireSchema, root.toString)
+    val out = new FileTopic("lex_postings", postSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = docs
+      .filter(col("doc_id") >= from &&
+        (if (last) lit(true) else col("doc_id") < until)).coalesce(1)
+    def drain(): Unit = {
+      implicit val tupEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING)
+      implicit val dtEnc =
+        org.apache.spark.sql.Encoders.product[StreamOps.DocTerm]
+      val terms = in.stream(child).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.functions.ShingleHash
+            .compute(org.apache.spark.unsafe.types.UTF8String
+              .fromString(if (text == null) "" else text), 3,
+              distinct = false)
+            .toLongArray()
+            .groupBy(identity)
+            .map { case (h, occ) => StreamOps.DocTerm(h, id, occ.length.toLong) }
+        }
+      val postings = StreamOps.postingsIndex(terms).toDF()
+        .select(col("h"), col("docId").as("doc_id"), col("tf"))
+      val q = postings.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + posting maps checkpointed
+      in.append(range(q2lo, q2hi, last = false)) // redelivery across restart
+      in.append(range(q2hi, lo + 3 * quarter, last = false))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2: recovered maps absorb the redelivery
+      // converged postings (each emitted once; max is belt-and-braces
+      // against duplicate sink files) → the SHARED batch scoring tail
+      val tf = out.batch(child)
+        .groupBy(col("doc_id"), col("h"))
+        .agg(max(col("tf")).as("tf"))
+      val rows = TextSuite
+        .lexicalTopKOf(Tables.documents(child, dir), tf, k).collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Offline audit of [[StreamOps.CellAnnIndex]]'s ListState — the
     * inverted index ITSELF read out of the checkpoint (round-13 verdict:
     * the processor-API stores are "the store a production ANN deployment

@@ -118,6 +118,10 @@ class CollectLintSpec extends SparkSpec {
       // aliased probe rows, finished by the bounded rank-list fusion —
       // the driver collect is of the |queries| x k fused rows
       "stream_hybrid",
+      // stream_lexical: same replay posture through the PostingsIndex
+      // MapState (online postings build with restart + redelivery); the
+      // driver collect is of the |queries| x k ranked rows
+      "stream_lexical",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered
