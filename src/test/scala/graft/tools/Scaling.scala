@@ -64,9 +64,11 @@ object Scaling {
     // data; graph_reachability's bounded-hop path enumeration grows with
     // degree^hops and must stay tamed by the support>=2 edge prune. All
     // three drive off LINEITEM, which (unlike documents/embeddings)
-    // grows at every fixture scale — three real decades, no synthetic
-    // slice needed (the sf1x/sf3x dirs carry no lineitem and are skipped
-    // by the per-family table-existence filter in run()).
+    // grows at every fixture scale — three real decades — plus the
+    // generated 6M-row sf1g slice (round-15 ask #6) as a fourth, where
+    // hubs and support-2 edges actually form. The sf1x/sf3x dirs carry
+    // no lineitem and are skipped by run()'s table-existence filter;
+    // sf1g rides in via extraDirs like the embedding slices.
     "triangle_coocc" -> "lineitem",
     "pagerank" -> "lineitem",
     "graph_reachability" -> "lineitem")
@@ -240,6 +242,76 @@ object Scaling {
     dir
   }
 
+  /** The graph families measured on the generated sf1-scale slice too
+    * (round-15 verdict ask #6): their lineitem decades end at 600k rows
+    * — before hubs and support-2 co-occurrence edges really form — so
+    * the O(m^1.5) wedge bound and the per-round rank shuffles get a
+    * fourth decade where the pair risk is real.
+    */
+  val sf1gFamilies: Set[String] = Set("triangle_coocc", "pagerank",
+    "graph_reachability")
+
+  /** Fourth decade for the LINEITEM-driven graph family (round-15
+    * verdict ask #6): a 6M-line / 1.5M-order "sf1g" slice — exactly the
+    * columns the graph kernels read (l_orderkey/l_partkey/l_suppkey,
+    * o_orderkey/o_custkey) — built ONCE under target/ like the sf1x/sf3x
+    * slices, per-row deterministic (every line is a pure function of its
+    * order id), cached behind a _DONE marker. Distributions follow the
+    * sf0.1 fixture's own TPC-H shape at 10×: the empirical
+    * lines-per-order histogram (sampled via cumulative-frequency lookup)
+    * and uniform part/supplier/customer keys over 10× domains — the
+    * co-purchase graph's support-≥2 edge density and the bipartite trade
+    * graph's degree profile then scale the way TPC-H itself scales.
+    * Used ONLY for the scaling measurement; correctness oracles read the
+    * driver fixtures untouched.
+    */
+  def extendedGraphDir(spark: SparkSession,
+                       base: String = "/root/testdata/sf0.1",
+                       orders: Int = 1500000): String = {
+    import spark.implicits._
+    val dir = new java.io.File("target/sf1g").getAbsolutePath
+    val done = new java.io.File(s"$dir/_DONE")
+    if (!done.exists) {
+      // empirical lines-per-order histogram from the base fixture — a
+      // tiny driver-side cumulative table (17 distinct counts at sf0.1)
+      val hist = spark.read.parquet(s"$base/lineitem.parquet")
+        .groupBy($"l_orderkey").count()
+        .groupBy($"count").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val cum = hist.scanLeft((0L, 0L)) { case ((_, acc), (n, c)) => (n, acc + c) }
+        .drop(1)
+      val total = cum.last._2
+      val cumVals = cum.map(_._2)
+      val lineCounts = cum.map(_._1)
+      def lowerBound(arr: Array[Long], t: Long): Int = {
+        var lo = 0
+        var hi = arr.length - 1
+        while (lo < hi) {
+          val mid = (lo + hi) / 2
+          if (arr(mid) > t) hi = mid else lo = mid + 1
+        }
+        lo
+      }
+      val (nParts, nSupps, nCusts) = (200000, 10000, 150000)
+      val lines = spark.range(orders.toLong).flatMap { oid =>
+        val rnd = new scala.util.Random(oid * 6364136223846793005L + 1442695040888963407L)
+        val nLines = lineCounts(lowerBound(cumVals,
+          (rnd.nextDouble() * total).toLong)).toInt
+        (0 until nLines).map { _ =>
+          (oid, rnd.nextInt(nParts).toLong, rnd.nextInt(nSupps).toLong)
+        }
+      }.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      lines.coalesce(8).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val ords = spark.range(orders.toLong).map { oid =>
+        val rnd = new scala.util.Random(oid * -7046029254386353131L + 99L)
+        (oid, rnd.nextInt(nCusts).toLong)
+      }.toDF("o_orderkey", "o_custkey")
+      ords.coalesce(4).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      done.createNewFile()
+    }
+    dir
+  }
+
   private def time(spark: SparkSession, dir: String, name: String): Double = {
     val fn = SparkEntry.queries(name)
     def once(): Double = {
@@ -308,8 +380,10 @@ object Scaling {
       case Some(names) => flagship.filter { case (n, _) => names(n) }
       case None => flagship
     }
+    val sf1g = extendedGraphDir(spark)
     val results = run(spark, dirs,
-      sf3xFamilies.map(_ -> Seq(sf3x)).toMap, selected)
+      sf3xFamilies.map(_ -> Seq(sf3x)).toMap ++
+        sf1gFamilies.map(_ -> Seq(sf1g)).toMap, selected)
     val body = results.map { r =>
       val pts = r.points.map(p =>
         f"""{"sf":"${p.sf}","rows":${p.rows},"sec":${p.sec}%.3f}""")
