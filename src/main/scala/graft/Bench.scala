@@ -167,49 +167,91 @@ object Bench {
     Health(verdicts, band, status, headlinePass = 2, pass2Adj, reproducible)
   }
 
-  /** Cross-round drift baseline (round-11 verdict ask #6): the per-query
-    * min seconds and per-query sf of the PREVIOUS committed
-    * BENCH_DETAIL.json, parsed with a regex over the format this file
-    * itself writes (no JSON dep needed for a self-authored format). Rows
-    * whose sf changed between records are incomparable and skipped.
+  /** One baseline row parsed out of a committed BENCH_DETAIL: per-query
+    * min seconds, the scale it ran at, and — for replay rows since r15 —
+    * the engine-owned share of that min (0.0 when the record predates
+    * the split or the row is plain batch).
     */
-  def readPrevDetail(text: String, recordSf: String): Map[String, (Double, String)] = {
+  final case class PrevRow(sec: Double, sf: String, eng: Double = 0.0)
+  /** This run's side of the same comparison. */
+  final case class CurRow(name: String, sec: Double, sf: String,
+                          eng: Double = 0.0)
+  /** One drift verdict: `metric` names which lane compared —
+    * "engine_sec" / "harness_sec" for replay rows whose both records
+    * carry the split, "sec" otherwise.
+    */
+  final case class DriftFlag(name: String, prev: Double, now: Double,
+                             metric: String)
+
+  /** Cross-round drift baseline (round-11 verdict ask #6): the per-query
+    * min seconds, sf, and engine share of a committed BENCH_DETAIL,
+    * parsed with a regex over the format this file itself writes (no
+    * JSON dep needed for a self-authored format). Rows whose sf changed
+    * between records are incomparable and skipped.
+    */
+  def readPrevDetail(text: String, recordSf: String): Map[String, PrevRow] = {
     // whitespace-tolerant: a round-13 tooling pass committed a PRETTIFIED
     // record and the strict regex silently parsed zero rows — drift gate
     // vacuous for one run. Never let formatting disable the gate again.
     val row = """"([a-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.]+)([^}]*)\}""".r
     val qsf = """"qsf":\s*"([^"]+)"""".r
+    val engRx = """"engine_sec":\s*([0-9.]+)""".r
     row.findAllMatchIn(text).map { m =>
       val sf = qsf.findFirstMatchIn(m.group(3)).map(_.group(1)).getOrElse(recordSf)
-      m.group(1) -> (m.group(2).toDouble, sf)
+      val eng = engRx.findFirstMatchIn(m.group(3)).map(_.group(1).toDouble)
+        .getOrElse(0.0)
+      m.group(1) -> PrevRow(m.group(2).toDouble, sf, eng)
     }.toMap
   }
 
   /** Pure drift classification (unit-tested by BenchHealthSpec): compare
-    * this run's per-query (min-sec, sf) against the previous record's,
-    * flagging >1.5x AND >0.5 s absolute excess (the ratio alone would
-    * flag 0.1 -> 0.2 s noise); rows whose sf changed between records are
-    * incomparable and counted separately. Returns
-    * (flagged (name, prev, now), compared, skipped_sf_changed).
+    * this run's per-query (min-sec, sf) against a baseline record's,
+    * flagging >`ratio`x AND >0.5 s absolute excess (the ratio alone
+    * would flag 0.1 -> 0.2 s noise); rows whose sf changed between
+    * records are incomparable and counted separately.
+    *
+    * ENGINE/HARNESS SPLIT (round-15 verdict ask #7): when BOTH records
+    * carry engine_sec for a row (a replay row measured since the split
+    * shipped), the primary compare runs on ENGINE seconds — a real plan
+    * or state-store regression — and the harness remainder (publish
+    * waves, checkpoint setup, restarts) is flagged SEPARATELY, so
+    * publish-choreography noise can never mask an engine regression
+    * under the total, nor masquerade as one. Rows without the split on
+    * both sides compare on total sec as before.
+    *
+    * Returns (flagged, compared, skipped_sf_changed, harness_flagged).
     */
-  def driftFlags(prev: Map[String, (Double, String)],
-                 cur: Seq[(String, Double, String)])
-      : (Seq[(String, Double, Double)], Int, Int) = {
-    val comparable = cur.flatMap { case (n, sec, sf) =>
-      prev.get(n).collect { case (p, psf) if psf == sf => (n, p, sec) }
+  def driftFlags(prev: Map[String, PrevRow], cur: Seq[CurRow],
+                 ratio: Double = 1.5)
+      : (Seq[DriftFlag], Int, Int, Seq[DriftFlag]) = {
+    val comparable = cur.flatMap { c =>
+      prev.get(c.name).collect { case p if p.sf == c.sf => (c, p) }
     }
-    val skipped = cur.count { case (n, _, sf) => prev.get(n).exists(_._2 != sf) }
+    val skipped = cur.count(c => prev.get(c.name).exists(_.sf != c.sf))
     // A previous min that rounded to 0.000 (sub-millisecond row) would
     // serialize ratio as Infinity — invalid JSON in the drift section —
     // but the row must NOT be exempt from detection: a 0.000 -> 10 s
     // regression is exactly what the gate exists for. Clamp the baseline
     // to one rounding quantum for the ratio math; the absolute-delta
-    // gate (c - p > 0.5) still filters sub-millisecond noise.
-    val flagged = comparable.collect {
-      case (n, p, c) if c > 1.5 * math.max(p, 0.001) && c - p > 0.5 =>
-        (n, math.max(p, 0.001), c)
+    // gate (now - prev > 0.5) still filters sub-millisecond noise.
+    def gate(p: Double, c: Double): Boolean =
+      c > ratio * math.max(p, 0.001) && c - p > 0.5
+    val flagged = comparable.flatMap { case (c, p) =>
+      if (p.eng > 0 && c.eng > 0) {
+        if (gate(p.eng, c.eng))
+          Some(DriftFlag(c.name, math.max(p.eng, 0.001), c.eng, "engine_sec"))
+        else None
+      } else if (gate(p.sec, c.sec))
+        Some(DriftFlag(c.name, math.max(p.sec, 0.001), c.sec, "sec"))
+      else None
     }
-    (flagged, comparable.size, skipped)
+    val harnessFlagged = comparable.flatMap { case (c, p) =>
+      if (p.eng > 0 && c.eng > 0 && gate(p.sec - p.eng, c.sec - c.eng))
+        Some(DriftFlag(c.name, math.max(p.sec - p.eng, 0.001),
+          c.sec - c.eng, "harness_sec"))
+      else None
+    }
+    (flagged, comparable.size, skipped, harnessFlagged)
   }
 
   def main(args: Array[String]): Unit = {
@@ -296,16 +338,32 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] baseline snapshot failed: $e")
     }
-    val prevDetail: Map[String, (Double, String)] =
+    def readBaseline(p: java.nio.file.Path): Map[String, PrevRow] =
       try {
-        if (java.nio.file.Files.exists(baselinePath)) {
-          val text = new String(
-            java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+        if (java.nio.file.Files.exists(p)) {
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           val recSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(text)
             .map(_.group(1)).getOrElse("")
           readPrevDetail(text, recSf)
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
+    val prevDetail: Map[String, PrevRow] = readBaseline(baselinePath)
+    // CUMULATIVE cross-round baseline (round-15 verdict ask #2's gate
+    // half): the round-over-round compare can never flag a row that
+    // climbs <=1.4x EVERY round — so every run also compares against the
+    // OLDEST committed snapshot in baselines/ at a wider 1.8x gate,
+    // closing the repeat-drifter blind spot. Advisory like the primary
+    // drift section; rows whose qsf moved since that round are skipped
+    // by the same sf match.
+    val (oldestRound, oldestDetail): (Int, Map[String, PrevRow]) = locally {
+      val rx = """BENCH_DETAIL_r(\d+)\.json""".r
+      Option(repoRoot.resolve("baselines").toFile.listFiles()).toSeq.flatten
+        .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .sorted.headOption
+        .map(k => (k, readBaseline(
+          repoRoot.resolve(s"baselines/BENCH_DETAIL_r$k.json"))))
+        .getOrElse((0, Map.empty))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -531,15 +589,25 @@ object Bench {
     // are incomparable and counted in "skipped_sf_changed".
     val (driftJson, driftFlagged) = locally {
       val cur = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
-        (n, math.min(s1.sec, s2.sec), new java.io.File(dirFor(n)).getName)
+        val minStat = if (s1.sec <= s2.sec) s1 else s2
+        CurRow(n, minStat.sec, new java.io.File(dirFor(n)).getName,
+          minStat.eng)
       }
-      val (flagged, compared, skipped) = driftFlags(prevDetail, cur)
-      val flaggedJson = flagged.map { case (n, p, c) =>
-        f"""{"name":"$n","prev":$p%.3f,"now":$c%.3f,"ratio":${c / p}%.2f}"""
-      }
+      val (flagged, compared, skipped, harness) = driftFlags(prevDetail, cur)
+      val (cumFlagged, cumCompared, cumSkipped, _) =
+        driftFlags(oldestDetail, cur, ratio = 1.8)
+      def fj(f: DriftFlag): String =
+        f"""{"name":"${f.name}","prev":${f.prev}%.3f,"now":${f.now}%.3f,""" +
+          f""""ratio":${f.now / f.prev}%.2f,"metric":"${f.metric}"}"""
       (s"""{"baseline_round":$prevRound,"compared":$compared,""" +
         s""""skipped_sf_changed":$skipped,""" +
-        s""""flagged":${flaggedJson.mkString("[", ",", "]")}}""", flagged.size)
+        s""""flagged":${flagged.map(fj).mkString("[", ",", "]")},""" +
+        s""""harness_flagged":${harness.map(fj).mkString("[", ",", "]")},""" +
+        s""""cumulative":{"baseline_round":$oldestRound,""" +
+        s""""compared":$cumCompared,"skipped_sf_changed":$cumSkipped,""" +
+        s""""ratio_gate":1.8,""" +
+        s""""flagged":${cumFlagged.map(fj).mkString("[", ",", "]")}}}""",
+        flagged.size)
     }
     // Full-fidelity per-query record (min + both passes + gc, 3 decimals)
     // goes to a FILE in the repo — the stdout line is size-capped by the

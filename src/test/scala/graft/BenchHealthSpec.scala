@@ -199,26 +199,94 @@ class BenchHealthSpec extends AnyFunSuite {
   }
 
   test("driftFlags: ratio+absolute gate, sf-changed rows skipped, new rows ignored") {
+    import Bench.{CurRow, PrevRow}
     val prev = Map(
-      "q_slow"   -> (2.0, "sf0.1"),   // 2.0 -> 5.0: >1.5x and >0.5s -> flagged
-      "q_noise"  -> (0.1, "sf0.1"),   // 0.1 -> 0.3: 3x but only 0.2s -> not flagged
-      "q_ok"     -> (3.0, "sf0.1"),   // 3.0 -> 3.2: fine
-      "q_zero"   -> (0.0, "sf0.1"),   // prev rounded to 0.000: a real
-                                      // regression STILL flags, with the
-                                      // baseline clamped to 0.001 so the
-                                      // recorded ratio stays finite
-      "q_zfast"  -> (0.0, "sf0.1"),   // 0.000 -> 0.3: under the 0.5s
-                                      // absolute gate -> noise, not drift
-      "q_moved"  -> (4.0, "sf0.1"))   // sf changed -> skipped, never flagged
+      "q_slow"   -> PrevRow(2.0, "sf0.1"), // 2.0 -> 5.0: >1.5x, >0.5s -> flagged
+      "q_noise"  -> PrevRow(0.1, "sf0.1"), // 0.1 -> 0.3: 3x but only 0.2s -> no
+      "q_ok"     -> PrevRow(3.0, "sf0.1"), // 3.0 -> 3.2: fine
+      "q_zero"   -> PrevRow(0.0, "sf0.1"), // prev rounded to 0.000: a real
+                                           // regression STILL flags, baseline
+                                           // clamped to 0.001 so the recorded
+                                           // ratio stays finite
+      "q_zfast"  -> PrevRow(0.0, "sf0.1"), // 0.000 -> 0.3: under the 0.5s
+                                           // absolute gate -> noise, not drift
+      "q_moved"  -> PrevRow(4.0, "sf0.1")) // sf changed -> skipped, never flagged
     val cur = Seq(
-      ("q_slow", 5.0, "sf0.1"), ("q_noise", 0.3, "sf0.1"),
-      ("q_ok", 3.2, "sf0.1"), ("q_zero", 0.9, "sf0.1"),
-      ("q_zfast", 0.3, "sf0.1"),
-      ("q_moved", 0.4, "sf0.001"),
-      ("q_new", 9.9, "sf0.1")) // absent from prev -> not comparable
-    val (flagged, compared, skipped) = Bench.driftFlags(prev, cur)
-    assert(flagged.toSet == Set(("q_slow", 2.0, 5.0), ("q_zero", 0.001, 0.9)))
-    assert(compared == 5 && skipped == 1)
+      CurRow("q_slow", 5.0, "sf0.1"), CurRow("q_noise", 0.3, "sf0.1"),
+      CurRow("q_ok", 3.2, "sf0.1"), CurRow("q_zero", 0.9, "sf0.1"),
+      CurRow("q_zfast", 0.3, "sf0.1"),
+      CurRow("q_moved", 0.4, "sf0.001"),
+      CurRow("q_new", 9.9, "sf0.1")) // absent from prev -> not comparable
+    val (flagged, compared, skipped, harness) = Bench.driftFlags(prev, cur)
+    assert(flagged.map(f => (f.name, f.prev, f.now, f.metric)).toSet ==
+      Set(("q_slow", 2.0, 5.0, "sec"), ("q_zero", 0.001, 0.9, "sec")))
+    assert(compared == 5 && skipped == 1 && harness.isEmpty)
+  }
+
+  test("driftFlags engine lane (r15 ask #7): engine drift flags, harness noise flags separately") {
+    import Bench.{CurRow, PrevRow}
+    val prev = Map(
+      // replay row, both records carry the split: engine regressed
+      // (1.0 -> 2.6) while TOTAL only 1.44x (4.5 -> 6.5, under 1.5x) —
+      // the old total-sec gate would have stayed silent
+      "stream_eng" -> PrevRow(4.5, "sf0.001", eng = 1.0),
+      // harness blowup: engine flat (2.0 -> 2.1), choreography 1.0 -> 4.0;
+      // total 3.0 -> 6.1 would have flagged as if the ENGINE regressed
+      "stream_har" -> PrevRow(3.0, "sf0.001", eng = 2.0),
+      // split on one side only (old snapshot predates it) -> sec lane
+      "stream_old" -> PrevRow(2.0, "sf0.001"))
+    val cur = Seq(
+      CurRow("stream_eng", 6.5, "sf0.001", eng = 2.6),
+      CurRow("stream_har", 6.1, "sf0.001", eng = 2.1),
+      CurRow("stream_old", 5.0, "sf0.001", eng = 1.0))
+    val (flagged, compared, _, harness) = Bench.driftFlags(prev, cur)
+    assert(compared == 3)
+    assert(flagged.map(f => (f.name, f.metric)).toSet ==
+      Set(("stream_eng", "engine_sec"), ("stream_old", "sec")),
+      s"engine lane must flag the engine regression and the legacy row: $flagged")
+    assert(harness.map(f => (f.name, f.metric)) ==
+      Seq(("stream_har", "harness_sec")),
+      s"harness drift must flag separately, never as engine: $harness")
+  }
+
+  test("cumulative gate (r15 ask #2): a repeat <=1.4x climber flags at 1.8x vs the oldest baseline") {
+    import Bench.{CurRow, PrevRow}
+    // three rounds of 1.35x climbs: 1.0 -> 1.35 -> 1.82. Each
+    // round-over-round step passes the 1.5x gate; vs the OLDEST baseline
+    // the 1.8x cumulative gate catches it.
+    val oldest = Map("q_creep" -> PrevRow(1.0, "sf0.1"),
+      "q_flat" -> PrevRow(2.0, "sf0.1"))
+    val prevRound = Map("q_creep" -> PrevRow(1.35, "sf0.1"),
+      "q_flat" -> PrevRow(2.0, "sf0.1"))
+    val cur = Seq(CurRow("q_creep", 1.82, "sf0.1"),
+      CurRow("q_flat", 2.1, "sf0.1"))
+    val (roundFlags, _, _, _) = Bench.driftFlags(prevRound, cur)
+    assert(roundFlags.isEmpty, s"the per-round gate is blind to the creep: $roundFlags")
+    val (cumFlags, _, _, _) = Bench.driftFlags(oldest, cur, ratio = 1.8)
+    assert(cumFlags.map(_.name) == Seq("q_creep"),
+      s"the cumulative gate must catch it: $cumFlags")
+  }
+
+  test("committed drift section carries the cumulative compare") {
+    val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    if (java.nio.file.Files.exists(p)) {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      if (text.contains(""""cumulative"""")) {
+        // once present, the cumulative block must bind to the OLDEST
+        // committed snapshot and publish its wider gate
+        val m = """"cumulative":\{"baseline_round":(\d+)""".r
+          .findFirstMatchIn(text)
+        assert(m.isDefined, "cumulative block lost its baseline_round")
+        val rx = """BENCH_DETAIL_r(\d+)\.json""".r
+        val oldest = Option(new java.io.File("baselines").listFiles())
+          .toSeq.flatten
+          .flatMap(f => rx.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          .sorted.headOption
+        oldest.foreach(k => assert(m.get.group(1).toInt == k,
+          s"cumulative baseline r${m.get.group(1)} is not the oldest snapshot r$k"))
+        assert(text.contains(""""ratio_gate":1.8"""))
+      }
+    }
   }
 
   test("readPrevDetail parses its own row format, qsf overrides record sf") {
@@ -231,11 +299,18 @@ class BenchHealthSpec extends AnyFunSuite {
         |  "q_flagged":{"sec":5.010,"p1":5.200,"p2":5.010,"verdict":"transient"}
         |}}""".stripMargin
     val m = Bench.readPrevDetail(text, "sf0.1")
-    assert(m("q_engine") == (2.3, "sf0.1"))
-    assert(m("stream_x") == (1.1, "sf0.001"))
-    assert(m("q_flagged")._1 == 5.01)
+    assert(m("q_engine") == Bench.PrevRow(2.3, "sf0.1"))
+    assert(m("stream_x") == Bench.PrevRow(1.1, "sf0.001"))
+    assert(m("q_flagged").sec == 5.01)
     // the jit "pass1"/"pass2" objects never match (they lack a "sec" key)
     assert(!m.contains("pass1"))
+    // the engine split parses when present (r15 rows)
+    val withEng =
+      """{"sf":"sf0.1","queries":{
+        |  "stream_y":{"sec":3.100,"engine_sec":2.400,"harness_sec":0.700,"p1":3.2,"qsf":"sf0.001"}
+        |}}""".stripMargin
+    assert(Bench.readPrevDetail(withEng, "sf0.1")("stream_y") ==
+      Bench.PrevRow(3.1, "sf0.001", eng = 2.4))
   }
 
   test("readPrevDetail survives a prettified committed record") {
@@ -257,7 +332,7 @@ class BenchHealthSpec extends AnyFunSuite {
         | }
         |}""".stripMargin
     val m = Bench.readPrevDetail(pretty, "sf0.1")
-    assert(m("q_engine") == (2.3, "sf0.1"), s"parsed: $m")
-    assert(m("stream_x") == (1.1, "sf0.001"), s"parsed: $m")
+    assert(m("q_engine") == Bench.PrevRow(2.3, "sf0.1"), s"parsed: $m")
+    assert(m("stream_x") == Bench.PrevRow(1.1, "sf0.001"), s"parsed: $m")
   }
 }
