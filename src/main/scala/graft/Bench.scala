@@ -675,32 +675,29 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-15 record context. SURFACE: 212 queries (r14: " +
-        "208) — hybrid_retrieval and t_closeness join the sf0.1 batch " +
-        "surface; stream_bootstrap_ci and state_inspect_map join the " +
-        "sf0.001 replay surface. STATE-ROW SCALE MOVE, quantified " +
-        "(r14 verdict ask #5): the r13 committed sf0.1 surface carried " +
-        "state_inspect 1.96 s + state_changelog 2.33 s = 4.29 s of " +
-        "per-query-min wall that r14 moved to sf0.001 (now ~3.7 s there), " +
-        "and the rows ADDED at the replay scale were never on the sf0.1 " +
-        "surface at all (state_inspect_ann alone measured 13.9 s warm at " +
-        "sf0.1 during r14 development before the move) — so r13-to-r14+ " +
-        "cross-round sf0.1 totals compare a surface that shed 4.29 s of " +
-        "committed rows; per-query mins with matching qsf remain the " +
-        "honest comparison and the drift gate already skips qsf moves. " +
-        "HARNESS/ENGINE SPLIT (r14 verdict ask #4): every stream_/state_ " +
-        "row now carries engine_sec (accumulated processAllAvailable " +
-        "wall: micro-batch execution incl. per-batch state-store commits) " +
-        "and harness_sec (publish waves, checkpoint setup, restarts). " +
-        "stream_zscore — slowest or flagged three rounds running — " +
-        "measures ~84% engine_sec: its wall is many tiny micro-batches " +
-        "through two chained jobs x per-batch store commits at sf0.001, " +
-        "a fixed per-batch cost profile, not a data-scaling plan defect " +
-        "(its batch twin rolling_zscore runs ~1 s at 100x the rows). " +
-        "DRIFT baseline is the committed round-14 record " +
-        "(baselines/BENCH_DETAIL_r14.json, snapshotted by this round's " +
-        "first run; baseline_round in the drift section — r14 verdict " +
-        "'wrong' #1 closed)."
+      val note = "round-16 record context. SURFACE: 219 queries (r15: " +
+        "213) — bm25_retrieval, hybrid_bm25, dp_release join the sf0.1 " +
+        "batch surface; state_inspect_join, stream_hybrid, stream_lexical " +
+        "join the sf0.001 replay surface. DRIFTER ATTRIBUTION (r15 " +
+        "verdict ask #2): isolated SPARK_GRAFT_ONLY A/B at 9b04837 (r14) " +
+        "vs r16 HEAD, two interleaved JVM pairs each, warm pass — " +
+        "graph_reachability old 2.96/3.11 s vs HEAD 2.93/2.94 s " +
+        "(identical; the recursive-CTE edge-cache reuse holds — the r14 " +
+        "committed 2.2 s was a quieter window, and the old commit itself " +
+        "reproduces ~3 s in isolation today); bootstrap_ci old 2.37-2.74 " +
+        "vs HEAD 2.19-3.00 (overlapping ranges, noise); " +
+        "stream_topic_counts old 3.15-3.81 vs HEAD 3.58-3.74 " +
+        "(overlapping; HEAD engine_sec ~2.6-2.8 stable — the wall is " +
+        "micro-batch engine cost, not drift). All three: suite crowding " +
+        "on a load-3+ box, no code regression. NEW GATES (r15 asks " +
+        "#2/#7): replay-row drift now compares engine_sec when both " +
+        "records carry it (harness drift flagged separately), and every " +
+        "run also compares against the OLDEST baselines/ snapshot at " +
+        "1.8x (drift.cumulative) so repeat sub-1.5x climbers can't hide " +
+        "forever; the cumulative lane seeds from baselines/" +
+        "BENCH_DETAIL_r14.json, the oldest committed snapshot. DRIFT " +
+        "baseline is the committed round-15 record (baselines/" +
+        "BENCH_DETAIL_r15.json, snapshotted by this round's first run)."
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
         s""""headline":"$headlineMetric",""" +
         f""""queries_metric":"pass$headlinePass",""" +
