@@ -124,7 +124,15 @@ private[graft] object HashOracles {
     * folds per token; the window combine is g = xorshift32(g*GOLD + h)
     * over 3 consecutive token hashes.
     */
-  private def shingleCtes: String = {
+  private def shingleCtes: String = shingleCtesBase(distinct = true)
+
+  /** Multiset form of [[shingleCtes]]: one row per shingle OCCURRENCE —
+    * the exact ShingleHash.compute(text, 3, distinct=false) multiset the
+    * lexical postings build (tf) explodes.
+    */
+  private def shingleCtesAll: String = shingleCtesBase(distinct = false)
+
+  private def shingleCtesBase(distinct: Boolean): String = {
     def combine(elems: Seq[String]): String =
       elems.foldLeft(Option.empty[String]) { (acc, e) =>
         val step = acc.map(g =>
@@ -149,8 +157,27 @@ private[graft] object HashOracles {
        |gl AS (
        |  SELECT doc_id, list_transform(range(1, len(hs)-1), i -> $comb) AS gs
        |  FROM th WHERE len(hs) >= 3),
-       |g AS (SELECT DISTINCT doc_id, unnest(gs) AS h0 FROM gl)""".stripMargin
+       |g AS (SELECT ${if (distinct) "DISTINCT " else ""}doc_id, unnest(gs) AS h0 FROM gl)""".stripMargin
   }
+
+  /** state_inspect_lexical's oracle — the in-DuckDB recompute of the
+    * online postings index's MapState, rolled per document exactly as
+    * the engine rolls the checkpoint read: tf per (doc, FNV-shingle
+    * hash) from the multiset pipeline, then per doc n_terms = distinct
+    * shingles (the doc's map entries across all posting lists), dl = Σtf
+    * (BM25's doc length), h_sum = Σ signed hash values summed exactly in
+    * HUGEINT and compared in DECIMAL(38,0). A lost posting, a doubled
+    * tf, and a mis-keyed hash move n_terms, dl, and h_sum respectively.
+    */
+  def lexicalStateAuditOracle(): String =
+    s"""WITH $shingleCtesAll,
+       |tfh AS (SELECT doc_id, h0, count(*) AS tf FROM g GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_terms,
+       |       CAST(sum(tf) AS BIGINT) AS dl,
+       |       CAST(sum(CAST(${toSigned("h0")} AS HUGEINT))
+       |         AS DECIMAL(38,0)) AS h_sum
+       |FROM tfh GROUP BY doc_id""".stripMargin
 
   /** Full minhash_pairs recompute: Dedup.minhashPairs(documents,
     * threshold = 0.05, numPerm = 64, bands = 16, seed = 42) — signatures

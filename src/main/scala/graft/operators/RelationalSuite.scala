@@ -845,9 +845,22 @@ object RelationalSuite {
     */
   def dpReleaseOf(rows: DataFrame,
                   epsilons: Seq[Double] = Seq(0.5, 1.0, 2.0),
-                  maxK: Int = 16): DataFrame = {
-    val cells = rows.groupBy(col("nation"), col("band"))
-      .agg(count(lit(1)).as("n"))
+                  maxK: Int = 16): DataFrame =
+    dpNoiseLadderOf(rows.groupBy(col("nation"), col("band"))
+      .agg(count(lit(1)).as("n")), epsilons, maxK)
+
+  /** The epsilon-ladder noise projection over a CONVERGED (nation, band,
+    * n) cell table — split from [[dpReleaseOf]] so the streaming release
+    * ([[graft.streaming.StreamReplay.streamedDpRelease]]) publishes from
+    * its online counts through the ONE noise definition: batch scan and
+    * online aggregate produce the same cells, so they must produce the
+    * bit-identical release. Pure projection + bounded explode — the
+    * noise draw depends only on the cell key, never on how its count
+    * was accumulated.
+    */
+  def dpNoiseLadderOf(cells: DataFrame,
+                      epsilons: Seq[Double] = Seq(0.5, 1.0, 2.0),
+                      maxK: Int = 16): DataFrame = {
     val u = xxhash64(col("nation"), col("band"))
       .bitwiseXOR(lit(Long.MinValue))
     val noise = epsilons.tail.foldLeft(
@@ -2525,6 +2538,8 @@ object RelationalSuite {
     "l_diversity"        -> (lDiversity _),
     "t_closeness"        -> (tCloseness _),
     "dp_release"         -> (dpRelease _),
+    "stream_dp_release"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedDpRelease(s, d)),
     "bootstrap_ci"       -> (bootstrapCi _),
     "bootstrap_diff"     -> (bootstrapDiff _),
     "stream_bootstrap_ci" -> ((s: SparkSession, d: String) =>
@@ -2565,6 +2580,13 @@ object RelationalSuite {
       |         AS n_updated,
       |       CAST(CAST(sum(p) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM live GROUP BY 1""".stripMargin
+
+  /** dp_release's oracle as a named val: the ONLINE release
+    * (stream_dp_release) must publish the identical noised table, so
+    * both map entries bind to the one generated SQL string.
+    */
+  private val dpReleaseOracleStr: String =
+    HashOracles.dpReleaseOracle(Seq(0.5, 1.0, 2.0))
 
   val oracles: Map[String, String] = Map(
     // the flat-relational twin of the nested pipeline: per-position
@@ -3234,7 +3256,11 @@ object RelationalSuite {
     // deterministic DP release: the oracle recomputes the XXH64 chain,
     // the generated discrete-Laplace cutoffs, and the epsilon dispatch —
     // a drifted cutoff, hash path, or band edge is a cell-level mismatch
-    "dp_release" -> HashOracles.dpReleaseOracle(Seq(0.5, 1.0, 2.0)),
+    "dp_release" -> dpReleaseOracleStr,
+    // the online release must publish the IDENTICAL noised table — the
+    // batch oracle verbatim (the noise draw is a pure function of the
+    // cell key, so online accumulation changes nothing)
+    "stream_dp_release" -> dpReleaseOracleStr,
     "bootstrap_ci" -> HashOracles.bootstrapCiOracle(),
     "bootstrap_diff" -> HashOracles.bootstrapDiffOracle(),
     // the streaming twin must converge to the IDENTICAL error bars — the

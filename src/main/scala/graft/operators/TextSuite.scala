@@ -1037,20 +1037,38 @@ object TextSuite {
     * shuffles either. avgdl's (N, A) pair is a one-row broadcast.
     */
   def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"),
       explode(shingleHashesAll(col("text"), 3)).as("h"))
     val tf = sh.groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("tf"))
+    bm25TopKOf(docs, tf, k)
+  }
+
+  /** The BM25 scoring tail over ANY (doc_id, h, tf) postings table — the
+    * [[lexicalTopKOf]] discipline applied to BM25: ONE definition shared
+    * by the batch build above and the streaming postings index
+    * ([[graft.streaming.StreamReplay.streamedBm25]]), so the online
+    * index can never saturate, length-normalize, or rank a posting
+    * differently than the batch answer it must hash-match. Every input
+    * BM25 needs beyond the postings themselves derives FROM the postings
+    * or the docs: df and dl are the two skinny aggregates, A = Σtf rides
+    * the same one-row broadcast as N, and queries re-shingle the k query
+    * docs (human-sized — the re-shingling is per-query work, not a
+    * corpus pass). Constants, fixed-point arithmetic, headroom, and the
+    * plan shape are documented on [[bm25Retrieval]].
+    */
+  def bm25TopKOf(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val df = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // doc length = TOTAL shingles (before any df cap: length is length),
     // and A = Σ dl rides the same one-row broadcast as N
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val queries = sh.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("h")).distinct()
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(shingleHashesAll(col("text"), 3)).as("h")).distinct()
     val n = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(sh.agg(count(lit(1)).as("tot_len")))
+      .crossJoin(tf.agg(sum(col("tf")).as("tot_len")))
     val dfQ = df.join(broadcast(queries.select(col("h"))), Seq("h"),
       "left_semi")
     val scored = tf.join(broadcast(queries), "h")
@@ -1359,6 +1377,10 @@ object TextSuite {
     "bm25_retrieval" -> ((s: SparkSession, d: String) => bm25Retrieval(s, d)),
     "stream_lexical" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedLexical(s, d)),
+    "state_inspect_lexical" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectLexical(s, d)),
+    "stream_bm25" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedBm25(s, d)),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1483,6 +1505,44 @@ object TextSuite {
       |         CAST(sum(tf.tf * ((1000000 * n.n_docs) // df.df)) AS BIGINT)
       |           AS score
       |  FROM q JOIN tf USING (s) JOIN df USING (s) CROSS JOIN n
+      |  WHERE df.df * 4 <= n.n_docs
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, score,
+      |       CAST(row_number() OVER (PARTITION BY query_id
+      |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+      |FROM scored QUALIFY rnk <= 5""".stripMargin
+
+  /** bm25_retrieval's oracle as a named val: the ONLINE postings build
+    * finished by the BM25 tail (stream_bm25) must hash-match the
+    * identical ranking, so both map entries bind to the one SQL string —
+    * the same one-definition discipline as the engine-side bm25TopKOf.
+    */
+  private val bm25RetrievalOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |sh AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks,
+      |       (SELECT unnest(range(1, (SELECT max(len(t)) FROM toks) + 1)) AS i)
+      |  WHERE i + 2 <= len(t)),
+      |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
+      |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |             (SELECT count(*) FROM sh) AS tot_len),
+      |q AS (SELECT DISTINCT doc_id AS query_id, s FROM sh WHERE doc_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         CAST(sum(((1000000 * n.n_docs) // df.df) *
+      |           CAST((22000::HUGEINT * tf.tf * n.tot_len) //
+      |                (10::HUGEINT * tf.tf * n.tot_len
+      |                 + 3::HUGEINT * n.tot_len
+      |                 + 9::HUGEINT * dl.dl * n.n_docs) AS BIGINT))
+      |           AS BIGINT) AS score
+      |  FROM q JOIN tf USING (s) JOIN df USING (s)
+      |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
       |  WHERE df.df * 4 <= n.n_docs
       |  GROUP BY 1, 2)
       |SELECT query_id, doc_id, score,
@@ -1651,43 +1711,20 @@ object TextSuite {
     // the batch oracle verbatim (the streamed index and the batch tf
     // table feed the same shared scoring tail)
     "stream_lexical" -> lexicalRetrievalOracle,
+    // the postings MapState read out of the restarted checkpoint, rolled
+    // per doc — recomputed in DuckDB from the same FNV-shingle multiset
+    // (hash arithmetic in wraparound SQL, h_sum exact in HUGEINT)
+    "state_inspect_lexical" -> HashOracles.lexicalStateAuditOracle(),
     // BM25 over the same postings: saturation cleared to the all-integer
     // form 22000·tf·A // (10·tf·A + 3·A + 9·dl·N) in HUGEINT (the Spark
     // side runs DECIMAL(38,0) — same exact values), fixed-point idf and
     // the df·4 <= N cap verbatim from lexical_retrieval; score = BIGINT
     // sum of exact products, bit-identical across engines
-    "bm25_retrieval" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |sh AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks,
-        |       (SELECT unnest(range(1, (SELECT max(len(t)) FROM toks) + 1)) AS i)
-        |  WHERE i + 2 <= len(t)),
-        |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY 1, 2),
-        |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-        |       FROM tf GROUP BY 1),
-        |n AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |             (SELECT count(*) FROM sh) AS tot_len),
-        |q AS (SELECT DISTINCT doc_id AS query_id, s FROM sh WHERE doc_id < 5),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |         CAST(sum(((1000000 * n.n_docs) // df.df) *
-        |           CAST((22000::HUGEINT * tf.tf * n.tot_len) //
-        |                (10::HUGEINT * tf.tf * n.tot_len
-        |                 + 3::HUGEINT * n.tot_len
-        |                 + 9::HUGEINT * dl.dl * n.n_docs) AS BIGINT))
-        |           AS BIGINT) AS score
-        |  FROM q JOIN tf USING (s) JOIN df USING (s)
-        |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN n
-        |  WHERE df.df * 4 <= n.n_docs
-        |  GROUP BY 1, 2)
-        |SELECT query_id, doc_id, score,
-        |       CAST(row_number() OVER (PARTITION BY query_id
-        |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
-        |FROM scored QUALIFY rnk <= 5""".stripMargin,
+    "bm25_retrieval" -> bm25RetrievalOracle,
+    // the ONLINE postings build finished by the BM25 tail must converge
+    // to the identical ranking — the batch oracle verbatim (the streamed
+    // index and the batch tf table feed the same shared scoring tail)
+    "stream_bm25" -> bm25RetrievalOracle,
     "text_stats" ->
       """WITH t AS (
         |  SELECT doc_id, text,

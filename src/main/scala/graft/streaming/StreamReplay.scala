@@ -2641,17 +2641,194 @@ object StreamReplay {
     */
   def streamedLexical(spark: SparkSession, dir: String,
                       k: Int = 5): DataFrame = {
-    import graft.sources.FileTopic
     import org.apache.spark.sql.types._
     import graft.operators.TextSuite
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("doc_id", LongType),
+      StructField("score", LongType), StructField("rnk", IntegerType)))
+    lexicalReplayCore(spark, dir, outSchema) { (child, _, out) =>
+      // converged postings (each emitted once; max is belt-and-braces
+      // against duplicate sink files) → the SHARED batch scoring tail
+      val tf = out.batch(child)
+        .groupBy(col("doc_id"), col("h"))
+        .agg(max(col("tf")).as("tf"))
+      TextSuite.lexicalTopKOf(Tables.documents(child, dir), tf, k).collect()
+    }
+  }
+
+  /** Streaming BM25 retrieval — the SAME online postings index
+    * ([[StreamOps.PostingsIndex]] MapState, quartered waves, mid-stream
+    * restart, whole-quarter redelivery absorbed first-delivery-wins)
+    * finished by the BM25 scoring tail instead of raw tf·idf: the
+    * converged postings feed [[graft.operators.TextSuite.bm25TopKOf]] —
+    * ONE definition shared with the batch build, so the row hash-matches
+    * bm25_retrieval's oracle verbatim. The production point this proves:
+    * the online index is SCORER-AGNOSTIC — df, tf, dl, and A all derive
+    * from the one MapState postings surface, so upgrading the ranking
+    * function (tf·idf → BM25) is a finish-side change that never touches
+    * the index, its state, or its redelivery contract. A lost posting
+    * now shifts dl/avgdl for its document — BM25's length normalization
+    * makes the audit STRICTER than the lexical row (tf·idf scores only
+    * query-term postings; BM25's dl sums every posting of a candidate
+    * doc, so corruption anywhere in a candidate's map entries moves its
+    * score).
+    */
+  def streamedBm25(spark: SparkSession, dir: String,
+                   k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.TextSuite
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("doc_id", LongType),
+      StructField("score", LongType), StructField("rnk", IntegerType)))
+    lexicalReplayCore(spark, dir, outSchema) { (child, _, out) =>
+      val tf = out.batch(child)
+        .groupBy(col("doc_id"), col("h"))
+        .agg(max(col("tf")).as("tf"))
+      TextSuite.bm25TopKOf(Tables.documents(child, dir), tf, k).collect()
+    }
+  }
+
+  /** Offline audit of [[StreamOps.PostingsIndex]]'s MapState — the
+    * online postings index ITSELF read out of the restarted checkpoint,
+    * completing the audit posture the index's scaladoc promises (the
+    * same `format("statestore")` MapState surface [[stateInspectMap]]
+    * reads, applied to the store a production lexical-search deployment
+    * would actually migrate/audit). Runs the FULL streamedLexical replay
+    * (quartered doc_id waves, mid-stream restart, whole-quarter
+    * redelivery), then reads the `postings` state variable — one row per
+    * (shingle hash, doc_id → tf) map entry — and rolls it per DOCUMENT
+    * to (n_terms, dl, h_sum): n_terms = map entries carrying the doc
+    * (its distinct shingles), dl = Σtf (exactly BM25's doc length), and
+    * h_sum = Σ signed hash values (exact in DECIMAL(38,0) — no
+    * wraparound needed: |Σ| ≤ n_terms·2⁶³ ≪ 10³⁸). Hash-matched against
+    * the in-DuckDB recompute of the same FNV-shingle pipeline
+    * ([[graft.operators.HashOracles.lexicalStateAuditOracle]]): a
+    * posting the restart lost shifts n_terms, a redelivery-doubled tf
+    * shifts dl, and an entry keyed under the wrong hash shifts h_sum —
+    * the three corruption modes are separably detected. Scale shape:
+    * scan-shaped RocksDB checkpoint decode + one hash agg to |docs|
+    * rows; the driver collect is of those bounded per-doc audit rows,
+    * fenced inside the replay harness like the other state audits.
+    */
+  def stateInspectLexical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_terms", LongType),
+      StructField("dl", LongType),
+      StructField("h_sum", DecimalType(38, 0))))
+    lexicalReplayCore(spark, dir, outSchema) { (child, ckpt, _) =>
+      child.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "postings")
+        .load()
+        .select(col("key.value").as("h"),
+          col("user_map_key.value").as("doc_id"),
+          col("user_map_value.value").as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("dl"),
+          sum(col("h").cast("decimal(38,0)")).as("h_sum"))
+        .collect()
+    }
+  }
+
+  /** Streaming differential-privacy release — [[graft.operators
+    * .RelationalSuite.dpRelease]]'s mechanism published from an ONLINE
+    * aggregate: customer rows stream over the production wire, a
+    * continuous groupBy counts each (nation, balance-band) cell in
+    * update mode, the consumer restarts from its checkpoint mid-stream,
+    * and the FINISH drives the converged counts through the ONE
+    * noise-ladder definition ([[graft.operators.RelationalSuite
+    * .dpNoiseLadderOf]]) — converging to dp_release's oracle verbatim.
+    * The production point this proves: a DP release can publish from a
+    * streaming counting pipeline with the identical bit-reproducible
+    * noise, because the draw is a pure function of the CELL KEY — it
+    * cannot depend on arrival order, batch boundaries, partitioning, or
+    * restarts, precisely the things an online aggregate does not
+    * control (a seed tied to an RNG stream or a batch id would make the
+    * streaming release unauditable). State is the release table itself —
+    * |nations|·|bands| count keys, bounded however long the stream runs
+    * (no watermark needed: the cell grid, not time, bounds it). A row
+    * the restart dropped or double-applied shifts `released` for its
+    * cell at every epsilon — the 3-rung ladder amplifies any
+    * convergence bug three ways.
+    */
+  def streamedDpRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.RelationalSuite
+    val wireSchema = StructType(Seq(
+      StructField("cust", LongType), StructField("nation", LongType),
+      StructField("band", LongType)))
+    val cellSchema = StructType(Seq(
+      StructField("nation", LongType), StructField("band", LongType),
+      StructField("n", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("nation", LongType), StructField("band", LongType),
+      StructField("epsilon", DoubleType),
+      StructField("released", LongType)))
+    val rows = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("cust"),
+        col("c_nationkey").cast("long").as("nation"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+    val b = rows.agg(min("cust"), max("cust")).head()
+    require(!b.isNullAt(0), s"$dir customer is empty — nothing to replay")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val child = replaySession(spark, shufflePartitions = 8)
+    val root = java.nio.file.Files.createTempDirectory("graft_dp")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dp_ckpt")
+    val in = new FileTopic("dp_in", wireSchema, root.toString)
+    val out = new FileTopic("dp_cells", cellSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = rows
+      .filter(col("cust") >= from &&
+        (if (last) lit(true) else col("cust") < until)).coalesce(1)
+    def drain(): Unit = {
+      val cells = in.stream(child)
+        .groupBy(col("nation"), col("band"))
+        .agg(count(lit(1)).as("n"))
+      val q = cells.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      in.append(range(lo, lo + quarter, last = false))
+      in.append(range(lo + quarter, lo + 2 * quarter, last = false))
+      drain() // incarnation 1: offsets + count state checkpointed
+      in.append(range(lo + 2 * quarter, lo + 3 * quarter, last = false))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2: recovered counts keep accumulating
+      // converged counts (update emissions are monotone per cell — the
+      // last/max emission IS the final count) → the shared noise ladder
+      val converged = out.batch(child)
+        .groupBy(col("nation"), col("band"))
+        .agg(max(col("n")).as("n"))
+      val released = RelationalSuite.dpNoiseLadderOf(converged).collect()
+      spark.createDataFrame(java.util.Arrays.asList(released: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** The shared online-postings replay run — quartered doc_id waves
+    * through [[StreamOps.PostingsIndex]] with the mid-stream checkpoint
+    * restart and whole-quarter redelivery (see [[streamedLexical]]).
+    * `finish` reads the answer from the stopped pipeline (the out
+    * topic's converged postings, or the checkpoint's map state) BEFORE
+    * the temp dirs are deleted.
+    */
+  private def lexicalReplayCore(spark: SparkSession, dir: String,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      finish: (SparkSession, String, graft.sources.FileTopic)
+        => Array[org.apache.spark.sql.Row]): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
     val wireSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val postSchema = StructType(Seq(
       StructField("h", LongType), StructField("doc_id", LongType),
       StructField("tf", LongType)))
-    val outSchema = StructType(Seq(
-      StructField("query_id", LongType), StructField("doc_id", LongType),
-      StructField("score", LongType), StructField("rnk", IntegerType)))
     val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
     val docs = Tables.documents(child, dir).select(col("doc_id"), col("text"))
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
@@ -2699,13 +2876,7 @@ object StreamReplay {
       in.append(range(q2hi, lo + 3 * quarter, last = false))
       in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
       drain() // incarnation 2: recovered maps absorb the redelivery
-      // converged postings (each emitted once; max is belt-and-braces
-      // against duplicate sink files) → the SHARED batch scoring tail
-      val tf = out.batch(child)
-        .groupBy(col("doc_id"), col("h"))
-        .agg(max(col("tf")).as("tf"))
-      val rows = TextSuite
-        .lexicalTopKOf(Tables.documents(child, dir), tf, k).collect()
+      val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }

@@ -122,6 +122,19 @@ class CollectLintSpec extends SparkSpec {
       // MapState (online postings build with restart + redelivery); the
       // driver collect is of the |queries| x k ranked rows
       "stream_lexical",
+      // state_inspect_lexical: the stream_lexical replay posture, then
+      // the PostingsIndex MapState read offline, rolled to per-doc
+      // (n_terms, dl, h_sum) — the driver collect is of |docs| audit rows
+      "state_inspect_lexical",
+      // stream_bm25: the stream_lexical replay posture finished by the
+      // shared BM25 scoring tail — the driver collect is of the
+      // |queries| x k ranked rows
+      "stream_bm25",
+      // stream_dp_release: the topic-replay posture (quartered publishes,
+      // restart) through a continuous cell-count agg, finished by the
+      // shared noise ladder — the driver collect is of the bounded
+      // |nations| x |bands| x |epsilons| release rows
+      "stream_dp_release",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered
