@@ -632,7 +632,28 @@ object EventSuite {
     "session_counts"       -> (sessionCounts _),
     "session_dynamic_gap"  -> (sessionDynamicGap _),
     "asof_join"            -> (eventsAsofOrders _),
+    "stream_asof"          -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedAsOf(s, d)),
     "funnel"               -> (funnel _))
+
+  /** asof_join's oracle as a named val: the ONLINE revision index
+    * (stream_asof) must converge to the identical enrichment, so both
+    * map entries bind to the one SQL string.
+    */
+  private val asofJoinOracle: String =
+    """WITH ranked AS (
+      |  SELECT e.event_id, e.user_id,
+      |         CAST(epoch_us(e.ts) // 1000000 AS BIGINT) AS ts_s,
+      |         o.o_orderkey, o.o_totalprice,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  LEFT JOIN orders o
+      |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |SELECT event_id, user_id, ts_s,
+      |       o_orderkey AS asof_orderkey,
+      |       o_totalprice AS asof_totalprice
+      |FROM ranked WHERE rn = 1""".stripMargin
 
   private val zscoreOracle =
     """WITH h AS (
@@ -1271,20 +1292,11 @@ object EventSuite {
         |SELECT '1_view' AS stage, count(*) AS n_users FROM s1
         |UNION ALL SELECT '2_click', count(*) FROM s2
         |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin,
-    "asof_join" ->
-      """WITH ranked AS (
-        |  SELECT e.event_id, e.user_id,
-        |         CAST(epoch_us(e.ts) // 1000000 AS BIGINT) AS ts_s,
-        |         o.o_orderkey, o.o_totalprice,
-        |         row_number() OVER (PARTITION BY e.event_id
-        |           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e
-        |  LEFT JOIN orders o
-        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
-        |SELECT event_id, user_id, ts_s,
-        |       o_orderkey AS asof_orderkey,
-        |       o_totalprice AS asof_totalprice
-        |FROM ranked WHERE rn = 1""".stripMargin,
+    "asof_join" -> asofJoinOracle,
+    // the ONLINE revision index must converge to the identical
+    // enrichment — the batch oracle verbatim (revisions immutable
+    // first-delivery-wins, probes answered from recovered state)
+    "stream_asof" -> asofJoinOracle,
     "sliding_counts" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 100),
         |slid AS (

@@ -267,6 +267,85 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One wire row for [[asOfIndex]]: a dimension REVISION (isProbe =
+    * false: id = revision id, ts = its validity instant, price = its
+    * payload) or a fact PROBE (isProbe = true: id = fact id, ts = the
+    * fact's event time, price unused).
+    */
+  final case class AsOfRow(key: Long, isProbe: Boolean, id: Long, ts: Long,
+                           price: Double)
+  /** One dimension revision resident in the index. */
+  final case class AsOfRev(ts: Long, price: Double)
+  /** One enriched fact: the as-of matched revision (None when no
+    * revision exists at or before the fact's ts — LEFT semantics).
+    */
+  final case class AsOfHit(key: Long, eventId: Long, ts: Long,
+                           orderKey: Option[Long], price: Option[Double])
+
+  /** Online AS-OF JOIN index — the temporal-enrichment serving shape
+    * (each fact attached to the most recent dimension revision at or
+    * before its event time; [[graft.operators.AsOf]] computes it in
+    * batch): per join key, a MapState[revision id → (ts, payload)] IS
+    * the dimension's revision history, built as revisions stream in.
+    * FIRST DELIVERY WINS (a revision is immutable once written — the
+    * PostingsIndex contract), so a redelivered revision wave is absorbed
+    * by recovered map entries. A PROBE row answers from the key's
+    * resident revisions: max (ts, id) among revisions with ts ≤ probe
+    * ts — the batch kernel's exact tie order (greatest ts, then greatest
+    * id) — or None under LEFT semantics. Probes publish in a later
+    * incarnation than revisions, so batch-internal row order can never
+    * race an enrichment against the revision it needs.
+    *
+    * Scale shape: state is the dimension itself — Σ\|revisions\| rows
+    * partitioned by join key in RocksDB, bounded by the DIMENSION, not
+    * the fact stream; per-revision work is one keyed point-lookup and
+    * per-probe work scans ONE key's revision list (a production
+    * deployment prunes revisions older than the watermark minus the
+    * maximum lookback — the list stays a bounded recent history). The
+    * index is offline-auditable through the same `format("statestore")`
+    * MapState surface the postings audit reads.
+    */
+  final class AsOfIndex extends StatefulProcessor[Long, AsOfRow, AsOfHit] {
+    @transient private var revs: MapState[Long, AsOfRev] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      revs = getHandle.getMapState[Long, AsOfRev]("revisions",
+        Encoders.scalaLong, Encoders.product[AsOfRev], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[AsOfRow],
+                                 timers: TimerValues): Iterator[AsOfHit] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfHit]
+      rows.foreach { r =>
+        if (!r.isProbe) {
+          if (!revs.containsKey(r.id)) revs.updateValue(r.id, AsOfRev(r.ts, r.price))
+        } else {
+          var bestId = Long.MinValue
+          var bestTs = Long.MinValue
+          var bestPrice = 0.0
+          var found = false
+          revs.iterator().foreach { case (id, rev) =>
+            if (rev.ts <= r.ts &&
+              (!found || rev.ts > bestTs || (rev.ts == bestTs && id > bestId))) {
+              found = true; bestId = id; bestTs = rev.ts; bestPrice = rev.price
+            }
+          }
+          out += AsOfHit(key, r.id, r.ts,
+            if (found) Some(bestId) else None,
+            if (found) Some(bestPrice) else None)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming as-of enrichment via the revision MapState: see
+    * [[AsOfIndex]].
+    */
+  def asOfIndex(rows: Dataset[AsOfRow]): Dataset[AsOfHit] = {
+    implicit val enc = Encoders.product[AsOfHit]
+    rows.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new AsOfIndex, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Input row for [[gapSessions]]: one keyed event-time stamp. */
   final case class Stamp(user: Long, ts: Timestamp)
   /** One closed gap-session: [startUs, lastUs] in epoch MICROS (exact —

@@ -2732,6 +2732,100 @@ object StreamReplay {
     }
   }
 
+  /** Streaming as-of join — [[graft.operators.AsOf]]'s temporal
+    * enrichment run ONLINE, the serving shape of the time-series staple:
+    * ORDER REVISIONS stream over the production wire into
+    * [[StreamOps.AsOfIndex]]'s per-customer MapState (the dimension's
+    * revision history — the index is the state), in quartered
+    * o_orderkey waves with a mid-stream checkpoint restart AND a
+    * whole-quarter redelivery absorbed first-delivery-wins by recovered
+    * map entries. EVENTS then arrive as PROBE rows in a final
+    * incarnation — after a fresh restart, so every enrichment they
+    * receive is answered from revision state RECOVERED from the
+    * checkpoint: the most recent revision at or before each event's
+    * time under the batch kernel's exact tie order (greatest date, then
+    * greatest orderkey), or nulls under LEFT semantics. The converged
+    * enriched rows hash-match asof_join's oracle verbatim — a revision
+    * the restart lost surfaces as a wrong (or null) match, a
+    * redelivery-duplicated one cannot surface at all (revisions are
+    * immutable once written), and a tie-order drift is a different
+    * orderkey in the row.
+    */
+  def streamedAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("key", LongType), StructField("is_probe", BooleanType),
+      StructField("id", LongType), StructField("ts", LongType),
+      StructField("price", DoubleType)))
+    val hitSchema = StructType(Seq(
+      StructField("key", LongType), StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("order_key", LongType),
+      StructField("price", DoubleType)))
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_s", LongType), StructField("asof_orderkey", LongType),
+      StructField("asof_totalprice", DoubleType)))
+    val revisions = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("key"), lit(false).as("is_probe"),
+        col("o_orderkey").as("id"), unix_micros(col("o_orderdate")).as("ts"),
+        col("o_totalprice").as("price"))
+    val probes = Tables.events(spark, dir)
+      .select(col("user_id").as("key"), lit(true).as("is_probe"),
+        col("event_id").as("id"), unix_micros(col("ts")).as("ts"),
+        lit(0.0).as("price"))
+    val b = revisions.agg(min("id"), max("id")).head()
+    require(!b.isNullAt(0), s"$dir orders is empty — nothing to replay")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // transformWithState requires RocksDB
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_asof")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt")
+    val in = new FileTopic("asof_in", wireSchema, root.toString)
+    val out = new FileTopic("asof_hits", hitSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = revisions
+      .filter(col("id") >= from &&
+        (if (last) lit(true) else col("id") < until)).coalesce(1)
+    def drain(): Unit = {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[StreamOps.AsOfRow]
+      val hits = StreamOps.asOfIndex(
+        in.stream(child)
+          .select(col("key"), col("is_probe").as("isProbe"), col("id"),
+            col("ts"), col("price"))
+          .as[StreamOps.AsOfRow])
+        .toDF()
+        .select(col("key"), col("eventId").as("event_id"), col("ts"),
+          col("orderKey").as("order_key"), col("price"))
+      val q = hits.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + revision maps checkpointed
+      in.append(range(q2lo, q2hi, last = false)) // redelivery across restart
+      in.append(range(q2hi, lo + 3 * quarter, last = false))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2: recovered maps absorb the redelivery
+      in.append(probes.coalesce(1))
+      drain() // incarnation 3: probes enrich from the RECOVERED index
+      val rows = out.batch(child).distinct()
+        .select(col("event_id"), col("key").as("user_id"),
+          expr("ts div 1000000").as("ts_s"),
+          col("order_key").as("asof_orderkey"),
+          col("price").as("asof_totalprice"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** Streaming differential-privacy release — [[graft.operators
     * .RelationalSuite.dpRelease]]'s mechanism published from an ONLINE
     * aggregate: customer rows stream over the production wire, a

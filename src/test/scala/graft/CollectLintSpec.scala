@@ -135,6 +135,12 @@ class CollectLintSpec extends SparkSpec {
       // shared noise ladder — the driver collect is of the bounded
       // |nations| x |bands| x |epsilons| release rows
       "stream_dp_release",
+      // stream_asof: the online revision index (AsOfIndex MapState over
+      // quartered waves + restart + redelivery), events probing in a
+      // final incarnation — the driver collect is of the replay-scale
+      // enriched event rows, fenced inside the harness like every
+      // topic replay
+      "stream_asof",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered

@@ -203,6 +203,48 @@ class TextFunctionsSpec extends SparkSpec {
     rows.foreach { case (w, j) => assert(j == w, s"$w -> $j") }
   }
 
+  test("bm25TopKOf: hand-computed saturation + length-normalization ordering") {
+    // crafted corpus, one query shingle h("q1 q2 q3") with df = 4 out of
+    // N = 20 docs (under the df*4 <= N cap). Candidates differ ONLY in
+    // the two dimensions BM25 adds over raw tf*idf:
+    //   doc 0  (the query): tf=1, dl=1  — shortest, must self-retrieve
+    //   doc 11: tf=3, dl=7  — saturation: more hits help, sub-linearly
+    //   doc 10: tf=1, dl=7  — same length as 11, fewer hits
+    //   doc 12: tf=1, dl=21 — same hits as 10, longer doc scores lower
+    // A = 52 total corpus shingles; hand-computed SAT values (integer
+    // division of 22000*tf*A by 10*tf*A + 3*A + 9*dl*N):
+    //   SAT(1,1)=1336, SAT(3,7)=1153, SAT(1,7)=590, SAT(1,21)=256
+    // so the expected ranking is 0 > 11 > 10 > 12, every score strictly
+    // below the k1+1 saturation ceiling idf*2200. Raw tf*idf would rank
+    // 11 THREE TIMES doc 10's score and see no length at all — this pins
+    // exactly the two behaviors that distinguish the kernels.
+    val filler = (1 to 16).map(i => s"f${i}a f${i}b f${i}c")
+    val docs = (
+      Seq(0L -> "q1 q2 q3") ++
+        (1 to 4).map(i => i.toLong -> filler(i - 1)) ++
+        (5 to 9).map(i => i.toLong -> filler(i - 1)) ++
+        Seq(10L -> "q1 q2 q3 x1 x2 x3 x4 x5 x6",
+          11L -> "q1 q2 q3 q1 q2 q3 q1 q2 q3",
+          12L -> ("q1 q2 q3 " + (1 to 20).map(j => s"g$j").mkString(" "))) ++
+        (13 to 19).map(i => i.toLong -> filler(i - 4))
+      ).toDF("doc_id", "text")
+    assert(docs.count() == 20)
+    val tf = docs.select($"doc_id",
+        explode(shingleHashesAll($"text", 3)).as("h"))
+      .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
+    val got = graft.operators.TextSuite.bm25TopKOf(docs, tf, 5)
+      .filter($"query_id" === 0L)
+      .orderBy($"rnk")
+      .select($"doc_id", $"score")
+      .as[(Long, Long)].collect().toSeq
+    val idf = (1000000L * 20) / 4 // fixed-point idf at df=4, N=20
+    assert(got == Seq(
+      (0L, idf * 1336), (11L, idf * 1153), (10L, idf * 590),
+      (12L, idf * 256)), s"bm25 ranking: $got")
+    assert(got.forall(_._2 < idf * 2200),
+      s"saturation ceiling idf*(k1+1) violated: $got")
+  }
+
   test("vocab coverage: hand-encodable fertility and single-piece fraction") {
     // under bpeMerges: "the"/"and"/"in" each encode to ONE piece;
     // "cat" has no merges -> 3 pieces; "there" -> the|re = 2 pieces
