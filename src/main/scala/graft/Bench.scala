@@ -675,11 +675,12 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-16 record context. SURFACE: 223 queries (r15: " +
+      val note = "round-16 record context. SURFACE: 224 queries (r15: " +
         "213) — bm25_retrieval, hybrid_bm25, dp_release join the sf0.1 " +
         "batch surface; state_inspect_join, stream_hybrid, stream_lexical, " +
         "stream_bm25, state_inspect_lexical, stream_dp_release, " +
-        "stream_asof join the sf0.001 replay surface. DRIFTER ATTRIBUTION (r15 " +
+        "stream_asof, state_inspect_asof join the sf0.001 replay " +
+        "surface. DRIFTER ATTRIBUTION (r15 " +
         "verdict ask #2): isolated SPARK_GRAFT_ONLY A/B at 9b04837 (r14) " +
         "vs r16 HEAD, two interleaved JVM pairs each, warm pass — " +
         "graph_reachability old 2.96/3.11 s vs HEAD 2.93/2.94 s " +

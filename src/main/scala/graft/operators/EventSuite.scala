@@ -634,6 +634,8 @@ object EventSuite {
     "asof_join"            -> (eventsAsofOrders _),
     "stream_asof"          -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedAsOf(s, d)),
+    "state_inspect_asof"   -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectAsOf(s, d)),
     "funnel"               -> (funnel _))
 
   /** asof_join's oracle as a named val: the ONLINE revision index
@@ -1297,6 +1299,17 @@ object EventSuite {
     // enrichment — the batch oracle verbatim (revisions immutable
     // first-delivery-wins, probes answered from recovered state)
     "stream_asof" -> asofJoinOracle,
+    // the revision MapState read out of the restarted checkpoint must
+    // equal the dimension table it indexed — per-customer counts, key
+    // and ts checksums, and the DECIMAL-canonicalized price mass
+    "state_inspect_asof" ->
+      """SELECT o_custkey AS user_id,
+        |       CAST(count(*) AS BIGINT) AS n_revisions,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+        |       CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS ts_max,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         AS DECIMAL(38,2)) AS price_sum
+        |FROM orders GROUP BY 1""".stripMargin,
     "sliding_counts" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 100),
         |slid AS (

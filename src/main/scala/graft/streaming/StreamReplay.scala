@@ -2752,6 +2752,76 @@ object StreamReplay {
     * orderkey in the row.
     */
   def streamedAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_s", LongType), StructField("asof_orderkey", LongType),
+      StructField("asof_totalprice", DoubleType)))
+    asOfReplayCore(spark, dir, outSchema) { (child, _, out) =>
+      out.batch(child).distinct()
+        .select(col("event_id"), col("key").as("user_id"),
+          expr("ts div 1000000").as("ts_s"),
+          col("order_key").as("asof_orderkey"),
+          col("price").as("asof_totalprice"))
+        .collect()
+    }
+  }
+
+  /** Offline audit of [[StreamOps.AsOfIndex]]'s MapState — the online
+    * revision index read out of the restarted checkpoint (the audit the
+    * index's scaladoc promises), completing the pattern: every online
+    * index this engine builds (ANN cells, postings, revisions) is
+    * offline-auditable from its checkpoint. Runs the FULL streamedAsOf
+    * replay, then reads the `revisions` state variable — one row per
+    * (customer, orderkey → (ts, price)) map entry — rolled per CUSTOMER
+    * to (n_revisions, okey_sum, ts_max, price_sum): a revision the
+    * restart lost moves n_revisions/okey_sum, a redelivery-duplicated
+    * one cannot exist (first delivery wins), a mis-keyed or
+    * ts-corrupted entry moves okey_sum or ts_max, and price corruption
+    * moves the DECIMAL(18,2)-canonicalized price_sum (the dsum
+    * discipline — double sums are order-dependent, decimal sums are
+    * not). The oracle is the trivially-checkable per-customer orders
+    * recompute, which is exactly the point: the state read must equal
+    * the dimension table it indexed.
+    */
+  def stateInspectAsOf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("n_revisions", LongType),
+      StructField("okey_sum", LongType),
+      StructField("ts_max", LongType),
+      StructField("price_sum", DecimalType(38, 2))))
+    asOfReplayCore(spark, dir, outSchema) { (child, ckpt, _) =>
+      child.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "revisions")
+        .load()
+        .select(col("key.value").as("user_id"),
+          col("user_map_key.value").as("okey"),
+          col("user_map_value.ts").as("ts"),
+          col("user_map_value.price").as("price"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_revisions"),
+          sum(col("okey")).as("okey_sum"),
+          max(col("ts")).as("ts_max"),
+          sum(col("price").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("price_sum"))
+        .collect()
+    }
+  }
+
+  /** The shared online-revision replay run — quartered o_orderkey waves
+    * through [[StreamOps.AsOfIndex]] with the mid-stream restart,
+    * whole-quarter redelivery, and the final probe incarnation (see
+    * [[streamedAsOf]]). `finish` reads the answer from the stopped
+    * pipeline (the out topic's enriched rows, or the checkpoint's
+    * revision state) BEFORE the temp dirs are deleted.
+    */
+  private def asOfReplayCore(spark: SparkSession, dir: String,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      finish: (SparkSession, String, graft.sources.FileTopic)
+        => Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.sources.FileTopic
     import org.apache.spark.sql.types._
     val wireSchema = StructType(Seq(
@@ -2762,10 +2832,6 @@ object StreamReplay {
       StructField("key", LongType), StructField("event_id", LongType),
       StructField("ts", LongType), StructField("order_key", LongType),
       StructField("price", DoubleType)))
-    val outSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("ts_s", LongType), StructField("asof_orderkey", LongType),
-      StructField("asof_totalprice", DoubleType)))
     val revisions = Tables.orders(spark, dir)
       .select(col("o_custkey").as("key"), lit(false).as("is_probe"),
         col("o_orderkey").as("id"), unix_micros(col("o_orderdate")).as("ts"),
@@ -2816,12 +2882,7 @@ object StreamReplay {
       drain() // incarnation 2: recovered maps absorb the redelivery
       in.append(probes.coalesce(1))
       drain() // incarnation 3: probes enrich from the RECOVERED index
-      val rows = out.batch(child).distinct()
-        .select(col("event_id"), col("key").as("user_id"),
-          expr("ts div 1000000").as("ts_s"),
-          col("order_key").as("asof_orderkey"),
-          col("price").as("asof_totalprice"))
-        .collect()
+      val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }

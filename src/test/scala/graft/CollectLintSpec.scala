@@ -141,6 +141,10 @@ class CollectLintSpec extends SparkSpec {
       // enriched event rows, fenced inside the harness like every
       // topic replay
       "stream_asof",
+      // state_inspect_asof: the stream_asof replay posture, then the
+      // AsOfIndex revision MapState read offline, rolled to per-customer
+      // audit rows — the driver collect is of |customers| bounded rows
+      "state_inspect_asof",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered
