@@ -675,12 +675,26 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-16 record context. SURFACE: 224 queries (r15: " +
+      val note = "round-16 record context. SURFACE: 225 queries (r15: " +
         "213) — bm25_retrieval, hybrid_bm25, dp_release join the sf0.1 " +
         "batch surface; state_inspect_join, stream_hybrid, stream_lexical, " +
         "stream_bm25, state_inspect_lexical, stream_dp_release, " +
-        "stream_asof, state_inspect_asof join the sf0.001 replay " +
-        "surface. DRIFTER ATTRIBUTION (r15 " +
+        "stream_asof, state_inspect_asof, stream_train_corpus join the " +
+        "sf0.001 replay surface. R16 DRIFT ATTRIBUTION: the first r16 " +
+        "full pass (load 2-2.5) flagged 15 rows at 1.5-1.9x vs the " +
+        "quiet-window r15 baseline — isolated SPARK_GRAFT_ONLY A/B at " +
+        "80a3e41 (r15) vs r16 HEAD, same load window, two pairs: " +
+        "edit_distance_verify 1.60/na vs 1.54 (HEAD faster), " +
+        "edit_distance_near 1.59 vs 1.61, graph_reachability 2.81 vs " +
+        "2.60, dedup_clusters_fixpoint 2.05 vs 2.13 — identical; " +
+        "cluster_split old 2.26-2.84 vs HEAD 3.09-3.35 and " +
+        "dedup_clusters old 2.23-2.71 vs HEAD 2.35-2.71 — overlapping " +
+        "ranges under load swinging 0.4-2.7, and NO commit this round " +
+        "touches the CC/edit-distance paths (the round is streaming " +
+        "kernels + docs). Attribution: suite crowding — 12 new replay " +
+        "rows re-add per-pass JIT/class churn (pass1 jit 395.9 s, 20.8k " +
+        "classes) exactly as the round-11 note documented when replays " +
+        "ran at sf0.1. DRIFTER ATTRIBUTION (r15 " +
         "verdict ask #2): isolated SPARK_GRAFT_ONLY A/B at 9b04837 (r14) " +
         "vs r16 HEAD, two interleaved JVM pairs each, warm pass — " +
         "graph_reachability old 2.96/3.11 s vs HEAD 2.93/2.94 s " +

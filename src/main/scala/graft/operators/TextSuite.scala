@@ -1381,6 +1381,8 @@ object TextSuite {
       graft.streaming.StreamReplay.stateInspectLexical(s, d)),
     "stream_bm25" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedBm25(s, d)),
+    "stream_train_corpus" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTrainCorpus(s, d)),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1549,6 +1551,53 @@ object TextSuite {
       |       CAST(row_number() OVER (PARTITION BY query_id
       |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
       |FROM scored QUALIFY rnk <= 5""".stripMargin
+
+  /** train_corpus's oracle as a named val: the ONLINE composed
+    * pipeline (stream_train_corpus) must converge to the identical
+    * corpus, so both map entries bind to the one SQL string.
+    */
+  private val trainCorpusOracle: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, text,
+      |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source, text FROM t
+      |  WHERE greatest(0.0, least(1.0,
+      |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+      |    least((CASE WHEN len(toks) = 0 THEN 0.0
+      |           ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
+      |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+      |           ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) >= 0.5),
+      |fp AS (SELECT doc_id, source, text, md5($norm) AS fp FROM q),
+      |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+      |d AS (SELECT fp.doc_id, fp.source, fp.text FROM fp JOIN keep USING (doc_id)),
+      |dtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t2 FROM d),
+      |dsh AS (
+      |  SELECT DISTINCT doc_id, t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
+      |  FROM dtoks,
+      |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
+      |                               FROM documents) + 1)) AS i)
+      |  WHERE i + 2 <= len(t2)),
+      |btoks AS (SELECT string_split_regex(trim(text), '\\s+') AS t2
+      |          FROM documents WHERE doc_id < 5),
+      |bsh AS (
+      |  SELECT DISTINCT t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
+      |  FROM btoks,
+      |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
+      |                               FROM documents) + 1)) AS i)
+      |  WHERE i + 2 <= len(t2)),
+      |cont AS (SELECT doc_id FROM dsh JOIN bsh USING (s)
+      |         GROUP BY doc_id HAVING count(*) >= 8),
+      |f AS (SELECT doc_id, source FROM d
+      |      WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+      |SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      |  FROM f)
+      |WHERE r <= 10""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // full in-DuckDB recompute of the seeded MinHash/SimHash pipelines
@@ -2149,48 +2198,12 @@ object TextSuite {
         |UNION ALL SELECT '2_dedup', count(*) FROM d
         |UNION ALL SELECT '3_decontam', count(*) FROM f
         |UNION ALL SELECT '4_cap', count(*) FROM cap""".stripMargin,
-    "train_corpus" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, source, text,
-        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, source, text FROM t
-        |  WHERE greatest(0.0, least(1.0,
-        |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
-        |    least((CASE WHEN len(toks) = 0 THEN 0.0
-        |           ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
-        |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
-        |           ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) >= 0.5),
-        |fp AS (SELECT doc_id, source, text, md5($norm) AS fp FROM q),
-        |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
-        |d AS (SELECT fp.doc_id, fp.source, fp.text FROM fp JOIN keep USING (doc_id)),
-        |dtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t2 FROM d),
-        |dsh AS (
-        |  SELECT DISTINCT doc_id, t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
-        |  FROM dtoks,
-        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
-        |                               FROM documents) + 1)) AS i)
-        |  WHERE i + 2 <= len(t2)),
-        |btoks AS (SELECT string_split_regex(trim(text), '\\s+') AS t2
-        |          FROM documents WHERE doc_id < 5),
-        |bsh AS (
-        |  SELECT DISTINCT t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] AS s
-        |  FROM btoks,
-        |       (SELECT unnest(range(1, (SELECT max(len(string_split_regex(trim(text), '\\s+')))
-        |                               FROM documents) + 1)) AS i)
-        |  WHERE i + 2 <= len(t2)),
-        |cont AS (SELECT doc_id FROM dsh JOIN bsh USING (s)
-        |         GROUP BY doc_id HAVING count(*) >= 8),
-        |f AS (SELECT doc_id, source FROM d
-        |      WHERE doc_id NOT IN (SELECT doc_id FROM cont))
-        |SELECT doc_id, source FROM (
-        |  SELECT doc_id, source,
-        |         row_number() OVER (PARTITION BY source
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
-        |  FROM f)
-        |WHERE r <= 10""".stripMargin,
+    "train_corpus" -> trainCorpusOracle,
+    // the ONLINE composed pipeline must converge to the identical
+    // corpus - the batch oracle verbatim (quality row-local,
+    // canonical min in keyed state, decontam + cap over the
+    // converged deduped stream)
+    "stream_train_corpus" -> trainCorpusOracle,
     // integer-domain mix accounting (see tokenBudgetMix): 0.3e0 parses as
     // DOUBLE in DuckDB, matching Spark's double multiply before floor
     "token_budget_mix" ->

@@ -267,6 +267,61 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One quality-surviving document heading into the online corpus
+    * build: its content fingerprint (the exact-dedup key), identity,
+    * and row-locally computed benchmark-shingle hit count.
+    */
+  final case class CorpusDoc(fp: String, docId: Long, source: String,
+                             nHits: Long)
+
+  /** Online canonical-per-fingerprint dedup — the keep-min stage of the
+    * composed corpus build ([[graft.operators.TextSuite]]'s
+    * train_corpus) run as a stream: per content fingerprint, a
+    * ValueState holds the smallest doc_id seen, and a document is
+    * emitted ONLY when it becomes its fingerprint's canonical (strictly
+    * smaller than the held min). Within a micro-batch the key's rows
+    * reduce to their batch-min FIRST, so intra-batch arrival order can
+    * never emit a non-canonical doc; across batches the doc_id-ordered
+    * waves make the first emission final, and a redelivered wave finds
+    * every fingerprint's min already at-or-below its ids — absorbed
+    * silently. The emission stream is therefore EXACTLY one doc per
+    * fingerprint — a recovered-state failure after the mid-stream
+    * restart would emit a second doc for some fingerprint, which the
+    * replay's finish refuses loudly (and the oracle hash would catch
+    * regardless).
+    *
+    * Scale shape: state is one long per distinct fingerprint —
+    * the dedup key space, not the corpus; per-arrival work is one keyed
+    * point-lookup. Emissions are suppressed at the index, so downstream
+    * stages see the deduped stream, never the raw one.
+    */
+  final class CanonicalFirst
+    extends StatefulProcessor[String, CorpusDoc, CorpusDoc] {
+    @transient private var min: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      min = getHandle.getValueState[Long]("canonicalMin",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CorpusDoc],
+                                 timers: TimerValues): Iterator[CorpusDoc] = {
+      val batchMin = rows.minBy(_.docId)
+      val cur = if (min.exists()) min.get() else Long.MaxValue
+      if (batchMin.docId < cur) {
+        min.update(batchMin.docId)
+        Iterator.single(batchMin)
+      } else Iterator.empty
+    }
+  }
+
+  /** Streaming canonical dedup via the fingerprint ValueState: see
+    * [[CanonicalFirst]].
+    */
+  def canonicalFirst(rows: Dataset[CorpusDoc]): Dataset[CorpusDoc] = {
+    implicit val enc = Encoders.product[CorpusDoc]
+    rows.groupByKey(_.fp)(Encoders.STRING)
+      .transformWithState(new CanonicalFirst, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** One wire row for [[asOfIndex]]: a dimension REVISION (isProbe =
     * false: id = revision id, ts = its validity instant, price = its
     * payload) or a fact PROBE (isProbe = true: id = fact id, ts = the

@@ -145,6 +145,13 @@ class CollectLintSpec extends SparkSpec {
       // AsOfIndex revision MapState read offline, rolled to per-customer
       // audit rows — the driver collect is of |customers| bounded rows
       "state_inspect_asof",
+      // stream_train_corpus: the composed corpus build online — replay
+      // posture through CanonicalFirst's fingerprint ValueState;
+      // construction also collects the BOUNDED benchmark shingle set
+      // (5 eval docs) as the row-local decontam literal, the ANN
+      // replays' centroid-literal posture; the driver collect is of the
+      // capped per-source survivor rows
+      "stream_train_corpus",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered
