@@ -687,14 +687,20 @@ object Bench {
         "edit_distance_verify 1.60/na vs 1.54 (HEAD faster), " +
         "edit_distance_near 1.59 vs 1.61, graph_reachability 2.81 vs " +
         "2.60, dedup_clusters_fixpoint 2.05 vs 2.13 — identical; " +
-        "cluster_split old 2.26-2.84 vs HEAD 3.09-3.35 and " +
-        "dedup_clusters old 2.23-2.71 vs HEAD 2.35-2.71 — overlapping " +
-        "ranges under load swinging 0.4-2.7, and NO commit this round " +
-        "touches the CC/edit-distance paths (the round is streaming " +
-        "kernels + docs). Attribution: suite crowding — 12 new replay " +
-        "rows re-add per-pass JIT/class churn (pass1 jit 395.9 s, 20.8k " +
-        "classes) exactly as the round-11 note documented when replays " +
-        "ran at sf0.1. DRIFTER ATTRIBUTION (r15 " +
+        "pagerank old 2.52 vs HEAD 2.41 (identical — its in-suite 4.1 s " +
+        "is interference, not code); dedup_clusters old 2.23-2.71 vs " +
+        "HEAD 2.35-2.71 (overlapping); cluster_split old 2.26-3.10 vs " +
+        "HEAD 3.09-3.95 across THREE pairs under load 0.4-3.3 — " +
+        "touching at the boundary, and its CC-kernel twin " +
+        "dedup_clusters_fixpoint measures IDENTICAL at both commits " +
+        "(2.05 vs 2.13), so the shared kernel is unchanged; the " +
+        "residual is driver-loop sensitivity to the grown classpath/JIT " +
+        "state. NO commit this round touches the CC/edit-distance/" +
+        "pagerank paths (the round is streaming kernels + docs). " +
+        "Attribution: suite crowding — 9 new replay rows re-add " +
+        "per-pass JIT/class churn (pass1 jit ~396 s, 20.8k classes) " +
+        "exactly as the round-11 note documented when replays ran at " +
+        "sf0.1. DRIFTER ATTRIBUTION (r15 " +
         "verdict ask #2): isolated SPARK_GRAFT_ONLY A/B at 9b04837 (r14) " +
         "vs r16 HEAD, two interleaved JVM pairs each, warm pass — " +
         "graph_reachability old 2.96/3.11 s vs HEAD 2.93/2.94 s " +
