@@ -243,4 +243,52 @@ class ProcessorPropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** The two contracts the streaming corpus build rests on
+    * ([[StreamOps.CanonicalFirst]]): under the wire's doc_id-ASCENDING
+    * delivery, EXACTLY one doc emits per fingerprint — any batch split —
+    * and it is the min-id doc (the batch twin's canonical). Under
+    * ARBITRARY (shuffled) delivery the exactly-once guarantee
+    * deliberately relaxes to convergence: emissions per fingerprint are
+    * strictly decreasing minima whose last value is the global min, so
+    * a min-per-fp rollup of the out topic still recovers the canonical
+    * set — the property that would hold if a deployment fed the index
+    * from an unordered backfill.
+    */
+  test("canonicalFirst: exactly-once per fingerprint ascending; min-convergent shuffled") {
+    (1 to 3).foreach { sample =>
+      val rnd = rng(testId = 7, sample)
+      val docs = (1 to 120).map(i => StreamOps.CorpusDoc(
+        s"F${rnd.nextInt(25)}", i.toLong, s"s${rnd.nextInt(3)}",
+        rnd.nextInt(10).toLong))
+      val want = docs.groupBy(_.fp).map { case (fp, ds) =>
+        fp -> ds.minBy(_.docId) }
+      def run(stream: Seq[StreamOps.CorpusDoc], name: String) = {
+        val input = MemoryStream[StreamOps.CorpusDoc](spark)
+        val q = StreamOps.canonicalFirst(input.toDS())
+          .toDF().writeStream.format("memory").queryName(name)
+          .option("checkpointLocation", tmpDir(name))
+          .outputMode("update").start()
+        try {
+          stream.grouped(1 + rnd.nextInt(40)).foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        spark.table(name).as[StreamOps.CorpusDoc].collect().toSeq
+      }
+      val asc = run(docs, s"canprop${sample}a")
+      assert(asc.size == want.size &&
+        asc.map(d => d.fp -> d).toMap == want,
+        s"sample $sample ascending: ${asc.sortBy(_.docId)} vs $want")
+      val shuffled = run(rnd.shuffle(docs), s"canprop${sample}b")
+      shuffled.groupBy(_.fp).foreach { case (fp, emitted) =>
+        val mins = emitted.sortBy(-_.docId).map(_.docId)
+        assert(mins == mins.distinct.sorted.reverse &&
+          emitted.minBy(_.docId) == want(fp),
+          s"sample $sample shuffled fp $fp: $emitted")
+      }
+      assert(shuffled.map(_.fp).toSet == want.keySet)
+    }
+  }
 }
