@@ -675,11 +675,12 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-16 record context. SURFACE: 225 queries (r15: " +
+      val note = "round-16 record context. SURFACE: 226 queries (r15: " +
         "213) — bm25_retrieval, hybrid_bm25, dp_release join the sf0.1 " +
         "batch surface; state_inspect_join, stream_hybrid, stream_lexical, " +
         "stream_bm25, state_inspect_lexical, stream_dp_release, " +
-        "stream_asof, state_inspect_asof, stream_train_corpus join the " +
+        "stream_asof, state_inspect_asof, stream_train_corpus, " +
+        "stream_hybrid_bm25 join the " +
         "sf0.001 replay surface. R16 DRIFT ATTRIBUTION: the first r16 " +
         "full pass (load 2-2.5) flagged 15 rows at 1.5-1.9x vs the " +
         "quiet-window r15 baseline — isolated SPARK_GRAFT_ONLY A/B at " +

@@ -122,6 +122,21 @@ object SimilaritySuite {
     graft.streaming.StreamReplay.streamedHybrid(spark, dir,
       Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
 
+  /** The production hybrid stack ONLINE — BM25 lexical + the online IVF
+    * semantic index + RRF: [[streamHybrid]]'s replay (online index,
+    * restart, recovered-state probes) with the lexical side swapped to
+    * [[graft.operators.TextSuite.bm25Retrieval]] through the
+    * parametrized seam, converging to hybrid_bm25's oracle verbatim.
+    * With stream_bm25 proving the postings index is scorer-agnostic and
+    * this row proving the FUSION is lexical-scorer-agnostic, every
+    * pairing of {tf·idf, BM25} × {exact, IVF, online-IVF} is reachable
+    * from the same three kernels.
+    */
+  def streamHybridBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.streamedHybrid(spark, dir,
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe,
+      lexical = TextSuite.bm25Retrieval)
+
   /** Streaming retrieve-then-rerank: stream_ann's online retrieval with
     * the native MaxSim late-interaction rerank in the SAME streaming
     * query — see [[graft.streaming.StreamReplay.streamedRerank]]. Same
@@ -574,6 +589,7 @@ object SimilaritySuite {
     "stream_ann"    -> (streamAnn _),
     "stream_rerank" -> (streamRerank _),
     "stream_hybrid" -> (streamHybrid _),
+    "stream_hybrid_bm25" -> (streamHybridBm25 _),
     "state_inspect_ann" -> (stateInspectAnn _),
     "embed_neardup" -> (embedNearDup _),
     "embed_neardup_lsh" -> (embedNearDupLsh _),
@@ -1046,6 +1062,10 @@ object SimilaritySuite {
     // probes retrieve the complete recovered index, so the online answer
     // equals the batch one)
     "stream_hybrid" -> hybridOracleOver(ivfOracle),
+    // BM25 lexical side, online-IVF semantic side — hybrid_bm25's own
+    // oracle composition verbatim (the online index converges to the
+    // batch IVF answer, so the fused ranking is identical)
+    "stream_hybrid_bm25" -> hybridOracleOver(ivfOracle, "bm25_retrieval"),
     // float components are lifted to exact scaled longs (x 2^14, rounded
     // half-away-from-zero — DuckDB round() and Spark round() agree); all
     // aggregates below stay under 2^53, so the long -> double conversions

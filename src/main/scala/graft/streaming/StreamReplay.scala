@@ -2536,7 +2536,9 @@ object StreamReplay {
     */
   def streamedHybrid(spark: SparkSession, dir: String,
                      centroids: Seq[Seq[Double]], nProbe: Int,
-                     k: Int = 5): DataFrame = {
+                     k: Int = 5,
+                     lexical: (SparkSession, String, Int) => DataFrame =
+                       graft.operators.TextSuite.lexicalRetrieval): DataFrame = {
     import graft.sources.FileTopic
     import org.apache.spark.sql.types._
     import graft.operators.{Similarity, SimilaritySuite, TextSuite}
@@ -2612,7 +2614,7 @@ object StreamReplay {
         .withColumn("rank", row_number().over(w).cast("int"))
         .filter(col("rank") <= k)
       val rows = SimilaritySuite.hybridFusionOf(
-        TextSuite.lexicalRetrieval(child, dir, k), sem, k).collect()
+        lexical(child, dir, k), sem, k).collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }

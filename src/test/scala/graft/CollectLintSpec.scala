@@ -118,6 +118,9 @@ class CollectLintSpec extends SparkSpec {
       // aliased probe rows, finished by the bounded rank-list fusion —
       // the driver collect is of the |queries| x k fused rows
       "stream_hybrid",
+      // stream_hybrid_bm25: the same replay with the BM25 lexical side
+      // through the parametrized seam — identical posture and collect
+      "stream_hybrid_bm25",
       // stream_lexical: same replay posture through the PostingsIndex
       // MapState (online postings build with restart + redelivery); the
       // driver collect is of the |queries| x k ranked rows
