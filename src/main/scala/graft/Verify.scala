@@ -28,9 +28,22 @@ object Verify {
       case None => SparkEntry.queries
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Driver-hash safety gate: a DecimalType output column reads as
+        // exact pyarrow Decimal on the Spark side but float64 from
+        // DuckDB's pandas fetch of the oracle — the hash can never
+        // match (round-16 state audits). Fail LOUDLY here (an `err` row
+        // in the driver record) instead of shipping a silent hash-red.
+        val dec = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[
+            org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(dec.isEmpty,
+          s"DecimalType output column(s) ${dec.mkString(",")} are " +
+            "driver-hash-unsafe — surface as string/bigint/double")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free per-query operator caches (connectedComponents' edge set)

@@ -1301,14 +1301,17 @@ object EventSuite {
     "stream_asof" -> asofJoinOracle,
     // the revision MapState read out of the restarted checkpoint must
     // equal the dimension table it indexed — per-customer counts, key
-    // and ts checksums, and the DECIMAL-canonicalized price mass
+    // and ts checksums, and the DECIMAL(18,2)-canonicalized price mass
+    // surfaced as VARCHAR (driver-hash-stable: a DECIMAL(p>18) output
+    // fetches float64 from DuckDB but exact Decimal from Spark parquet
+    // via pyarrow — the round-16 hash-red class)
     "state_inspect_asof" ->
       """SELECT o_custkey AS user_id,
         |       CAST(count(*) AS BIGINT) AS n_revisions,
         |       CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
         |       CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS ts_max,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-        |         AS DECIMAL(38,2)) AS price_sum
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         AS DECIMAL(18,2)) AS VARCHAR) AS price_sum
         |FROM orders GROUP BY 1""".stripMargin,
     "sliding_counts" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 100),

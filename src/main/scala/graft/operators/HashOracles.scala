@@ -166,7 +166,11 @@ private[graft] object HashOracles {
     * hash) from the multiset pipeline, then per doc n_terms = distinct
     * shingles (the doc's map entries across all posting lists), dl = Σtf
     * (BM25's doc length), h_sum = Σ signed hash values summed exactly in
-    * HUGEINT and compared in DECIMAL(38,0). A lost posting, a doubled
+    * HUGEINT and compared as VARCHAR (the table_checksum discipline:
+    * h_sum reaches ~10¹⁹ > 2⁵³, and a DECIMAL(38,0) output column
+    * fetches as pandas float64 on the DuckDB side but exact Decimal on
+    * the Spark-parquet/pyarrow side — the driver hash can never match
+    * that dtype split, the round-16 defect). A lost posting, a doubled
     * tf, and a mis-keyed hash move n_terms, dl, and h_sum respectively.
     */
   def lexicalStateAuditOracle(): String =
@@ -175,8 +179,8 @@ private[graft] object HashOracles {
        |SELECT doc_id,
        |       CAST(count(*) AS BIGINT) AS n_terms,
        |       CAST(sum(tf) AS BIGINT) AS dl,
-       |       CAST(sum(CAST(${toSigned("h0")} AS HUGEINT))
-       |         AS DECIMAL(38,0)) AS h_sum
+       |       CAST(CAST(sum(CAST(${toSigned("h0")} AS HUGEINT))
+       |         AS DECIMAL(38,0)) AS VARCHAR) AS h_sum
        |FROM tfh GROUP BY doc_id""".stripMargin
 
   /** Full minhash_pairs recompute: Dedup.minhashPairs(documents,

@@ -360,6 +360,28 @@ object StreamOps {
     * index is offline-auditable through the same `format("statestore")`
     * MapState surface the postings audit reads.
     */
+  /** The probe answer: max (ts, id) among resident revisions with
+    * ts ≤ the probe's ts — ONE definition shared by [[AsOfIndex]] and
+    * [[AsOfIndexTtl]], so the pruned variant cannot drift from the
+    * oracle-pinned tie order (greatest ts, then greatest id).
+    */
+  private def asOfProbe(revs: MapState[Long, AsOfRev],
+                        r: AsOfRow): AsOfHit = {
+    var bestId = Long.MinValue
+    var bestTs = Long.MinValue
+    var bestPrice = 0.0
+    var found = false
+    revs.iterator().foreach { case (id, rev) =>
+      if (rev.ts <= r.ts &&
+        (!found || rev.ts > bestTs || (rev.ts == bestTs && id > bestId))) {
+        found = true; bestId = id; bestTs = rev.ts; bestPrice = rev.price
+      }
+    }
+    AsOfHit(key = r.key, eventId = r.id, ts = r.ts,
+      orderKey = if (found) Some(bestId) else None,
+      price = if (found) Some(bestPrice) else None)
+  }
+
   final class AsOfIndex extends StatefulProcessor[Long, AsOfRow, AsOfHit] {
     @transient private var revs: MapState[Long, AsOfRev] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -371,21 +393,79 @@ object StreamOps {
       rows.foreach { r =>
         if (!r.isProbe) {
           if (!revs.containsKey(r.id)) revs.updateValue(r.id, AsOfRev(r.ts, r.price))
-        } else {
-          var bestId = Long.MinValue
-          var bestTs = Long.MinValue
-          var bestPrice = 0.0
-          var found = false
-          revs.iterator().foreach { case (id, rev) =>
-            if (rev.ts <= r.ts &&
-              (!found || rev.ts > bestTs || (rev.ts == bestTs && id > bestId))) {
-              found = true; bestId = id; bestTs = rev.ts; bestPrice = rev.price
-            }
+        } else out += asOfProbe(revs, r)
+      }
+      out.iterator
+    }
+  }
+
+  /** [[AsOfIndex]] with WATERMARK-BOUND RETENTION — the production
+    * eviction variant the base index's scaladoc promises ("prunes
+    * revisions older than the watermark minus the maximum lookback"),
+    * closing the TTL-NONE posture the round-16 verdict flagged
+    * (unbounded revision history per key on an unbounded stream).
+    *
+    * The retention rule is SCD compaction, not naive deletion: with
+    * horizon H = watermark − `lookbackUs`, each key retains every
+    * revision with ts ≥ H PLUS the single newest revision below H (max
+    * ts, then max id — the probe tie order). Any probe with ts ≥ H
+    * therefore answers IDENTICALLY to the unpruned index: its as-of
+    * match is either a retained recent revision or exactly the kept
+    * representative; naive prune-all-below-H would instead null out
+    * every probe whose key has been quiet since before the horizon.
+    * Probes older than the horizon are outside the retention contract
+    * (they would race the eviction in any design).
+    *
+    * Two mechanics keep the bound real on an unbounded stream:
+    * compaction runs at BATCH START for every touched key (so probe
+    * answers in the same batch come from the already-pruned map — the
+    * replay proves answers unchanged by redelivering all probes after
+    * the watermark advances), and a revision ARRIVING below the horizon
+    * is dropped on arrival — without that, a redelivered copy of an
+    * evicted revision would re-inflate the store forever (the
+    * containsKey first-delivery guard cannot see evicted ids).
+    *
+    * Scale shape: state per key is the lookback window's revisions + 1,
+    * however long the stream runs; the compaction scan is O(resident)
+    * per touched key — the same cost the probe scan already pays.
+    * Requires TimeMode.EventTime (a watermarked input); before any
+    * watermark exists, `getCurrentWatermarkInMs` is 0 and the horizon
+    * sits below every plausible ts — compaction and the arrival gate
+    * are no-ops, exactly the unpruned index's behavior.
+    */
+  final class AsOfIndexTtl(lookbackUs: Long)
+    extends StatefulProcessor[Long, AsOfRow, AsOfHit] {
+    @transient private var revs: MapState[Long, AsOfRev] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      revs = getHandle.getMapState[Long, AsOfRev]("revisions",
+        Encoders.scalaLong, Encoders.product[AsOfRev], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[AsOfRow],
+                                 timers: TimerValues): Iterator[AsOfHit] = {
+      val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
+      // SCD compaction first, so this batch's probes answer from the
+      // pruned map: drop every revision below the horizon EXCEPT the
+      // newest one (max ts, then max id)
+      var repId = Long.MinValue
+      var repTs = Long.MinValue
+      val below = scala.collection.mutable.ArrayBuffer.empty[Long]
+      revs.iterator().foreach { case (id, rev) =>
+        if (rev.ts < horizonUs) {
+          below += id
+          if (rev.ts > repTs || (rev.ts == repTs && id > repId)) {
+            repTs = rev.ts; repId = id
           }
-          out += AsOfHit(key, r.id, r.ts,
-            if (found) Some(bestId) else None,
-            if (found) Some(bestPrice) else None)
         }
+      }
+      below.foreach(id => if (id != repId) revs.removeKey(id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsOfHit]
+      rows.foreach { r =>
+        if (!r.isProbe) {
+          // arrival gate: a revision below the horizon is out of
+          // retention — inserting it (e.g. a redelivery of an evicted
+          // id) would re-inflate the store the compaction just bounded
+          if (r.ts >= horizonUs && !revs.containsKey(r.id))
+            revs.updateValue(r.id, AsOfRev(r.ts, r.price))
+        } else out += asOfProbe(revs, r)
       }
       out.iterator
     }
@@ -399,6 +479,19 @@ object StreamOps {
     rows.groupByKey(_.key)(Encoders.scalaLong)
       .transformWithState(new AsOfIndex, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Streaming as-of enrichment with watermark-bound retention: see
+    * [[AsOfIndexTtl]]. The caller must `.withWatermark` an event-time
+    * column on `rows` first — TimeMode.EventTime requires it, and the
+    * watermark is what drives the horizon.
+    */
+  def asOfIndexTtl(rows: Dataset[AsOfRow],
+                   lookbackUs: Long): Dataset[AsOfHit] = {
+    implicit val enc = Encoders.product[AsOfHit]
+    rows.groupByKey(_.key)(Encoders.scalaLong)
+      .transformWithState(new AsOfIndexTtl(lookbackUs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Input row for [[gapSessions]]: one keyed event-time stamp. */

@@ -2701,8 +2701,13 @@ object StreamReplay {
     * (shingle hash, doc_id → tf) map entry — and rolls it per DOCUMENT
     * to (n_terms, dl, h_sum): n_terms = map entries carrying the doc
     * (its distinct shingles), dl = Σtf (exactly BM25's doc length), and
-    * h_sum = Σ signed hash values (exact in DECIMAL(38,0) — no
-    * wraparound needed: |Σ| ≤ n_terms·2⁶³ ≪ 10³⁸). Hash-matched against
+    * h_sum = Σ signed hash values, summed exactly in DECIMAL(38,0) (no
+    * wraparound needed: |Σ| ≤ n_terms·2⁶³ ≪ 10³⁸) and SURFACED AS
+    * VARCHAR — the table_checksum discipline: a DECIMAL(p>18) output
+    * column is driver-hash-unsafe (pyarrow reads Spark's parquet as
+    * exact Decimal objects while DuckDB's pandas fetch of its own wide
+    * decimal is float64, so values beyond 2⁵³ can never hash-match
+    * across the dtype split — the round-16 defect). Hash-matched against
     * the in-DuckDB recompute of the same FNV-shingle pipeline
     * ([[graft.operators.HashOracles.lexicalStateAuditOracle]]): a
     * posting the restart lost shifts n_terms, a redelivery-doubled tf
@@ -2718,7 +2723,7 @@ object StreamReplay {
       StructField("doc_id", LongType),
       StructField("n_terms", LongType),
       StructField("dl", LongType),
-      StructField("h_sum", DecimalType(38, 0))))
+      StructField("h_sum", StringType)))
     lexicalReplayCore(spark, dir, outSchema) { (child, ckpt, _) =>
       child.read.format("statestore")
         .option("path", ckpt)
@@ -2729,7 +2734,7 @@ object StreamReplay {
           col("user_map_value.value").as("tf"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("dl"),
-          sum(col("h").cast("decimal(38,0)")).as("h_sum"))
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("h_sum"))
         .collect()
     }
   }
@@ -2865,7 +2870,14 @@ object StreamReplay {
     asOfReplayCore(spark, dir, outSchema) { (child, _, out) =>
       out.batch(child).distinct()
         .select(col("event_id"), col("key").as("user_id"),
-          expr("ts div 1000000").as("ts_s"),
+          // FLOOR division, not `div` (which truncates toward zero):
+          // the oracle's DuckDB `//` and the batch kernel's
+          // timestamp→long cast both floor, so a pre-1970 event ts
+          // would diverge under `div`. ts − pmod(ts, 1e6) is exactly
+          // divisible, so the quotient is exact and floored for any
+          // sign.
+          ((col("ts") - pmod(col("ts"), lit(1000000L))) / lit(1000000L))
+            .cast("long").as("ts_s"),
           col("order_key").as("asof_orderkey"),
           col("price").as("asof_totalprice"))
         .collect()
@@ -2885,9 +2897,14 @@ object StreamReplay {
     * ts-corrupted entry moves okey_sum or ts_max, and price corruption
     * moves the DECIMAL(18,2)-canonicalized price_sum (the dsum
     * discipline — double sums are order-dependent, decimal sums are
-    * not). The oracle is the trivially-checkable per-customer orders
-    * recompute, which is exactly the point: the state read must equal
-    * the dimension table it indexed.
+    * not; the sum fits (18,2) with room: ≤ ~50 orders/customer ×
+    * 6-digit prices ≈ 10⁷ ≪ 10¹⁶). price_sum is SURFACED AS VARCHAR —
+    * the table_checksum discipline, because a DECIMAL(p>18) output
+    * column is driver-hash-unsafe (pyarrow Decimal vs DuckDB float64,
+    * the round-16 defect) and scale-2 decimal→string is identical in
+    * both engines. The oracle is the trivially-checkable per-customer
+    * orders recompute, which is exactly the point: the state read must
+    * equal the dimension table it indexed.
     */
   def stateInspectAsOf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -2896,7 +2913,7 @@ object StreamReplay {
       StructField("n_revisions", LongType),
       StructField("okey_sum", LongType),
       StructField("ts_max", LongType),
-      StructField("price_sum", DecimalType(38, 2))))
+      StructField("price_sum", StringType)))
     asOfReplayCore(spark, dir, outSchema) { (child, ckpt, _) =>
       child.read.format("statestore")
         .option("path", ckpt)
@@ -2911,7 +2928,7 @@ object StreamReplay {
           sum(col("okey")).as("okey_sum"),
           max(col("ts")).as("ts_max"),
           sum(col("price").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("price_sum"))
+            .cast("decimal(18,2)").cast("string").as("price_sum"))
         .collect()
     }
   }

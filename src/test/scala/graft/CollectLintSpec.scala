@@ -270,11 +270,43 @@ class CollectLintSpec extends SparkSpec {
       cols.foreach(c => assert(c.matches("[a-z][a-z0-9_]*"),
         s"$name: column '$c' is not lowercase snake_case — it cannot " +
           "match an unquoted DuckDB oracle alias"))
-      //  3. ORACLE-SIDE dtype discipline: a Spark LONG column whose oracle
-      //     alias is an unwrapped sum() fetches as DuckDB HUGEINT ->
-      //     pandas float64 and fails the driver's dtype-sensitive hash
-      //     even when every value matches (the round-12
-      //     map_analytics/variant_props/source_concentration defect).
+      //  3. ENGINE-SIDE dtype discipline: NO DecimalType output column,
+      //     any precision. The driver reads the engine's parquet via
+      //     pyarrow (exact Decimal objects) but the oracle via DuckDB's
+      //     pandas fetch (decimals -> float64): a wide decimal beyond
+      //     2^53 can never hash-match (the round-16 state_inspect_asof /
+      //     state_inspect_lexical defect), and no narrow decimal output
+      //     has ever been proven driver-green either. Decimals are for
+      //     exact INTERNAL arithmetic (checksums, BM25 kernels) —
+      //     surface the result as VARCHAR (table_checksum discipline),
+      //     BIGINT, or DOUBLE.
+      def decimals(t: org.apache.spark.sql.types.DataType,
+                   path: String): Seq[String] = t match {
+        case _: org.apache.spark.sql.types.DecimalType => Seq(path)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.toSeq.flatMap(f => decimals(f.dataType, s"$path.${f.name}"))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          decimals(a.elementType, s"$path[]")
+        case m: org.apache.spark.sql.types.MapType =>
+          decimals(m.keyType, s"$path.key") ++
+            decimals(m.valueType, s"$path.value")
+        case _ => Nil
+      }
+      val decCols = df.schema.fields.toSeq
+        .flatMap(f => decimals(f.dataType, f.name))
+      assert(decCols.isEmpty,
+        s"$name: DecimalType output column(s) $decCols are driver-hash-" +
+          "unsafe (pyarrow Decimal vs DuckDB float64) — cast the surface " +
+          "to string/bigint/double; keep decimals internal")
+      //  4. ORACLE-SIDE dtype discipline: (a) a Spark LONG column whose
+      //     oracle alias is an unwrapped sum() fetches as DuckDB HUGEINT
+      //     -> pandas float64 and fails the driver's dtype-sensitive
+      //     hash even when every value matches (the round-12
+      //     map_analytics/variant_props/source_concentration defect);
+      //     (b) an output column whose FINAL cast targets DECIMAL(p>18)
+      //     fetches float64 from DuckDB while Spark's parquet side is
+      //     exact — the round-16 recurrence of the same class that the
+      //     round-13 lint (uncast aggregates only) waved through.
       SparkEntry.oracleSql.get(name).foreach { sql =>
         val longCols = df.schema.fields
           .filter(_.dataType == org.apache.spark.sql.types.LongType)
@@ -284,6 +316,13 @@ class CollectLintSpec extends SparkSpec {
           s"$name: oracle defines LONG column(s) $hits with an uncast " +
             "aggregate — wrap in CAST(... AS BIGINT) or DuckDB returns " +
             "HUGEINT and the driver hash fails on dtype")
+        val wide = OracleLint.wideDecimalAliases(sql,
+          df.schema.fieldNames.toSet)
+        assert(wide.isEmpty,
+          s"$name: oracle types output column(s) $wide as DECIMAL(p>18)" +
+            " — DuckDB fetches wide decimals as float64, the driver " +
+            "hash can never match Spark's exact side; surface as " +
+            "VARCHAR/BIGINT/DOUBLE on both sides")
       }
     }
   }

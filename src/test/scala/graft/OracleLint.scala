@@ -100,4 +100,79 @@ object OracleLint {
           !spans.exists { case (o, c) => a.start > o && a.start < c })
       }
     }
+
+  /** The TARGET type text of a `CAST( ... AS <type> )` span `(o, c)`:
+    * everything after the last depth-zero `AS` token inside the span
+    * (depth relative to the cast's own parens, so a nested CAST's `AS`
+    * never wins).
+    */
+  private def castTarget(expr: String, o: Int, c: Int): String = {
+    val body = expr.substring(o + 1, c)
+    val depths = new Array[Int](body.length)
+    var d = 0
+    var i = 0
+    while (i < body.length) {
+      depths(i) = d
+      val ch = body.charAt(i)
+      if (ch == '(') d += 1 else if (ch == ')') d -= 1
+      i += 1
+    }
+    "(?is)\\bAS\\b".r.findAllMatchIn(body)
+      .filter(m => depths(m.start) == 0)
+      .toSeq.lastOption.map(m => body.substring(m.end).trim).getOrElse("")
+  }
+
+  private val wideDecTargetRe = "(?is)^DECIMAL\\s*\\(\\s*(\\d+)".r
+  private val postfixDecRe = "(?is)::\\s*DECIMAL\\s*\\(\\s*(\\d+)".r
+  private val bareIdentRe = "(?is)[A-Za-z_][A-Za-z0-9_.]*"
+
+  /** Whether one alias-site expression's FINAL type is a DECIMAL with
+    * precision > 18: its outermost CAST targets one, or a top-level
+    * DuckDB postfix `::DECIMAL(p>18)` applies outside every CAST span.
+    */
+  private def siteIsWide(expr: String): Boolean = {
+    val spans = castSpans(expr)
+    val outer = spans.filterNot { case (o, c) =>
+      spans.exists { case (o2, c2) => o2 < o && c < c2 }
+    }
+    val outerWide = outer.exists { case (o, c) =>
+      wideDecTargetRe.findFirstMatchIn(castTarget(expr, o, c))
+        .exists(_.group(1).toInt > 18)
+    }
+    val postfixWide = postfixDecRe.findAllMatchIn(expr).exists { pm =>
+      pm.group(1).toInt > 18 &&
+        !spans.exists { case (o, c) => pm.start > o && pm.start < c }
+    }
+    outerWide || postfixWide
+  }
+
+  /** Output columns whose oracle SQL types them DECIMAL(p>18) — the
+    * round-16 hash-red class the round-13 `uncastAggAliases` lint waved
+    * through: DuckDB fetches a wide decimal as pandas float64 while the
+    * driver reads Spark's parquet via pyarrow as exact Decimal objects,
+    * so a value beyond 2⁵³ (e.g. state_inspect_lexical's ~10¹⁹ h_sum)
+    * can NEVER hash-match even when every cell is numerically identical.
+    * A wide decimal is fine as an INTERMEDIATE (bm25's exact integer
+    * kernel lives in DECIMAL(38,0)) — what this flags is a final-type
+    * wide decimal: the column's LAST `AS <col>` site whose outermost
+    * CAST (or top-level `::`) targets DECIMAL(p>18), or a bare
+    * passthrough at the last site inheriting a wide earlier site.
+    * Re-cast the surface to VARCHAR (the table_checksum discipline) or
+    * a ≤18-precision / integer / double type on BOTH sides. Empty =
+    * clean.
+    */
+  def wideDecimalAliases(sql: String, outCols: Set[String]): Seq[String] =
+    outCols.toSeq.sorted.filter { col =>
+      val asRe = ("(?is)\\bAS\\s+" + java.util.regex.Pattern.quote(col) +
+        "\\b").r
+      val sites = asRe.findAllMatchIn(sql).toSeq
+        .map(m => exprBefore(sql, m.start))
+      sites.lastOption.exists { last =>
+        if (last.matches(bareIdentRe))
+          // final SELECT passes the column through — its type is
+          // whatever the defining (earlier) site produced
+          sites.init.exists(siteIsWide)
+        else siteIsWide(last)
+      }
+    }
 }

@@ -2,12 +2,72 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Unit cases for [[OracleLint]] — red on the exact round-12 defects,
-  * green on their CAST-wrapped fixes. (The sweep over every wired oracle
-  * against real Spark schemas lives in CollectLintSpec, piggybacking on
-  * its single construction pass.)
+/** Unit cases for [[OracleLint]] — red on the exact round-12 defects
+  * (uncast sums) AND the exact round-16 defects (wide-decimal final
+  * types), green on their fixed shapes. (The sweep over every wired
+  * oracle against real Spark schemas lives in CollectLintSpec,
+  * piggybacking on its single construction pass.)
   */
 class OracleLintSpec extends AnyFunSuite {
+
+  test("flags the two round-16 wide-decimal final-type shapes") {
+    // state_inspect_lexical h_sum (pre-fix): outermost CAST targets
+    // DECIMAL(38,0) — DuckDB fetches float64, Spark parquet is exact
+    assert(OracleLint.wideDecimalAliases(
+      """SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(tf) AS BIGINT) AS dl,
+        |       CAST(sum(CAST(h0 AS HUGEINT))
+        |         AS DECIMAL(38,0)) AS h_sum
+        |FROM tfh GROUP BY doc_id""".stripMargin,
+      Set("doc_id", "n_terms", "dl", "h_sum")) == Seq("h_sum"))
+    // state_inspect_asof price_sum (pre-fix): inner (18,2) cast does not
+    // save an outermost DECIMAL(38,2)
+    assert(OracleLint.wideDecimalAliases(
+      """SELECT o_custkey AS user_id,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |         AS DECIMAL(38,2)) AS price_sum
+        |FROM orders GROUP BY 1""".stripMargin,
+      Set("user_id", "price_sum")) == Seq("price_sum"))
+    // DuckDB postfix cast form of the same defect
+    assert(OracleLint.wideDecimalAliases(
+      "SELECT sum(x)::DECIMAL(38,0) AS s FROM t",
+      Set("s")) == Seq("s"))
+    // a CTE-defined wide decimal passed through bare by the final SELECT
+    // inherits the wide type
+    assert(OracleLint.wideDecimalAliases(
+      """WITH c AS (SELECT CAST(sum(d) AS DECIMAL(38,0)) AS chk FROM t)
+        |SELECT chk FROM c""".stripMargin,
+      Set("chk")) == Seq("chk"))
+  }
+
+  test("green on the round-16 fixed shapes and on internal wide decimals") {
+    // the fix: outermost cast re-surfaces as VARCHAR (table_checksum
+    // discipline) — the inner DECIMAL(38,0) stays internal
+    assert(OracleLint.wideDecimalAliases(
+      """SELECT doc_id,
+        |       CAST(CAST(sum(CAST(h0 AS HUGEINT))
+        |         AS DECIMAL(38,0)) AS VARCHAR) AS h_sum
+        |FROM tfh GROUP BY doc_id""".stripMargin,
+      Set("doc_id", "h_sum")).isEmpty)
+    assert(OracleLint.wideDecimalAliases(
+      """SELECT CAST(CAST(sum(CAST(p AS DECIMAL(18,2)))
+        |  AS DECIMAL(18,2)) AS VARCHAR) AS price_sum FROM o""".stripMargin,
+      Set("price_sum")).isEmpty)
+    // a narrow (p<=18) final decimal is outside this rule's scope
+    assert(OracleLint.wideDecimalAliases(
+      "SELECT CAST(sum(p) AS DECIMAL(18,2)) AS ps FROM o",
+      Set("ps")).isEmpty)
+    // a wide decimal INTERMEDIATE under a different alias never flags
+    // the output column (bm25's exact integer kernel shape)
+    assert(OracleLint.wideDecimalAliases(
+      """WITH k AS (SELECT doc, CAST(tf AS DECIMAL(38,0)) AS w FROM p)
+        |SELECT doc, CAST(sum(w) AS BIGINT) AS score FROM k GROUP BY 1""".stripMargin,
+      Set("doc", "score")).isEmpty)
+    // cast-free aliases are clean
+    assert(OracleLint.wideDecimalAliases(
+      "SELECT count(*) AS n FROM t", Set("n")).isEmpty)
+  }
 
   test("flags the three round-12 uncast-sum shapes") {
     // map_analytics `total` (pre-fix)

@@ -3,16 +3,35 @@
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
-Reads each <name>/ parquet result written by graft.Verify, runs the
-corresponding oracle SQL from oracle_sql.json in DuckDB over the same
-parquet tables, sorts columns by name and rows by all values, and
-compares cell-by-cell (exact for ints/strings, bit-exact for floats).
+Reads each <name>/ parquet result written by graft.Verify VIA PYARROW —
+the driver's own read path — and the corresponding oracle SQL from
+oracle_sql.json via DuckDB's pandas fetch, sorts columns by name and
+rows by all values, and compares cell-by-cell.
+
+Why pyarrow and not DuckDB for the Spark side: the driver reads the
+engine's parquet with pyarrow, which surfaces DECIMAL columns as exact
+decimal.Decimal objects, while DuckDB's .df() of its own decimals is
+float64 — reading BOTH sides through DuckDB (this script's round-16
+shape) canonicalizes them identically and MASKS exactly the divergence
+the driver's dtype-sensitive hash sees (state_inspect_asof /
+state_inspect_lexical shipped locally-green, driver-red). With the
+pyarrow read, a DECIMAL(p>18) output column fails here the way it
+fails in the driver.
 """
 import json
 import math
+import os
 import sys
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+
+def _is_seq(v):
+    # numpy SCALARS also have .tolist — only true arrays/lists count
+    return isinstance(v, (list, tuple, np.ndarray))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,45 +39,108 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    # datetime units differ by reader (pyarrow defaults to ns, DuckDB's
+    # pandas fetch to us) without any value difference — normalize the
+    # unit so the dtype gate only fires on REAL dtype splits
+    for c in df.columns:
+        if df[c].dtype.kind == "M":
+            df[c] = df[c].astype("datetime64[us]")
+    sort_keys = [
+        df[c] if df[c].dtype != object else df[c].map(_sort_key)
+        for c in df.columns
+    ]
+    order = (
+        df.assign(**{f"__k{i}": k for i, k in enumerate(sort_keys)})
+        .sort_values(by=[f"__k{i}" for i in range(len(sort_keys))],
+                     kind="mergesort")
+        .index
+    )
+    return df.loc[order].reset_index(drop=True)
+
+
+def _sort_key(v):
+    # object columns can hold lists/arrays (unorderable across rows with
+    # scalars) — sort on a stable string form; comparison stays exact in
+    # cmp_cell
+    if v is None:
+        return ""
+    if _is_seq(v):
+        return repr(list(v))
+    return repr(v)
 
 
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
+    # arrays/lists: elementwise (numpy == would yield an array)
+    a_seq, b_seq = _is_seq(a), _is_seq(b)
+    if a_seq or b_seq:
+        if not (a_seq and b_seq):
+            return False
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(cmp_cell(x, y)
+                                          for x, y in zip(la, lb))
     try:
         if isinstance(a, float) or isinstance(b, float):
-            if isinstance(a, float) and isinstance(b, float) and math.isnan(a) and math.isnan(b):
+            if isinstance(a, float) and isinstance(b, float) \
+                    and math.isnan(a) and math.isnan(b):
                 return True
+            # Decimal-vs-float is a dtype split the driver's hash cannot
+            # bridge — exact compare (Decimal == float promotes the float
+            # exactly), so e.g. Decimal('1215...2812') != 1.215e+19
             return a == b
     except TypeError:
         pass
+    if isinstance(a, float) != isinstance(b, float):
+        # float NaN vs non-float never equal; plain == below handles rest
+        pass
     return a == b
+
+
+def dtype_name(series):
+    dt = str(series.dtype)
+    if dt == "object":
+        for v in series:
+            if v is None:
+                continue
+            if isinstance(v, Decimal):
+                return "object[Decimal]"
+            return f"object[{type(v).__name__}]"
+    return dt
 
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle_path = f"{out_dir}/oracle_sql.json"
+    if not os.path.exists(oracle_path):
+        oracle_path = f"{out_dir}/oracle_sql.partial.json"
+    oracle = json.load(open(oracle_path))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            # the driver's read path: pyarrow over the Spark-written dir
+            # (ignore_prefixes drops _SUCCESS etc. by default)
+            got = pq.read_table(f"{out_dir}/{name}").to_pandas()
             want = con.sql(sql).df()
             g, w = canon(got), canon(want)
             if list(g.columns) != list(w.columns):
-                print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+                print(f"FAIL {name}: columns {list(g.columns)} != "
+                      f"{list(w.columns)}")
                 n_fail += 1
                 continue
             if len(g) != len(w):
                 print(f"FAIL {name}: rows {len(g)} != {len(w)}")
                 n_fail += 1
                 continue
-            # dtype check (schema match)
-            dt_mismatch = [(c, str(g[c].dtype), str(w[c].dtype))
-                           for c in g.columns if str(g[c].dtype) != str(w[c].dtype)]
+            # dtype gate (the driver's hash is dtype-sensitive): compare
+            # the EFFECTIVE cell type, incl. what object columns hold —
+            # object[Decimal] vs float64 is the round-16 hash-red class
+            dt_mismatch = [(c, dtype_name(g[c]), dtype_name(w[c]))
+                           for c in g.columns
+                           if dtype_name(g[c]) != dtype_name(w[c])]
             bad = None
             for i in range(len(g)):
                 for c in g.columns:
@@ -68,13 +150,15 @@ def main(sf_dir, out_dir):
                 if bad:
                     break
             if bad:
-                print(f"FAIL {name}: row {bad[0]} col {bad[1]}: got {bad[2]!r} want {bad[3]!r}")
+                print(f"FAIL {name}: row {bad[0]} col {bad[1]}: "
+                      f"got {bad[2]!r} want {bad[3]!r}")
                 n_fail += 1
             elif dt_mismatch:
-                # Driver-strict: its hash compare is dtype-sensitive, so a
-                # dtype mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark
-                # int64 from an uncast sum()) IS a failure, not a warning.
-                print(f"FAIL {name}: values match but dtypes differ: {dt_mismatch}")
+                # Driver-strict: a dtype split (e.g. Spark DECIMAL(38,0)
+                # -> pyarrow Decimal vs DuckDB wide-decimal -> float64)
+                # IS a failure even when every value compares equal.
+                print(f"FAIL {name}: values match but dtypes differ: "
+                      f"{dt_mismatch}")
                 n_fail += 1
             else:
                 print(f"PASS {name} ({len(g)} rows)")
