@@ -636,6 +636,10 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedAsOf(s, d)),
     "state_inspect_asof"   -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.stateInspectAsOf(s, d)),
+    "stream_asof_ttl"      -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedAsOfTtl(s, d)),
+    "state_inspect_asof_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectAsOfTtl(s, d)),
     "funnel"               -> (funnel _))
 
   /** asof_join's oracle as a named val: the ONLINE revision index
@@ -1313,6 +1317,41 @@ object EventSuite {
         |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |         AS DECIMAL(18,2)) AS VARCHAR) AS price_sum
         |FROM orders GROUP BY 1""".stripMargin,
+    // eviction must not change answers within the retention horizon:
+    // the PRUNED online index (watermark-bound SCD compaction,
+    // probes redelivered post-compaction) converges to the SAME batch
+    // oracle verbatim
+    "stream_asof_ttl" -> asofJoinOracle,
+    // the PRUNED revision store must equal the SCD-retained set
+    // exactly: per customer, revisions at/after the horizon (probe
+    // max event time, ms-truncated like Spark's watermark, minus the
+    // lookback) plus the single newest below it under the probe tie
+    // order (ts DESC, orderkey DESC) — a strict subset of
+    // state_inspect_asof's rows wherever history predates the horizon
+    "state_inspect_asof_ttl" ->
+      s"""WITH h AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) * 1000
+        |           - ${graft.streaming.StreamReplay.AsOfTtlLookbackUs}
+        |           AS horizon
+        |  FROM events),
+        |o AS (
+        |  SELECT o_custkey AS k, o_orderkey AS okey,
+        |         epoch_us(o_orderdate) AS ts, o_totalprice AS p
+        |  FROM orders),
+        |keep AS (
+        |  SELECT k, okey, ts, p FROM o, h WHERE ts >= horizon
+        |  UNION ALL
+        |  SELECT k, okey, ts, p FROM (
+        |    SELECT o.*, row_number() OVER (PARTITION BY k
+        |      ORDER BY ts DESC, okey DESC) AS rn
+        |    FROM o, h WHERE ts < horizon) WHERE rn = 1)
+        |SELECT k AS user_id,
+        |       CAST(count(*) AS BIGINT) AS n_revisions,
+        |       CAST(sum(okey) AS BIGINT) AS okey_sum,
+        |       CAST(max(ts) AS BIGINT) AS ts_max,
+        |       CAST(CAST(sum(CAST(p AS DECIMAL(18,2)))
+        |         AS DECIMAL(18,2)) AS VARCHAR) AS price_sum
+        |FROM keep GROUP BY 1""".stripMargin,
     "sliding_counts" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events WHERE value > 100),
         |slid AS (

@@ -2861,28 +2861,71 @@ object StreamReplay {
     * immutable once written), and a tie-order drift is a different
     * orderkey in the row.
     */
-  def streamedAsOf(spark: SparkSession, dir: String): DataFrame = {
+  private val asOfEnrichedSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val outSchema = StructType(Seq(
+    StructType(Seq(
       StructField("event_id", LongType), StructField("user_id", LongType),
       StructField("ts_s", LongType), StructField("asof_orderkey", LongType),
       StructField("asof_totalprice", DoubleType)))
-    asOfReplayCore(spark, dir, outSchema) { (child, _, out) =>
-      out.batch(child).distinct()
-        .select(col("event_id"), col("key").as("user_id"),
-          // FLOOR division, not `div` (which truncates toward zero):
-          // the oracle's DuckDB `//` and the batch kernel's
-          // timestamp→long cast both floor, so a pre-1970 event ts
-          // would diverge under `div`. ts − pmod(ts, 1e6) is exactly
-          // divisible, so the quotient is exact and floored for any
-          // sign.
-          ((col("ts") - pmod(col("ts"), lit(1000000L))) / lit(1000000L))
-            .cast("long").as("ts_s"),
-          col("order_key").as("asof_orderkey"),
-          col("price").as("asof_totalprice"))
-        .collect()
-    }
   }
+
+  /** The shared converged-enrichment read both as-of replays finish
+    * with: the out topic's distinct rows in the oracle's column shape.
+    */
+  private def asOfEnrichedFinish(child: SparkSession,
+      out: graft.sources.FileTopic): Array[org.apache.spark.sql.Row] =
+    out.batch(child).distinct()
+      .select(col("event_id"), col("key").as("user_id"),
+        // FLOOR division, not `div` (which truncates toward zero):
+        // the oracle's DuckDB `//` and the batch kernel's
+        // timestamp→long cast both floor, so a pre-1970 event ts
+        // would diverge under `div`. ts − pmod(ts, 1e6) is exactly
+        // divisible, so the quotient is exact and floored for any
+        // sign.
+        ((col("ts") - pmod(col("ts"), lit(1000000L))) / lit(1000000L))
+          .cast("long").as("ts_s"),
+        col("order_key").as("asof_orderkey"),
+        col("price").as("asof_totalprice"))
+      .collect()
+
+  def streamedAsOf(spark: SparkSession, dir: String): DataFrame =
+    asOfReplayCore(spark, dir, asOfEnrichedSchema) { (child, _, out) =>
+      asOfEnrichedFinish(child, out)
+    }
+
+  /** The retention lookback for the PRUNED online as-of index
+    * ([[StreamOps.AsOfIndexTtl]]): 26 × 365.25 days in micros. Chosen so
+    * the horizon — the probe stream's max event time (2024-01-30,
+    * ms-truncated by the watermark) minus the lookback — lands mid-way
+    * through the dimension's 1995–2001 revision history (~1998-02):
+    * compaction is REAL (roughly half of each customer's revisions fall
+    * below it and collapse to one representative), while every 2024
+    * probe sits far inside the retention window, so answers are
+    * contractually unchanged. The oracle reproduces the horizon with
+    * the same ms truncation.
+    */
+  private[graft] val AsOfTtlLookbackUs = 820238400000000L
+
+  /** [[streamedAsOf]] under WATERMARK-BOUND RETENTION — the production
+    * eviction posture the round-16 verdict asked for (ask #5): the same
+    * quartered revision waves, mid-stream restart, and whole-quarter
+    * redelivery, but through [[StreamOps.AsOfIndexTtl]], with TWO extra
+    * incarnations after the probes: the probes REDELIVERED once the
+    * watermark has passed their max event time (every probed key
+    * SCD-compacts at batch start, and the re-answers from the pruned
+    * map must collapse into the incarnation-3 rows through the
+    * distinct), then the FULL dimension redelivered (touching every
+    * key, so the whole store compacts; evicted revisions are refused by
+    * the arrival gate). Converges to asof_join's oracle VERBATIM — the
+    * proof that answers within the retention horizon are unchanged by
+    * eviction; [[stateInspectAsOfTtl]] then proves the evicted store is
+    * the exact SCD-retained strict subset.
+    */
+  def streamedAsOfTtl(spark: SparkSession, dir: String): DataFrame =
+    asOfReplayCore(spark, dir, asOfEnrichedSchema,
+        ttlLookbackUs = Some(AsOfTtlLookbackUs)) { (child, _, out) =>
+      asOfEnrichedFinish(child, out)
+    }
 
   /** Offline audit of [[StreamOps.AsOfIndex]]'s MapState — the online
     * revision index read out of the restarted checkpoint (the audit the
@@ -2906,32 +2949,64 @@ object StreamReplay {
     * orders recompute, which is exactly the point: the state read must
     * equal the dimension table it indexed.
     */
-  def stateInspectAsOf(spark: SparkSession, dir: String): DataFrame = {
+  private val asOfAuditSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val outSchema = StructType(Seq(
+    StructType(Seq(
       StructField("user_id", LongType),
       StructField("n_revisions", LongType),
       StructField("okey_sum", LongType),
       StructField("ts_max", LongType),
       StructField("price_sum", StringType)))
-    asOfReplayCore(spark, dir, outSchema) { (child, ckpt, _) =>
-      child.read.format("statestore")
-        .option("path", ckpt)
-        .option("stateVarName", "revisions")
-        .load()
-        .select(col("key.value").as("user_id"),
-          col("user_map_key.value").as("okey"),
-          col("user_map_value.ts").as("ts"),
-          col("user_map_value.price").as("price"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_revisions"),
-          sum(col("okey")).as("okey_sum"),
-          max(col("ts")).as("ts_max"),
-          sum(col("price").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").cast("string").as("price_sum"))
-        .collect()
-    }
   }
+
+  /** The shared revision-MapState audit read: the `revisions` state
+    * variable out of the stopped checkpoint, rolled per customer (see
+    * [[stateInspectAsOf]]'s scaladoc for the per-column corruption
+    * modes and the VARCHAR price discipline).
+    */
+  private def asOfAuditFinish(child: SparkSession,
+      ckpt: String): Array[org.apache.spark.sql.Row] =
+    child.read.format("statestore")
+      .option("path", ckpt)
+      .option("stateVarName", "revisions")
+      .load()
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("okey"),
+        col("user_map_value.ts").as("ts"),
+        col("user_map_value.price").as("price"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_revisions"),
+        sum(col("okey")).as("okey_sum"),
+        max(col("ts")).as("ts_max"),
+        sum(col("price").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").cast("string").as("price_sum"))
+      .collect()
+
+  def stateInspectAsOf(spark: SparkSession, dir: String): DataFrame =
+    asOfReplayCore(spark, dir, asOfAuditSchema) { (child, ckpt, _) =>
+      asOfAuditFinish(child, ckpt)
+    }
+
+  /** Offline audit of the PRUNED revision store — the eviction proof
+    * completing [[streamedAsOfTtl]]: after the full TTL replay (probes
+    * redelivered post-watermark, full dimension redelivered so every
+    * key compacted), the `revisions` MapState read out of the
+    * checkpoint must equal the SCD-retained set EXACTLY — per customer,
+    * every revision at/after the horizon plus the single newest one
+    * below it (max ts, then max orderkey — the probe tie order). The
+    * oracle recomputes that set from the orders table with the same
+    * ms-truncated horizon, so a key the redelivery failed to compact, a
+    * representative chosen under the wrong tie order, or an evicted
+    * revision the arrival gate let back in each moves its customer's
+    * row. Strict-subset is visible in the record itself: n_revisions
+    * here is ≤ state_inspect_asof's row-for-row, with equality only for
+    * customers whose history sits entirely inside the window.
+    */
+  def stateInspectAsOfTtl(spark: SparkSession, dir: String): DataFrame =
+    asOfReplayCore(spark, dir, asOfAuditSchema,
+        ttlLookbackUs = Some(AsOfTtlLookbackUs)) { (child, ckpt, _) =>
+      asOfAuditFinish(child, ckpt)
+    }
 
   /** The shared online-revision replay run — quartered o_orderkey waves
     * through [[StreamOps.AsOfIndex]] with the mid-stream restart,
@@ -2941,7 +3016,8 @@ object StreamReplay {
     * revision state) BEFORE the temp dirs are deleted.
     */
   private def asOfReplayCore(spark: SparkSession, dir: String,
-      outSchema: org.apache.spark.sql.types.StructType)(
+      outSchema: org.apache.spark.sql.types.StructType,
+      ttlLookbackUs: Option[Long] = None)(
       finish: (SparkSession, String, graft.sources.FileTopic)
         => Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.sources.FileTopic
@@ -2977,11 +3053,22 @@ object StreamReplay {
     def drain(): Unit = {
       implicit val enc =
         org.apache.spark.sql.Encoders.product[StreamOps.AsOfRow]
-      val hits = StreamOps.asOfIndex(
-        in.stream(child)
-          .select(col("key"), col("is_probe").as("isProbe"), col("id"),
-            col("ts"), col("price"))
-          .as[StreamOps.AsOfRow])
+      // TTL variant: TimeMode.EventTime needs a watermarked event-time
+      // column on the wire — declared upstream, then projected away (the
+      // EventTimeWatermark node survives the projection; the horizon is
+      // watermark − lookback inside the processor)
+      val wire = ttlLookbackUs match {
+        case Some(_) => in.stream(child)
+          .withColumn("ets", timestamp_micros(col("ts")))
+          .withWatermark("ets", "0 seconds")
+        case None => in.stream(child)
+      }
+      val rows = wire
+        .select(col("key"), col("is_probe").as("isProbe"), col("id"),
+          col("ts"), col("price"))
+        .as[StreamOps.AsOfRow]
+      val hits = ttlLookbackUs.fold(StreamOps.asOfIndex(rows))(
+          lb => StreamOps.asOfIndexTtl(rows, lb))
         .toDF()
         .select(col("key"), col("eventId").as("event_id"), col("ts"),
           col("orderKey").as("order_key"), col("price"))
@@ -3004,6 +3091,24 @@ object StreamReplay {
       drain() // incarnation 2: recovered maps absorb the redelivery
       in.append(probes.coalesce(1))
       drain() // incarnation 3: probes enrich from the RECOVERED index
+      ttlLookbackUs.foreach { _ =>
+        // incarnation 4: the committed watermark now sits at the probes'
+        // max event time, so every probed key SCD-compacts at batch
+        // start — the redelivered probes re-answer from the PRUNED map
+        // and must emit exactly the incarnation-3 rows (the downstream
+        // distinct + oracle hash prove answers unchanged within the
+        // retention horizon)
+        in.append(probes.coalesce(1))
+        drain()
+        // incarnation 5: a full dimension redelivery touches EVERY key
+        // (only ~10% receive probes), compacting the whole store at the
+        // same horizon; evicted revisions are refused by the arrival
+        // gate, resident ones by first-delivery-wins — the out topic
+        // gains nothing, and the checkpoint now holds the audit's
+        // retained set exactly
+        in.append(range(lo, Long.MaxValue, last = true))
+        drain()
+      }
       val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }

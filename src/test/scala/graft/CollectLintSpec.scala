@@ -148,6 +148,12 @@ class CollectLintSpec extends SparkSpec {
       // AsOfIndex revision MapState read offline, rolled to per-customer
       // audit rows — the driver collect is of |customers| bounded rows
       "state_inspect_asof",
+      // stream_asof_ttl / state_inspect_asof_ttl: the same replay
+      // posture through the PRUNED index (watermark-bound SCD
+      // compaction) with two extra redelivery incarnations — same
+      // bounded driver reads as their unpruned twins
+      "stream_asof_ttl",
+      "state_inspect_asof_ttl",
       // stream_train_corpus: the composed corpus build online — replay
       // posture through CanonicalFirst's fingerprint ValueState;
       // construction also collects the BOUNDED benchmark shingle set
