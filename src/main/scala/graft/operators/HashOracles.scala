@@ -173,9 +173,17 @@ private[graft] object HashOracles {
     * that dtype split, the round-16 defect). A lost posting, a doubled
     * tf, and a mis-keyed hash move n_terms, dl, and h_sum respectively.
     */
+  /** The multiset postings CTE prefix (FNV shingles → per-(doc, hash)
+    * tf) shared by the lexical state audit and the index-build manifest
+    * oracle: `tfh(doc_id, h0, tf)` is exactly the lex_tf artifact the
+    * engine persists.
+    */
+  def postingsCtes: String =
+    s"""$shingleCtesAll,
+       |tfh AS (SELECT doc_id, h0, count(*) AS tf FROM g GROUP BY 1, 2)""".stripMargin
+
   def lexicalStateAuditOracle(): String =
-    s"""WITH $shingleCtesAll,
-       |tfh AS (SELECT doc_id, h0, count(*) AS tf FROM g GROUP BY 1, 2)
+    s"""WITH $postingsCtes
        |SELECT doc_id,
        |       CAST(count(*) AS BIGINT) AS n_terms,
        |       CAST(sum(tf) AS BIGINT) AS dl,

@@ -404,8 +404,19 @@ object Similarity {
   }
 
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
-                  centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
-    val idx = ivfIndexWith(corpus, centroids)
+                  centroids: Seq[Seq[Double]], nProbe: Int): DataFrame =
+    ivfTopKFromIndex(ivfIndexWith(corpus, centroids), queries, k,
+      centroids, nProbe)
+
+  /** The IVF SEARCH tail against an ALREADY-BUILT index — `idx` carries
+    * (vec_id, cell, embedding), whether assigned inline ([[ivfTopKWith]])
+    * or LOADED from a persisted build (the build/serve split: serve
+    * never re-scans or re-assigns the corpus; the probe side still
+    * computes its own cells from the same centroid literals, which is
+    * request processing, not an index rebuild).
+    */
+  def ivfTopKFromIndex(idx: DataFrame, queries: DataFrame, k: Int,
+                       centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
     // top-nProbe cells per query, exploded to (query, cell) probe pairs
     val qProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -570,7 +570,121 @@ object SimilaritySuite {
       .filter(col("rnk") <= k)
   }
 
+  /** Artifact roots of completed index builds, one per (session, sf
+    * dir): the build runs AT MOST ONCE per session and every serve
+    * reuses it — the build-once/serve-many split (round-16 verdict ask
+    * #6; the reference's materialized count-store is the analogue: the
+    * index outlives any single query). computeIfAbsent makes the
+    * build-or-reuse decision atomic under concurrent queries. The dirs
+    * are deleted at JVM exit, not eagerly — serve plans stay LAZY over
+    * the parquet (an eager cleanup would break any still-unexecuted
+    * serve DataFrame).
+    */
+  private val indexRoots =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private def deleteTreeQuietly(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
+
+  /** Build the retrieval indexes as PARQUET ARTIFACTS — the persisted
+    * form a production deployment builds nightly and serves many times:
+    *   - ivf_centroids (cell, centroid): the coarse-quantizer literals;
+    *   - ivf_cells (vec_id, cell, embedding): the inverted lists — the
+    *     corpus assigned once, never re-assigned at serve time;
+    *   - lex_tf (doc_id, h, tf): the postings ([[TextSuite
+    *     .lexicalPostings]], the SAME build the inline rankers run);
+    *   - lex_df (h, df) and lex_dl (doc_id, dl): derived FROM the
+    *     written lex_tf artifact (df is each posting list's length, dl
+    *     each doc's Σtf — BM25's doc length), so the derived artifacts
+    *     provably describe the persisted postings, not a recompute;
+    *   - lex_n: the corpus size the idf fixed-point needs.
+    * Scale shape: two corpus scans total (one per modality), each a
+    * map-side pipeline into a partitioned write; everything downstream
+    * derives from artifacts. At 100 TB the artifacts are the objects a
+    * serving fleet mounts read-only — queries never touch the corpus.
+    */
+  private def builtIndexRoot(spark: SparkSession, dir: String): String =
+    indexRoots.computeIfAbsent((spark, dir), { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_index")
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteTreeQuietly(root)))
+      val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+      spark.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("cell", "centroid")
+        .write.parquet(s"$root/ivf_centroids")
+      Similarity.ivfIndexWith(Tables.embeddings(spark, dir), cents)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+        .write.parquet(s"$root/ivf_cells")
+      TextSuite.lexicalPostings(Tables.documents(spark, dir))
+        .write.parquet(s"$root/lex_tf")
+      val tfA = spark.read.parquet(s"$root/lex_tf")
+      tfA.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .write.parquet(s"$root/lex_df")
+      tfA.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .write.parquet(s"$root/lex_dl")
+      Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+        .write.parquet(s"$root/lex_n")
+      root.toString
+    })
+
+  /** The build's MANIFEST — one row per persisted artifact with its row
+    * count and an exact integer checksum (sums of small-domain columns;
+    * never raw 2⁶³ hashes, which would overflow BIGINT), read back FROM
+    * THE WRITTEN PARQUET. The DuckDB oracle recomputes every artifact
+    * from the corpus (cell assignment against the same centroid
+    * literals, postings from the same FNV-shingle multiset), so a build
+    * that dropped rows, assigned a vector to the wrong cell, or
+    * derived df/dl from anything but the persisted postings
+    * hash-mismatches its artifact's row.
+    */
+  def indexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val root = builtIndexRoot(spark, dir)
+    def m(name: String,
+          checksum: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(s"$root/$name")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          checksum.cast("long").as("checksum"))
+        .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))
+    m("ivf_centroids", sum(col("cell")))
+      .unionAll(m("ivf_cells", sum(col("vec_id") * col("cell"))))
+      .unionAll(m("lex_tf", sum(col("tf"))))
+      .unionAll(m("lex_df", sum(col("df"))))
+      .unionAll(m("lex_dl", sum(col("dl"))))
+      .unionAll(m("lex_n", sum(col("n_docs"))))
+  }
+
+  /** hybrid_retrieval_ivf SERVED FROM THE PERSISTED INDEX — the other
+    * half of the build/serve split: the lexical tail scores against the
+    * loaded lex_tf/lex_df/lex_n artifacts and the IVF tail probes the
+    * loaded ivf_cells inverted lists; the corpus tables are touched
+    * ONLY for the five query docs/vectors (pruned, filter-pushed reads
+    * — request processing), which PlanSpec pins on the serve plan. Must
+    * hash-match hybrid_retrieval_ivf's oracle verbatim: serving from
+    * the index is an execution strategy, never a semantic change.
+    */
+  def indexServe(spark: SparkSession, dir: String): DataFrame = {
+    val root = builtIndexRoot(spark, dir)
+    val lex = TextSuite.lexicalTopKFrom(
+      TextSuite.lexicalQueryShingles(Tables.documents(spark, dir)),
+      spark.read.parquet(s"$root/lex_tf"),
+      spark.read.parquet(s"$root/lex_df"),
+      spark.read.parquet(s"$root/lex_n"), fusedK)
+    val sem = Similarity.ivfTopKFromIndex(
+      spark.read.parquet(s"$root/ivf_cells"),
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 5),
+      fusedK, Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
+    hybridFusionOf(lex, sem, fusedK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_build" -> (indexBuild _),
+    "index_serve" -> (indexServe _),
     "hybrid_retrieval" -> ((s: SparkSession, d: String) =>
       hybridRetrieval(s, d)),
     "hybrid_retrieval_ivf" -> ((s: SparkSession, d: String) =>
@@ -688,6 +802,46 @@ object SimilaritySuite {
        |FROM assign a JOIN probes p ON a.cell = p.cell
        |WHERE a.vec_id <> p.query_id
        |QUALIFY rank <= 5""".stripMargin
+  }
+
+  /** Generated oracle for index_build's manifest: recompute every
+    * persisted artifact from the corpus — cell assignment against the
+    * SAME centroid literals (ties → higher cell, matching Spark's
+    * greatest-of-structs), postings from the same FNV-shingle multiset
+    * ([[HashOracles.postingsCtes]]), df/dl derived from those postings —
+    * and roll each to (n_rows, checksum). All sums CAST to BIGINT (the
+    * HUGEINT lint) and all checksum domains small (cell ids, tf counts),
+    * so the compare is exact.
+    */
+  private def indexBuildOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    s"""WITH ${HashOracles.postingsCtes},
+       |s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1),
+       |dfx AS (SELECT h0, count(*) AS df FROM tfh GROUP BY 1),
+       |dlx AS (SELECT doc_id, sum(tf) AS dl FROM tfh GROUP BY 1)
+       |SELECT 'ivf_centroids' AS artifact, CAST($ivfCells AS BIGINT) AS n_rows,
+       |       CAST(${(0 until ivfCells).sum} AS BIGINT) AS checksum
+       |UNION ALL SELECT 'ivf_cells', CAST(count(*) AS BIGINT),
+       |       CAST(sum(vec_id * cell) AS BIGINT) FROM assign
+       |UNION ALL SELECT 'lex_tf', CAST(count(*) AS BIGINT),
+       |       CAST(sum(tf) AS BIGINT) FROM tfh
+       |UNION ALL SELECT 'lex_df', CAST(count(*) AS BIGINT),
+       |       CAST(sum(df) AS BIGINT) FROM dfx
+       |UNION ALL SELECT 'lex_dl', CAST(count(*) AS BIGINT),
+       |       CAST(sum(dl) AS BIGINT) FROM dlx
+       |UNION ALL SELECT 'lex_n', CAST(1 AS BIGINT),
+       |       (SELECT CAST(count(*) AS BIGINT) FROM documents)""".stripMargin
   }
 
   /** Generated oracle for embed_pq: per subvector pick the argmax-scoring
@@ -1056,6 +1210,13 @@ object SimilaritySuite {
   val oracles: Map[String, String] = Map(
     "hybrid_retrieval" -> hybridOracleOver(embedTopkOracle),
     "hybrid_retrieval_ivf" -> hybridOracleOver(ivfOracle),
+    // the build's manifest: every artifact recomputed from the corpus
+    "index_build" -> indexBuildOracle,
+    // serving from the persisted index is an execution strategy, not a
+    // semantic change: the serve answers hybrid_retrieval_ivf's oracle
+    // VERBATIM (PlanSpec separately pins that the serve plan never
+    // re-scans the corpus beyond the pruned query reads)
+    "index_serve" -> hybridOracleOver(ivfOracle),
     "hybrid_bm25" -> hybridOracleOver(ivfOracle, "bm25_retrieval"),
     // the streaming twin must converge to the identical fused ranking —
     // hybrid_retrieval_ivf's oracle verbatim is the whole point (the

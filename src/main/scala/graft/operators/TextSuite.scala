@@ -959,12 +959,20 @@ object TextSuite {
     // tf to 1 and silently drop the frequency half of tf·idf (caught in
     // round-14 self-review: the fixture masked it because its repeated
     // shingles all happen to be df-capped)
-    val sh = docs.select(col("doc_id"),
-      explode(shingleHashesAll(col("text"), 3)).as("h"))
-    val tf = sh.groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("tf"))
-    lexicalTopKOf(docs, tf, k)
+    lexicalTopKOf(docs, lexicalPostings(docs), k)
   }
+
+  /** The multiset postings build — per-(doc, FNV-shingle-hash) tf,
+    * exactly the lex_tf artifact the index build persists — ONE
+    * definition for the inline rankers (lexical + BM25) and
+    * [[SimilaritySuite.indexBuild]]'s artifact writer, so the served
+    * index cannot drift from what the inline queries score against.
+    */
+  def lexicalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingleHashesAll(col("text"), 3)).as("h"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("tf"))
 
   /** The scoring tail over ANY (doc_id, h, tf) postings table — ONE
     * definition shared by the batch build above and the streaming
@@ -974,13 +982,30 @@ object TextSuite {
     * and the fixed-point idf all derive from the postings/docs exactly
     * as documented on [[lexicalRetrieval]].
     */
-  def lexicalTopKOf(docs: DataFrame, tf: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val df = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val queries = docs.filter(col("doc_id") < 5)
+  def lexicalTopKOf(docs: DataFrame, tf: DataFrame, k: Int): DataFrame =
+    lexicalTopKFrom(lexicalQueryShingles(docs), tf,
+      tf.groupBy(col("h")).agg(count(lit(1)).as("df")),
+      docs.agg(count(lit(1)).as("n_docs")), k)
+
+  /** The query side of the lexical rankers: the fixture's 5 query docs'
+    * DISTINCT shingle hashes — request processing (shingling the queries
+    * is per-request work), shared by the inline ranker and the
+    * index-serve path so the two cannot drift.
+    */
+  def lexicalQueryShingles(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id"),
         explode(shingleHashesAll(col("text"), 3)).as("h")).distinct()
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+
+  /** The lexical SCORING tail against an ALREADY-BUILT postings index —
+    * `tf`/`df`/`n` arrive as inputs, whether computed inline
+    * ([[lexicalTopKOf]]) or LOADED from a persisted build (the
+    * build/serve split: serve touches the corpus only for the pruned
+    * query docs).
+    */
+  def lexicalTopKFrom(queries: DataFrame, tf: DataFrame, df: DataFrame,
+                      n: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // query-term pruning below the tf⋈df join: df shrinks to the query
     // hash set via a broadcast semi-join (then broadcasts itself — it is
     // at most |query shingles| rows), and tf meets the broadcast queries
@@ -1038,11 +1063,7 @@ object TextSuite {
     */
   def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"),
-      explode(shingleHashesAll(col("text"), 3)).as("h"))
-    val tf = sh.groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("tf"))
-    bm25TopKOf(docs, tf, k)
+    bm25TopKOf(docs, lexicalPostings(docs), k)
   }
 
   /** The BM25 scoring tail over ANY (doc_id, h, tf) postings table — the

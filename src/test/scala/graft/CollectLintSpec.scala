@@ -154,6 +154,13 @@ class CollectLintSpec extends SparkSpec {
       // bounded driver reads as their unpruned twins
       "stream_asof_ttl",
       "state_inspect_asof_ttl",
+      // index_build / index_serve: the build-once/serve-many split — the
+      // FIRST of the two constructed in a session writes the parquet
+      // artifacts (a declared prepared-index build, the ivfTopKKmeans
+      // posture); the other reuses the session's artifact root. The
+      // returned DataFrames stay lazy over the artifacts (no collects).
+      "index_build",
+      "index_serve",
       // stream_train_corpus: the composed corpus build online — replay
       // posture through CanonicalFirst's fingerprint ValueState;
       // construction also collects the BOUNDED benchmark shingle set

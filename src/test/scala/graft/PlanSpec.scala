@@ -295,6 +295,36 @@ class PlanSpec extends SparkSpec {
       s"near-dup degraded to pair-materializing BNLJ:\n$plan")
   }
 
+  test("index_serve answers from the persisted index, never the corpus") {
+    val plan = executedPlan(SimilaritySuite.indexServe(spark, dir))
+    // the only corpus touches are the PRUNED per-request reads: the five
+    // query docs (their shingles are request processing) and the five
+    // query vectors — both filter-pushed to the scan
+    // every FileScan chunk over a corpus table must carry the pushed
+    // query-id prune — i.e. NO unpruned corpus read exists anywhere in
+    // the serve plan (the lexical tail legitimately references the
+    // pruned query-doc read twice: once for scoring, once for the df
+    // semi-join)
+    val scanChunks = plan.split("FileScan").toSeq.drop(1)
+    val docChunks = scanChunks.filter(_.contains("documents.parquet"))
+    assert(docChunks.nonEmpty &&
+      docChunks.forall(_.contains("LessThan(doc_id,5)")),
+      s"an UNPRUNED documents scan survives in the serve plan:\n$plan")
+    val embChunks = scanChunks.filter(_.contains("embeddings.parquet"))
+    assert(embChunks.nonEmpty &&
+      embChunks.forall(_.contains("LessThan(vec_id,5)")),
+      s"an UNPRUNED embeddings scan survives in the serve plan:\n$plan")
+    // and the index artifacts are what it serves from
+    Seq("ivf_cells", "lex_tf", "lex_df", "lex_n").foreach(a =>
+      assert(plan.contains(a), s"serve plan does not read artifact $a:\n$plan"))
+    // the inline ranker, by contrast, rebuilds from the corpus — the
+    // split is real, not two names for one plan
+    val inline = executedPlan(SimilaritySuite.hybridRetrievalIvf(spark, dir))
+    assert("documents\\.parquet".r.findAllIn(inline).size > 1 ||
+      "embeddings\\.parquet".r.findAllIn(inline).size > 1,
+      s"inline hybrid unexpectedly stopped scanning the corpus:\n$inline")
+  }
+
   test("unpivot melts via a single-scan Expand, not a union of scans") {
     val plan = executedPlan(RelationalSuite.unpivotMetrics(spark, dir))
     assert(plan.contains("Expand"), s"unpivot lost its Expand node in:\n$plan")
