@@ -12,6 +12,10 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // FAIR so ConcurrentQuerySpec can run per-thread scheduler pools
+      // (the production multi-tenant posture); single-threaded suites
+      // land in the default pool and behave exactly as before
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
