@@ -66,24 +66,45 @@ object Bench {
   /** The pinned headline pass — see [[Health]]. */
   val headlineMetric: String = "pass2"
 
-  /** A SEVERE pass-2 anomaly: >3x its own pass-1 time, >1 s absolute
-    * excess, and near-zero pass-2 JIT/class-load so codegen-cache misses
-    * are ruled out.
+  /** The GATING lane for one row (round-16 verdict ask #8, completing
+    * the split the drift section already runs): replay rows — the ones
+    * carrying an engine-owned wall (`eng > 0` on both passes) — flag on
+    * ENGINE seconds, so publish/restart choreography jitter on a loaded
+    * box can no longer manufacture an anomaly verdict against the
+    * engine; 13 of the 18 slowest r16 rows were replay rows whose p2
+    * exceeded p1 purely under load. Harness drift still surfaces — the
+    * drift section's harness_sec lane and the published per-row split
+    * keep it visible — it just can't flip health. Plain batch rows
+    * (eng = 0) gate on wall exactly as before. (The choreography itself
+    * cannot move off the timed path wholesale: the publish/restart
+    * interleaving IS the scenario each replay proves.)
     */
-  def anomalous(s1: QStat, s2: QStat): Boolean =
-    s2.sec > 3 * s1.sec && s2.sec - s1.sec > 1.0 && s2.jit < 0.5 && s2.cls < 500
+  private def lane(s1: QStat, s2: QStat)(s: QStat): Double =
+    if (s1.eng > 0 && s2.eng > 0) s.eng else s.sec
+
+  /** A SEVERE pass-2 anomaly: >3x its own pass-1 time (engine lane for
+    * replay rows), >1 s absolute excess, and near-zero pass-2
+    * JIT/class-load so codegen-cache misses are ruled out.
+    */
+  def anomalous(s1: QStat, s2: QStat): Boolean = {
+    val l = lane(s1, s2) _
+    l(s2) > 3 * l(s1) && l(s2) - l(s1) > 1.0 && s2.jit < 0.5 && s2.cls < 500
+  }
 
   /** An ELEVATED pass-2 row (round-13 verdict ask #2): >1.5x its pass-1
-    * time with >1 s absolute excess. EVERY such row gets an isolated p3
-    * re-run and a recorded transient/reproducible verdict — r13 shipped
+    * time (engine lane for replay rows) with >1 s absolute excess. EVERY
+    * such row gets an isolated p3 re-run and a recorded
+    * transient/reproducible verdict — r13 shipped
     * stream_zscore/fk_audit/stream_backfill_union inflated pass-2 with no
     * attribution because only the severe tier triggered re-runs. No
     * jit/cls exemption: a codegen-cache miss explains the slowness, but
     * the re-run (which hits the now-warm cache) attributes it measurably
     * instead of by inference.
     */
-  def elevated(s1: QStat, s2: QStat): Boolean =
-    s2.sec > 1.5 * s1.sec && s2.sec - s1.sec > 1.0
+  def elevated(s1: QStat, s2: QStat): Boolean = {
+    val l = lane(s1, s2) _
+    l(s2) > 1.5 * l(s1) && l(s2) - l(s1) > 1.0
+  }
 
   /** Pure health classification over both passes + the isolated p3 re-runs
     * (seconds, keyed by query name). Kept free of measurement side effects
@@ -112,10 +133,15 @@ object Bench {
       val s1 = stats(i)._2
       val s2 = stats(i)._3
       val t3 = p3.get(n)
+      // the verdict's p1/p2/p3 all live in the row's GATING lane (engine
+      // seconds for replay rows — the caller's p3 map is lane-consistent)
+      // so the exoneration and severe-reproduction thresholds compare
+      // like with like
+      val l = lane(s1, s2) _
       // elevated thresholds for exoneration: the re-run is "back at
       // pass-1 level" iff it would NOT have been flagged against p1
-      val transient = t3.exists(t => t <= 1.5 * s1.sec || t - s1.sec <= 1.0)
-      Verdict(n, i, s1.sec, s2.sec, t3, transient,
+      val transient = t3.exists(t => t <= 1.5 * l(s1) || t - l(s1) <= 1.0)
+      Verdict(n, i, l(s1), l(s2), t3, transient,
         severe = anomalous(s1, s2))
     }
     // A severe flag flips the record unhealthy only when its p3 re-run
@@ -147,7 +173,10 @@ object Bench {
     // Pass-ratio check on the EXONERATED pass-2 total: transient rows'
     // p2 contributions are replaced by their isolated p3 re-measurements,
     // so a single 18 s one-off can't fail the ratio gate on its own — but
-    // a broad un-attributed slowdown still does.
+    // a broad un-attributed slowdown still does. Totals stay WALL-based
+    // (the pass is a wall-clock fact); for a replay row the exonerated
+    // excess is its engine-lane delta — an under-exoneration that can
+    // only make the gate stricter, never hide a slowdown.
     val pass1Total = stats.map(_._2.sec).sum
     val pass2Total = stats.map(_._3.sec).sum
     val exoneratedExcess = verdicts.collect {
@@ -566,7 +595,11 @@ object Bench {
       .map { case (n, _, _) => n -> measure("3", n, selected(n)) }
       .toMap
     val hc = classify(stats,
-      p3.collect { case (n, s) if s.ok => n -> s.sec },
+      // lane-consistent with classify's verdicts: a replay row's p3
+      // compares in engine seconds (its suite passes carry eng > 0 and
+      // the isolated re-run measures the same accumulated engine wall)
+      p3.collect { case (n, s) if s.ok =>
+        n -> (if (s.eng > 0) s.eng else s.sec) },
       p3.collect { case (n, s) if !s.ok => n }.toSet)
     val verdicts = hc.verdicts
     val band = hc.band
@@ -675,52 +708,37 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-16 record context. SURFACE: 226 queries (r15: " +
-        "213) — bm25_retrieval, hybrid_bm25, dp_release join the sf0.1 " +
-        "batch surface; state_inspect_join, stream_hybrid, stream_lexical, " +
-        "stream_bm25, state_inspect_lexical, stream_dp_release, " +
-        "stream_asof, state_inspect_asof, stream_train_corpus, " +
-        "stream_hybrid_bm25 join the " +
-        "sf0.001 replay surface. R16 DRIFT ATTRIBUTION: the first r16 " +
-        "full pass (load 2-2.5) flagged 15 rows at 1.5-1.9x vs the " +
-        "quiet-window r15 baseline — isolated SPARK_GRAFT_ONLY A/B at " +
-        "80a3e41 (r15) vs r16 HEAD, same load window, two pairs: " +
-        "edit_distance_verify 1.60/na vs 1.54 (HEAD faster), " +
-        "edit_distance_near 1.59 vs 1.61, graph_reachability 2.81 vs " +
-        "2.60, dedup_clusters_fixpoint 2.05 vs 2.13 — identical; " +
-        "pagerank old 2.52 vs HEAD 2.41 (identical — its in-suite 4.1 s " +
-        "is interference, not code); dedup_clusters old 2.23-2.71 vs " +
-        "HEAD 2.35-2.71 (overlapping); cluster_split old 2.26-3.10 vs " +
-        "HEAD 3.09-3.95 across THREE pairs under load 0.4-3.3 — " +
-        "touching at the boundary, and its CC-kernel twin " +
-        "dedup_clusters_fixpoint measures IDENTICAL at both commits " +
-        "(2.05 vs 2.13), so the shared kernel is unchanged; the " +
-        "residual is driver-loop sensitivity to the grown classpath/JIT " +
-        "state. NO commit this round touches the CC/edit-distance/" +
-        "pagerank paths (the round is streaming kernels + docs). " +
-        "Attribution: suite crowding — 9 new replay rows re-add " +
-        "per-pass JIT/class churn (pass1 jit ~396 s, 20.8k classes) " +
-        "exactly as the round-11 note documented when replays ran at " +
-        "sf0.1. DRIFTER ATTRIBUTION (r15 " +
-        "verdict ask #2): isolated SPARK_GRAFT_ONLY A/B at 9b04837 (r14) " +
-        "vs r16 HEAD, two interleaved JVM pairs each, warm pass — " +
-        "graph_reachability old 2.96/3.11 s vs HEAD 2.93/2.94 s " +
-        "(identical; the recursive-CTE edge-cache reuse holds — the r14 " +
-        "committed 2.2 s was a quieter window, and the old commit itself " +
-        "reproduces ~3 s in isolation today); bootstrap_ci old 2.37-2.74 " +
-        "vs HEAD 2.19-3.00 (overlapping ranges, noise); " +
-        "stream_topic_counts old 3.15-3.81 vs HEAD 3.58-3.74 " +
-        "(overlapping; HEAD engine_sec ~2.6-2.8 stable — the wall is " +
-        "micro-batch engine cost, not drift). All three: suite crowding " +
-        "on a load-3+ box, no code regression. NEW GATES (r15 asks " +
-        "#2/#7): replay-row drift now compares engine_sec when both " +
-        "records carry it (harness drift flagged separately), and every " +
-        "run also compares against the OLDEST baselines/ snapshot at " +
-        "1.8x (drift.cumulative) so repeat sub-1.5x climbers can't hide " +
-        "forever; the cumulative lane seeds from baselines/" +
-        "BENCH_DETAIL_r14.json, the oldest committed snapshot. DRIFT " +
-        "baseline is the committed round-15 record (baselines/" +
-        "BENCH_DETAIL_r15.json, snapshotted by this round's first run)."
+      val note = "round-17 record context. SURFACE: 230 queries (r16: " +
+        "226) — index_build + index_serve (the build-once/serve-many " +
+        "retrieval split; serve is PlanSpec-pinned corpus-scan-free) " +
+        "join the sf0.1 batch surface; stream_asof_ttl + " +
+        "state_inspect_asof_ttl (watermark-bound SCD retention on the " +
+        "online as-of index) join the sf0.001 replay surface. " +
+        "R16 ANOMALY ATTRIBUTION (r16 verdict ask #4, stream_zscore " +
+        "'reproducible' 5.7->8.9->11.6 monotone): does NOT reproduce at " +
+        "HEAD — quiet-window full suite runs it p1 6.15 -> p2 6.45 " +
+        "(engine 5.09 -> 5.38, no verdict), isolated 2-pass 9.7 -> 7.8, " +
+        "crowded-10-replay pair 6.36; isolated SPARK_GRAFT_ONLY A/B at " +
+        "80a3e41 (r15) vs r17 HEAD, same window: old p2 8.21 s (engine " +
+        "6.65) vs HEAD p2 7.80 s (engine 6.33) — HEAD is FASTER on both " +
+        "lanes, so no engine regression exists; the r16 monotone " +
+        "pattern was that record's load-2-3 window (6 anomalies, its p3 " +
+        "measured at end-of-suite under the same contention). " +
+        "Structural follow-up (r16 ask #8): anomaly/elevated gating for " +
+        "replay rows now runs on the ENGINE lane (BenchHealthSpec-" +
+        "pinned), so harness choreography jitter can no longer " +
+        "manufacture a replay-row verdict. R16 DRIFT FLAGS (ask #3): " +
+        "this record carries drift.flagged: [] and a clean cumulative " +
+        "lane — pagerank min 3.95 vs r16 3.78 (1.04x) and vs the r14 " +
+        "cumulative baseline 2.26 (1.75x, under the 1.8x gate); " +
+        "triangle_coocc 2.73 vs r16 3.71 (0.74x — recovered). The " +
+        "pagerank/triangle elevation vs r15's quiet-window 1.97 remains " +
+        "environment: r16's isolated A/B measured both commits " +
+        "identical (2.52 vs 2.41), and this round touches no graph " +
+        "path. DRIFT baseline is the committed round-16 record " +
+        "(baselines/BENCH_DETAIL_r16.json, snapshotted by this round's " +
+        "first run); cumulative lane seeds from baselines/" +
+        "BENCH_DETAIL_r14.json, the oldest committed snapshot."
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
         s""""headline":"$headlineMetric",""" +
         f""""queries_metric":"pass$headlinePass",""" +

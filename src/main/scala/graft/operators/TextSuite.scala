@@ -1398,6 +1398,8 @@ object TextSuite {
     "bm25_retrieval" -> ((s: SparkSession, d: String) => bm25Retrieval(s, d)),
     "stream_lexical" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedLexical(s, d)),
+    "stream_lexical_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedLexicalTtl(s, d)),
     "state_inspect_lexical" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.stateInspectLexical(s, d)),
     "stream_bm25" -> ((s: SparkSession, d: String) =>
@@ -1781,6 +1783,42 @@ object TextSuite {
     // the batch oracle verbatim (the streamed index and the batch tf
     // table feed the same shared scoring tail)
     "stream_lexical" -> lexicalRetrievalOracle,
+    // the RETENTION-WINDOWED online index must converge to the windowed
+    // batch ranking: tf/df/N over the newest 3/5 of the doc_id span
+    // (day-per-doc event times; integer cutoff identical to the
+    // engine's lexWindowCutoff), query shingles from the FULL corpus —
+    // queries are requests and search the fresh window even when their
+    // own documents have been evicted from it
+    "stream_lexical_ttl" ->
+      """WITH w AS (
+        |  SELECT min(doc_id) + ((max(doc_id) - min(doc_id)) * 2) // 5
+        |           AS cut
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks,
+        |       (SELECT unnest(range(1, (SELECT max(len(t)) FROM toks) + 1)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh, w
+        |       WHERE doc_id >= cut GROUP BY 1, 2),
+        |df AS (SELECT s, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents, w
+        |      WHERE doc_id >= cut),
+        |q AS (SELECT DISTINCT doc_id AS query_id, s FROM sh WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         CAST(sum(tf.tf * ((1000000 * n.n_docs) // df.df)) AS BIGINT)
+        |           AS score
+        |  FROM q JOIN tf USING (s) JOIN df USING (s) CROSS JOIN n
+        |  WHERE df.df * 4 <= n.n_docs
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score,
+        |       CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
+        |FROM scored QUALIFY rnk <= 5""".stripMargin,
     // the postings MapState read out of the restarted checkpoint, rolled
     // per doc — recomputed in DuckDB from the same FNV-shingle multiset
     // (hash arithmetic in wraparound SQL, h_sum exact in HUGEINT)

@@ -267,6 +267,68 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** [[DocTerm]] plus the document's event time — the wire row of the
+    * RETENTION-WINDOWED postings build. */
+  final case class DocTermTs(h: Long, docId: Long, tf: Long, tsUs: Long)
+  /** One windowed posting: the tf plus the document's event time the
+    * eviction compares against. */
+  final case class PostingTs(tf: Long, ts: Long)
+
+  /** [[PostingsIndex]] with WATERMARK-BOUND RETENTION — the
+    * freshness-bounded search index (a news-style deployment indexes
+    * the last N days, not the crawl's history): each posting carries
+    * its document's event time, and at BATCH START every touched
+    * posting list drops entries older than horizon = watermark −
+    * `lookbackUs`. Unlike the as-of index there is no representative
+    * to keep — an evicted document is simply out of the corpus window,
+    * and df/N/ranking all shift to the windowed corpus, which is
+    * exactly the contract the windowed batch oracle recomputes. The
+    * same arrival gate as [[AsOfIndexTtl]] refuses below-horizon
+    * documents, so a redelivered copy of an evicted doc can never
+    * re-inflate the store (first-delivery containsKey cannot see
+    * evicted ids). State per shingle is the WINDOW's postings, however
+    * long the stream runs; eviction cost is O(resident) per touched
+    * key — the same scan the full-redelivery touch pattern already
+    * pays. Requires TimeMode.EventTime; before any watermark exists the
+    * horizon sits below every plausible ts and both mechanisms are
+    * no-ops (the unpruned index's behavior).
+    */
+  final class PostingsIndexTtl(lookbackUs: Long)
+    extends StatefulProcessor[Long, DocTermTs, PostingRow] {
+    @transient private var tfs: MapState[Long, PostingTs] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      tfs = getHandle.getMapState[Long, PostingTs]("postings",
+        Encoders.scalaLong, Encoders.product[PostingTs], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[DocTermTs],
+                                 timers: TimerValues): Iterator[PostingRow] = {
+      val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
+      val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+      tfs.iterator().foreach { case (docId, p) =>
+        if (p.ts < horizonUs) dead += docId
+      }
+      dead.foreach(tfs.removeKey)
+      val out = scala.collection.mutable.ArrayBuffer.empty[PostingRow]
+      rows.foreach { r =>
+        if (r.tsUs >= horizonUs && !tfs.containsKey(r.docId)) {
+          tfs.updateValue(r.docId, PostingTs(r.tf, r.tsUs))
+          out += PostingRow(key, r.docId, r.tf)
+        }
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming windowed postings build: see [[PostingsIndexTtl]]. The
+    * caller must `.withWatermark` an event-time column on `rows` first.
+    */
+  def postingsIndexTtl(rows: Dataset[DocTermTs],
+                       lookbackUs: Long): Dataset[PostingRow] = {
+    implicit val enc = Encoders.product[PostingRow]
+    rows.groupByKey(_.h)(Encoders.scalaLong)
+      .transformWithState(new PostingsIndexTtl(lookbackUs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** One quality-surviving document heading into the online corpus
     * build: its content fingerprint (the exact-dedup key), identity,
     * and row-locally computed benchmark-shingle hit count.
@@ -354,11 +416,14 @@ object StreamOps {
     * Scale shape: state is the dimension itself — Σ\|revisions\| rows
     * partitioned by join key in RocksDB, bounded by the DIMENSION, not
     * the fact stream; per-revision work is one keyed point-lookup and
-    * per-probe work scans ONE key's revision list (a production
-    * deployment prunes revisions older than the watermark minus the
-    * maximum lookback — the list stays a bounded recent history). The
-    * index is offline-auditable through the same `format("statestore")`
-    * MapState surface the postings audit reads.
+    * per-probe work scans ONE key's revision list. The production
+    * deployment runs [[AsOfIndexTtl]] — the watermark-bound retention
+    * variant that SCD-compacts each key to the lookback window (round-17;
+    * stream_asof_ttl proves answers unchanged inside the horizon) — so
+    * the list stays a bounded recent history; this unpruned variant is
+    * the retention-free reference the TTL twin must match. The index is
+    * offline-auditable through the same `format("statestore")` MapState
+    * surface the postings audit reads.
     */
   /** The probe answer: max (ts, id) among resident revisions with
     * ts ≤ the probe's ts — ONE definition shared by [[AsOfIndex]] and

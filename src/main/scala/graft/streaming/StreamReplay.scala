@@ -2690,6 +2690,57 @@ object StreamReplay {
     }
   }
 
+  /** [[streamedLexical]] under WATERMARK-BOUND RETENTION — the
+    * freshness-bounded search index (round-17, completing the r16
+    * verdict's TTL ask across the online indexes): documents stream in
+    * with day-per-doc_id event times through
+    * [[StreamOps.PostingsIndexTtl]], which evicts postings older than
+    * watermark − lookback at every touched key and refuses
+    * below-horizon (re)deliveries at the gate. After the quartered
+    * waves + restart + redelivery, a FULL corpus redelivery (its rows
+    * all absorbed) compacts every posting list at the final horizon —
+    * exactly day(cutoff), integer-aligned — and the finish reads the
+    * postings OUT OF THE STATE STORE (the retained index IS the
+    * answer surface; the out topic still carries evicted inserts) and
+    * runs the SHARED scoring tail over the windowed corpus: windowed
+    * tf/df from the state, windowed N from the documents table under
+    * the same cutoff, full-corpus query shingles (queries are
+    * requests — the query docs themselves are evicted, which is the
+    * point: old queries still search the fresh window). Hash-matches
+    * the windowed batch oracle — a posting that survived past the
+    * horizon inflates df and shifts ranks; one evicted too eagerly
+    * drops its document from the candidates; a redelivery that
+    * re-admitted an evicted doc does both.
+    */
+  def streamedLexicalTtl(spark: SparkSession, dir: String,
+                         k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.TextSuite
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("doc_id", LongType),
+      StructField("score", LongType), StructField("rnk", IntegerType)))
+    lexicalReplayCore(spark, dir, outSchema, windowed = true) {
+      (child, ckpt, _) =>
+        val docs = Tables.documents(child, dir)
+        val bb = docs.agg(min("doc_id"), max("doc_id")).head()
+        val cutoff = lexWindowCutoff(bb.getLong(0), bb.getLong(1))
+        val tf = child.read.format("statestore")
+          .option("path", ckpt)
+          .option("stateVarName", "postings")
+          .load()
+          .select(col("key.value").as("h"),
+            col("user_map_key.value").as("doc_id"),
+            col("user_map_value.tf").as("tf"))
+        TextSuite.lexicalTopKFrom(
+          TextSuite.lexicalQueryShingles(docs),
+          tf,
+          tf.groupBy(col("h")).agg(count(lit(1)).as("df")),
+          docs.filter(col("doc_id") >= cutoff)
+            .agg(count(lit(1)).as("n_docs")),
+          k).collect()
+    }
+  }
+
   /** Offline audit of [[StreamOps.PostingsIndex]]'s MapState — the
     * online postings index ITSELF read out of the restarted checkpoint,
     * completing the audit posture the index's scaladoc promises (the
@@ -3200,8 +3251,24 @@ object StreamReplay {
     * topic's converged postings, or the checkpoint's map state) BEFORE
     * the temp dirs are deleted.
     */
+  /** The DAY-PER-DOC event-time convention of the windowed lexical
+    * replay: document `doc_id` "arrives" at doc_id days past the epoch —
+    * day-aligned, so the watermark's ms truncation is exact. ONE
+    * definition for the wire projection, the horizon arithmetic, and
+    * the finish's window cutoff.
+    */
+  private val LexDayUs = 86400000000L
+
+  /** The windowed replay's retention cutoff: retain the newest 3/5 of
+    * the doc_id span (integer arithmetic — DuckDB's `//` on the oracle
+    * side computes the identical value).
+    */
+  private[graft] def lexWindowCutoff(lo: Long, hi: Long): Long =
+    lo + (hi - lo) * 2 / 5
+
   private def lexicalReplayCore(spark: SparkSession, dir: String,
-      outSchema: org.apache.spark.sql.types.StructType)(
+      outSchema: org.apache.spark.sql.types.StructType,
+      windowed: Boolean = false)(
       finish: (SparkSession, String, graft.sources.FileTopic)
         => Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.sources.FileTopic
@@ -3216,6 +3283,10 @@ object StreamReplay {
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
     require(!b.isNullAt(0), s"$dir documents is empty — nothing to replay")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
+    // windowed: horizon at the final watermark (= day(hi), exactly ms-
+    // aligned) must land exactly on day(cutoff), so retention is the
+    // integer predicate doc_id >= cutoff on both engine and oracle sides
+    val lookbackUs = (hi - lexWindowCutoff(lo, hi)) * LexDayUs
     val root = java.nio.file.Files.createTempDirectory("graft_lex")
     val ckpt = java.nio.file.Files.createTempDirectory("graft_lex_ckpt")
     val in = new FileTopic("lex_in", wireSchema, root.toString)
@@ -3227,21 +3298,43 @@ object StreamReplay {
       implicit val tupEnc = org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING)
-      implicit val dtEnc =
-        org.apache.spark.sql.Encoders.product[StreamOps.DocTerm]
-      val terms = in.stream(child).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          graft.functions.ShingleHash
-            .compute(org.apache.spark.unsafe.types.UTF8String
-              .fromString(if (text == null) "" else text), 3,
-              distinct = false)
-            .toLongArray()
-            .groupBy(identity)
-            .map { case (h, occ) => StreamOps.DocTerm(h, id, occ.length.toLong) }
-        }
-      val postings = StreamOps.postingsIndex(terms).toDF()
+      val wire = if (windowed)
+        in.stream(child)
+          .withColumn("ets", timestamp_micros(col("doc_id") * LexDayUs))
+          .withWatermark("ets", "0 seconds")
+          .select(col("doc_id"), col("text"))
+      else in.stream(child)
+      val docRows = wire.as[(Long, String)]
+      def shingles(text: String): Map[Long, Long] =
+        graft.functions.ShingleHash
+          .compute(org.apache.spark.unsafe.types.UTF8String
+            .fromString(if (text == null) "" else text), 3,
+            distinct = false)
+          .toLongArray()
+          .groupBy(identity)
+          .map { case (h, occ) => h -> occ.length.toLong }
+      val postings = if (windowed) {
+        implicit val dtEnc =
+          org.apache.spark.sql.Encoders.product[StreamOps.DocTermTs]
+        StreamOps.postingsIndexTtl(
+          docRows.flatMap { case (id, text) =>
+            shingles(text).map { case (h, tf) =>
+              StreamOps.DocTermTs(h, id, tf, id * LexDayUs)
+            }
+          }, lookbackUs).toDF()
+      } else {
+        implicit val dtEnc =
+          org.apache.spark.sql.Encoders.product[StreamOps.DocTerm]
+        StreamOps.postingsIndex(
+          docRows.flatMap { case (id, text) =>
+            shingles(text).map { case (h, tf) =>
+              StreamOps.DocTerm(h, id, tf)
+            }
+          }).toDF()
+      }
+      val q = postings
         .select(col("h"), col("docId").as("doc_id"), col("tf"))
-      val q = postings.writeStream.outputMode("update")
+        .writeStream.outputMode("update")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
@@ -3258,6 +3351,15 @@ object StreamReplay {
       in.append(range(q2hi, lo + 3 * quarter, last = false))
       in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
       drain() // incarnation 2: recovered maps absorb the redelivery
+      if (windowed) {
+        // incarnation 3: the committed watermark now sits at day(hi), so
+        // the horizon is exactly day(cutoff) — a FULL corpus redelivery
+        // touches every posting list ever written (its rows are refused
+        // by first-delivery or the below-horizon gate), compacting the
+        // whole store to the retention window the finish audits
+        in.append(range(lo, Long.MaxValue, last = true))
+        drain()
+      }
       val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }

@@ -198,6 +198,37 @@ class BenchHealthSpec extends AnyFunSuite {
     assert(h.status == "unhealthy")
   }
 
+  test("replay rows gate on the ENGINE lane (r16 ask #8): harness jitter cannot flag") {
+    // a replay row whose WALL doubles under load but whose engine wall is
+    // flat: publish/restart choreography jitter — no verdict at all
+    val harnessNoise = (0 until 10).map { i =>
+      if (i == 4)
+        ("q04", QStat(3.0, 0, 0, 0, 0L, 1.0, eng = 1.0),
+          QStat(8.0, 0, 0, 0, 0L, 3.0, eng = 1.1))
+      else (f"q$i%02d", q(1.0), q(1.0))
+    }
+    assert(classify(harnessNoise, Map.empty).verdicts.isEmpty)
+    // the same row with a REAL engine regression flags severe, and its
+    // p3 compares in the same engine lane: an isolated re-run back at
+    // engine pass-1 level exonerates even if its wall stays noisy
+    val engineReg = (0 until 10).map { i =>
+      if (i == 4)
+        ("q04", QStat(3.0, 0, 0, 0, 0L, 1.0, eng = 1.0),
+          QStat(8.0, 0, 0, 0, 0L, 1.0, eng = 6.0))
+      else (f"q$i%02d", q(1.0), q(1.0))
+    }
+    val flagged = classify(engineReg, Map.empty)
+    assert(flagged.verdicts.size == 1 && flagged.verdicts.head.severe &&
+      flagged.verdicts.head.p1 == 1.0 && flagged.verdicts.head.p2 == 6.0,
+      s"engine-lane verdict wrong: ${flagged.verdicts}")
+    assert(flagged.status == "unhealthy")
+    val exonerated = classify(engineReg, Map("q04" -> 1.2))
+    assert(exonerated.verdicts.head.transient && exonerated.status == "ok")
+    // a plain batch row (eng = 0) still gates on wall exactly as before
+    val batch = stats(10, Map(4 -> 8.0))
+    assert(classify(batch, Map.empty).verdicts.size == 1)
+  }
+
   test("driftFlags: ratio+absolute gate, sf-changed rows skipped, new rows ignored") {
     import Bench.{CurRow, PrevRow}
     val prev = Map(

@@ -154,6 +154,10 @@ class CollectLintSpec extends SparkSpec {
       // bounded driver reads as their unpruned twins
       "stream_asof_ttl",
       "state_inspect_asof_ttl",
+      // stream_lexical_ttl: the windowed postings replay — the same
+      // posture plus a full-redelivery compaction incarnation; the
+      // finish reads the retained state and collects the bounded top-k
+      "stream_lexical_ttl",
       // index_build / index_serve: the build-once/serve-many split — the
       // FIRST of the two constructed in a session writes the parquet
       // artifacts (a declared prepared-index build, the ivfTopKKmeans
