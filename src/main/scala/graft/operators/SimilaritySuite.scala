@@ -111,6 +111,22 @@ object SimilaritySuite {
     graft.streaming.StreamReplay.stateInspectAnn(spark, dir,
       Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
 
+  /** Sliding-window streaming ANN — see
+    * [[graft.streaming.StreamReplay.streamedAnnTtl]]. Same centroids
+    * and probe width as stream_ann; the oracle adds the
+    * query − neighbor ≤ windowDays predicate.
+    */
+  def streamAnnTtl(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.streamedAnnTtl(spark, dir,
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
+
+  /** Offline audit of the WINDOWED ANN index — see
+    * [[graft.streaming.StreamReplay.stateInspectAnnTtl]].
+    */
+  def stateInspectAnnTtl(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.stateInspectAnnTtl(spark, dir,
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
+
   /** Streaming hybrid retrieval: the online cell-keyed index + the
     * static lexical top-k fused through the one RRF kernel, converging
     * to hybrid_retrieval_ivf's own oracle across a mid-stream restart —
@@ -701,6 +717,8 @@ object SimilaritySuite {
     "knn_label"     -> (knnLabel _),
     "hard_negatives" -> (hardNegatives _),
     "stream_ann"    -> (streamAnn _),
+    "stream_ann_ttl" -> (streamAnnTtl _),
+    "state_inspect_ann_ttl" -> (stateInspectAnnTtl _),
     "stream_rerank" -> (streamRerank _),
     "stream_hybrid" -> (streamHybrid _),
     "stream_hybrid_bm25" -> (streamHybridBm25 _),
@@ -982,6 +1000,72 @@ object SimilaritySuite {
        |FROM assign a JOIN probes p ON a.cell = p.cell
        |WHERE a.vec_id < p.query_id
        |QUALIFY rank <= 3""".stripMargin
+  }
+
+  /** Generated oracle for stream_ann_ttl: streamAnnOracle's candidate
+    * recompute with the sliding-window predicate — a neighbor is a
+    * candidate only when it arrived before the query AND within
+    * windowDays = (id span) // 2 of the query's own event time (the
+    * day-per-id convention makes that the integer predicate
+    * query_id − vec_id ≤ wdays, bit-identical to the engine's
+    * microsecond horizon arithmetic).
+    */
+  private def streamAnnTtlOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    s"""WITH w AS (
+       |  SELECT (max(vec_id) - min(vec_id)) // 2 AS wdays FROM embeddings),
+       |s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, e, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS qe, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) <= $ivfProbe)
+       |SELECT p.query_id, a.vec_id AS neighbor_id,
+       |       list_cosine_similarity(a.e, p.qe) AS cos,
+       |       CAST(row_number() OVER (PARTITION BY p.query_id
+       |         ORDER BY list_cosine_similarity(a.e, p.qe) DESC,
+       |                  a.vec_id ASC) AS INT) AS rank
+       |FROM assign a JOIN probes p ON a.cell = p.cell CROSS JOIN w
+       |WHERE a.vec_id < p.query_id
+       |  AND p.query_id - a.vec_id <= w.wdays
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
+  /** Generated oracle for state_inspect_ann_ttl: the per-cell occupancy
+    * recompute restricted to the retention window — after the
+    * full-redelivery compaction, each cell holds exactly the newest
+    * windowDays of its assigned vectors (cutoff = max id − span // 2).
+    */
+  private def stateAnnTtlOracle: String = {
+    val cents = Similarity.ivfCentroids(ivfCells, dim, seed)
+    val scores = cents.map(c => s"list_dot_product(e, ${sqlArr(c)})")
+    val cellIds = (0 until ivfCells).mkString("[", ", ", "]")
+    s"""WITH w AS (
+       |  SELECT max(vec_id) - ((max(vec_id) - min(vec_id)) // 2) AS cut
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cells AS (
+       |  SELECT vec_id, e,
+       |         unnest(${scores.mkString("[", ",\n                 ", "]")}) AS score,
+       |         unnest($cellIds) AS cell
+       |  FROM s),
+       |assign AS (
+       |  SELECT vec_id, cell FROM cells
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, cell DESC) = 1)
+       |SELECT cell, count(*) AS n_vectors,
+       |       CAST(sum(vec_id) AS BIGINT) AS id_sum
+       |FROM assign, w WHERE vec_id >= w.cut GROUP BY cell""".stripMargin
   }
 
   /** Generated oracle for state_inspect_ann: streamAnnOracle's cell-
@@ -1288,7 +1372,9 @@ object SimilaritySuite {
     "embed_ann" -> annOracle,
     "embed_ivf" -> ivfOracle,
     "stream_ann" -> streamAnnOracle,
+    "stream_ann_ttl" -> streamAnnTtlOracle,
     "state_inspect_ann" -> stateAnnOracle,
+    "state_inspect_ann_ttl" -> stateAnnTtlOracle,
     "stream_rerank" -> streamRerankOracle,
     "late_interaction" -> lateInteractionOracle,
     // same bit-exact cosine + rank tie-breaks as embed_topk; vote ties

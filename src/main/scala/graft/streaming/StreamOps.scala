@@ -1027,6 +1027,25 @@ object StreamOps {
     * applies to its autoBits widths. The fixture run uses the batch
     * twin's 8 cells so the two sides share oracle literals.
     */
+  /** The exact cosine kernel of the streaming ANN indexes — sequential
+    * double accumulation over float32 components, the same op order as
+    * DotProduct/norm2Native — ONE definition shared by [[CellAnnIndex]]
+    * and [[CellAnnIndexTtl]] so the windowed twin cannot drift by a bit.
+    */
+  private def annCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+    s / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   final class CellAnnIndex
     extends StatefulProcessor[Int, CellQuery, AnnHit] {
     @transient private var index: ListState[CellVec] = _
@@ -1034,19 +1053,7 @@ object StreamOps {
       index = getHandle.getListState[CellVec]("index",
         Encoders.product[CellVec], TTLConfig.NONE)
 
-    private def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      val n = math.min(a.length, b.length)
-      var s = 0.0
-      var na = 0.0
-      var nb = 0.0
-      var i = 0
-      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      i = 0
-      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
-      i = 0
-      while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
-      s / (math.sqrt(na) * math.sqrt(nb))
-    }
+    private def cos(a: Seq[Float], b: Seq[Float]): Double = annCos(a, b)
 
     override def handleInputRows(key: Int, rows: Iterator[CellQuery],
                                  timers: TimerValues): Iterator[AnnHit] = {
@@ -1076,6 +1083,78 @@ object StreamOps {
     rows.groupByKey(_.cell)(Encoders.scalaInt)
       .transformWithState(new CellAnnIndex, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** [[CellQuery]] plus the vector's event time — the wire row of the
+    * SLIDING-WINDOW streaming ANN. */
+  final case class CellQueryTs(cell: Int, vecId: Long, emb: Seq[Float],
+                               insert: Boolean, tsUs: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class CellVecTs(vecId: Long, emb: Seq[Float], ts: Long)
+
+  /** [[CellAnnIndex]] with WATERMARK-BOUND RETENTION — sliding-window
+    * arrival-order ANN (the recency-bounded recommendation/feed shape:
+    * "neighbors among vectors that arrived before me AND within the
+    * retention window of my own event time"). Three mechanisms, each
+    * load-bearing:
+    *   - per-PROBE window: candidates are residents with
+    *     ts ≥ arrival.ts − `lookbackUs` — a pure function of the two
+    *     rows' event times, so the emitted pair set is batching- and
+    *     restart-independent (an eviction-only design would make
+    *     emissions depend on where batch boundaries fell);
+    *   - EVICTION at batch start: residents older than watermark −
+    *     lookback leave the list — safe because any future in-order
+    *     arrival's window starts at or after that horizon, and
+    *     redeliveries below it are gated;
+    *   - ARRIVAL GATE: a row below the horizon neither inserts, nor
+    *     scores, nor emits (it is out of retention — and a redelivered
+    *     copy of an evicted vector must not re-inflate the store).
+    * State per cell is the window's residents however long the stream
+    * runs; the eviction scan is O(resident), the same cost the probe
+    * scan already pays. Cosine is the SAME [[annCos]] kernel as the
+    * unpruned index — bit-identical scores. Requires TimeMode.EventTime.
+    */
+  final class CellAnnIndexTtl(lookbackUs: Long)
+    extends StatefulProcessor[Int, CellQueryTs, AnnHit] {
+    @transient private var index: ListState[CellVecTs] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      index = getHandle.getListState[CellVecTs]("index",
+        Encoders.product[CellVecTs], TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[CellQueryTs],
+                                 timers: TimerValues): Iterator[AnnHit] = {
+      val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
+      val all = index.get().toArray
+      val resident = all.filter(_.ts >= horizonUs)
+      if (resident.length != all.length) index.put(resident)
+      val seen = scala.collection.mutable.Set(resident.map(_.vecId): _*)
+      val added = scala.collection.mutable.ArrayBuffer.empty[CellVecTs]
+      val hits = scala.collection.mutable.ArrayBuffer.empty[AnnHit]
+      rows.toArray.sortBy(_.vecId).foreach { r =>
+        if (r.tsUs >= horizonUs) {
+          (resident.iterator ++ added.iterator)
+            .filter(o => o.vecId < r.vecId && o.ts >= r.tsUs - lookbackUs)
+            .foreach(o => hits += AnnHit(r.vecId, o.vecId, annCos(r.emb, o.emb)))
+          if (r.insert && !seen(r.vecId)) {
+            added += CellVecTs(r.vecId, r.emb, r.tsUs)
+            seen += r.vecId
+          }
+        }
+      }
+      if (added.nonEmpty) index.appendList(added.toArray)
+      hits.iterator
+    }
+  }
+
+  /** Streaming sliding-window ANN candidates: see [[CellAnnIndexTtl]].
+    * The caller must `.withWatermark` an event-time column on `rows`
+    * first.
+    */
+  def annHitsTtl(rows: Dataset[CellQueryTs],
+                 lookbackUs: Long): Dataset[AnnHit] = {
+    implicit val enc = Encoders.product[AnnHit]
+    rows.groupByKey(_.cell)(Encoders.scalaInt)
+      .transformWithState(new CellAnnIndexTtl(lookbackUs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** One change-data row over the wire: op ∈ I/U/D, per-key monotone

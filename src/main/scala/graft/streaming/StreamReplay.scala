@@ -3251,13 +3251,14 @@ object StreamReplay {
     * topic's converged postings, or the checkpoint's map state) BEFORE
     * the temp dirs are deleted.
     */
-  /** The DAY-PER-DOC event-time convention of the windowed lexical
-    * replay: document `doc_id` "arrives" at doc_id days past the epoch —
-    * day-aligned, so the watermark's ms truncation is exact. ONE
-    * definition for the wire projection, the horizon arithmetic, and
-    * the finish's window cutoff.
+  /** The DAY-PER-ID event-time convention of the windowed replays:
+    * row id k "arrives" at k days past the epoch — day-aligned, so the
+    * watermark's ms truncation is exact. ONE definition for the wire
+    * projections, the horizon arithmetic, and the finishes' window
+    * cutoffs (shared by the windowed lexical and ANN replays).
     */
-  private val LexDayUs = 86400000000L
+  private val DayUs = 86400000000L
+  private val LexDayUs = DayUs
 
   /** The windowed replay's retention cutoff: retain the newest 3/5 of
     * the doc_id span (integer arithmetic — DuckDB's `//` on the oracle
@@ -3437,10 +3438,17 @@ object StreamReplay {
     * (round-14 verdict flagged the old boolean return-schema switch as
     * the seam that would grow a third mode badly).
     */
+  /** The windowed ANN replay's retention, in id-days: the newest HALF
+    * of the vec_id span (integer floor — DuckDB's `// 2` computes the
+    * identical value on the oracle side).
+    */
+  private[graft] def annWindowDays(lo: Long, hi: Long): Long = (hi - lo) / 2
+
   private def streamedAnnCore(spark: SparkSession, dir: String,
                               centroids: Seq[Seq[Double]], nProbe: Int,
                               rerank: Option[(Int, Int)],
-                              outSchema: org.apache.spark.sql.types.StructType)(
+                              outSchema: org.apache.spark.sql.types.StructType,
+                              windowed: Boolean = false)(
                               finish: (SparkSession, String, graft.sources.FileTopic)
                                 => Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.sources.FileTopic
@@ -3471,18 +3479,38 @@ object StreamReplay {
       .filter(col("vec_id") >= from &&
         (if (last) lit(true) else col("vec_id") < until)).coalesce(1)
     def drain(): Unit = {
-      implicit val enc =
-        org.apache.spark.sql.Encoders.product[StreamOps.CellQuery]
-      val routed = in.stream(child)
-        .select(col("vec_id"), col("embedding"),
-          posexplode(Similarity.probeCells(col("embedding"), centroids,
-            nProbe)))
-        .select(col("col.cell").as("cell"), col("vec_id").as("vecId"),
-          col("embedding").as("emb"), (col("pos") === 0).as("insert"))
-        .as[StreamOps.CellQuery]
-      val raw = StreamOps.annHits(routed).toDF()
-        .select(col("queryId").as("query_id"),
-          col("neighborId").as("neighbor_id"), col("cos"))
+      val raw = if (windowed) {
+        implicit val enc =
+          org.apache.spark.sql.Encoders.product[StreamOps.CellQueryTs]
+        require(rerank.isEmpty, "windowed ANN replay carries no rerank")
+        val routed = in.stream(child)
+          .withColumn("ets", timestamp_micros(col("vec_id") * DayUs))
+          .withWatermark("ets", "0 seconds")
+          .select(col("vec_id"), col("embedding"),
+            posexplode(Similarity.probeCells(col("embedding"), centroids,
+              nProbe)))
+          .select(col("col.cell").as("cell"), col("vec_id").as("vecId"),
+            col("embedding").as("emb"), (col("pos") === 0).as("insert"),
+            (col("vec_id") * DayUs).as("tsUs"))
+          .as[StreamOps.CellQueryTs]
+        StreamOps.annHitsTtl(routed,
+            annWindowDays(lo, hi) * DayUs).toDF()
+          .select(col("queryId").as("query_id"),
+            col("neighborId").as("neighbor_id"), col("cos"))
+      } else {
+        implicit val enc =
+          org.apache.spark.sql.Encoders.product[StreamOps.CellQuery]
+        val routed = in.stream(child)
+          .select(col("vec_id"), col("embedding"),
+            posexplode(Similarity.probeCells(col("embedding"), centroids,
+              nProbe)))
+          .select(col("col.cell").as("cell"), col("vec_id").as("vecId"),
+            col("embedding").as("emb"), (col("pos") === 0).as("insert"))
+          .as[StreamOps.CellQuery]
+        StreamOps.annHits(routed).toDF()
+          .select(col("queryId").as("query_id"),
+            col("neighborId").as("neighbor_id"), col("cos"))
+      }
       val hits = rerank match {
         case Some((nt, sd)) =>
           // in-stream rerank: stream-static joins attach the vectors,
@@ -3516,9 +3544,70 @@ object StreamReplay {
       in.append(range(q2hi, lo + 3 * quarter, last = false))
       in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
       drain() // incarnation 2
+      if (windowed) {
+        // incarnation 3: the committed watermark now sits at day(hi), so
+        // the horizon is exactly day(hi − windowDays) — a FULL corpus
+        // redelivery touches every cell ever written (in-window rows are
+        // resident, below-horizon rows are gated; re-emissions are
+        // subsets of the originals and the finish's distinct absorbs
+        // them), compacting the whole index to the retention window the
+        // state audit reads
+        in.append(range(lo, Long.MaxValue, last = true))
+        drain()
+      }
       val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** [[streamedAnn]] under WATERMARK-BOUND RETENTION — sliding-window
+    * arrival-order ANN (round-17, completing the r16 verdict's TTL ask
+    * across all three online indexes): vectors stream with day-per-id
+    * event times through [[StreamOps.CellAnnIndexTtl]]; each arrival
+    * retrieves neighbors that arrived before it AND within the
+    * retention window of its own event time (the per-probe predicate
+    * makes the emitted pair set batching- and restart-independent),
+    * residents age out at the watermark horizon, and below-horizon
+    * redeliveries are gated. Converges to the WINDOWED generated
+    * oracle — the stream_ann candidate recompute with the
+    * query − neighbor ≤ windowDays predicate — so a resident that
+    * outlived the window, an eviction that fired early, or a
+    * re-admitted evicted vector each moves some query's top-k.
+    */
+  def streamedAnnTtl(spark: SparkSession, dir: String,
+                     centroids: Seq[Seq[Double]], nProbe: Int,
+                     k: Int = 3): DataFrame =
+    streamedAnnCore(spark, dir, centroids, nProbe, rerank = None,
+      annRankSchema("cos"), windowed = true)(annTopKFinish("cos", k))
+
+  /** Offline audit of the WINDOWED ANN index ([[streamedAnnTtl]]'s
+    * checkpoint after the full-redelivery compaction): the ListState
+    * read must hold EXACTLY the newest windowDays of each cell's
+    * assigned vectors — per-cell occupancy + id checksum against the
+    * cutoff-filtered centroid-literal recompute. An un-evicted
+    * straggler, an over-eager eviction, or a gate that re-admitted an
+    * evicted vector each moves its cell's row.
+    */
+  def stateInspectAnnTtl(spark: SparkSession, dir: String,
+                         centroids: Seq[Seq[Double]],
+                         nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val auditSchema = StructType(Seq(
+      StructField("cell", IntegerType),
+      StructField("n_vectors", LongType),
+      StructField("id_sum", LongType)))
+    streamedAnnCore(spark, dir, centroids, nProbe, rerank = None,
+      auditSchema, windowed = true) { (child, ckpt, _) =>
+      child.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "index")
+        .load()
+        .select(col("key.value").as("cell"),
+          col("list_element.vecId").as("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("id_sum"))
+        .collect()
+    }
   }
 
   /** Offline checkpoint-state audit via Spark 4's STATE DATA SOURCE —

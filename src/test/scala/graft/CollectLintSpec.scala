@@ -158,6 +158,11 @@ class CollectLintSpec extends SparkSpec {
       // posture plus a full-redelivery compaction incarnation; the
       // finish reads the retained state and collects the bounded top-k
       "stream_lexical_ttl",
+      // stream_ann_ttl / state_inspect_ann_ttl: the sliding-window ANN
+      // replay (stream_ann posture + the compaction incarnation); the
+      // driver reads are the bounded top-k / per-cell audit rows
+      "stream_ann_ttl",
+      "state_inspect_ann_ttl",
       // index_build / index_serve: the build-once/serve-many split — the
       // FIRST of the two constructed in a session writes the parquet
       // artifacts (a declared prepared-index build, the ivfTopKKmeans
