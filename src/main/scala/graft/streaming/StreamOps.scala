@@ -1125,7 +1125,12 @@ object StreamOps {
       val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
       val all = index.get().toArray
       val resident = all.filter(_.ts >= horizonUs)
-      if (resident.length != all.length) index.put(resident)
+      // a fully-evicted cell must clear(), not put(): the state store
+      // rejects empty list writes (caught by RetentionSpec — the replay
+      // fixtures never evict a whole cell, every cell spans the id range)
+      if (resident.length != all.length) {
+        if (resident.isEmpty) index.clear() else index.put(resident)
+      }
       val seen = scala.collection.mutable.Set(resident.map(_.vecId): _*)
       val added = scala.collection.mutable.ArrayBuffer.empty[CellVecTs]
       val hits = scala.collection.mutable.ArrayBuffer.empty[AnnHit]

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Mechanism-level pins for the watermark-bound retention processors
+  * (round 17). The replay queries (stream_asof_ttl / stream_lexical_ttl
+  * / stream_ann_ttl) prove the END-TO-END contracts against DuckDB
+  * oracles; this spec drives each processor through tiny synthetic
+  * batches where every mechanism is individually observable — SCD
+  * compaction keeps exactly the newest below-horizon entry under the
+  * probe tie order, the arrival gate refuses a redelivered evicted row,
+  * and the ANN per-probe window excludes a STILL-RESIDENT vector — so a
+  * refactor that breaks one mechanism fails here by name instead of as
+  * an opaque replay hash mismatch.
+  *
+  * Batching discipline: the watermark for batch N is the max event time
+  * of batches < N, so each test advances it with a "clock" row on an
+  * unrelated key one batch before the behavior under test.
+  */
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lookbackUs = 500000000L // 500 s
+
+  test("AsOfIndexTtl: SCD representative survives compaction; gate refuses evicted redelivery") {
+    val input = MemoryStream[StreamOps.AsOfRow](spark)
+    val rows = input.toDS().toDF()
+      .withColumn("ets", timestamp_micros(col("ts")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("key"), col("isProbe"), col("id"), col("ts"), col("price"))
+      .as[StreamOps.AsOfRow]
+    val ckpt = tmpDir("asofttl_ckpt")
+    val q = StreamOps.asOfIndexTtl(rows, lookbackUs).toDF()
+      .writeStream.format("memory").queryName("asofttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    def rev(key: Long, id: Long, tsS: Long, p: Double) =
+      StreamOps.AsOfRow(key, isProbe = false, id, tsS * 1000000L, p)
+    def probe(key: Long, id: Long, tsS: Long) =
+      StreamOps.AsOfRow(key, isProbe = true, id, tsS * 1000000L, 0.0)
+    try {
+      // all of key 1's history sits below the coming horizon (500 s);
+      // two revisions tie at ts 300 — the rep must be the HIGHER id
+      input.addData(rev(1, 11, 100, 11.0), rev(1, 12, 200, 12.0),
+        rev(1, 31, 300, 31.0), rev(1, 32, 300, 32.0))
+      q.processAllAvailable()
+      input.addData(rev(99, 991, 1000, 99.0)) // clock: watermark -> 1000 s
+      q.processAllAvailable()
+      // horizon is now 500 s: key 1 compacts to the single newest
+      // below-horizon revision (ts 300, id 32); the probe must still
+      // answer it — an evict-all design would answer null
+      input.addData(probe(1, 71, 950))
+      q.processAllAvailable()
+      // the gate: a redelivered copy of the EVICTED revision 11 must
+      // not re-enter; the next probe still answers the representative
+      input.addData(rev(1, 11, 100, 11.0), probe(1, 72, 960))
+      q.processAllAvailable()
+    } finally q.stop()
+    val answers = spark.table("asofttl")
+      .select($"eventId", $"orderKey", $"price")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    // both probes answer the representative, and the ts-300 tie MUST
+    // have broken to the higher id (the probe tie order)
+    assert(answers == Set((71L, Some(32L), Some(32.0)),
+      (72L, Some(32L), Some(32.0))), s"probe answers: $answers")
+    // the store holds EXACTLY the representative for key 1 (and the
+    // clock revision for key 99, which sits inside the horizon)
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "revisions").load()
+      .select(col("key.value").as("k"), col("user_map_key.value").as("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(state == Set((1L, 32L), (99L, 991L)), s"retained state: $state")
+  }
+
+  test("PostingsIndexTtl: touched lists compact to the window; evicted doc cannot re-enter") {
+    val input = MemoryStream[StreamOps.DocTermTs](spark)
+    val rows = input.toDS().toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("h"), col("docId"), col("tf"), col("tsUs"))
+      .as[StreamOps.DocTermTs]
+    val ckpt = tmpDir("lexttl_ckpt")
+    val q = StreamOps.postingsIndexTtl(rows, lookbackUs).toDF()
+      .writeStream.format("memory").queryName("lexttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    def dt(h: Long, doc: Long, tf: Long, tsS: Long) =
+      StreamOps.DocTermTs(h, doc, tf, tsS * 1000000L)
+    try {
+      input.addData(dt(7, 1, 3, 100), dt(7, 2, 5, 200))
+      q.processAllAvailable()
+      input.addData(dt(9, 9, 1, 1000)) // clock: watermark -> 1000 s
+      q.processAllAvailable()
+      // horizon 500 s: docs 1 and 2 leave h=7's list when it is touched;
+      // the redelivered doc 1 is refused at the gate; doc 8 enters
+      input.addData(dt(7, 8, 2, 990), dt(7, 1, 3, 100))
+      q.processAllAvailable()
+    } finally q.stop()
+    // emissions: each posting once, at insert (the evicted redelivery
+    // emitted nothing)
+    val emitted = spark.table("lexttl")
+      .select($"h", $"docId").as[(Long, Long)].collect().toSet
+    assert(emitted == Set((7L, 1L), (7L, 2L), (7L, 8L), (9L, 9L)),
+      s"emitted postings: $emitted")
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "postings").load()
+      .select(col("key.value").as("h"),
+        col("user_map_key.value").as("doc"),
+        col("user_map_value.tf").as("tf"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(state == Set((7L, 8L, 2L), (9L, 9L, 1L)),
+      s"retained postings: $state")
+  }
+
+  test("CellAnnIndexTtl: per-probe window excludes a resident; horizon evicts and gates") {
+    val e = Seq(1.0f, 0.0f)
+    val input = MemoryStream[StreamOps.CellQueryTs](spark)
+    val rows = input.toDS().toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("cell"), col("vecId"), col("emb"), col("insert"),
+        col("tsUs"))
+      .as[StreamOps.CellQueryTs]
+    val ckpt = tmpDir("annttl_ckpt")
+    val q = StreamOps.annHitsTtl(rows, lookbackUs).toDF()
+      .writeStream.format("memory").queryName("annttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    def v(vec: Long, tsS: Long) =
+      StreamOps.CellQueryTs(0, vec, e, insert = true, tsS * 1000000L)
+    try {
+      // vec 60's own window reaches back to 100 s, so vec 10 (150 s)
+      // is a candidate in-batch
+      input.addData(v(10, 150), v(60, 600))
+      q.processAllAvailable()
+      // vec 70 (700 s): vec 10 is STILL RESIDENT (horizon is only
+      // 100 s) but outside 70's window (>= 200 s) — per-probe filter,
+      // not eviction, must exclude it
+      input.addData(v(70, 700))
+      q.processAllAvailable()
+      input.addData(StreamOps.CellQueryTs(5, 999, e, insert = true,
+        2000L * 1000000L)) // clock on another cell: watermark -> 2000 s
+      q.processAllAvailable()
+      // horizon 1500 s: touching cell 0 evicts everything resident, and
+      // vec 71 (710 s) itself sits below the horizon — gated, so it
+      // neither scores nor inserts nor emits
+      input.addData(v(71, 710))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("annttl")
+      .select($"queryId", $"neighborId").as[(Long, Long)].collect().toSet
+    assert(hits == Set((60L, 10L), (70L, 60L)), s"hits: $hits")
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "index").load()
+      .select(col("key.value").as("cell"),
+        col("list_element.vecId").as("vec"))
+      .as[(Int, Long)].collect().toSet
+    assert(state == Set((5, 999L)), s"retained index: $state")
+  }
+}

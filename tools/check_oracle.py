@@ -62,15 +62,23 @@ def _sort_key(v):
     # object columns can hold lists/arrays (unorderable across rows with
     # scalars) — sort on a stable string form; comparison stays exact in
     # cmp_cell
-    if v is None:
+    if _is_null(v):
         return ""
     if _is_seq(v):
         return repr(list(v))
     return repr(v)
 
 
+def _is_null(v):
+    # SQL NULL surfaces as None from pyarrow but as float nan from
+    # DuckDB's pandas fetch (e.g. a NULL BOOLEAN column) — one null
+    if v is None:
+        return True
+    return isinstance(v, float) and math.isnan(v)
+
+
 def cmp_cell(a, b):
-    if a is None and b is None:
+    if _is_null(a) and _is_null(b):
         return True
     # arrays/lists: elementwise (numpy == would yield an array)
     a_seq, b_seq = _is_seq(a), _is_seq(b)
@@ -101,7 +109,7 @@ def dtype_name(series):
     dt = str(series.dtype)
     if dt == "object":
         for v in series:
-            if v is None:
+            if _is_null(v):
                 continue
             if isinstance(v, Decimal):
                 return "object[Decimal]"
