@@ -174,13 +174,22 @@ object Bench {
     // p2 contributions are replaced by their isolated p3 re-measurements,
     // so a single 18 s one-off can't fail the ratio gate on its own — but
     // a broad un-attributed slowdown still does. Totals stay WALL-based
-    // (the pass is a wall-clock fact); for a replay row the exonerated
-    // excess is its engine-lane delta — an under-exoneration that can
-    // only make the gate stricter, never hide a slowdown.
+    // (the pass is a wall-clock fact); for a replay row the verdict's
+    // p2−p3 delta lives in the ENGINE lane, and wall excess = engine
+    // excess + harness drift, which can run EITHER way — if the isolated
+    // p3's harness share undercuts p2's, the engine-lane delta exceeds
+    // the row's wall delta and an uncapped subtraction would LOOSEN the
+    // wall-based gate (ADVICE r17). Cap each row's subtracted excess at
+    // its own pass-2-vs-pass-1 wall delta: never more wall is forgiven
+    // than the row actually added to the pass-2 total.
     val pass1Total = stats.map(_._2.sec).sum
     val pass2Total = stats.map(_._3.sec).sum
     val exoneratedExcess = verdicts.collect {
-      case v if v.transient => v.p2 - v.p3.getOrElse(v.p2)
+      case v if v.transient =>
+        val laneExcess = math.max(0.0, v.p2 - v.p3.getOrElse(v.p2))
+        val wallDelta =
+          math.max(0.0, stats(v.idx)._3.sec - stats(v.idx)._2.sec)
+        math.min(laneExcess, wallDelta)
     }.sum
     val pass2Adj = pass2Total - exoneratedExcess
     val status =
@@ -594,12 +603,19 @@ object Bench {
       .take(12)
       .map { case (n, _, _) => n -> measure("3", n, selected(n)) }
       .toMap
+    // The verdict lane is decided by BOTH suite passes (eng > 0 on p1
+    // and p2 — classify's `lane`); the p3 value must live in that same
+    // lane, THREADED from the suite stats rather than inferred from the
+    // p3 stat alone (ADVICE r17: a row gating on wall because p2 lost
+    // its engine metric must not exonerate against an engine-lane p3).
+    // An engine-lane row whose p3 lost ITS engine metric falls back to
+    // the p3 wall — wall ≥ engine, so exoneration only gets harder.
+    val engLane = stats.collect {
+      case (n, s1, s2) if s1.eng > 0 && s2.eng > 0 => n
+    }.toSet
     val hc = classify(stats,
-      // lane-consistent with classify's verdicts: a replay row's p3
-      // compares in engine seconds (its suite passes carry eng > 0 and
-      // the isolated re-run measures the same accumulated engine wall)
       p3.collect { case (n, s) if s.ok =>
-        n -> (if (s.eng > 0) s.eng else s.sec) },
+        n -> (if (engLane(n) && s.eng > 0) s.eng else s.sec) },
       p3.collect { case (n, s) if !s.ok => n }.toSet)
     val verdicts = hc.verdicts
     val band = hc.band

@@ -474,8 +474,13 @@ object StreamOps {
     * horizon H = watermark − `lookbackUs`, each key retains every
     * revision with ts ≥ H PLUS the single newest revision below H (max
     * ts, then max id — the probe tie order). Any probe with ts ≥ H
-    * therefore answers IDENTICALLY to the unpruned index: its as-of
-    * match is either a retained recent revision or exactly the kept
+    * therefore answers IDENTICALLY to the unpruned index — ASSUMING no
+    * revision's FIRST delivery arrives more than the lookback behind
+    * the watermark (the standard streaming late-data caveat, ADVICE
+    * r17: the arrival gate below cannot distinguish such a late first
+    * delivery from a redelivery of an evicted id, and refusing it is
+    * what keeps the bound real). Under that assumption the match is
+    * either a retained recent revision or exactly the kept
     * representative; naive prune-all-below-H would instead null out
     * every probe whose key has been quiet since before the horizon.
     * Probes older than the horizon are outside the retention contract

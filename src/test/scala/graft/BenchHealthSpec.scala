@@ -229,6 +229,23 @@ class BenchHealthSpec extends AnyFunSuite {
     assert(classify(batch, Map.empty).verdicts.size == 1)
   }
 
+  test("exonerated excess is capped at the row's WALL delta (ADVICE r17)") {
+    // engine-lane transient: lane excess p2−p3 = 6.0−1.2 = 4.8 but the
+    // row only added 7.0−3.0 = 4.0 s of wall to pass 2 (the isolated
+    // re-run's harness share undercut p2's) — the wall-based ratio gate
+    // must forgive at most the wall the row actually contributed
+    val rows = (0 until 10).map { i =>
+      if (i == 4)
+        ("q04", QStat(3.0, 0, 0, 0, 0L, 1.0, eng = 1.0),
+          QStat(7.0, 0, 0, 0, 0L, 1.0, eng = 6.0))
+      else (f"q$i%02d", q(1.0), q(1.0))
+    }
+    val h = classify(rows, Map("q04" -> 1.2))
+    assert(h.verdicts.size == 1 && h.verdicts.head.transient)
+    // pass2Total = 9 + 7 = 16; capped exoneration = 4.0 (not 4.8)
+    assert(math.abs(h.pass2Adj - 12.0) < 1e-9, s"pass2Adj: ${h.pass2Adj}")
+  }
+
   test("driftFlags: ratio+absolute gate, sf-changed rows skipped, new rows ignored") {
     import Bench.{CurRow, PrevRow}
     val prev = Map(
