@@ -725,10 +725,39 @@ object SimilaritySuite {
     indexServeFrom(fresh, dir, graft.sources.IndexStore.loadOnly(fresh, dir))
   }
 
+  /** index_serve AS A STREAM — requests over the wire answered from the
+    * persisted artifacts, mid-stream restart + redelivered wave; see
+    * [[graft.streaming.StreamReplay.streamedIndexServe]]. Same centroid
+    * literals and probe width as index_serve, same oracle.
+    */
+  def streamIndexServe(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.streamedIndexServe(spark, dir,
+      builtIndexRoot(spark, dir),
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe, fusedK)
+
+  /** The streaming serve plan over an in-memory wire stand-in — for
+    * PlanSpec's no-corpus-scan pin (the replay's FileTopic wire has the
+    * same schema; the plan's static sides are identical either way).
+    */
+  private[graft] def streamIndexServePlanFrame(spark: SparkSession,
+                                               dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val wire = spark.readStream.schema(wireSchema).format("json")
+      .load(java.nio.file.Files
+        .createTempDirectory("graft_serve_plan").toString)
+    graft.streaming.StreamReplay.indexServeStreamFrame(wire,
+      builtIndexRoot(spark, dir),
+      Similarity.ivfCentroids(ivfCells, dim, seed), ivfProbe)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "index_build" -> (indexBuild _),
     "index_serve" -> (indexServe _),
     "index_serve_restart" -> (indexServeRestart _),
+    "stream_index_serve" -> (streamIndexServe _),
     "hybrid_retrieval" -> ((s: SparkSession, d: String) =>
       hybridRetrieval(s, d)),
     "hybrid_retrieval_ivf" -> ((s: SparkSession, d: String) =>
@@ -1334,6 +1363,10 @@ object SimilaritySuite {
     // property, never a semantic change (loadOnly throws on a missing
     // or stale entry rather than silently rebuilding)
     "index_serve_restart" -> hybridOracleOver(ivfOracle),
+    // requests streamed over the wire, answered from the loaded
+    // artifacts via stream-static joins with a mid-stream restart and a
+    // redelivered request wave — converges to the SAME fused ranking
+    "stream_index_serve" -> hybridOracleOver(ivfOracle),
     "hybrid_bm25" -> hybridOracleOver(ivfOracle, "bm25_retrieval"),
     // the streaming twin must converge to the identical fused ranking —
     // hybrid_retrieval_ivf's oracle verbatim is the whole point (the

@@ -3832,4 +3832,157 @@ object StreamReplay {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
+
+  /** The wire shape of one retrieval REQUEST: a request carries its own
+    * content (the text to shingle, the vector to probe) — request
+    * processing is per-row work, never a corpus lookup.
+    */
+  private val indexServeWireSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("query_id", LongType), StructField("text", StringType),
+      // FLOAT, not DOUBLE: JSON round-trips a float's shortest decimal
+      // repr back to the identical float, while parsing it as double
+      // would land on a DIFFERENT double than widening the float —
+      // bit-identity with the batch cosine would break
+      StructField("embedding", ArrayType(FloatType))))
+  }
+
+  /** One candidate emission of the streaming serve — both tails union
+    * into this shape (lex rows carry h/contrib, sem rows carry cos).
+    */
+  private val indexServeCandSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("query_id", LongType), StructField("src", StringType),
+      StructField("cand", LongType), StructField("h", LongType),
+      StructField("contrib", LongType), StructField("cos", DoubleType)))
+  }
+
+  /** The STREAMING serve plan over the PERSISTED artifacts — exposed as
+    * a frame so PlanSpec can pin what matters at 100 TB: the plan reads
+    * the loaded artifact parquet (stream-static joins against
+    * ivf_cells and the capped/weighted lex postings) and NEVER the
+    * corpus tables — queries arrive over the wire carrying their own
+    * content. Entirely STATELESS (projections + stream-static joins):
+    * per-request work is |query shingles| posting probes + nProbe cell
+    * probes, at-least-once redelivery is absorbed by the finish's
+    * distinct (every candidate row is a pure function of its request),
+    * and a restart needs only offset recovery.
+    */
+  private[graft] def indexServeStreamFrame(wire: DataFrame, root: String,
+      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    import graft.functions.TextFunctions.shingleHashes
+    import graft.functions.VectorFunctions.{dotNative, norm2Native}
+    import graft.operators.Similarity
+    val spark = wire.sparkSession
+    // the corpus size is a one-value artifact — loaded ONCE at plan
+    // build (a bounded artifact read, the same posture as the centroid
+    // literals), so the idf weight and the df·4 ≤ N stopword cap fold
+    // into the static side and the stream-static join stays single-key
+    val nDocs = spark.read.parquet(s"$root/lex_n").head().getLong(0)
+    val tfw = spark.read.parquet(s"$root/lex_tf")
+      .join(spark.read.parquet(s"$root/lex_df"), "h")
+      .filter(col("df") * 4 <= nDocs)
+      .select(col("h"), col("doc_id"),
+        expr(s"tf * ((1000000 * ${nDocs}L) div df)").as("contrib"))
+    val lex = wire
+      .select(col("query_id"),
+        explode(shingleHashes(col("text"), 3)).as("h"))
+      .join(tfw, "h")
+      .select(col("query_id"), lit("lex").as("src"),
+        col("doc_id").as("cand"), col("h"), col("contrib"),
+        lit(null).cast("double").as("cos"))
+    val cells = spark.read.parquet(s"$root/ivf_cells")
+      .select(col("cell"), col("vec_id"), col("embedding").as("c_emb"))
+    val sem = wire
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        explode(Similarity.probeCells(col("embedding"), centroids,
+          nProbe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+      .join(cells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), lit("sem").as("src"),
+        col("vec_id").as("cand"), lit(null).cast("long").as("h"),
+        lit(null).cast("long").as("contrib"),
+        (dotNative(col("c_emb"), col("q_emb")) /
+          (norm2Native(col("c_emb")) * norm2Native(col("q_emb"))))
+          .as("cos"))
+    lex.unionAll(sem)
+  }
+
+  /** index_serve AS A STREAM (round-17 verdict ask #2) — the production
+    * serving posture the batch split still lacked: retrieval REQUESTS
+    * arrive over the production wire (each carrying its own text +
+    * vector — shingling and cell-probing are per-request projections)
+    * and are answered from the LOADED persisted artifacts via
+    * stream-static joins ([[indexServeStreamFrame]]); the corpus tables
+    * appear nowhere in the streaming plan (PlanSpec pins it). The
+    * replay publishes the 5 requests in two waves with a MID-STREAM
+    * CHECKPOINT RESTART between them, then REDELIVERS the first wave
+    * entirely (at-least-once producer retry): the reprocessed
+    * candidates are absorbed by the finish's distinct — every candidate
+    * row is a pure function of its request and the immutable artifacts,
+    * so serving is idempotent by construction, no dedup state needed.
+    * The finish ranks the converged candidate sets with the batch tie
+    * orders and fuses them through the SHARED
+    * [[graft.operators.SimilaritySuite.hybridFusionOf]] kernel —
+    * hash-matching index_serve's (= hybrid_retrieval_ivf's) oracle
+    * VERBATIM: online serving from the persisted index is an execution
+    * strategy, never a semantic change.
+    */
+  def streamedIndexServe(spark: SparkSession, dir: String, root: String,
+                         centroids: Seq[Seq[Double]], nProbe: Int,
+                         k: Int): DataFrame = {
+    import graft.sources.FileTopic
+    val child = replaySession(spark, shufflePartitions = 8)
+    val requests = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text"))
+      .join(Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+        Seq("query_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_idx_serve")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idx_serve_ckpt")
+    val in = new FileTopic("serve_req", indexServeWireSchema, tmp.toString)
+    val out = new FileTopic("serve_cand", indexServeCandSchema, tmp.toString)
+    def drain(): Unit = {
+      val cand = indexServeStreamFrame(in.stream(child), root, centroids,
+        nProbe)
+      val q = cand.writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      in.append(requests.filter(col("query_id") < 3).coalesce(1))
+      drain() // incarnation 1: offsets checkpointed
+      in.append(requests.filter(col("query_id") >= 3).coalesce(1))
+      in.append(requests.filter(col("query_id") < 3).coalesce(1)) // redelivery
+      drain() // incarnation 2: recovered offsets + idempotent re-serve
+      val cand = out.batch(child).distinct()
+      val lexRanked = cand.filter(col("src") === "lex")
+        .groupBy(col("query_id"), col("cand"))
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("cand").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("cand").as("doc_id"), col("rnk"))
+      val semRanked = cand.filter(col("src") === "sem")
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("cand").asc)))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("cand").as("neighbor_id"), col("rank"))
+      val fused = graft.operators.SimilaritySuite
+        .hybridFusionOf(lexRanked, semRanked, k)
+      val rows = fused.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), fused.schema)
+    } finally { deleteTree(ckpt); deleteTree(tmp) }
+  }
 }

@@ -170,6 +170,17 @@ class CollectLintSpec extends SparkSpec {
       // returned DataFrames stay lazy over the artifacts (no collects).
       "index_build",
       "index_serve",
+      // index_serve_restart: the same prepared-index posture plus the
+      // durable-store resolution (metadata fingerprint listing + a
+      // manifest read — bounded file-status ops, not data jobs); the
+      // fresh session's serve frame stays lazy over the artifacts
+      "index_serve_restart",
+      // stream_index_serve: requests over the wire answered from the
+      // loaded artifacts — replay posture (publish/drain jobs at
+      // construction); the lex_n artifact's one-value read folds the
+      // corpus size into the plan as a literal, and the driver collect
+      // is of the fused bounded top-k rows
+      "stream_index_serve",
       // stream_train_corpus: the composed corpus build online — replay
       // posture through CanonicalFirst's fingerprint ValueState;
       // construction also collects the BOUNDED benchmark shingle set

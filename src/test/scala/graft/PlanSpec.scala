@@ -325,6 +325,36 @@ class PlanSpec extends SparkSpec {
       s"inline hybrid unexpectedly stopped scanning the corpus:\n$inline")
   }
 
+  test("stream_index_serve's STREAMING plan reads artifacts, never the corpus") {
+    // the streaming serve answers requests (which carry their own text
+    // + vector) from the persisted artifacts via stream-static joins —
+    // the corpus tables must appear NOWHERE in the streaming plan: at
+    // 100 TB any corpus relation here is a per-micro-batch 100 TB scan
+    val frame = SimilaritySuite.streamIndexServePlanFrame(spark, dir)
+    // analyzed, not optimized: a streaming frame refuses batch
+    // optimization outside writeStream.start(). The analyzed tree's
+    // toString elides file paths, so read the resolved relations' root
+    // paths directly off the leaves.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val paths = frame.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+    assert(paths.nonEmpty, "no resolved file relations found in the plan")
+    assert(!paths.exists(_.contains("documents.parquet")),
+      s"the streaming serve plan reads the documents corpus: $paths")
+    assert(!paths.exists(_.contains("embeddings.parquet")),
+      s"the streaming serve plan reads the embeddings corpus: $paths")
+    // lex_n folds into the plan as a literal at build time (a one-value
+    // artifact read), so the leaf relations are the three table-shaped
+    // artifacts
+    Seq("ivf_cells", "lex_tf", "lex_df").foreach(a =>
+      assert(paths.exists(_.contains(a)),
+        s"streaming serve plan does not read artifact $a: $paths"))
+  }
+
   test("unpivot melts via a single-scan Expand, not a union of scans") {
     val plan = executedPlan(RelationalSuite.unpivotMetrics(spark, dir))
     assert(plan.contains("Expand"), s"unpivot lost its Expand node in:\n$plan")
