@@ -1406,6 +1406,10 @@ object TextSuite {
       graft.streaming.StreamReplay.streamedBm25(s, d)),
     "stream_train_corpus" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTrainCorpus(s, d)),
+    "stream_train_corpus_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTrainCorpusTtl(s, d)),
+    "state_inspect_train_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectTrainTtl(s, d)),
     "text_stats"      -> (textStats _),
     "lang_profile"    -> (langProfile _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1575,19 +1579,34 @@ object TextSuite {
       |         ORDER BY score DESC, doc_id ASC) AS INT) AS rnk
       |FROM scored QUALIFY rnk <= 5""".stripMargin
 
-  /** train_corpus's oracle as a named val: the ONLINE composed
-    * pipeline (stream_train_corpus) must converge to the identical
-    * corpus, so both map entries bind to the one SQL string.
+  /** train_corpus's oracle, parameterized by the retention window: the
+    * ONLINE composed pipeline (stream_train_corpus) must converge to
+    * the identical corpus, so its map entry binds to the SAME SQL; the
+    * RETENTION-WINDOWED twin (stream_train_corpus_ttl) restricts the
+    * CORPUS to the newest 3/5 of the doc_id span (the engine's
+    * lexWindowCutoff, identical integer arithmetic) while the benchmark
+    * shingles stay full-corpus — the eval set is a request, not corpus
+    * residency (the stream_lexical_ttl posture). Quality, fingerprint
+    * canonicalization, decontam, and the per-source cap then all run
+    * over the windowed corpus.
     */
-  private val trainCorpusOracle: String =
-    s"""WITH t AS (
+  private def trainCorpusOracleSql(windowed: Boolean): String = {
+    val wCte = if (windowed)
+      """w AS (
+        |  SELECT min(doc_id) + ((max(doc_id) - min(doc_id)) * 2) // 5
+        |           AS cut
+        |  FROM documents),
+        |""".stripMargin
+    else ""
+    val wPred = if (windowed) "doc_id >= (SELECT cut FROM w) AND " else ""
+    s"""WITH $wCte t AS (
       |  SELECT doc_id, source, text,
       |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
       |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
       |  FROM documents),
       |q AS (
       |  SELECT doc_id, source, text FROM t
-      |  WHERE greatest(0.0, least(1.0,
+      |  WHERE $wPred greatest(0.0, least(1.0,
       |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
       |    least((CASE WHEN len(toks) = 0 THEN 0.0
       |           ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
@@ -1621,6 +1640,7 @@ object TextSuite {
       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
       |  FROM f)
       |WHERE r <= 10""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // full in-DuckDB recompute of the seeded MinHash/SimHash pipelines
@@ -2257,12 +2277,38 @@ object TextSuite {
         |UNION ALL SELECT '2_dedup', count(*) FROM d
         |UNION ALL SELECT '3_decontam', count(*) FROM f
         |UNION ALL SELECT '4_cap', count(*) FROM cap""".stripMargin,
-    "train_corpus" -> trainCorpusOracle,
+    "train_corpus" -> trainCorpusOracleSql(windowed = false),
     // the ONLINE composed pipeline must converge to the identical
     // corpus - the batch oracle verbatim (quality row-local,
     // canonical min in keyed state, decontam + cap over the
     // converged deduped stream)
-    "stream_train_corpus" -> trainCorpusOracle,
+    "stream_train_corpus" -> trainCorpusOracleSql(windowed = false),
+    // the RETENTION-WINDOWED online pipeline converges to the windowed
+    // batch corpus: quality/dedup/decontam/cap over the newest 3/5 of
+    // the doc_id span, benchmark shingles still full-corpus
+    "stream_train_corpus_ttl" -> trainCorpusOracleSql(windowed = true),
+    // the pruned dedup ValueState itself: per resident fingerprint the
+    // windowed canonical = min in-window quality-passing doc
+    "state_inspect_train_ttl" ->
+      s"""WITH w AS (
+        |  SELECT min(doc_id) + ((max(doc_id) - min(doc_id)) * 2) // 5
+        |           AS cut
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text FROM t
+        |  WHERE doc_id >= (SELECT cut FROM w) AND greatest(0.0, least(1.0,
+        |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4 +
+        |    least((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))::DOUBLE / len(toks) END) * 4.0, 1.0) * 0.4 +
+        |    (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) END) * 5.0, 1.0)) * 0.2)) >= 0.5),
+        |f AS (SELECT doc_id, md5($norm) AS fp FROM q)
+        |SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp""".stripMargin,
     // integer-domain mix accounting (see tokenBudgetMix): 0.3e0 parses as
     // DOUBLE in DuckDB, matching Spark's double multiply before floor
     "token_budget_mix" ->

@@ -384,6 +384,90 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** [[CorpusDoc]] with its event time riding along — the wire shape of
+    * the retention-windowed corpus build. `ok` marks a CANDIDATE row
+    * (quality-passing): rows with ok = false still flow to the
+    * processor as CLOCK/compaction arrivals but never contend for
+    * canonical. The flag exists because the quality gate must NOT be a
+    * filter upstream of the watermark: Catalyst pushes a deterministic
+    * filter below the EventTimeWatermark node, so the watermark would
+    * track only quality-PASSING event times — measured on sf0.001,
+    * where the corpus' last doc fails quality and the stalled watermark
+    * left the horizon one day short of the retention contract.
+    */
+  final case class CorpusDocTs(fp: String, docId: Long, source: String,
+                               nHits: Long, tsUs: Long, ok: Boolean)
+  /** The windowed canonical resident for one fingerprint. */
+  final case class CanonicalTs(docId: Long, tsUs: Long)
+
+  /** [[CanonicalFirst]] with WATERMARK-BOUND RETENTION — the windowed
+    * corpus dedup a year-long deployment actually runs (round-17
+    * verdict ask #3: the unbounded variant holds one ValueState per
+    * distinct fingerprint FOREVER — correct for global dedup, unbounded
+    * on an unbounded key space). Retention redefines "canonical" to the
+    * lookback window: per fingerprint the resident is the smallest
+    * in-window doc, and a doc is emitted exactly when it becomes its
+    * fingerprint's windowed canonical.
+    *
+    * The same two mechanics as [[PostingsIndexTtl]] keep the bound
+    * real: at BATCH START every touched key whose resident's event time
+    * fell below horizon = watermark − `lookbackUs` clears its state
+    * (the old canonical is out of the corpus window — a LATER doc with
+    * the same content is genuinely new corpus material and re-emits);
+    * and the ARRIVAL GATE refuses below-horizon rows, so a redelivered
+    * copy of an evicted doc can never re-enter or re-emit. Within a
+    * batch the key's gate-passing rows reduce to their min FIRST
+    * (intra-batch arrival order can never emit a non-canonical), and
+    * across batches the doc_id-ordered waves + first-emission-wins make
+    * redeliveries of the RESIDENT absorb silently (redelivered id is
+    * never < the held min).
+    *
+    * State per fingerprint is ONE (docId, ts) pair, held only while
+    * the canonical is inside the window — state is bounded by the
+    * window's distinct-fingerprint count, not the stream's. Requires
+    * TimeMode.EventTime; before any watermark exists the horizon sits
+    * below every plausible ts and both mechanisms are no-ops (the
+    * unpruned [[CanonicalFirst]] behavior).
+    */
+  final class CanonicalFirstTtl(lookbackUs: Long)
+    extends StatefulProcessor[String, CorpusDocTs, CorpusDocTs] {
+    @transient private var canon: ValueState[CanonicalTs] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      canon = getHandle.getValueState[CanonicalTs]("canonical",
+        Encoders.product[CanonicalTs], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CorpusDocTs],
+                                 timers: TimerValues): Iterator[CorpusDocTs] = {
+      val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
+      // eviction first, so this batch's rows contend against the
+      // WINDOWED resident, not an expired one
+      if (canon.exists() && canon.get().tsUs < horizonUs) canon.clear()
+      // candidates only (clock rows already did their job by advancing
+      // the watermark and triggering this key's compaction), inside the
+      // window (the arrival gate)
+      val passing = rows.filter(r => r.ok && r.tsUs >= horizonUs)
+      if (!passing.hasNext) Iterator.empty
+      else {
+        val batchMin = passing.minBy(_.docId)
+        val cur = if (canon.exists()) canon.get().docId else Long.MaxValue
+        if (batchMin.docId < cur) {
+          canon.update(CanonicalTs(batchMin.docId, batchMin.tsUs))
+          Iterator.single(batchMin)
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /** Streaming windowed canonical dedup: see [[CanonicalFirstTtl]]. The
+    * caller must `.withWatermark` an event-time column on `rows` first.
+    */
+  def canonicalFirstTtl(rows: Dataset[CorpusDocTs],
+                        lookbackUs: Long): Dataset[CorpusDocTs] = {
+    implicit val enc = Encoders.product[CorpusDocTs]
+    rows.groupByKey(_.fp)(Encoders.STRING)
+      .transformWithState(new CanonicalFirstTtl(lookbackUs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** One wire row for [[asOfIndex]]: a dimension REVISION (isProbe =
     * false: id = revision id, ts = its validity instant, price = its
     * payload) or a fact PROBE (isProbe = true: id = fact id, ts = the

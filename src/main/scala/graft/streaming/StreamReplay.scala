@@ -2811,6 +2811,126 @@ object StreamReplay {
     */
   def streamedTrainCorpus(spark: SparkSession, dir: String,
                           cap: Int = 10, minHits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    trainCorpusReplayCore(spark, dir, outSchema) { (child, _, out) =>
+      val emitted = out.batch(child).distinct()
+      // exactly-once canonicalization is load-bearing: a fingerprint
+      // with two emitted docs means the restart lost (or the redelivery
+      // bypassed) its min state — refuse rather than let the finish's
+      // grouping paper over it
+      require(emitted.groupBy(col("fp"))
+          .agg(countDistinct(col("doc_id")).as("n"))
+          .filter(col("n") > 1).limit(1).count() == 0,
+        s"canonical dedup emitted two docs for one fingerprint on '$dir' " +
+          "— min state was not recovered across the restart")
+      trainCorpusFinish(emitted, cap, minHits).collect()
+    }
+  }
+
+  /** [[streamedTrainCorpus]] under WATERMARK-BOUND RETENTION (round-17
+    * verdict ask #3 — the last unbounded online dedup state): documents
+    * stream with day-per-doc_id event times through
+    * [[StreamOps.CanonicalFirstTtl]], whose per-fingerprint ValueState
+    * holds only the WINDOW's canonical — evicted at the horizon, with
+    * the arrival gate refusing below-horizon (re)deliveries. The same
+    * quartered waves + mid-stream restart + whole-quarter redelivery,
+    * then a FULL corpus redelivery once the watermark sits at day(hi):
+    * every fingerprint's key is touched at the final horizon — exactly
+    * day(cutoff) — so out-of-window canonicals evict everywhere and
+    * each in-window canonical that an older resident had suppressed
+    * re-emits from the cleared state. The finish keeps the emissions
+    * inside the window (older epochs' canonicals are out of retention)
+    * and applies the decontam threshold + per-source cap — converging
+    * to the WINDOWED batch oracle: train_corpus over the newest 3/5 of
+    * the doc_id span, with the benchmark shingles still drawn from the
+    * full corpus (the eval set is a request, not corpus residency —
+    * the stream_lexical_ttl posture). An eviction that fired early
+    * drops a canonical; one that never fired keeps a stale doc
+    * suppressing its successor; a gate that re-admitted an evicted doc
+    * re-emits an out-of-window id — each moves the capped rows.
+    */
+  def streamedTrainCorpusTtl(spark: SparkSession, dir: String,
+                             cap: Int = 10, minHits: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    trainCorpusReplayCore(spark, dir, outSchema, windowed = true) {
+      (child, _, out) =>
+        val docs = Tables.documents(child, dir)
+        val bb = docs.agg(min("doc_id"), max("doc_id")).head()
+        val cutoff = lexWindowCutoff(bb.getLong(0), bb.getLong(1))
+        val emitted = out.batch(child).distinct()
+          .filter(col("doc_id") >= cutoff)
+        // windowed exactly-once: per fingerprint at most ONE in-window
+        // emission can exist (in-window residents never evict, so a
+        // second in-window doc is always suppressed by the first)
+        require(emitted.groupBy(col("fp"))
+            .agg(countDistinct(col("doc_id")).as("n"))
+            .filter(col("n") > 1).limit(1).count() == 0,
+          s"windowed canonical dedup emitted two in-window docs for one " +
+            s"fingerprint on '$dir' — eviction or the arrival gate broke")
+        trainCorpusFinish(emitted, cap, minHits).collect()
+    }
+  }
+
+  /** Offline audit of [[StreamOps.CanonicalFirstTtl]]'s ValueState —
+    * the PRUNED dedup store read out of the restarted checkpoint after
+    * the full-redelivery compaction: one row per resident fingerprint
+    * with its windowed canonical doc. Hash-matched against the DuckDB
+    * recompute (min in-window quality-passing doc per content
+    * fingerprint): an un-evicted out-of-window resident, an over-eager
+    * eviction, or a gate re-admission each changes its fingerprint's
+    * row — the store is provably the exact windowed subset.
+    */
+  def stateInspectTrainTtl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val auditSchema = StructType(Seq(
+      StructField("fp", StringType), StructField("doc_id", LongType)))
+    trainCorpusReplayCore(spark, dir, auditSchema, windowed = true) {
+      (child, ckpt, _) =>
+        child.read.format("statestore")
+          .option("path", ckpt)
+          .option("stateVarName", "canonical")
+          .load()
+          .select(col("key.value").as("fp"),
+            col("value.docId").as("doc_id"))
+          .collect()
+    }
+  }
+
+  /** The shared decontam + per-source-cap tail over the converged
+    * deduped emissions — ONE definition for the global and windowed
+    * corpus builds.
+    */
+  private def trainCorpusFinish(emitted: DataFrame, cap: Int,
+                                minHits: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    emitted.filter(col("n_hits") < minHits)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= cap)
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** The shared online-corpus-build replay: quartered doc_id waves
+    * through the quality gate + row-local decontam hit count into the
+    * canonical-per-fingerprint dedup, with the mid-stream checkpoint
+    * restart and whole-quarter redelivery (see [[streamedTrainCorpus]]).
+    * `windowed` swaps in [[StreamOps.CanonicalFirstTtl]] under
+    * day-per-doc_id event times and appends the full-corpus redelivery
+    * incarnation that compacts every key at the final horizon
+    * (= day(cutoff), the lexicalReplayCore convention). `finish` reads
+    * the answer from the stopped pipeline (out topic or checkpoint
+    * state) BEFORE the temp dirs are deleted.
+    */
+  private def trainCorpusReplayCore(spark: SparkSession, dir: String,
+      outSchema: org.apache.spark.sql.types.StructType,
+      windowed: Boolean = false)(
+      finish: (SparkSession, String, graft.sources.FileTopic)
+        => Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.sources.FileTopic
     import graft.functions.TextFunctions.{contentFingerprint, qualityScore, shingleHashes}
     import org.apache.spark.sql.types._
@@ -2820,13 +2940,12 @@ object StreamReplay {
     val docSchema = StructType(Seq(
       StructField("fp", StringType), StructField("doc_id", LongType),
       StructField("source", StringType), StructField("n_hits", LongType)))
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("source", StringType)))
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     val b = docs.agg(min("doc_id"), max("doc_id")).head()
     require(!b.isNullAt(0), s"$dir documents is empty — nothing to replay")
     val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val lookbackUs = (hi - lexWindowCutoff(lo, hi)) * DayUs
     // the benchmark shingle set is bounded (the 5 eval docs) — embedded
     // as a literal array so the in-stream hit count stays row-local,
     // the same bounded-literal posture as the ANN replays' centroids
@@ -2842,19 +2961,43 @@ object StreamReplay {
       .filter(col("doc_id") >= from &&
         (if (last) lit(true) else col("doc_id") < until)).coalesce(1)
     def drain(): Unit = {
-      implicit val enc =
-        org.apache.spark.sql.Encoders.product[StreamOps.CorpusDoc]
-      val lineage = in.stream(child)
-        .filter(qualityScore(col("text")) >= 0.5)
-        .select(contentFingerprint(col("text")).as("fp"),
-          col("doc_id").as("docId"), col("source"),
-          size(array_intersect(shingleHashes(col("text"), 3),
-            typedLit(benchHashes))).cast("long").as("nHits"))
-        .as[StreamOps.CorpusDoc]
-      val kept = StreamOps.canonicalFirst(lineage).toDF()
+      val kept = if (windowed) {
+        // NO quality FILTER upstream of the stateful op: Catalyst
+        // pushes a deterministic filter below the EventTimeWatermark
+        // node, so the watermark would track only quality-PASSING event
+        // times (measured: sf0.001's last doc fails quality, the
+        // stalled clock left the horizon one day short). Quality rides
+        // as the `ok` CANDIDATE flag instead — every arrival advances
+        // the clock and compacts its key; only candidates contend.
+        implicit val enc =
+          org.apache.spark.sql.Encoders.product[StreamOps.CorpusDocTs]
+        StreamOps.canonicalFirstTtl(
+          in.stream(child)
+            .withColumn("ets", timestamp_micros(col("doc_id") * DayUs))
+            .withWatermark("ets", "0 seconds")
+            .select(contentFingerprint(col("text")).as("fp"),
+              col("doc_id").as("docId"), col("source"),
+              size(array_intersect(shingleHashes(col("text"), 3),
+                typedLit(benchHashes))).cast("long").as("nHits"),
+              (col("doc_id") * DayUs).as("tsUs"),
+              (qualityScore(col("text")) >= 0.5).as("ok"))
+            .as[StreamOps.CorpusDocTs], lookbackUs).toDF()
+      } else {
+        implicit val enc =
+          org.apache.spark.sql.Encoders.product[StreamOps.CorpusDoc]
+        StreamOps.canonicalFirst(
+          in.stream(child)
+            .filter(qualityScore(col("text")) >= 0.5)
+            .select(contentFingerprint(col("text")).as("fp"),
+              col("doc_id").as("docId"), col("source"),
+              size(array_intersect(shingleHashes(col("text"), 3),
+                typedLit(benchHashes))).cast("long").as("nHits"))
+            .as[StreamOps.CorpusDoc]).toDF()
+      }
+      val q = kept
         .select(col("fp"), col("docId").as("doc_id"), col("source"),
           col("nHits").as("n_hits"))
-      val q = kept.writeStream.outputMode("update")
+        .writeStream.outputMode("update")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckpt.toString)
@@ -2871,24 +3014,17 @@ object StreamReplay {
       in.append(range(q2hi, lo + 3 * quarter, last = false))
       in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
       drain() // incarnation 2: recovered minima absorb the redelivery
-      val emitted = out.batch(child).distinct()
-      // exactly-once canonicalization is load-bearing: a fingerprint
-      // with two emitted docs means the restart lost (or the redelivery
-      // bypassed) its min state — refuse rather than let the finish's
-      // grouping paper over it
-      require(emitted.groupBy(col("fp"))
-          .agg(countDistinct(col("doc_id")).as("n"))
-          .filter(col("n") > 1).limit(1).count() == 0,
-        s"canonical dedup emitted two docs for one fingerprint on '$dir' " +
-          "— min state was not recovered across the restart")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      val rows = emitted.filter(col("n_hits") < minHits)
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") <= cap)
-        .select(col("doc_id"), col("source"))
-        .collect()
+      if (windowed) {
+        // incarnation 3: the committed watermark sits at day(hi), so the
+        // horizon is exactly day(cutoff) — a FULL corpus redelivery
+        // touches every fingerprint (evicting expired canonicals,
+        // re-emitting the windowed ones the evicted residents had
+        // suppressed; below-horizon rows are refused at the gate),
+        // compacting the whole store to the retention window
+        in.append(range(lo, Long.MaxValue, last = true))
+        drain()
+      }
+      val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { deleteTree(ckpt); deleteTree(root) }
   }

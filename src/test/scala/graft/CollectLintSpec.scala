@@ -188,6 +188,12 @@ class CollectLintSpec extends SparkSpec {
       // replays' centroid-literal posture; the driver collect is of the
       // capped per-source survivor rows
       "stream_train_corpus",
+      // stream_train_corpus_ttl / state_inspect_train_ttl: the same
+      // composed-corpus replay through CanonicalFirstTtl (+ the
+      // full-redelivery compaction incarnation); driver reads are the
+      // capped survivor rows / the bounded per-fingerprint audit rows
+      "stream_train_corpus_ttl",
+      "state_inspect_train_ttl",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered

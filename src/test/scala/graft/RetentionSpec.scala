@@ -160,4 +160,53 @@ class RetentionSpec extends SparkSpec {
       .as[(Int, Long)].collect().toSet
     assert(state == Set((5, 999L)), s"retained index: $state")
   }
+
+  test("CanonicalFirstTtl: eviction re-opens canonical; gate + clock rows behave") {
+    val input = MemoryStream[StreamOps.CorpusDocTs](spark)
+    val rows = input.toDS().toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("fp"), col("docId"), col("source"), col("nHits"),
+        col("tsUs"), col("ok"))
+      .as[StreamOps.CorpusDocTs]
+    val ckpt = tmpDir("canonttl_ckpt")
+    val q = StreamOps.canonicalFirstTtl(rows, lookbackUs).toDF()
+      .writeStream.format("memory").queryName("canonttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    def doc(fp: String, id: Long, tsS: Long, ok: Boolean = true) =
+      StreamOps.CorpusDocTs(fp, id, "s", 0L, tsS * 1000000L, ok)
+    try {
+      // A's canonical (id 1, t=100) will expire; B's (id 2, t=400) will
+      // survive the coming horizon; A also gets a low-quality row that
+      // must act as CLOCK ONLY (never canonical, never state)
+      input.addData(doc("A", 1, 100), doc("B", 2, 400),
+        doc("A", 9, 120, ok = false))
+      q.processAllAvailable()
+      input.addData(doc("Z", 99, 1000)) // clock: watermark -> 1000 s
+      q.processAllAvailable()
+      // horizon 500 s: touching A evicts id 1 (t=100 < 500), so the
+      // in-window doc 5 (t=700) becomes A's WINDOWED canonical and
+      // re-emits; a redelivered copy of the EVICTED doc 1 in the same
+      // batch is refused at the gate (it must not out-min doc 5)
+      input.addData(doc("A", 5, 700), doc("A", 1, 100))
+      q.processAllAvailable()
+      // B's canonical (t=400 < 500) evicts when touched — by a
+      // LOW-QUALITY clock row alone: compaction is arrival-driven, not
+      // candidate-driven
+      input.addData(doc("B", 7, 600, ok = false))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("canonttl")
+      .select($"fp", $"docId").as[(String, Long)].collect().toSet
+    assert(emitted == Set(("A", 1L), ("B", 2L), ("Z", 99L), ("A", 5L)),
+      s"emissions: $emitted")
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "canonical").load()
+      .select(col("key.value").as("fp"), col("value.docId").as("id"))
+      .as[(String, Long)].collect().toSet
+    // A holds its windowed canonical; B was compacted empty by the
+    // clock row; the low-quality rows never created state
+    assert(state == Set(("A", 5L), ("Z", 99L)), s"retained: $state")
+  }
 }
