@@ -1009,40 +1009,60 @@ object StreamReplay {
     val events = Tables.events(spark, dir)
       .select(col("event_type"), unix_micros(col("ts")).as("date"))
     val (lo, hi) = timeBounds(events, s"$dir events (zscore)")
-    // transformWithState requires RocksDB — keep the tuned provider
-    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    // the chain's two jobs get DIFFERENTLY tuned sessions (round-18,
+    // halving the engine lane): the producer is a plain windowed agg —
+    // the heap store's lower per-batch open/commit cost wins (the
+    // replaySession default rationale); only the consumer's
+    // transformWithState requires RocksDB, and its key space is ~6
+    // event types, so 4 store instances per batch instead of 8 halve
+    // the per-restart store open/commit tax without losing parallelism
+    // the key count can't use anyway
+    val childP = replaySession(spark, shufflePartitions = 4)
+    val child = replaySession(spark, shufflePartitions = 4, keepRocksDb = true)
     val root = java.nio.file.Files.createTempDirectory("graft_zscore")
     val ckptP = java.nio.file.Files.createTempDirectory("graft_zscore_p")
     val ckptC = java.nio.file.Files.createTempDirectory("graft_zscore_c")
     val in = new FileTopic("zscore_in", wireSchema, root.toString)
     val mid = new FileTopic("zscore_hours", hourSchema, root.toString)
     val out = new FileTopic("zscore_out", outSchema, root.toString)
-    def drainProducer(): Unit = {
-      val hourly = in.stream(child)
+    def startProducer(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val hourly = in.stream(childP)
         .withColumn("ts", timestamp_micros(col("date")))
         .withWatermark("ts", "10 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("event_type").as("etype"),
           col("window.start").cast("long").as("hourS"), col("cnt"))
-      val q = hourly.writeStream.outputMode("append")
+      hourly.writeStream.outputMode("append")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
           mid.sinkBatch(df, id))
         .option("checkpointLocation", ckptP.toString)
         .start()
-      drainQuery(q)
     }
-    def drainConsumer(): Unit = {
+    def startConsumer(): org.apache.spark.sql.streaming.StreamingQuery = {
       implicit val enc = org.apache.spark.sql.Encoders
         .product[StreamOps.HourCount]
       val scored = StreamOps.rollingZscoreStream(
         mid.stream(child).as[StreamOps.HourCount])
-      val q = scored.toDF().writeStream.outputMode("update")
+      scored.toDF().writeStream.outputMode("update")
         .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
           out.sinkBatch(df, id))
         .option("checkpointLocation", ckptC.toString)
         .start()
-      drainQuery(q)
+    }
+    // BOTH jobs run concurrently within an incarnation — the production
+    // topology (the two queries are permanently co-resident; the hourly
+    // topic is their decoupling point), and half the serialized drains'
+    // per-batch overhead: the consumer scores hours as the producer
+    // lands them, and its own drain call only finishes the tail. The
+    // producer drains FIRST so every mid file exists before the
+    // consumer's processAllAvailable snapshot.
+    def drainBoth(): Unit = {
+      val qp = startProducer()
+      val qc = startConsumer()
+      try {
+        EngineTimer.timed { qp.processAllAvailable(); qc.processAllAvailable() }
+      } finally { qp.stop(); qc.stop() }
     }
     try {
       // construction requires the restart to be LOAD-BEARING: rows scored
@@ -1052,13 +1072,20 @@ object StreamReplay {
       var preRestart = -1L
       def scoredCount(): Long =
         out.batch(child).filter(col("event_type") =!= "sentinel").count()
+      // ONE far-future sentinel (round-18; was two): the producer's
+      // append-mode tail hours flush within the sentinel drain itself —
+      // the data batch advances the watermark past every real hour and
+      // the engine's follow-up no-data batch emits them — and the
+      // consumer is TimeMode.None (scores on arrival), so a second
+      // sentinel only re-flushed the sentinel's own (filtered) hour at
+      // the price of two more query starts
       runQuartered(events, lo, hi,
         df => in.append(df),
         () => {
-          drainProducer(); drainConsumer()
+          drainBoth()
           if (preRestart < 0) preRestart = scoredCount()
         },
-        sentinelOffsets = Seq(2, 4),
+        sentinelOffsets = Seq(2),
         sentinel = ts => child.createDataFrame(
           java.util.Arrays.asList(Row("sentinel", ts)), wireSchema))
       val rows = out.batch(child)
