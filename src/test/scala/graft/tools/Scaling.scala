@@ -120,9 +120,10 @@ object Scaling {
     * ngramJaccardPairs' scaladoc rather than hidden in the artifact.
     */
   def extendedDir(spark: SparkSession, base: String = "/root/testdata/sf0.1",
-                  docs: Int = 50000, vecs: Int = 20000): String = {
+                  docs: Int = 50000, vecs: Int = 20000,
+                  name: String = "sf1x"): String = {
     import spark.implicits._
-    val dir = new java.io.File("target/sf1x").getAbsolutePath
+    val dir = new java.io.File(s"target/$name").getAbsolutePath
     val done = new java.io.File(s"$dir/_DONE")
     // local (closure-captured) twin of the cumulative-frequency search:
     // referencing an object method from the .map lambdas would drag the
@@ -155,9 +156,14 @@ object Scaling {
         (l, s, acc + c)
       }.drop(1)
       val totalMix = cumMix.last._3
+      // hoisted once: rebuilding the cumulative array PER WORD was an
+      // O(|vocab|) allocation in the hot loop — unnoticeable at 50k
+      // docs, dominant at the 500k slice
+      val cumW = cum.map(_._2)
+      val cumM = cumMix.map(_._3)
       def pickWord(rnd: scala.util.Random): String = {
         val t = (rnd.nextDouble() * totalW).toLong
-        cum(lowerBound(cum.map(_._2), t))._1
+        cum(lowerBound(cumW, t))._1
       }
       // Heaps-law tail vocabulary (see scaladoc): half the words come
       // from a rare pool sized ~ N/2 so trigram df stays bounded the way
@@ -183,7 +189,7 @@ object Scaling {
         val text = genText(textId)
         val rnd = new scala.util.Random(id * -7046029254386353131L + 3L)
         val m = (rnd.nextDouble() * totalMix).toLong
-        val (lang, source, _) = cumMix(lowerBound(cumMix.map(_._3), m))
+        val (lang, source, _) = cumMix(lowerBound(cumM, m))
         (id, text, lang, source, text.length.toLong)
       }.toDF("doc_id", "text", "lang", "source", "n_chars")
       genDocs.coalesce(4).write.mode("overwrite")
@@ -251,6 +257,67 @@ object Scaling {
       done.createNewFile()
     }
     dir
+  }
+
+  /** Third measured decade for the LEXICAL corpus (round-17 verdict ask
+    * #5): a 500,000-document "sf3xd" slice — the retrieval families'
+    * slopes (postings join, serve path, build) previously ended at 50k
+    * docs while the vector families had a 200k decade. Documents scale
+    * 10× past sf1x (same Heaps-law generator, rare pool ∝ N); the
+    * embeddings table stays at the sf1x count DELIBERATELY, so the
+    * measured step isolates the lexical corpus — the semantic tail of
+    * index_serve is a held-fixed control, and bm25/lexical never read
+    * embeddings at all.
+    */
+  val sf3xdFamilies: Set[String] = Set("lexical_retrieval",
+    "bm25_retrieval", "index_serve")
+
+  def extended3xDocsDir(spark: SparkSession): String =
+    extendedDir(spark, docs = 500000, vecs = 20000, name = "sf3xd")
+
+  /** Least-squares log-log slope over (rows, sec) points — the one
+    * definition run() and the index_build measurement share.
+    */
+  def fitSlope(pts: Seq[Point]): Double = {
+    val xs = pts.map(p => math.log(p.rows.toDouble))
+    val ys = pts.map(p => math.log(p.sec))
+    val mx = xs.sum / xs.size
+    val my = ys.sum / ys.size
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    if (sxx == 0) Double.NaN
+    else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / sxx
+  }
+
+  /** index_build measured WITHOUT the artifact cache (round-17 ask #5):
+    * the wired query resolves the durable store, so its repeat passes
+    * time a manifest read — here each pass writes the full artifact set
+    * into a fresh throwaway root via the same writeIndexArtifacts body
+    * the store's build path runs, timing the actual two-corpus-scan
+    * build at every scale.
+    */
+  def indexBuildResult(spark: SparkSession, dirs: Seq[String]): Result = {
+    def deleteTree(root: java.nio.file.Path): Unit =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () }
+    def buildOnce(d: String): Double = {
+      val tmp = java.nio.file.Files.createTempDirectory("scaling_idx")
+      val t0 = System.nanoTime()
+      graft.operators.SimilaritySuite.writeIndexArtifacts(spark, d,
+        tmp.toString)
+      val sec = (System.nanoTime() - t0) / 1e9
+      deleteTree(tmp)
+      sec
+    }
+    buildOnce(dirs.head) // warmup: codegen + JIT for the build plans
+    val pts = dirs.map { d =>
+      Point(new java.io.File(d).getName, rowCount(spark, d, "documents"),
+        math.min(buildOnce(d), buildOnce(d)))
+    }
+    Result("index_build", pts, fitSlope(pts))
   }
 
   /** The graph families measured on the generated sf1-scale slice too
@@ -364,16 +431,7 @@ object Scaling {
       // with the sf1x slice each family has three distinct row counts,
       // so a single-pair slope would waste the new decade; duplicate-x
       // points — the 500-row sf0.001/sf0.01 pair — just average in y)
-      val slope = {
-        val xs = pts.map(p => math.log(p.rows.toDouble))
-        val ys = pts.map(p => math.log(p.sec))
-        val mx = xs.sum / xs.size
-        val my = ys.sum / ys.size
-        val sxx = xs.map(x => (x - mx) * (x - mx)).sum
-        if (sxx == 0) Double.NaN
-        else xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / sxx
-      }
-      Result(name, pts, slope)
+      Result(name, pts, fitSlope(pts))
     }
 
   def main(args: Array[String]): Unit = {
@@ -392,9 +450,20 @@ object Scaling {
       case None => flagship
     }
     val sf1g = extendedGraphDir(spark)
-    val results = run(spark, dirs,
+    val sf3xd = extended3xDocsDir(spark)
+    val measured = run(spark, dirs,
       sf3xFamilies.map(_ -> Seq(sf3x)).toMap ++
-        sf1gFamilies.map(_ -> Seq(sf1g)).toMap, selected)
+        sf1gFamilies.map(_ -> Seq(sf1g)).toMap ++
+        sf3xdFamilies.map(_ -> Seq(sf3xd)).toMap, selected)
+    // index_build rides as a bespoke cache-bypassing measurement (its
+    // wired query memoizes through the durable store — see
+    // indexBuildResult); measured at the three scales with a real
+    // documents row-count step
+    val results = measured ++ (
+      if (only.forall(_("index_build")))
+        Seq(indexBuildResult(spark,
+          Seq("/root/testdata/sf0.1", extendedDir(spark), sf3xd)))
+      else Nil)
     val body = results.map { r =>
       val pts = r.points.map(p =>
         f"""{"sf":"${p.sf}","rows":${p.rows},"sec":${p.sec}%.3f}""")
