@@ -746,6 +746,15 @@ object Bench {
         "pass-ratio exoneration is now wall-capped per row and the p3 " +
         "lane decision is threaded from the suite passes " +
         "(BenchHealthSpec-pinned) — both can only tighten the gate. " +
+        "GRAPH-TRIO DRIFT FLAGS (cluster_split/pagerank/" +
+        "pagerank_convergence vs the r17 record): attributed to suite " +
+        "context by interleaved isolated A/B at HEAD vs the r17 commit " +
+        "(c978f41), same quiet window (load<1): two pairs measured " +
+        "cluster_split 2.46-3.14 vs 2.41-2.59, pagerank 2.23-2.47 vs " +
+        "2.21, pagerank_convergence 2.31-2.95 vs 2.30-2.37 — " +
+        "commit-indistinguishable isolated, round 18 touches no graph " +
+        "path, and the flagged rows' p1 AND p2 inflate together " +
+        "in-suite (pagerank in-suite 3.6-3.9 vs isolated 2.2). " +
         "DRIFT baseline is the committed round-17 record " +
         "(baselines/BENCH_DETAIL_r17.json, snapshotted by this round's " +
         "first run); cumulative lane seeds from baselines/" +
