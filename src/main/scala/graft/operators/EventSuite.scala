@@ -609,6 +609,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicSliding(s, d)),
     "stream_topic_dedup"   -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicDedup(s, d)),
+    "stream_distinct_ttl"  -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedDistinctTtl(s, d)),
     "stream_topic_attrib"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicAttrib(s, d)),
     "stream_topic_attrib_outer" -> ((s: SparkSession, d: String) =>
@@ -1008,6 +1010,23 @@ object EventSuite {
     "stream_topic_dedup" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    // the sliding-window ACTIVE SET read out of the pruned MapState:
+    // per event type, the distinct users with at least one event inside
+    // the trailing window (cutoff = lo + 3/5 of the time span, the
+    // engine's exact integer arithmetic — the final watermark is the
+    // ms-truncated max event time and the lookback is chosen so the
+    // horizon lands on this cutoff to the microsecond)
+    "stream_distinct_ttl" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events),
+        |c AS (SELECT lo + ((hi - lo) * 3) // 5 AS cut FROM b),
+        |w AS (
+        |  SELECT DISTINCT event_type, user_id
+        |  FROM events, c WHERE epoch_us(ts) >= cut)
+        |SELECT event_type, count(*) AS n_active,
+        |       CAST(sum(user_id) AS BIGINT) AS id_sum
+        |FROM w GROUP BY event_type""".stripMargin,
     // production-source stream-stream join (views and clicks on separate
     // topics, both offset logs + join state recovered at restart):
     // emitted pair set equals the batch join — same oracle as

@@ -1072,6 +1072,80 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One keyed id observation WITH its event time — the wire shape of
+    * the sliding-window active-set count.
+    */
+  final case class ActiveId(key: String, id: Long, tsUs: Long)
+  final case class ActiveCount(key: String, n: Long)
+
+  /** Sliding-window DISTINCT-ACTIVES per key — "distinct users per
+    * event type over the trailing window", the production freshness
+    * twin of [[DistinctPerKey]] (round 18, extending the r17 retention
+    * discipline to the remaining set-shaped state): a MapState[id →
+    * latest event time] is the ACTIVE SET, and an id is active iff it
+    * was seen inside the lookback window.
+    *
+    * Retention differs from the first-delivery indexes in ONE deliberate
+    * way: an arriving id REFRESHES its recency (max of stored and
+    * arriving ts) rather than being absorbed first-delivery-wins —
+    * recency IS the semantics, and the refresh is idempotent under
+    * redelivery (max is). Eviction at batch start drops ids whose
+    * latest sighting fell below horizon = watermark − `lookbackUs`; the
+    * arrival gate refuses below-horizon rows, so a redelivered copy of
+    * an evicted sighting can never re-activate an id the window already
+    * forgot. Per batch the key emits its updated resident count — which
+    * SHRINKS when evictions outpace arrivals, so unlike the monotone
+    * counts the converged answer is the STATE, not a max over the
+    * update changelog (the replay's finish reads the store; a live
+    * dashboard consumes the update stream).
+    *
+    * State per key is the WINDOW's distinct ids, however long the
+    * stream runs; per-arrival work is one keyed point-lookup, eviction
+    * is O(resident) per touched key. Requires TimeMode.EventTime;
+    * before any watermark exists the horizon sits below every plausible
+    * ts and both mechanisms are no-ops.
+    */
+  final class DistinctActiveTtl(lookbackUs: Long)
+    extends StatefulProcessor[String, ActiveId, ActiveCount] {
+    @transient private var active: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      active = getHandle.getMapState[Long, Long]("active",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[ActiveId],
+                                 timers: TimerValues): Iterator[ActiveCount] = {
+      val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
+      val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var resident = 0L
+      active.iterator().foreach { case (id, ts) =>
+        if (ts < horizonUs) dead += id else resident += 1
+      }
+      dead.foreach(active.removeKey)
+      rows.foreach { r =>
+        if (r.tsUs >= horizonUs) {
+          if (active.containsKey(r.id)) {
+            if (r.tsUs > active.getValue(r.id))
+              active.updateValue(r.id, r.tsUs)
+          } else {
+            active.updateValue(r.id, r.tsUs)
+            resident += 1
+          }
+        }
+      }
+      Iterator.single(ActiveCount(key, resident))
+    }
+  }
+
+  /** Sliding-window distinct actives: see [[DistinctActiveTtl]]. The
+    * caller must `.withWatermark` an event-time column on `rows` first.
+    */
+  def distinctActiveTtl(rows: Dataset[ActiveId],
+                        lookbackUs: Long): Dataset[ActiveCount] = {
+    implicit val enc = Encoders.product[ActiveCount]
+    rows.groupByKey(_.key)(Encoders.STRING)
+      .transformWithState(new DistinctActiveTtl(lookbackUs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** One cell-routed vector arrival: each wire vector fans out to its
     * `nProbe` best IVF cells; `insert` is true only at its ASSIGNED
     * (best) cell, where it joins the inverted list.

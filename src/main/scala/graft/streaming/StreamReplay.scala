@@ -3996,6 +3996,105 @@ object StreamReplay {
     } finally { deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** Sliding-window DISTINCT ACTIVES over the production wire —
+    * [[StreamOps.DistinctActiveTtl]]'s "distinct users per event type
+    * in the trailing window" run as a replay (round 18, the retention
+    * discipline applied to the remaining set-shaped state): events
+    * stream in quartered time waves with a mid-stream checkpoint
+    * restart AND a whole-quarter redelivery (absorbed by the idempotent
+    * recency refresh — max(stored, arriving) cannot double-count), then
+    * the FULL fixture is redelivered once the watermark sits at the
+    * stream's max event time: every key compacts at the final horizon —
+    * exactly the 3/5-span cutoff, by the lookback arithmetic below —
+    * in-window sightings refresh idempotently, and below-horizon rows
+    * are refused at the gate. The finish reads the ACTIVE SET out of
+    * the state store (counts shrink under eviction, so the converged
+    * answer is the store, not a max over the update changelog) and
+    * rolls it per key to (n_active, id_sum) — hash-matched against the
+    * DuckDB recompute of DISTINCT users with an in-window event. An id
+    * that outlived the window inflates n_active; one evicted too
+    * eagerly (or re-admitted by a gate failure) moves id_sum.
+    *
+    * Horizon exactness: the watermark is the max event time TRUNCATED
+    * TO MS (EventTimeStats), so lookback = floor(hi/1000)·1000 − cutoff
+    * makes the final horizon equal cutoff to the microsecond; the
+    * oracle embeds the identical integer arithmetic.
+    */
+  def streamedDistinctTtl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    val wireSchema = StructType(Seq(
+      StructField("event_type", StringType), StructField("user_id", LongType),
+      StructField("date", LongType)))
+    val liveSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n_active", LongType)))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n_active", LongType), StructField("id_sum", LongType)))
+    val events = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("date"))
+    val (lo, hi) = timeBounds(events, s"$dir events (distinct ttl)")
+    val cutoffUs = lo + (hi - lo) * 3 / 5
+    val lookbackUs = (hi / 1000L) * 1000L - cutoffUs
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val root = java.nio.file.Files.createTempDirectory("graft_active")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_active_ckpt")
+    val in = new FileTopic("active_in", wireSchema, root.toString)
+    // the live update feed a dashboard would consume — exercised by the
+    // replay (every batch emits each touched key's current count) even
+    // though the converged answer reads from the store
+    val out = new FileTopic("active_counts", liveSchema, root.toString)
+    def drain(): Unit = {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[StreamOps.ActiveId]
+      val counts = StreamOps.distinctActiveTtl(
+        in.stream(child)
+          .withColumn("ets", timestamp_micros(col("date")))
+          .withWatermark("ets", "0 seconds")
+          .select(col("event_type").as("key"), col("user_id").as("id"),
+            col("date").as("tsUs"))
+          .as[StreamOps.ActiveId], lookbackUs).toDF()
+      val q = counts
+        .select(col("key").as("event_type"), col("n").as("n_active"))
+        .writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      def range(from: Long, until: Long, last: Boolean) = events
+        .filter(col("date") >= from &&
+          (if (last) lit(true) else col("date") < until)).coalesce(1)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + active maps checkpointed
+      in.append(range(q2lo, q2hi, last = false)) // redelivery across restart
+      in.append(range(q2hi, lo + 3 * quarter, last = false))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2: recovered maps absorb the redelivery
+      // incarnation 3: watermark at floor(hi ms) → horizon = cutoff; the
+      // full redelivery touches every key, compacting the whole store
+      in.append(range(lo, Long.MaxValue, last = true))
+      drain()
+      val rows = child.read.format("statestore")
+        .option("path", ckpt.toString)
+        .option("stateVarName", "active")
+        .load()
+        .select(col("key.value").as("event_type"),
+          col("user_map_key.value").as("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_active"), sum(col("user_id")).as("id_sum"))
+        .collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { deleteTree(ckpt); deleteTree(root) }
+  }
+
   /** The wire shape of one retrieval REQUEST: a request carries its own
     * content (the text to shingle, the vector to probe) — request
     * processing is per-row work, never a corpus lookup.

@@ -194,6 +194,10 @@ class CollectLintSpec extends SparkSpec {
       // capped survivor rows / the bounded per-fingerprint audit rows
       "stream_train_corpus_ttl",
       "state_inspect_train_ttl",
+      // stream_distinct_ttl: the sliding-window active-set replay (+
+      // full-redelivery compaction); the driver read is the bounded
+      // per-event-type audit rows out of the pruned MapState
+      "stream_distinct_ttl",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered

@@ -209,4 +209,50 @@ class RetentionSpec extends SparkSpec {
     // clock row; the low-quality rows never created state
     assert(state == Set(("A", 5L), ("Z", 99L)), s"retained: $state")
   }
+
+  test("DistinctActiveTtl: recency refresh keeps an id alive; eviction shrinks the count") {
+    val input = MemoryStream[StreamOps.ActiveId](spark)
+    val rows = input.toDS().toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("key"), col("id"), col("tsUs"))
+      .as[StreamOps.ActiveId]
+    val ckpt = tmpDir("activettl_ckpt")
+    val q = StreamOps.distinctActiveTtl(rows, lookbackUs).toDF()
+      .writeStream.format("memory").queryName("activettl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    def ev(key: String, id: Long, tsS: Long) =
+      StreamOps.ActiveId(key, id, tsS * 1000000L)
+    try {
+      // ids 1 and 2 sighted early; id 1 REFRESHES at t=450 (recency
+      // semantics — the refresh must survive the coming horizon)
+      input.addData(ev("t", 1, 100), ev("t", 2, 120), ev("t", 1, 450))
+      q.processAllAvailable()
+      input.addData(ev("z", 9, 1000)) // clock: watermark -> 1000 s
+      q.processAllAvailable()
+      // horizon 500 s: touching t evicts id 2 (last seen 120) but id 1
+      // survives on its refreshed sighting (450)... which ALSO falls
+      // below 500 — so both evict; id 3 arrives in-window. A
+      // redelivered copy of id 2's evicted sighting is gated.
+      input.addData(ev("t", 3, 800), ev("t", 2, 120))
+      q.processAllAvailable()
+      // id 1 re-enters with a fresh in-window sighting — a NEW
+      // activation, not a gate violation (the sighting is in-window)
+      input.addData(ev("t", 1, 900))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("activettl")
+      .select($"key", $"n").as[(String, Long)].collect()
+    // per-batch counts for key t: 2 (ids 1,2) -> 1 (evictions shrank
+    // it: only id 3 resident) -> 2 (id 1 re-activated)
+    assert(emitted.filter(_._1 == "t").map(_._2).toSeq == Seq(2L, 1L, 2L),
+      s"count trajectory: ${emitted.toSeq}")
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "active").load()
+      .select(col("key.value").as("k"), col("user_map_key.value").as("id"))
+      .as[(String, Long)].collect().toSet
+    assert(state == Set(("t", 3L), ("t", 1L), ("z", 9L)),
+      s"retained active set: $state")
+  }
 }
