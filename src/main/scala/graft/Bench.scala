@@ -724,7 +724,7 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-18 record context. SURFACE: 238 queries (r17: " +
+      val note = "round-18 record context. SURFACE: 239 queries (r17: " +
         "233) — index_serve_restart (a FRESH session serves from the " +
         "DURABLE corpus-fingerprint-keyed artifact store via the " +
         "no-build loadOnly path) joins the sf0.1 batch surface; " +
@@ -734,9 +734,12 @@ object Bench {
         "stream_train_corpus_ttl + state_inspect_train_ttl (the " +
         "composed corpus build's CanonicalFirst dedup under " +
         "watermark-bound retention, windowed oracle + pruned-store " +
-        "audit), and stream_distinct_ttl (sliding-window distinct " +
+        "audit), stream_distinct_ttl (sliding-window distinct " +
         "actives per key — recency-refresh MapState, horizon eviction, " +
-        "state-read finish) join the sf0.001 replay surface. STREAM_ZSCORE " +
+        "state-read finish), and stream_transitions_ttl (day-bucketed " +
+        "windowed transition matrix GC'd by standing EVENT-TIME TIMERS " +
+        "— eviction without arrivals, the non-idempotent-counter " +
+        "retention posture) join the sf0.001 replay surface. STREAM_ZSCORE " +
         "RESTRUCTURE (r17 ask #4): producer/consumer now run " +
         "co-resident per incarnation (the production topology), one " +
         "sentinel instead of two, per-job session tuning (heap-4 " +

@@ -611,6 +611,8 @@ object EventSuite {
       graft.streaming.StreamReplay.streamedTopicDedup(s, d)),
     "stream_distinct_ttl"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedDistinctTtl(s, d)),
+    "stream_transitions_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedTransitionsTtl(s, d)),
     "stream_topic_attrib"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedTopicAttrib(s, d)),
     "stream_topic_attrib_outer" -> ((s: SparkSession, d: String) =>
@@ -1178,6 +1180,31 @@ object EventSuite {
         |       CAST(n AS DOUBLE) /
         |         sum(n) OVER (PARTITION BY from_type) AS frac
         |FROM c""".stripMargin,
+    // the WINDOWED transition matrix out of the timer-GC'd bucket store:
+    // per (user, pair) the count of transitions whose DESTINATION event
+    // day sits inside the trailing window (day-aligned cutoff at 3/5 of
+    // the span — the engine's exact integer arithmetic; the standing GC
+    // timers compact every key at the final ms-truncated watermark)
+    "stream_transitions_ttl" ->
+      """WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        |  FROM events),
+        |c AS (
+        |  SELECT (lo + ((hi - lo) * 3) // 5) // 86400000000 AS cutday
+        |  FROM b),
+        |t AS (
+        |  SELECT user_id, event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type,
+        |         lead(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_ts
+        |  FROM events)
+        |SELECT user_id, from_type || '|' || to_type AS pair,
+        |       count(*) AS n
+        |FROM t, c
+        |WHERE to_type IS NOT NULL
+        |  AND epoch_us(to_ts) // 86400000000 >= cutday
+        |GROUP BY 1, 2""".stripMargin,
     // streaming per-key top-k on transformWithState LIST state (k-capped
     // list per key recovered across the restart): converged max-per-rank
     // must equal the batch row_number top-k. Values trunc'd to long on

@@ -212,6 +212,122 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** One day-bucket of one (from|to) pair's transition count — the
+    * composite map key of the WINDOWED transition matrix.
+    */
+  final case class PairBucket(pair: String, day: Long)
+
+  private val TransDayUs = 86400000000L
+
+  /** [[TransitionCounts]] with WATERMARK-BOUND RETENTION, GC'd by
+    * EVENT-TIME TIMERS (round 18 — the retention discipline applied to
+    * counter state, plus the one TWS surface no other processor used):
+    * transition counts are NOT idempotent under redelivery, so the
+    * full-redelivery touch pattern the index TTLs use to compact every
+    * key at the final horizon would double-count — instead each key
+    * keeps a standing GC timer re-registered at (current watermark + 1)
+    * so [[handleExpiredTimer]] runs on EVERY subsequent watermark
+    * advance, evicting expired buckets with NO input rows at all. That
+    * is the production posture: a user who went quiet still has their
+    * window drain on schedule.
+    *
+    * The retention rule is TIME-BUCKETED subtraction, not per-entry
+    * recency: counters cannot "un-count" an expired transition, so the
+    * map key is (pair, day-of-destination-event) and the windowed count
+    * per pair is the sum of its in-window buckets; eviction drops whole
+    * buckets below horizon = watermark − `lookbackUs`, and the arrival
+    * gate refuses a transition whose DESTINATION event time fell below
+    * the horizon (a transition "happens" at its destination). The
+    * last-event ValueState is O(1) per user and is deliberately kept
+    * across the horizon — a transition whose source predates the window
+    * but whose destination is inside it IS an in-window transition.
+    *
+    * State per user is |types|² × the window's day count, however long
+    * the stream runs; per-arrival work is one keyed bucket update;
+    * eviction is O(resident buckets) per firing. Emissions carry each
+    * touched pair's current WINDOWED total (non-monotone under eviction
+    * — the converged answer is the store, read after the final timer
+    * firing compacts every key at the final horizon).
+    */
+  final class TransitionCountsTtl(lookbackUs: Long)
+    extends StatefulProcessor[Long, TypedEvent, TransitionCount] {
+    @transient private var last: ValueState[LastEvent] = _
+    @transient private var counts: MapState[PairBucket, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      last = getHandle.getValueState[LastEvent]("last",
+        Encoders.product[LastEvent], TTLConfig.NONE)
+      counts = getHandle.getMapState[PairBucket, Long]("buckets",
+        Encoders.product[PairBucket], Encoders.scalaLong, TTLConfig.NONE)
+    }
+    private def evict(horizonUs: Long): Unit = {
+      val dead = scala.collection.mutable.ArrayBuffer.empty[PairBucket]
+      counts.iterator().foreach { case (b, _) =>
+        if (b.day * TransDayUs < horizonUs) dead += b
+      }
+      dead.foreach(counts.removeKey)
+    }
+    /** Keep exactly one standing timer, armed to fire at the next
+      * watermark advance — the GC heartbeat.
+      */
+    private def rearm(timers: TimerValues): Unit = {
+      val next = timers.getCurrentWatermarkInMs() + 1
+      val existing = getHandle.listTimers().toSeq
+      if (!existing.contains(next)) {
+        existing.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(next)
+      }
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+                                 timers: TimerValues): Iterator[TransitionCount] = {
+      val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
+      evict(horizonUs)
+      val sorted = rows.toArray.sortBy(r => (micros(r.ts), r.eventId))
+      var prev = if (last.exists()) Some(last.get()) else None
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      sorted.foreach { r =>
+        val tsUs = micros(r.ts)
+        prev.foreach { p =>
+          // the gate: a transition lands in its DESTINATION's bucket,
+          // and a below-horizon destination is out of retention
+          if (tsUs >= horizonUs) {
+            val b = PairBucket(p.typ + "|" + r.typ, tsUs / TransDayUs)
+            val cur = if (counts.containsKey(b)) counts.getValue(b) else 0L
+            counts.updateValue(b, cur + 1)
+            touched += b.pair
+          }
+        }
+        prev = Some(LastEvent(tsUs, r.eventId, r.typ))
+      }
+      prev.foreach(last.update)
+      rearm(timers)
+      // each touched pair's current WINDOWED total (Σ resident buckets)
+      val totals = scala.collection.mutable.Map.empty[String, Long]
+      counts.iterator().foreach { case (b, n) =>
+        if (touched(b.pair)) totals(b.pair) = totals.getOrElse(b.pair, 0L) + n
+      }
+      touched.iterator.map(p => TransitionCount(key, p, totals(p)))
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[TransitionCount] = {
+      evict(timers.getCurrentWatermarkInMs() * 1000L - lookbackUs)
+      rearm(timers)
+      Iterator.empty
+    }
+  }
+
+  /** Windowed per-user transition counts with timer-driven GC: see
+    * [[TransitionCountsTtl]]. The caller must `.withWatermark` an
+    * event-time column on `rows` first.
+    */
+  def transitionCountsTtl(rows: Dataset[TypedEvent],
+                          lookbackUs: Long): Dataset[TransitionCount] = {
+    implicit val enc = Encoders.product[TransitionCount]
+    rows.groupByKey(_.user)(Encoders.scalaLong)
+      .transformWithState(new TransitionCountsTtl(lookbackUs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** One document's term-frequency contribution to one shingle hash's
     * posting list — computed ROW-LOCALLY from the wire document (a doc's
     * tf vector is a fact about that doc alone), so the postings build

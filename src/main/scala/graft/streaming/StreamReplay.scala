@@ -2025,6 +2025,44 @@ object StreamReplay {
     }
   }
 
+  /** [[streamedTransitions]] under WATERMARK-BOUND RETENTION with
+    * TIMER-DRIVEN GC (round 18): the per-user transition matrix is
+    * day-bucketed by DESTINATION event time through
+    * [[StreamOps.TransitionCountsTtl]], buckets below the horizon evict
+    * — crucially WITHOUT any arrival: each key's standing event-time
+    * timer re-fires on every watermark advance, so when the last wave
+    * pushes the watermark to its final (ms-truncated) value, EVERY
+    * key's [[StreamOps.TransitionCountsTtl.handleExpiredTimer]]
+    * compacts its buckets at a horizon landing exactly on the
+    * day-aligned 3/5-span cutoff. No redelivery rides this replay:
+    * counter state is not idempotent under redelivery (that is exactly
+    * why the GC had to move to timers — the index TTLs' full-redelivery
+    * touch pattern would double-count here). The finish reads the
+    * compacted buckets out of the store and rolls them per (user, pair)
+    * — hash-matched against the lead()-window recompute restricted to
+    * transitions whose destination day is inside the window. A bucket
+    * that outlived the window, a timer that never fired, or a gate that
+    * admitted a below-horizon destination each moves some pair's count.
+    */
+  def streamedTransitionsTtl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(StructField("user_id", LongType),
+      StructField("pair", StringType), StructField("n", LongType)))
+    transitionsReplayCore(spark, dir, outSchema, windowed = true) {
+      (child, ckpt, _) =>
+        child.read.format("statestore")
+          .option("path", ckpt)
+          .option("stateVarName", "buckets")
+          .load()
+          .select(col("key.value").as("user_id"),
+            col("user_map_key.pair").as("pair"),
+            col("user_map_value.value").as("n"))
+          .groupBy(col("user_id"), col("pair"))
+          .agg(sum(col("n")).as("n"))
+          .collect()
+    }
+  }
+
   /** Offline audit of a `transformWithState` MAP state (round-14 verdict
     * ask #2 — the last cell of the state-type × offline-audit matrix:
     * ValueState is read by [[stateInspectTws]], ListState by
@@ -2066,7 +2104,8 @@ object StreamReplay {
     * temp dirs are deleted.
     */
   private def transitionsReplayCore(spark: SparkSession, dir: String,
-      outSchema: org.apache.spark.sql.types.StructType)(
+      outSchema: org.apache.spark.sql.types.StructType,
+      windowed: Boolean = false)(
       finish: (SparkSession, String, graft.sources.FileTopic)
         => Array[org.apache.spark.sql.Row]): DataFrame = {
     import graft.sources.FileTopic
@@ -2082,6 +2121,11 @@ object StreamReplay {
       .select(col("user_id"), unix_micros(col("ts")).as("date"),
         col("event_id"), col("event_type"))
     val (lo, hi) = timeBounds(events, s"$dir events (transitions)")
+    // day-aligned retention cutoff (3/5 of the span) with the lookback
+    // chosen so the ms-truncated final watermark lands the horizon on
+    // it exactly — the stream_distinct_ttl arithmetic
+    val cutDay = (lo + (hi - lo) * 3 / 5) / DayUs
+    val lookbackUs = (hi / 1000L) * 1000L - cutDay * DayUs
     // transformWithState requires RocksDB
     val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
     val root = java.nio.file.Files.createTempDirectory("graft_trans")
@@ -2091,12 +2135,18 @@ object StreamReplay {
     def drain(): Unit = {
       implicit val enc = org.apache.spark.sql.Encoders
         .product[StreamOps.TypedEvent]
-      val pairs = StreamOps.transitionCounts(
-        in.stream(child)
-          .select(col("user_id").as("user"),
-            timestamp_micros(col("date")).as("ts"),
-            col("event_id").as("eventId"), col("event_type").as("typ"))
-          .as[StreamOps.TypedEvent])
+      val typed = (if (windowed)
+          in.stream(child)
+            .withColumn("ets", timestamp_micros(col("date")))
+            .withWatermark("ets", "0 seconds")
+        else in.stream(child))
+        .select(col("user_id").as("user"),
+          timestamp_micros(col("date")).as("ts"),
+          col("event_id").as("eventId"), col("event_type").as("typ"))
+        .as[StreamOps.TypedEvent]
+      val pairs = (if (windowed)
+          StreamOps.transitionCountsTtl(typed, lookbackUs)
+        else StreamOps.transitionCounts(typed))
         .toDF()
         .select(col("user").as("user_id"), col("pair"), col("n"))
       val q = pairs.writeStream.outputMode("update")
@@ -2108,7 +2158,12 @@ object StreamReplay {
     }
     try {
       // incarnation 1 checkpoints last-event + count-map state;
-      // incarnation 2's boundary transitions need the recovered state
+      // incarnation 2's boundary transitions need the recovered state.
+      // NO redelivery and NO compaction incarnation: transition counts
+      // are not idempotent under redelivery, and the windowed variant's
+      // standing GC timers already fire for EVERY key when the last
+      // batch advances the watermark to its final value — timer-driven
+      // eviction needs no touch pattern (that is its point).
       runQuartered(events, lo, hi, in.append, () => drain())
       val rows = finish(child, ckpt.toString, out)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)

@@ -198,6 +198,10 @@ class CollectLintSpec extends SparkSpec {
       // full-redelivery compaction); the driver read is the bounded
       // per-event-type audit rows out of the pruned MapState
       "stream_distinct_ttl",
+      // stream_transitions_ttl: the timer-GC'd windowed transition
+      // matrix replay; the driver read is the bounded per-(user, pair)
+      // rollup of the compacted bucket store
+      "stream_transitions_ttl",
       // stream_cdc: same replay posture — the synthesized changelog over
       // the wire through ChangelogCompact (per-key ValueState seq guard),
       // restart between the revision and tombstone waves + a redelivered

@@ -255,4 +255,63 @@ class RetentionSpec extends SparkSpec {
     assert(state == Set(("t", 3L), ("t", 1L), ("z", 9L)),
       s"retained active set: $state")
   }
+
+  test("TransitionCountsTtl: standing timers evict with NO arrival; dst gate; boundary transition kept") {
+    val dayUs = 86400000000L
+    val input = MemoryStream[StreamOps.TypedEvent](spark)
+    val rows = input.toDS().toDF()
+      .withColumn("ets", col("ts"))
+      .withWatermark("ets", "0 seconds")
+      .select(col("user"), col("ts"), col("eventId"), col("typ"))
+      .as[StreamOps.TypedEvent]
+    val ckpt = tmpDir("transttl_ckpt")
+    // lookback 3 days
+    val q = StreamOps.transitionCountsTtl(rows, 3L * dayUs).toDF()
+      .writeStream.format("memory").queryName("transttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    var eid = 0L
+    def ev(user: Long, typ: String, day: Long) = {
+      eid += 1
+      StreamOps.TypedEvent(user,
+        new java.sql.Timestamp(day * 86400000L), eid, typ)
+    }
+    try {
+      // user 1 transitions a|b (bucket day 2) and b|c (bucket day 3);
+      // user 2 sees only "x" (no transition yet)
+      input.addData(ev(1, "a", 1), ev(1, "b", 2), ev(1, "c", 3),
+        ev(2, "x", 1))
+      q.processAllAvailable()
+      // clock on user 99: watermark -> day 10, horizon -> day 7. User 1
+      // and 2 receive NO rows — their standing timers alone must evict
+      // the expired buckets
+      input.addData(ev(99, "z", 10))
+      q.processAllAvailable()
+      // boundary transition: user 1's last event ("c", day 3 — kept
+      // across the horizon, O(1) state) forms c|d with an IN-WINDOW
+      // destination (day 9); user 2's late event lands a transition
+      // whose destination (day 5) is below the horizon — gated
+      input.addData(ev(1, "d", 9), ev(2, "y", 5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("transttl")
+      .select($"user", $"pair", $"n").as[(Long, String, Long)]
+      .collect().toSet
+    // user 1's final emission is the WINDOWED total: just c|d = 1 (the
+    // evicted a|b / b|c buckets are gone); earlier emissions carried the
+    // pre-eviction totals
+    assert(emitted == Set((1L, "a|b", 1L), (1L, "b|c", 1L),
+      (1L, "c|d", 1L)), s"emissions: $emitted")
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "buckets").load()
+      .select(col("key.value").as("user"),
+        col("user_map_key.pair").as("pair"),
+        col("user_map_key.day").as("day"),
+        col("user_map_value.value").as("n"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    // ONLY user 1's in-window bucket survives: the timer firing evicted
+    // day-2/day-3 without any user-1 arrival, and user 2's gated
+    // transition never created a bucket
+    assert(state == Set((1L, "c|d", 9L, 1L)), s"retained buckets: $state")
+  }
 }
