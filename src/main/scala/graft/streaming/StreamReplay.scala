@@ -1062,7 +1062,12 @@ object StreamReplay {
       val qc = startConsumer()
       try {
         EngineTimer.timed { qp.processAllAvailable(); qc.processAllAvailable() }
-      } finally { qp.stop(); qc.stop() }
+      } finally {
+        // stop each in its own finally: if the producer's stop throws,
+        // the consumer must still stop or it keeps tailing topic dirs
+        // the outer cleanup is about to delete (round-18 advice)
+        try qp.stop() finally qc.stop()
+      }
     }
     try {
       // construction requires the restart to be LOAD-BEARING: rows scored

