@@ -220,6 +220,57 @@ private[graft] object HashOracles {
        |WHERE d.doc_id NOT IN (SELECT doc_b FROM dups)
        |GROUP BY d.lang""".stripMargin
 
+  /** Trailing-window near-dup survivors recompute (`stream_neardup_ttl`):
+    * [[streamNearDupOracle]]'s chain with the pair set restricted to the
+    * retention window — a pair qualifies only when the two documents'
+    * day-per-doc_id event times are within lookback = (hi − cutoff) days
+    * of each other, i.e. doc_b − doc_a <= hi − cutoff with
+    * cutoff = lo + (hi − lo)·2//5 (the engine's lexWindowCutoff, in
+    * DuckDB integer arithmetic so the boundary cannot drift). Survivors
+    * are counted over the WHOLE corpus: the window bounds pairing, not
+    * corpus membership (every document dedups against its trailing
+    * window).
+    */
+  def streamNearDupTtlOracle(minAgree: Int, numPerm: Int = 64,
+                             bands: Int = 16, seed: Long = 42L): String =
+    s"""WITH ${scoredPairCtes(numPerm, bands, seed)},
+       |cutw AS (
+       |  SELECT max(doc_id) - (min(doc_id) + (max(doc_id) - min(doc_id)) * 2 // 5)
+       |           AS span
+       |  FROM documents),
+       |dups AS (
+       |  SELECT DISTINCT s.doc_b FROM scored s, cutw c
+       |  WHERE s.agree >= $minAgree AND s.doc_b - s.doc_a <= c.span)
+       |SELECT d.lang, count(*) AS n_kept
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_b FROM dups)
+       |GROUP BY d.lang""".stripMargin
+
+  /** Pruned-store recompute (`state_inspect_neardup_ttl`): the band-bucket
+    * assignment of IN-WINDOW documents (doc_id >= cutoff — exactly the
+    * residents after the full-redelivery compaction at horizon
+    * day(cutoff)), rolled per band to resident count, occupied buckets,
+    * collision mass (Σ occupancy²) and doc_id sum.
+    */
+  def nearDupStateAuditOracle(numPerm: Int = 64, bands: Int = 16,
+                              seed: Long = 42L): String =
+    s"""WITH ${scoredPairCtes(numPerm, bands, seed)},
+       |cutb AS (
+       |  SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 2 // 5 AS cutoff
+       |  FROM documents),
+       |wb AS (
+       |  SELECT b.doc_id, b.band, b.bucket
+       |  FROM buckets b, cutb c WHERE b.doc_id >= c.cutoff),
+       |occ AS (
+       |  SELECT band, bucket, count(*) AS n, sum(doc_id) AS ids
+       |  FROM wb GROUP BY band, bucket)
+       |SELECT CAST(band AS INTEGER) AS band,
+       |       CAST(sum(n) AS BIGINT) AS n_docs,
+       |       CAST(count(*) AS BIGINT) AS n_buckets,
+       |       CAST(sum(n * n) AS BIGINT) AS coll_mass,
+       |       CAST(sum(ids) AS BIGINT) AS id_sum
+       |FROM occ GROUP BY band""".stripMargin
+
   /** Weighted-sample recompute (`weighted_sample`): one xxhash64(doc_id, i)
     * draw per 32-token chunk i, priority = min draw per doc (SIGNED
     * comparison, matching Spark's long min), rank per language, keep k.
@@ -513,6 +564,38 @@ private[graft] object HashOracles {
     s"""WITH fp AS ($imageFingerprintOracle)
        |SELECT ahash, CAST(2 * count(*) AS BIGINT) AS n_images
        |FROM fp GROUP BY ahash""".stripMargin
+
+  /** Trailing-window media-dedup recompute (`stream_media_dedup_ttl`):
+    * per-hash distinct uploads among IN-WINDOW image documents
+    * (doc_id >= cutoff over the image subset's id span — mirrors carry
+    * their original's day, so both uploads of a document are in or out
+    * together): 2 × in-window docs per aHash group; groups with an
+    * empty window are absent.
+    */
+  def streamMediaDedupTtlOracle: String =
+    s"""WITH fp AS ($imageFingerprintOracle),
+       |cutm AS (
+       |  SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 2 // 5 AS cutoff
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT f.ahash, CAST(2 * count(*) AS BIGINT) AS n_images
+       |FROM fp f, cutm c WHERE f.doc_id >= c.cutoff
+       |GROUP BY f.ahash""".stripMargin
+
+  /** Pruned-store recompute (`state_inspect_media_ttl`): the per-hash id
+    * sets after compaction at horizon day(cutoff) — for each in-window
+    * document its original id d and mirror id −d−1 are resident, so
+    * n_ids = 2k, orig_sum = Σd, mirror_sum = Σ(−d−1) = −Σd − k.
+    */
+  def mediaStateAuditOracle: String =
+    s"""WITH fp AS ($imageFingerprintOracle),
+       |cutm AS (
+       |  SELECT min(doc_id) + (max(doc_id) - min(doc_id)) * 2 // 5 AS cutoff
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT f.ahash, CAST(2 * count(*) AS BIGINT) AS n_ids,
+       |       CAST(sum(f.doc_id) AS BIGINT) AS orig_sum,
+       |       CAST(-sum(f.doc_id) - count(*) AS BIGINT) AS mirror_sum
+       |FROM fp f, cutm c WHERE f.doc_id >= c.cutoff
+       |GROUP BY f.ahash""".stripMargin
 
   /** Video frame-fingerprint recompute (`video_fingerprint`): frame f's
     * pixel (x, y) is the closed form (doc_id + 3f + x + y) % 256 over the

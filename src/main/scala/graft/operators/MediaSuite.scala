@@ -52,7 +52,11 @@ object MediaSuite {
     "audio_fingerprint" -> (audioFingerprint _),
     "video_fingerprint" -> (videoFingerprint _),
     "stream_media_dedup" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamReplay.streamedMediaDedup(s, d)))
+      graft.streaming.StreamReplay.streamedMediaDedup(s, d)),
+    "stream_media_dedup_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedMediaDedupTtl(s, d)),
+    "state_inspect_media_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectMediaTtl(s, d)))
 
   val oracles: Map[String, String] = Map(
     // 8x8 point-sampled aHash over the closed-form pixel fill — see
@@ -67,6 +71,11 @@ object MediaSuite {
     // per-hash distinct-id counts under the doubled (original + mirror)
     // publish — see HashOracles.streamMediaDedupOracle
     "stream_media_dedup" -> HashOracles.streamMediaDedupOracle,
+    // the trailing-window twin (live-feed convergence) and its pruned-
+    // store audit — see StreamReplay.streamedMediaDedupTtl /
+    // stateInspectMediaTtl
+    "stream_media_dedup_ttl" -> HashOracles.streamMediaDedupTtlOracle,
+    "state_inspect_media_ttl" -> HashOracles.mediaStateAuditOracle,
     // px/asum/vsum recompute the decoded content digests in closed form:
     // the image fill is (doc_id + x + y) mod 256 over the (w, h) gradient,
     // the audio samples are ((doc_id*31 + i*17) mod 65536) - 32768, and

@@ -1420,6 +1420,10 @@ object TextSuite {
     "minhash_recall"  -> (minhashRecall _),
     "stream_neardup"  -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamReplay.streamedNearDup(s, d)),
+    "stream_neardup_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.streamedNearDupTtl(s, d)),
+    "state_inspect_neardup_ttl" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamReplay.stateInspectNearDupTtl(s, d)),
     "dedup_clusters"  -> (dedupClusters _),
     "quality_filter"  -> (qualityFilter _),
     "hash_split"      -> (hashSplit _),
@@ -1649,6 +1653,13 @@ object TextSuite {
     // the online bucket-index near-dup (StreamReplay.streamedNearDup)
     // converges to this batch recompute's survivor set exactly
     "stream_neardup" -> HashOracles.streamNearDupOracle(minAgree = 16),
+    // the trailing-window twin: pairs restricted to the retention span,
+    // survivors counted corpus-wide (StreamReplay.streamedNearDupTtl)
+    "stream_neardup_ttl" ->
+      HashOracles.streamNearDupTtlOracle(minAgree = 16),
+    // the pruned bucket index itself, per band (StreamReplay
+    // .stateInspectNearDupTtl)
+    "state_inspect_neardup_ttl" -> HashOracles.nearDupStateAuditOracle(),
     "weighted_sample" -> HashOracles.weightedSampleOracle(),
     "text_redaction" ->
       """SELECT source, count(*) AS n_docs,

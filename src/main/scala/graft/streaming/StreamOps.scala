@@ -1150,6 +1150,102 @@ object StreamOps {
         OutputMode.Update())
   }
 
+  /** [[BandDoc]] WITH its document's event time — the wire shape of the
+    * windowed signature index.
+    */
+  final case class BandDocTs(band: Int, bucket: Long, docId: Long,
+                             sig: Seq[Long], tsUs: Long)
+  // public: the state encoder's generated code instantiates it reflectively
+  final case class IndexedDocTs(docId: Long, sig: Seq[Long], tsUs: Long)
+
+  /** [[NearDupIndex]] with WATERMARK-BOUND RETENTION (round-18 verdict
+    * ask #1 — the first of the two last unbounded online stores): the
+    * production near-dup contract becomes "a document is a duplicate if
+    * it near-matches one seen within the trailing window" — a crawl
+    * dedups against its recent past, not its entire history. The same
+    * three mechanisms as [[CellAnnIndexTtl]], each load-bearing:
+    *   - per-PROBE window: an arrival pairs only with residents whose
+    *     event time is ≥ its own minus `lookbackUs` — a pure function of
+    *     the two documents' event times, so the emitted pair set is
+    *     batching- and restart-independent and exactly recomputable by
+    *     the windowed batch oracle;
+    *   - EVICTION at batch start: residents older than watermark −
+    *     lookback leave the bucket list — safe because every future
+    *     in-order arrival's probe window starts at or after that
+    *     horizon;
+    *   - ARRIVAL GATE: a below-horizon row neither inserts, nor scores,
+    *     nor emits, so a redelivered copy of an evicted document cannot
+    *     re-inflate the store (its bucket is still TOUCHED, which is
+    *     what lets a full redelivery compact every bucket).
+    * State per bucket is the WINDOW's signatures however long the
+    * stream runs; the eviction scan is O(resident), the same cost the
+    * probe scan already pays. Signature agreement is the same integer
+    * position compare as the unpruned index. Requires TimeMode.EventTime.
+    */
+  final class NearDupIndexTtl(minAgree: Int, lookbackUs: Long)
+    extends StatefulProcessor[(Int, Long), BandDocTs, NearDupHit] {
+    @transient private var index: ListState[IndexedDocTs] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      index = getHandle.getListState[IndexedDocTs]("index",
+        Encoders.product[IndexedDocTs], TTLConfig.NONE)
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandDocTs],
+                                 timers: TimerValues): Iterator[NearDupHit] = {
+      val horizonUs = timers.getCurrentWatermarkInMs() * 1000L - lookbackUs
+      val all = index.get().toArray
+      val resident = all.filter(_.tsUs >= horizonUs)
+      // a fully-evicted bucket must clear(), not put(): the state store
+      // rejects empty list writes (the CellAnnIndexTtl posture)
+      if (resident.length != all.length) {
+        if (resident.isEmpty) index.clear() else index.put(resident)
+      }
+      val seen = scala.collection.mutable.Set(resident.map(_.docId): _*)
+      val added = scala.collection.mutable.ArrayBuffer.empty[IndexedDocTs]
+      val hits = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      rows.toArray.sortBy(_.docId).foreach { r =>
+        require(r.sig.length == 64,
+          s"malformed wire signature for doc ${r.docId}: " +
+            s"${r.sig.length} longs (expected 64)")
+        if (r.tsUs >= horizonUs && !seen(r.docId)) {
+          (resident.iterator ++ added.iterator)
+            // the per-probe window: both directions, because compare-vs-
+            // all means the later ARRIVAL scores the pair whichever id
+            // is larger — the window must be a function of the two event
+            // times alone (max - min), not of arrival order
+            .filter(o => math.max(o.tsUs, r.tsUs)
+              - math.min(o.tsUs, r.tsUs) <= lookbackUs)
+            .foreach { o =>
+              var agree = 0
+              var i = 0
+              while (i < 64) {
+                if (r.sig(i) == o.sig(i)) agree += 1
+                i += 1
+              }
+              if (agree >= minAgree)
+                hits += NearDupHit(math.max(r.docId, o.docId),
+                  math.min(r.docId, o.docId), agree)
+            }
+          added += IndexedDocTs(r.docId, r.sig, r.tsUs)
+          seen += r.docId
+        }
+      }
+      if (added.nonEmpty) index.appendList(added.toArray)
+      hits.iterator
+    }
+  }
+
+  /** Trailing-window streaming near-dup hits: see [[NearDupIndexTtl]].
+    * The caller must `.withWatermark` an event-time column on `rows`
+    * first.
+    */
+  def nearDupHitsTtl(rows: Dataset[BandDocTs], minAgree: Int,
+                     lookbackUs: Long): Dataset[NearDupHit] = {
+    implicit val enc = Encoders.product[NearDupHit]
+    rows.groupByKey(r => (r.band, r.bucket))(
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .transformWithState(new NearDupIndexTtl(minAgree, lookbackUs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** One keyed id observation; [[DistinctPerKey]] counts distinct ids. */
   final case class KeyedId(key: Long, id: Long)
   final case class KeyCount(key: Long, n: Long)

@@ -2445,6 +2445,165 @@ object StreamReplay {
     } finally { sigs.unpersist(); deleteTree(ckpt); deleteTree(root) }
   }
 
+  /** The shared trailing-window near-dup replay (round-18 verdict ask
+    * #1): [[streamedNearDup]]'s wire and publish choreography (quartered
+    * doc_id waves, mid-stream checkpoint restart, whole-quarter
+    * redelivery) run through [[StreamOps.NearDupIndexTtl]] with
+    * day-per-doc_id event times, plus the full-corpus redelivery
+    * incarnation that compacts every bucket at the final horizon
+    * (= day(cutoff), the lexicalReplayCore convention: watermark day(hi)
+    * minus lookback (hi − cutoff) days). `finish` reads the answer from
+    * the stopped pipeline (the hit topic, or the checkpoint's bucket
+    * index) BEFORE the temp dirs are deleted.
+    */
+  private def nearDupTtlReplayCore(spark: SparkSession, dir: String,
+      minAgree: Int, outSchema: org.apache.spark.sql.types.StructType)(
+      finish: (SparkSession, String, graft.sources.FileTopic)
+        => Array[org.apache.spark.sql.Row]): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.Dedup
+    val wireSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sig", ArrayType(LongType))))
+    val hitSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("dup_of", LongType),
+      StructField("agree", IntegerType)))
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    val docs = Tables.documents(child, dir)
+    // persist: the publish waves slice this by doc_id — without the cache
+    // each one re-runs the full shingle -> signature pipeline
+    val sigs = Dedup.minhashSignatures(docs).select(col("doc_id"), col("sig"))
+      .persist()
+    val b = docs.agg(min("doc_id"), max("doc_id")).head()
+    require(!b.isNullAt(0), s"$dir documents is empty — nothing to replay")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val lookbackUs = (hi - lexWindowCutoff(lo, hi)) * DayUs
+    val root = java.nio.file.Files.createTempDirectory("graft_neardup_ttl")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardup_ttl_ck")
+    val in = new FileTopic("neardup_ttl_in", wireSchema, root.toString)
+    val out = new FileTopic("neardup_ttl_hits", hitSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = sigs
+      .filter(col("doc_id") >= from &&
+        (if (last) lit(true) else col("doc_id") < until)).coalesce(1)
+    def drain(): Unit = {
+      implicit val enc =
+        org.apache.spark.sql.Encoders.product[StreamOps.BandDocTs]
+      // watermark BEFORE the band fan-out; the projection may drop the
+      // ets column — the EventTimeWatermark node is already planted
+      val banded = Dedup.lshBucketsWithSig(
+          in.stream(child)
+            .withColumn("ets", timestamp_micros(col("doc_id") * DayUs))
+            .withWatermark("ets", "0 seconds"))
+        .select(col("band"), col("bucket"), col("doc_id").as("docId"),
+          col("sig"), (col("doc_id") * DayUs).as("tsUs"))
+        .as[StreamOps.BandDocTs]
+      val hits = StreamOps.nearDupHitsTtl(banded, minAgree, lookbackUs).toDF()
+        .select(col("docId").as("doc_id"), col("dupOf").as("dup_of"),
+          col("agree"))
+      val q = hits.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + windowed bucket indexes checkpointed
+      // REDELIVERY ACROSS THE RESTART: the recovered indexes absorb it
+      in.append(range(q2lo, q2hi, last = false))
+      in.append(range(q2hi, lo + 3 * quarter, last = false))
+      in.append(range(lo + 3 * quarter, Long.MaxValue, last = true))
+      drain() // incarnation 2
+      // incarnation 3: the committed watermark sits at day(hi), so the
+      // horizon is exactly day(cutoff) — the FULL corpus redelivery
+      // touches every bucket any document maps to (in-window docs are
+      // resident → skipped; out-of-window ones are gated), compacting
+      // the whole signature index to the retention window with zero new
+      // emissions
+      in.append(range(lo, Long.MaxValue, last = true))
+      drain()
+      val rows = finish(child, ckpt.toString, out)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { sigs.unpersist(); deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** [[streamedNearDup]] under WATERMARK-BOUND RETENTION: the crawl
+    * dedups against its TRAILING WINDOW — a document is a duplicate iff
+    * it near-matches (≥ `minAgree` of 64 signature positions in a shared
+    * band bucket) a document whose event time lies within the lookback
+    * of its own. The per-probe window makes the converged pair set a
+    * pure function of document event times (day-per-doc_id), so the
+    * DuckDB oracle recomputes it exactly: the same shingle → signature →
+    * band-bucket chain as stream_neardup, with pairs restricted to
+    * doc_b − doc_a ≤ (hi − cutoff) days. Final answer: per-language
+    * counts of documents that are not the LATER member of any qualifying
+    * pair. An eviction that fired early drops a pair (kept doc counted
+    * dup-free); a gate failure re-admits an evicted doc and re-pairs it;
+    * a probe window off by one day moves the boundary pairs — each
+    * moves the per-language counts.
+    */
+  def streamedNearDupTtl(spark: SparkSession, dir: String,
+                         minAgree: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(StructField("lang", StringType),
+      StructField("n_kept", LongType, nullable = false)))
+    nearDupTtlReplayCore(spark, dir, minAgree, outSchema) { (child, _, out) =>
+      val dups = out.batch(child).select(col("doc_id")).distinct()
+      Tables.documents(child, dir)
+        .join(dups, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .collect()
+    }
+  }
+
+  /** Offline audit of [[StreamOps.NearDupIndexTtl]]'s ListState — the
+    * PRUNED bucket-keyed signature index read out of the restarted
+    * checkpoint after the full-redelivery compaction, rolled per band to
+    * (n_docs, n_buckets, coll_mass, id_sum): n_docs = resident
+    * signatures across the band's buckets (= the window's documents,
+    * once per band), n_buckets = occupied buckets, coll_mass = Σ
+    * occupancy² (the LSH collision mass — the quantity that prices the
+    * probe scan), id_sum = Σ resident doc_ids. Hash-matched against the
+    * DuckDB recompute of the band-bucket assignment over in-window
+    * documents: an un-evicted out-of-window resident inflates n_docs and
+    * id_sum; an over-eager eviction deflates them; a signature landing
+    * in the wrong bucket moves n_buckets/coll_mass — the store is
+    * provably the exact windowed index.
+    */
+  def stateInspectNearDupTtl(spark: SparkSession, dir: String,
+                             minAgree: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types._
+    val auditSchema = StructType(Seq(
+      StructField("band", IntegerType),
+      StructField("n_docs", LongType),
+      StructField("n_buckets", LongType),
+      StructField("coll_mass", LongType),
+      StructField("id_sum", LongType)))
+    nearDupTtlReplayCore(spark, dir, minAgree, auditSchema) {
+      (child, ckpt, _) =>
+        val occ = child.read.format("statestore")
+          .option("path", ckpt)
+          .option("stateVarName", "index")
+          .load()
+          .select(col("key._1").as("band"), col("key._2").as("bucket"),
+            col("list_element.docId").as("doc_id"))
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+        occ.groupBy(col("band"))
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_buckets"),
+            sum(col("n") * col("n")).as("coll_mass"),
+            sum(col("ids")).as("id_sum"))
+          .collect()
+    }
+  }
+
   /** Streaming MULTIMODAL dedup — binary payloads over the wire: real
     * PNG bytes ride the topic (base64 on the JSON wire, BinaryType on
     * read), each micro-batch DECODES the image executor-side and reduces
@@ -2537,6 +2696,174 @@ object StreamReplay {
         .collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     } finally { media.unpersist(); deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** The shared trailing-window media-dedup replay (round-18 verdict ask
+    * #1, second store): [[streamedMediaDedup]]'s wire (real PNG payloads,
+    * re-upload mirrors under fresh ids) and publish choreography, with
+    * the fingerprint-keyed id store swapped to
+    * [[StreamOps.DistinctActiveTtl]] — the retention kit COMPOSES: the
+    * decode → aHash reduction stays in the stream, and the per-hash
+    * distinct-uploader state becomes the sliding-window active set, no
+    * new processor needed. Event times are day-per-ORIGINAL-doc_id (a
+    * mirror carries its original's event time — the window governs the
+    * content's arrival, and both uploads of a document share it). The
+    * full-corpus redelivery incarnation (originals + mirrors) touches
+    * every hash key at the final horizon (= day(cutoff)), compacting the
+    * whole store. `finish` reads the answer from the stopped pipeline.
+    */
+  private def mediaDedupTtlReplayCore(spark: SparkSession, dir: String,
+      outSchema: org.apache.spark.sql.types.StructType)(
+      finish: (SparkSession, String, graft.sources.FileTopic)
+        => Array[org.apache.spark.sql.Row]): DataFrame = {
+    import graft.sources.FileTopic
+    import org.apache.spark.sql.types._
+    import graft.operators.Multimodal
+    val wireSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    val liveSchema = StructType(Seq(
+      StructField("ahash", LongType), StructField("n_images", LongType),
+      StructField("batch_id", LongType)))
+    val child = replaySession(spark, shufflePartitions = 8, keepRocksDb = true)
+    // persist: same rationale as streamedMediaDedup — the encode hides
+    // inside a typed mapPartitions, unprunable under the publish filters
+    val media = Multimodal
+      .mediaTableReal(Tables.documents(child, dir), "image")
+      .toDF().select(col("doc_id"), col("payload"))
+      .persist()
+    val b = Tables.documents(child, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .agg(min("doc_id"), max("doc_id")).head()
+    require(!b.isNullAt(0), s"$dir documents yields no image rows")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val lookbackUs = (hi - lexWindowCutoff(lo, hi)) * DayUs
+    val root = java.nio.file.Files.createTempDirectory("graft_media_ttl")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_media_ttl_ck")
+    val in = new FileTopic("media_ttl_in", wireSchema, root.toString)
+    val out = new FileTopic("media_ttl_counts", liveSchema, root.toString)
+    def range(from: Long, until: Long, last: Boolean) = media
+      .filter(col("doc_id") >= from &&
+        (if (last) lit(true) else col("doc_id") < until)).coalesce(1)
+    def mirror(df: org.apache.spark.sql.DataFrame) =
+      df.select((-col("doc_id") - 1).as("doc_id"), col("payload"))
+    def drain(): Unit = {
+      implicit val inEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.BINARY,
+        org.apache.spark.sql.Encoders.scalaLong)
+      implicit val idEnc =
+        org.apache.spark.sql.Encoders.product[StreamOps.ActiveId]
+      // mirrors map back to their original's day BEFORE the watermark
+      val orig = when(col("doc_id") < 0, -col("doc_id") - 1)
+        .otherwise(col("doc_id"))
+      val hashed = in.stream(child)
+        .withColumn("ets", timestamp_micros(orig * DayUs))
+        .withWatermark("ets", "0 seconds")
+        .select(col("doc_id"), col("payload"), (orig * DayUs).as("ts_us"))
+        .as[(Long, Array[Byte], Long)]
+        .map { case (id, bytes, tsUs) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          StreamOps.ActiveId(Multimodal.ahashOf(img).toString, id, tsUs)
+        }
+      val counts = StreamOps.distinctActiveTtl(hashed, lookbackUs).toDF()
+        .select(col("key").cast("long").as("ahash"),
+          col("n").as("n_images"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          out.sinkBatch(df.withColumn("batch_id", lit(id)), id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      drainQuery(q)
+    }
+    try {
+      val quarter = math.max(1L, (hi - lo) / 4)
+      val (q2lo, q2hi) = (lo + quarter, lo + 2 * quarter)
+      in.append(range(lo, q2lo, last = false))
+      in.append(range(q2lo, q2hi, last = false))
+      drain() // incarnation 1: offsets + per-hash active sets checkpointed
+      // post-restart: redeliver q2's originals (absorbed by the recovered
+      // sets), mirrors of the early quarters, and the rest of the stream
+      in.append(range(q2lo, q2hi, last = false))
+      in.append(mirror(range(lo, q2hi, last = false)))
+      in.append(range(q2hi, Long.MaxValue, last = true))
+      in.append(mirror(range(q2hi, Long.MaxValue, last = true)))
+      drain() // incarnation 2
+      // incarnation 3: watermark at day(hi) → horizon exactly day(cutoff);
+      // redelivering EVERYTHING (originals + mirrors) touches every hash
+      // key — in-window ids refresh idempotently (their day is fixed),
+      // out-of-window ones are gated, expired residents evict — so the
+      // final emission per key IS its windowed count and the store holds
+      // exactly the window's ids
+      in.append(range(lo, Long.MaxValue, last = true))
+      in.append(mirror(range(lo, Long.MaxValue, last = true)))
+      drain()
+      val rows = finish(child, ckpt.toString, out)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    } finally { media.unpersist(); deleteTree(ckpt); deleteTree(root) }
+  }
+
+  /** [[streamedMediaDedup]] under WATERMARK-BOUND RETENTION: per-hash
+    * distinct uploads among content whose event time lies inside the
+    * trailing window — the moderation/feed shape ("how many accounts
+    * uploaded this image recently"). The answer is read from the LIVE
+    * UPDATE FEED a dashboard would consume: the final full-redelivery
+    * batch touches every key, so each key's LAST emission is its
+    * converged windowed count (counts can shrink under eviction, so a
+    * max over the changelog would be wrong — this row pins the feed's
+    * convergence, the state-audit twin pins the store). Hash-matched
+    * against the DuckDB recompute: 2 × in-window documents per aHash
+    * group (original + mirror). Groups whose window emptied emit 0 and
+    * are dropped — the oracle has no such groups.
+    */
+  def streamedMediaDedupTtl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("ahash", LongType), StructField("n_images", LongType)))
+    mediaDedupTtlReplayCore(spark, dir, outSchema) { (child, _, out) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ahash"))
+        .orderBy(col("batch_id").desc)
+      out.batch(child)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_images") > 0)
+        .select(col("ahash"), col("n_images"))
+        .collect()
+    }
+  }
+
+  /** Offline audit of the media store's [[StreamOps.DistinctActiveTtl]]
+    * MapState — the PRUNED per-hash id sets read out of the restarted
+    * checkpoint after the full-redelivery compaction, rolled per hash to
+    * (n_ids, orig_sum, mirror_sum): original ids are non-negative,
+    * mirror ids are −doc_id−1, so the two sums pin WHICH documents'
+    * uploads are resident, separably (a lost mirror moves n_ids and
+    * mirror_sum; a wrong original moves orig_sum; an un-evicted
+    * out-of-window id moves all three). Hash-matched against the DuckDB
+    * recompute over in-window image documents.
+    */
+  def stateInspectMediaTtl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val auditSchema = StructType(Seq(
+      StructField("ahash", LongType),
+      StructField("n_ids", LongType),
+      StructField("orig_sum", LongType),
+      StructField("mirror_sum", LongType)))
+    mediaDedupTtlReplayCore(spark, dir, auditSchema) { (child, ckpt, _) =>
+      child.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "active")
+        .load()
+        .select(col("key.value").cast("long").as("ahash"),
+          col("user_map_key.value").as("id"))
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_ids"),
+          sum(when(col("id") >= 0, col("id")).otherwise(lit(0L)))
+            .as("orig_sum"),
+          sum(when(col("id") < 0, col("id")).otherwise(lit(0L)))
+            .as("mirror_sum"))
+        .collect()
+    }
   }
 
   /** Streaming IVF ANN over the production source — the online twin of

@@ -161,6 +161,55 @@ class RetentionSpec extends SparkSpec {
     assert(state == Set((5, 999L)), s"retained index: $state")
   }
 
+  test("NearDupIndexTtl: per-probe window excludes a resident; horizon evicts and gates; bucket clears") {
+    val sig = (1L to 64L).toSeq // identical sigs -> agree = 64
+    val input = MemoryStream[StreamOps.BandDocTs](spark)
+    val rows = input.toDS().toDF()
+      .withColumn("ets", timestamp_micros(col("tsUs")))
+      .withWatermark("ets", "0 seconds")
+      .select(col("band"), col("bucket"), col("docId"), col("sig"),
+        col("tsUs"))
+      .as[StreamOps.BandDocTs]
+    val ckpt = tmpDir("ndttl_ckpt")
+    val q = StreamOps.nearDupHitsTtl(rows, minAgree = 16, lookbackUs).toDF()
+      .writeStream.format("memory").queryName("ndttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    def d(doc: Long, tsS: Long, bucket: Long = 7L) =
+      StreamOps.BandDocTs(0, bucket, doc, sig, tsS * 1000000L)
+    try {
+      // doc 60's window reaches back to 100 s, so doc 10 (150 s) pairs
+      // in-batch
+      input.addData(d(10, 150), d(60, 600))
+      q.processAllAvailable()
+      // doc 70 (700 s): doc 10 is STILL RESIDENT (horizon is only
+      // 100 s) but outside 70's window (gap 550 s > 500) — the
+      // per-probe filter, not eviction, must exclude it; doc 60 pairs
+      input.addData(d(70, 700))
+      q.processAllAvailable()
+      // redelivery of a resident: skipped wholesale, nothing re-emits
+      input.addData(d(60, 600))
+      q.processAllAvailable()
+      input.addData(d(999, 2000, bucket = 8L)) // clock: watermark -> 2000 s
+      q.processAllAvailable()
+      // horizon 1500 s: touching bucket 7 evicts everything resident
+      // (clear() path — the bucket empties), and doc 71 (710 s) itself
+      // sits below the horizon — gated: no score, no insert, no emit
+      input.addData(d(71, 710))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("ndttl")
+      .select($"docId", $"dupOf", $"agree").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(hits == Set((60L, 10L, 64), (70L, 60L, 64)), s"hits: $hits")
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "index").load()
+      .select(col("key._1").as("band"), col("key._2").as("bucket"),
+        col("list_element.docId").as("doc"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(state == Set((0, 8L, 999L)), s"retained index: $state")
+  }
+
   test("CanonicalFirstTtl: eviction re-opens canonical; gate + clock rows behave") {
     val input = MemoryStream[StreamOps.CorpusDocTs](spark)
     val rows = input.toDS().toDF()
