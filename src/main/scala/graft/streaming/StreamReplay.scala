@@ -4599,8 +4599,13 @@ object StreamReplay {
       val cand = indexServeStreamFrame(in.stream(child), root, centroids,
         nProbe)
       val q = cand.writeStream.outputMode("append")
-        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
-          out.sinkBatch(df, id))
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => {
+          // per-batch staleness gate (round-18 verdict ask #4c): a
+          // corpus mutation mid-serve fails the next batch loudly —
+          // a metadata listing per batch, never a corpus scan
+          graft.sources.IndexStore.assertFresh(child, dir, root)
+          out.sinkBatch(df, id)
+        })
         .option("checkpointLocation", ckpt.toString)
         .start()
       drainQuery(q)
