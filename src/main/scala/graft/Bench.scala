@@ -210,10 +210,30 @@ object Bench {
     * the engine-owned share of that min (0.0 when the record predates
     * the split or the row is plain batch).
     */
-  final case class PrevRow(sec: Double, sf: String, eng: Double = 0.0)
+  final case class PrevRow(sec: Double, sf: String, eng: Double = 0.0,
+                           iso: Double = 0.0)
   /** This run's side of the same comparison. */
   final case class CurRow(name: String, sec: Double, sf: String,
-                          eng: Double = 0.0)
+                          eng: Double = 0.0, iso: Double = 0.0)
+
+  /** Rows whose drift gate runs on an ISOLATED-lane measurement instead
+    * of the in-suite min (round-18 verdict ask #2, closing three rounds
+    * of recurring flags): the cached-edge graph trio's fixpoint loops
+    * are sensitive to suite cache/memory pressure — isolated A/B at the
+    * flagged commits was commit-indistinguishable every round (r16-r18),
+    * so the in-suite min measures SUITE CONTEXT for these rows, not the
+    * plan. Each gets one extra isolated measurement after pass 2 (same
+    * warmed JVM, nothing interleaved — the p3 protocol), published as
+    * "iso" in BENCH_DETAIL; the drift compare prefers iso on BOTH sides
+    * when available, else compares this run's iso against the baseline's
+    * in-suite min (iso ≤ min under no contention, so exoneration is
+    * conservative: a flag in that mixed compare means the ISOLATED time
+    * exceeds the old SUITE time — a real regression). sketch_accuracy
+    * rides along per verdict ask #5 (fourth flagged row, same
+    * suite-pressure profile: a cached-input accuracy sweep).
+    */
+  val IsoLane: Set[String] = Set(
+    "cluster_split", "pagerank", "pagerank_convergence", "sketch_accuracy")
   /** One drift verdict: `metric` names which lane compared —
     * "engine_sec" / "harness_sec" for replay rows whose both records
     * carry the split, "sec" otherwise.
@@ -234,11 +254,14 @@ object Bench {
     val row = """"([a-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.]+)([^}]*)\}""".r
     val qsf = """"qsf":\s*"([^"]+)"""".r
     val engRx = """"engine_sec":\s*([0-9.]+)""".r
+    val isoRx = """"iso":\s*([0-9.]+)""".r
     row.findAllMatchIn(text).map { m =>
       val sf = qsf.findFirstMatchIn(m.group(3)).map(_.group(1)).getOrElse(recordSf)
       val eng = engRx.findFirstMatchIn(m.group(3)).map(_.group(1).toDouble)
         .getOrElse(0.0)
-      m.group(1) -> PrevRow(m.group(2).toDouble, sf, eng)
+      val iso = isoRx.findFirstMatchIn(m.group(3)).map(_.group(1).toDouble)
+        .getOrElse(0.0)
+      m.group(1) -> PrevRow(m.group(2).toDouble, sf, eng, iso)
     }.toMap
   }
 
@@ -275,7 +298,20 @@ object Bench {
     def gate(p: Double, c: Double): Boolean =
       c > ratio * math.max(p, 0.001) && c - p > 0.5
     val flagged = comparable.flatMap { case (c, p) =>
-      if (p.eng > 0 && c.eng > 0) {
+      if (c.iso > 0) {
+        // isolated-lane row (IsoLane): compare iso-vs-iso when the
+        // baseline carries it, else this run's ISOLATED time against the
+        // baseline's in-suite min — iso ≤ suite-min under no contention,
+        // so a flag still means a real plan regression (see IsoLane doc)
+        if (p.iso > 0) {
+          if (gate(p.iso, c.iso))
+            Some(DriftFlag(c.name, math.max(p.iso, 0.001), c.iso, "iso_sec"))
+          else None
+        } else if (gate(p.sec, c.iso))
+          Some(DriftFlag(c.name, math.max(p.sec, 0.001), c.iso,
+            "iso_vs_prev_min"))
+        else None
+      } else if (p.eng > 0 && c.eng > 0) {
         if (gate(p.eng, c.eng))
           Some(DriftFlag(c.name, math.max(p.eng, 0.001), c.eng, "engine_sec"))
         else None
@@ -549,6 +585,13 @@ object Bench {
     }
     val pass1 = instrumented(1)
     val pass2 = instrumented(2)
+    // isolated-lane measurements (see IsoLane): one quiet re-measure per
+    // pinned row after both suite passes — nothing interleaved, same
+    // warmed JVM, the p3 protocol. These feed the drift gate and the
+    // "iso" field in BENCH_DETAIL; the suite passes stay untouched.
+    val isoStats: Map[String, QStat] =
+      selected.keySet.intersect(IsoLane).toSeq.sorted
+        .map(n => n -> measure("iso", n, selected(n))).toMap
     val passTotals = Seq(pass1, pass2).map(_.map(_._2.sec).sum)
     // HEADLINE = the wall total of the latest CLEAN pass (see headlinePass
     // below): a number some real pass actually produced. The old headline
@@ -640,7 +683,7 @@ object Bench {
       val cur = pass1.zip(pass2).map { case ((n, s1), (_, s2)) =>
         val minStat = if (s1.sec <= s2.sec) s1 else s2
         CurRow(n, minStat.sec, new java.io.File(dirFor(n)).getName,
-          minStat.eng)
+          minStat.eng, isoStats.get(n).map(_.sec).getOrElse(0.0))
       }
       val (flagged, compared, skipped, harness) = driftFlags(prevDetail, cur)
       val (cumFlagged, cumCompared, cumSkipped, _) =
@@ -694,7 +737,11 @@ object Bench {
           f""""engine_sec":${minStat.eng}%.3f,""" +
             f""""harness_sec":${minStat.sec - minStat.eng}%.3f,"""
         else ""
-        f"""  "$n":{"sec":${math.min(s1.sec, s2.sec)}%.3f,$split""" +
+        // isolated-lane measurement (IsoLane rows): the number the drift
+        // gate compares for this row — suite pressure can't pollute it
+        val isoField = isoStats.get(n)
+          .map(s => f""""iso":${s.sec}%.3f,""").getOrElse("")
+        f"""  "$n":{"sec":${math.min(s1.sec, s2.sec)}%.3f,$split$isoField""" +
           f""""p1":${s1.sec}%.3f,"p2":${s2.sec}%.3f,""" +
           // 1/2-suffixed like every other pass pair (the old bare "gc"
           // carried min-pass gc — renamed so the semantics change is

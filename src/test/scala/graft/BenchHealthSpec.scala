@@ -297,6 +297,49 @@ class BenchHealthSpec extends AnyFunSuite {
       s"harness drift must flag separately, never as engine: $harness")
   }
 
+  test("isolated lane (r18 ask #2): IsoLane rows gate on iso, suite pressure cannot flag") {
+    import Bench.{CurRow, PrevRow}
+    // the pinned set is exactly the recurring drift-flagged rows: the
+    // cached-edge graph trio + sketch_accuracy (r18 ask #5)
+    assert(Bench.IsoLane == Set("cluster_split", "pagerank",
+      "pagerank_convergence", "sketch_accuracy"))
+    val prev = Map(
+      // the three-round scenario this lane exists for: the suite min
+      // inflated 2.0 -> 3.8 (would flag on the sec lane) but isolated
+      // is commit-indistinguishable (2.0 -> 2.1) -> NO flag
+      "pagerank"   -> PrevRow(2.0, "sf0.1", iso = 2.0),
+      // a REAL plan regression shows in the isolated lane too -> flags
+      // with metric iso_sec
+      "iso_regr"   -> PrevRow(2.0, "sf0.1", iso = 2.0),
+      // baseline predates the iso field (e.g. the r18 snapshot): this
+      // run's ISOLATED time compares against the old in-suite min —
+      // iso <= suite-min under no contention, so silence means the plan
+      // held and a flag means the isolated time exceeds even the old
+      // suite time
+      "first_iso"  -> PrevRow(2.0, "sf0.1"),
+      "first_bad"  -> PrevRow(2.0, "sf0.1"))
+    val cur = Seq(
+      CurRow("pagerank", 3.8, "sf0.1", iso = 2.1),
+      CurRow("iso_regr", 4.1, "sf0.1", iso = 4.0),
+      CurRow("first_iso", 3.8, "sf0.1", iso = 2.1),
+      CurRow("first_bad", 4.2, "sf0.1", iso = 4.1))
+    val (flagged, compared, _, _) = Bench.driftFlags(prev, cur)
+    assert(compared == 4)
+    assert(flagged.map(f => (f.name, f.metric)).toSet ==
+      Set(("iso_regr", "iso_sec"), ("first_bad", "iso_vs_prev_min")),
+      s"iso lane must exonerate suite pressure and flag real regressions: $flagged")
+  }
+
+  test("readPrevDetail parses the iso field into the baseline") {
+    val text = """{"sf":"sf0.1","queries":{
+      |  "pagerank":{"sec":3.575,"iso":2.210,"p1":3.6,"p2":3.58},
+      |  "q1_agg":{"sec":0.4,"p1":0.5,"p2":0.4}
+      |}}""".stripMargin
+    val prev = Bench.readPrevDetail(text, "sf0.1")
+    assert(prev("pagerank").iso == 2.210 && prev("pagerank").sec == 3.575)
+    assert(prev("q1_agg").iso == 0.0)
+  }
+
   test("cumulative gate (r15 ask #2): a repeat <=1.4x climber flags at 1.8x vs the oldest baseline") {
     import Bench.{CurRow, PrevRow}
     // three rounds of 1.35x climbs: 1.0 -> 1.35 -> 1.82. Each
