@@ -103,10 +103,22 @@ class CollectLintSpec extends SparkSpec {
       // construction publishes the signature stream, runs the consumer
       // with a mid-stream restart + redelivery, snapshots survivors
       "stream_neardup",
+      // stream_neardup_ttl / state_inspect_neardup_ttl: the same replay
+      // posture through the WINDOWED bucket index (NearDupIndexTtl) with
+      // the extra full-redelivery compaction incarnation; the audit
+      // variant finishes by reading the pruned ListState store
+      "stream_neardup_ttl",
+      "state_inspect_neardup_ttl",
       // stream_media_dedup: same replay posture — binary payloads over
       // the wire, in-stream decode to aHash, fingerprint-keyed
       // DistinctPerKey with restart + redelivery + re-upload mirrors
       "stream_media_dedup",
+      // stream_media_dedup_ttl / state_inspect_media_ttl: the windowed
+      // twin through DistinctActiveTtl (+ full-redelivery compaction);
+      // main row reads the live feed's final emissions, audit reads the
+      // pruned MapState store
+      "stream_media_dedup_ttl",
+      "state_inspect_media_ttl",
       // stream_ann: same replay posture — vectors over the wire routed to
       // their probed IVF cells, cell-keyed ListState inverted index
       // (CellAnnIndex) with restart + whole-quarter redelivery

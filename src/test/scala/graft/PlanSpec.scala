@@ -296,7 +296,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("index_serve answers from the persisted index, never the corpus") {
-    val plan = executedPlan(SimilaritySuite.indexServe(spark, dir))
+    val serve = SimilaritySuite.indexServe(spark, dir)
+    val plan = executedPlan(serve)
     // the only corpus touches are the PRUNED per-request reads: the five
     // query docs (their shingles are request processing) and the five
     // query vectors — both filter-pushed to the scan
@@ -314,9 +315,23 @@ class PlanSpec extends SparkSpec {
     assert(embChunks.nonEmpty &&
       embChunks.forall(_.contains("LessThan(vec_id,5)")),
       s"an UNPRUNED embeddings scan survives in the serve plan:\n$plan")
-    // and the index artifacts are what it serves from
+    // and the index artifacts are what it serves from — asserted on the
+    // RESOLVED RELATION PATHS, not the rendered string: the executed-plan
+    // toString runs under Spark's plan-string budget and round 19's
+    // slightly longer store paths pushed a FileScan's Location past the
+    // cutoff, failing a plan.contains() check against a relation the plan
+    // demonstrably reads (its columns were right there, truncated mid-
+    // InMemoryFileIndex). Leaf paths are truncation-immune.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val servePaths = serve.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
     Seq("ivf_cells", "lex_tf", "lex_df", "lex_n").foreach(a =>
-      assert(plan.contains(a), s"serve plan does not read artifact $a:\n$plan"))
+      assert(servePaths.exists(_.contains(a)),
+        s"serve plan does not read artifact $a: $servePaths"))
     // the inline ranker, by contrast, rebuilds from the corpus — the
     // split is real, not two names for one plan
     val inline = executedPlan(SimilaritySuite.hybridRetrievalIvf(spark, dir))
