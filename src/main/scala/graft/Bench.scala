@@ -328,6 +328,70 @@ object Bench {
     (flagged, comparable.size, skipped, harnessFlagged)
   }
 
+  /** Machine-speed CANARY (round 19): a fixed, plan-free, allocation-free
+    * CPU workload timed around the suite passes, published in the record
+    * so drift readers can mechanically separate environment noise from
+    * plan changes — the round-19 sessions measured the same commit at
+    * 304 s (canary-flat window) and 425-473 s (host noisy-neighbor
+    * window) with ZERO code delta, and without a canary that reads as 30
+    * spurious per-query flags. Single-thread (st) tracks per-core speed
+    * (frequency, steal on this core); all-cores (mt) tracks aggregate
+    * throughput (the thing a noisy co-tenant actually taxes). The hash
+    * loop is a fixed-iteration splitmix-style mix — deterministic
+    * work, result consumed so it cannot dead-code-eliminate.
+    */
+  private def canarySpin(iters: Long): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      h ^= h >>> 33
+      i += 1
+    }
+    h
+  }
+
+  def canaryStSec(iters: Long = 400000000L): Double = {
+    val t0 = System.nanoTime()
+    val h = canarySpin(iters)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (h == 42L) System.err.println("") // consume the result
+    dt
+  }
+
+  def canaryMtSec(itersPerThread: Long = 200000000L): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { _ =>
+      val t = new Thread(() => sink.addAndGet(canarySpin(itersPerThread)))
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Parse a committed record's canary block; absent in pre-r19 records. */
+  def readPrevCanary(text: String): Option[(Seq[Double], Seq[Double])] = {
+    val rx = """"canary":\{"st":\[([^\]]*)\],"mt":\[([^\]]*)\]\}""".r
+    rx.findFirstMatchIn(text).map { m =>
+      def nums(s: String) =
+        s.split(',').map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      (nums(m.group(1)), nums(m.group(2)))
+    }
+  }
+
+  /** Environment verdict for the drift section: this run's best mt canary
+    * vs the baseline's — >1.3x means the MACHINE was slower, and the
+    * per-query flags of this run are pre-attributed to environment.
+    */
+  def canaryRatio(prev: Option[(Seq[Double], Seq[Double])],
+                  curMt: Seq[Double]): Option[Double] =
+    for {
+      (_, pmt) <- prev
+      if pmt.nonEmpty && curMt.nonEmpty
+    } yield curMt.min / pmt.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Replay rows (stream_*) are VERIFICATION HARNESSES — multi-query
@@ -422,6 +486,15 @@ object Bench {
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
     val prevDetail: Map[String, PrevRow] = readBaseline(baselinePath)
+    // the baseline's canary block, for the environment verdict in the
+    // drift section (absent when the baseline predates round 19)
+    val prevCanary: Option[(Seq[Double], Seq[Double])] =
+      try {
+        if (java.nio.file.Files.exists(baselinePath))
+          readPrevCanary(new String(
+            java.nio.file.Files.readAllBytes(baselinePath), "UTF-8"))
+        else None
+      } catch { case _: Throwable => None }
     // CUMULATIVE cross-round baseline (round-15 verdict ask #2's gate
     // half): the round-over-round compare can never flag a row that
     // climbs <=1.4x EVERY round — so every run also compares against the
@@ -583,8 +656,19 @@ object Bench {
       passJit :+= (((jitMillis() - j0) / 1e3, classesLoaded() - c0, codeCacheMb()))
       out
     }
+    // canary samples bracket both passes (see canaryStSec/canaryMtSec):
+    // three points each — a mid-run noise window shows as an inflated
+    // middle or tail sample even when the launch-time load looked quiet
+    var canSt = Vector.empty[Double]
+    var canMt = Vector.empty[Double]
+    def sampleCanary(): Unit = {
+      canSt :+= canaryStSec(); canMt :+= canaryMtSec()
+    }
+    sampleCanary()
     val pass1 = instrumented(1)
+    sampleCanary()
     val pass2 = instrumented(2)
+    sampleCanary()
     // isolated-lane measurements (see IsoLane): one quiet re-measure per
     // pinned row after both suite passes — nothing interleaved, same
     // warmed JVM with the steady-state class set, the p3 protocol. A
@@ -696,8 +780,15 @@ object Bench {
       def fj(f: DriftFlag): String =
         f"""{"name":"${f.name}","prev":${f.prev}%.3f,"now":${f.now}%.3f,""" +
           f""""ratio":${f.now / f.prev}%.2f,"metric":"${f.metric}"}"""
+      // environment verdict: this run's best all-cores canary vs the
+      // baseline's — >1.3x pre-attributes this run's flags to a slower
+      // MACHINE (noisy co-tenant), not slower plans
+      val canJson = canaryRatio(prevCanary, canMt)
+        .map(r => f""""canary_ratio":$r%.2f,""" +
+          s""""canary_inflated":${r > 1.3},""")
+        .getOrElse("")
       (s"""{"baseline_round":$prevRound,"compared":$compared,""" +
-        s""""skipped_sf_changed":$skipped,""" +
+        s""""skipped_sf_changed":$skipped,$canJson""" +
         s""""flagged":${flagged.map(fj).mkString("[", ",", "]")},""" +
         s""""harness_flagged":${harness.map(fj).mkString("[", ",", "]")},""" +
         s""""cumulative":{"baseline_round":$oldestRound,""" +
@@ -815,6 +906,14 @@ object Bench {
         "since round 14 — environment drift, not plan regressions — so " +
         "a residual cumulative-lane flag on these rows is the OLD " +
         "RECORD being unreproducible, not a regression HEAD could fix. " +
+        "MACHINE CANARY (new): a fixed plan-free CPU workload (1-thread " +
+        "and all-cores) sampled before/between/after the passes, " +
+        "published as canary{st,mt} with a drift-section " +
+        "canary_ratio/canary_inflated verdict vs the baseline's canary " +
+        "— measured necessity: the same round-19 commit benched 304 s " +
+        "(quiet) and 425-473 s (host co-tenant noise, in-VM idle load 0 " +
+        "the whole time), and without a machine-speed reference those " +
+        "windows read as ~30 spurious per-query flags. " +
         "FULL-TAIL LEDGER (r18 ask #7): the drift lanes have always " +
         "compared EVERY row, not the stdout top-49 — the record's " +
         "drift.compared field counts the whole surface (243 minus " +
@@ -832,7 +931,10 @@ object Bench {
         s""""replay_sf":"${new java.io.File(replaySfDir).getName}",""" +
         f""""min_sec":$minTotal%.3f,""" +
         f""""gc_sec":$gcTotal%.2f,"pass_sec":[${passTotals.head}%.1f,""" +
-        f"""${passTotals.last}%.1f],"jit":$jit,"health":$health,""" +
+        f"""${passTotals.last}%.1f],"jit":$jit,""" +
+        s""""canary":{"st":${canSt.map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
+        s""""mt":${canMt.map(c => f"$c%.3f").mkString("[", ",", "]")}},""" +
+        f""""health":$health,""" +
         f""""drift":$driftJson,""" +
         f""""queries":{\n$detail\n}}\n"""
       try java.nio.file.Files.write(repoRoot.resolve("BENCH_DETAIL.json"),
@@ -869,6 +971,7 @@ object Bench {
         s""""anomalies":${verdicts.size},""" +
         s""""transient":${verdicts.count(_.transient)},""" +
         s""""reproducible":${reproducible.size},"contiguous_band":$band,""" +
+        f""""canary_mt_min":${canMt.min}%.2f,""" +
         s""""drift_flagged":$driftFlagged}"""
       s"""{"metric":"total","unit":"sec","sf":"$sfName",""" +
         s""""replay_sf":"${new java.io.File(replaySfDir).getName}",""" +

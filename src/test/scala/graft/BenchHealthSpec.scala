@@ -340,6 +340,22 @@ class BenchHealthSpec extends AnyFunSuite {
     assert(prev("q1_agg").iso == 0.0)
   }
 
+  test("machine canary: block round-trips, ratio verdicts, absent baseline stays silent") {
+    val text = """"jit":{},"canary":{"st":[0.412,0.405,0.420],"mt":[0.510,0.498,0.530]},"health":{}"""
+    val parsed = Bench.readPrevCanary(text)
+    assert(parsed.contains((Seq(0.412, 0.405, 0.420), Seq(0.510, 0.498, 0.530))))
+    // quiet run vs quiet baseline: ratio ~1, not inflated
+    val quiet = Bench.canaryRatio(parsed, Seq(0.52, 0.50, 0.55))
+    assert(quiet.exists(r => r > 0.9 && r < 1.2))
+    // noisy-neighbor run: best mt sample 1.5x the baseline's best
+    val noisy = Bench.canaryRatio(parsed, Seq(0.80, 0.75, 0.92))
+    assert(noisy.exists(_ > 1.3),
+      s"a 1.5x-slower machine must read as inflated: $noisy")
+    // pre-r19 baseline (no canary block): verdict absent, never a flag
+    assert(Bench.readPrevCanary(""""health":{}""").isEmpty)
+    assert(Bench.canaryRatio(None, Seq(0.5)).isEmpty)
+  }
+
   test("cumulative gate (r15 ask #2): a repeat <=1.4x climber flags at 1.8x vs the oldest baseline") {
     import Bench.{CurRow, PrevRow}
     // three rounds of 1.35x climbs: 1.0 -> 1.35 -> 1.82. Each
