@@ -728,12 +728,37 @@ object Bench {
     // never the ones a >12-row storm pushes past the cap.
     val preBand = classify(stats, Map.empty).band
     val flaggedRows = stats.filter { case (_, s1, s2) => elevated(s1, s2) }
+    // CANARY-GUARDED p3 (round 19): a re-run measured while the machine
+    // canary reads >1.3x this run's best quiet sample is CONTENTION
+    // evidence, not engine evidence — the r19 sessions watched five
+    // replay rows classify "reproducible" purely because their p3s
+    // landed in a host-noise window (canary mt 1.0-1.2 vs 0.52 quiet,
+    // p3 up to 6x the suite pass). Each flagged row retries up to three
+    // times, keeping the attempt with the CLEANEST canary bracket and
+    // stopping early on a clean one; classify() stays pure and pinned —
+    // only the measurement got more careful.
+    val quietMt = canMt.min
+    def p3Measure(n: String): QStat = {
+      var best: (QStat, Double) = null
+      var attempt = 0
+      var clean = false
+      while (attempt < 3 && !clean) {
+        val c0 = canaryMtSec()
+        val s = measure("3", n, selected(n))
+        val c1 = canaryMtSec()
+        val c = math.max(c0, c1)
+        if (best == null || c < best._2) best = (s, c)
+        clean = c <= quietMt * 1.3
+        attempt += 1
+      }
+      best._1
+    }
     val p3 = (if (preBand)
         flaggedRows.filter { case (_, s1, s2) => anomalous(s1, s2) }
       else flaggedRows)
       .sortBy { case (_, s1, s2) => (!anomalous(s1, s2), s1.sec - s2.sec) }
       .take(12)
-      .map { case (n, _, _) => n -> measure("3", n, selected(n)) }
+      .map { case (n, _, _) => n -> p3Measure(n) }
       .toMap
     // The verdict lane is decided by BOTH suite passes (eng > 0 on p1
     // and p2 — classify's `lane`); the p3 value must live in that same
@@ -913,7 +938,13 @@ object Bench {
         "— measured necessity: the same round-19 commit benched 304 s " +
         "(quiet) and 425-473 s (host co-tenant noise, in-VM idle load 0 " +
         "the whole time), and without a machine-speed reference those " +
-        "windows read as ~30 spurious per-query flags. " +
+        "windows read as ~30 spurious per-query flags. The p3 anomaly " +
+        "re-runs are canary-GUARDED: an attempt bracketed by a dirty " +
+        "canary (>1.3x the run's best) retries up to three times and " +
+        "keeps the cleanest bracket — watched necessity: five replay " +
+        "rows classified 'reproducible' in one noisy window purely " +
+        "because their p3s landed in the noise (p3 up to 6x the suite " +
+        "pass, canary 2x quiet at that moment). " +
         "FULL-TAIL LEDGER (r18 ask #7): the drift lanes have always " +
         "compared EVERY row, not the stdout top-49 — the record's " +
         "drift.compared field counts the whole surface (243 minus " +
