@@ -68,8 +68,26 @@ object StreamReplay {
     */
   private def drainQuery(q: org.apache.spark.sql.streaming.StreamingQuery,
                          stopAfter: Boolean = true): Unit =
-    try EngineTimer.timed(q.processAllAvailable())
-    finally if (stopAfter) q.stop()
+    try {
+      EngineTimer.timed(q.processAllAvailable())
+      // measurement hook (optimization round 19, guide §1: measure first):
+      // per-drain micro-batch count + driver-side duration breakdown, the
+      // numbers that attribute a replay's engine lane to planning vs WAL
+      // vs state commit. Off unless SPARK_GRAFT_STREAM_PROGRESS is set —
+      // progress JSON assembly is itself driver work.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PROGRESS")) {
+        val ps = q.recentProgress
+        val keys = ps.flatMap(p =>
+          scala.jdk.CollectionConverters.MapHasAsScala(p.durationMs)
+            .asScala.keys).distinct.sorted
+        val sums = keys.map { k =>
+          k -> ps.map(p => Option(p.durationMs.get(k)).map(_.longValue)
+            .getOrElse(0L)).sum
+        }
+        System.err.println(s"[drain] batches=${ps.length} " +
+          sums.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      }
+    } finally if (stopAfter) q.stop()
 
   /** Conf-scoped child session every replay harness runs under (same
     * pattern as Dedup's round-scoped flooding sessions): parent conf
@@ -93,10 +111,36 @@ object StreamReplay {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Boolean),
       SparkSession]()
 
+  /** Replay-lane state fan-out (optimization round 19, guide §2: derive
+    * partitioning from the data, not from a constant tuned for either
+    * mode). A replay processes a few thousand sf0.001 rows, but EVERY
+    * per-micro-batch fixed cost multiplies by the shuffle-partition count:
+    * one state store per partition per stateful operator is opened at
+    * every incarnation start (RocksDB: changelog replay + native open),
+    * committed at every batch (delta/changelog file + CRC sidecar), and
+    * maintained. At the old fan-out of 8 the engine lane of the 56 replay
+    * rows was dominated by store count, not data. The env knob exists for
+    * A/B measurement and for replaying bigger fixtures (set it to taste);
+    * the default divides the declared fan-out by 4 (8 -> 2 for stateful
+    * aggs, 4 -> 1 for stream-stream joins' four-stores-per-partition) —
+    * measured on the heavy replay rows as the knee of the curve; a real
+    * deployment sizes this to event volume per trigger, exactly like
+    * spark.sql.shuffle.partitions on the batch side. The env knob is a
+    * DIVISOR over the declared fan-out (1 restores the pre-r19 behavior)
+    * so the deliberate 8-vs-4 split between aggregation and join replays
+    * survives any setting.
+    */
+  private def replayParts(declared: Int): Int = {
+    val div = sys.env.get("SPARK_GRAFT_REPLAY_PART_DIV").map(_.toInt)
+      .getOrElse(4)
+    math.max(1, declared / math.max(1, div))
+  }
+
   private def replaySession(spark: SparkSession,
                             shufflePartitions: Int,
-                            keepRocksDb: Boolean = false): SparkSession =
-    sessionCache.computeIfAbsent((spark, shufflePartitions, keepRocksDb), _ => {
+                            keepRocksDb: Boolean = false): SparkSession = {
+    val parts = replayParts(shufflePartitions)
+    sessionCache.computeIfAbsent((spark, parts, keepRocksDb), _ => {
       val child = spark.newSession()
       spark.conf.getAll.foreach { case (k, v) =>
         try child.conf.set(k, v)
@@ -109,9 +153,42 @@ object StreamReplay {
         child.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state." +
             "HDFSBackedStateStoreProvider")
-      child.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      child.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // Spark 4.1 writes a CRC32C checksum SIDECAR beside every checkpoint
+      // file (offset log, commit log, every state delta/changelog) and
+      // verifies it on read — corruption detection for long-lived
+      // checkpoints on remote object stores. A replay harness writes its
+      // checkpoint to local disk, reads it back within the same minute and
+      // deletes it; the sidecars double the small-file count per
+      // micro-batch for zero protection (optimization round 19, guide §6:
+      // small files hurt twice). Production checkpoints (the parent
+      // session) keep the Spark default.
+      child.conf.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CRC", "false"))
+      // INTERPRETED expression mode for replay children (optimization
+      // round 19, guide §1.2 "per-task work" inverted for tiny inputs):
+      // a micro-batch's generated code embeds the CURRENT WATERMARK as a
+      // literal, so every batch of every incarnation janino-compiles and
+      // classloads fresh predicate/projection classes that can never hit
+      // the codegen cache — measured ~280 class loads and ~9 JIT seconds
+      // per stream_asof_ttl run at STEADY STATE, with the synchronous
+      // compile riding the engine lane (addBatch). At replay scale
+      // (sf0.001, a few thousand rows) compilation can never amortize:
+      // interpreted rows cost microseconds while each compile costs
+      // milliseconds. Measured on stream_asof_ttl: engine 7.4 -> 5.0 s,
+      // class loads 279 -> 79 per warm run. Production streams (parent
+      // session) keep codegen — at real volume the amortization argument
+      // flips, which is exactly why this is per-session and not global.
+      val replayCodegen =
+        sys.env.getOrElse("SPARK_GRAFT_REPLAY_CODEGEN", "false").toBoolean
+      if (!replayCodegen) {
+        child.conf.set("spark.sql.codegen.wholeStage", "false")
+        child.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
       child
     })
+  }
 
   /** The quartered publish-and-restart schedule shared by the topic
     * replays (review finding, round 11 — previously copy-pasted per
